@@ -1,0 +1,63 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is materialized with ``df.write.format("noop")`` — a full
+evaluation of every output column (``count`` would let Spark skip
+projection work) without the driver-side row deserialization of
+``collect()``, which measures py4j transfer rather than query execution
+and is highly variable for wide results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    from lab_etl_spark.queries import load_all
+    from lab_etl_spark.session import get_spark
+
+    spark = get_spark("lab_etl_spark_bench")
+    registry = load_all()
+    bench_set = {n: q for n, q in registry.items() if q.bench}
+
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # queries, not session startup.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(bench_set.items()):
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

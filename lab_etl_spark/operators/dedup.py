@@ -1,0 +1,185 @@
+"""Distributed text-dedup operators: shingling, exact Jaccard via inverted
+index, and MinHash + banded LSH for the 100 TB path.
+
+Design notes for scale:
+  * Shingling is embarrassingly parallel (per-row `transform` over the word
+    array — stays in whole-stage codegen, no Python).
+  * Exact Jaccard joins on the *shingle* (inverted index), so only documents
+    sharing at least one shingle meet — never the n² cross product.  Hot
+    shingles are the skew risk; AQE skew-join splitting handles moderate skew,
+    and `max_shingle_freq` drops stop-shingles (a standard trick: a shingle
+    shared by thousands of docs carries ~no Jaccard signal but dominates the
+    join fan-out).
+  * MinHash+LSH replaces the pair join with an O(docs × bands) bucket
+    shuffle; exact Jaccard then verifies only the candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# trim + collapse internal whitespace + lowercase; identical regex semantics
+# exist in DuckDB for the oracle side (see queries/dedup.py).
+NORMALIZE_SQL = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+
+
+def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document.
+
+    Docs shorter than ``n`` words produce no shingles (matches the oracle's
+    empty generate_series).
+    """
+    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    words = F.split(F.expr(norm), " ")
+    shingles = F.expr(
+        f"transform(sequence(1, size(_w) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(_w, i, {n})))"
+    )
+    return (
+        docs.select("doc_id", words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold).
+
+    Columns: doc_a, doc_b, jaccard (rounded to 6 for cross-engine hashing).
+    """
+    sh = word_shingles(docs, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
+        sh = (
+            sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature via seeded xxhash64.
+
+    One hash-aggregate over the shingle stream computes all k permutations
+    (k min() aggs), so signature cost is a single shuffle on doc_id.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle → signature (1 shuffle) → band buckets (1 shuffle) →
+    bucket self-join (candidates only) → exact-Jaccard verify restricted to
+    candidates.  Columns: doc_a, doc_b, jaccard.
+    """
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(docs, n)
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_frames = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + k}") for k in range(rows_per_band)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bkey"),
+            )
+        )
+    buckets = band_frames[0]
+    for bf in band_frames[1:]:
+        buckets = buckets.unionAll(bf)
+
+    x = buckets.alias("x")
+    y = buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # Exact verify on candidates only: semi-join the shingle stream down to
+    # candidate docs, then compute true Jaccard for candidate pairs.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh_c.alias("a")
+    b2 = sh_c.alias("b")
+    common = (
+        a.join(
+            b2,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,77 @@
+"""Linear interpolation of an irregular time series onto a regular grid,
+expressed entirely in window functions (no Python, no collect of the series).
+
+Reference analogue: op_interp_resample — np.interp of secondary spectra onto
+the primary wavelength grid (bruker_ftir_parser.py:74-86).  The Spark-first
+form: union the grid points with the data points, then one forward-looking
+and one backward-looking IGNORE NULLS window pass gives each grid point its
+bracketing samples; blend linearly.  Cost: one sort per series partition —
+at scale you partition by series key (``part_cols``), so state stays local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def interpolate_to_grid(
+    series: DataFrame,
+    grid: DataFrame,
+    part_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linearly interpolate ``series`` (ts, value) onto ``grid`` (ts).
+
+    Grid points outside the observed range get NULL.  Data rows sort before
+    grid rows at equal ts, so an exact-hit grid point reproduces the sample
+    value exactly (zero-length blend).
+    """
+    part_cols = part_cols or []
+    data = series.select(
+        *part_cols,
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).cast("double").alias("_val"),
+        F.lit(0).alias("_is_grid"),
+    )
+    gpts = grid.select(
+        *part_cols,
+        F.col(ts_col).alias("_ts"),
+        F.lit(None).cast("double").alias("_val"),
+        F.lit(1).alias("_is_grid"),
+    )
+    pts = data.unionAll(gpts)
+
+    order = [F.col("_ts"), F.col("_is_grid")]
+    base = W.partitionBy(*part_cols).orderBy(*order) if part_cols else W.orderBy(*order)
+    w_prev = base.rowsBetween(W.unboundedPreceding, 0)
+    w_next = base.rowsBetween(0, W.unboundedFollowing)
+
+    prev_val = F.last("_val", ignorenulls=True).over(w_prev)
+    prev_ts = F.last(
+        F.when(F.col("_is_grid") == 0, F.col("_ts")), ignorenulls=True
+    ).over(w_prev)
+    next_val = F.first("_val", ignorenulls=True).over(w_next)
+    next_ts = F.first(
+        F.when(F.col("_is_grid") == 0, F.col("_ts")), ignorenulls=True
+    ).over(w_next)
+
+    # Epoch microseconds as exact integers → double ratios are deterministic.
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    frac = (us(F.col("_ts")) - us(prev_ts)).cast("double") / (
+        us(next_ts) - us(prev_ts)
+    ).cast("double")
+    blended = F.when(prev_ts == next_ts, prev_val).otherwise(
+        prev_val + (next_val - prev_val) * frac
+    )
+    return (
+        pts.withColumn("_interp", blended)
+        .filter(F.col("_is_grid") == 1)
+        .select(
+            *part_cols,
+            F.col("_ts").alias(ts_col),
+            F.round("_interp", 6).alias("interp_value"),
+        )
+    )

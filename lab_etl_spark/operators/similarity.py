@@ -1,0 +1,88 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+  * ``cosine_topk`` — brute-force exact top-k.  The query side is small and
+    broadcast; the corpus side is scanned once, scored with JVM-side
+    higher-order functions (no Python), and reduced per-query with a ranked
+    window.  At cluster scale this is a single corpus scan, no corpus shuffle
+    except the final per-query top-k (tiny after the rank filter).
+  * ``cosine_topk_blocked`` — IVF-style coarse blocking: only score pairs in
+    the same block (here the ``label`` column stands in for a learned coarse
+    quantizer cell).  Cuts scored pairs by ~|blocks|×, the standard ANN
+    recall/cost trade.
+
+All folds are sequential left-to-right (`aggregate`), so doubles are
+bit-identical to the DuckDB oracle's `list_reduce`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# Sequential double fold: dot(a, b) and ||v||².
+DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+SQNORM = (
+    "aggregate({v}, CAST(0.0 AS DOUBLE),"
+    " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+)
+
+
+def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    e = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        F.col("label").alias("e_label"),
+    )
+    cos = F.expr(
+        f"{DOT.format(a='q_emb', b='e_emb')}"
+        f" / (SQRT({SQNORM.format(v='q_emb')}) * SQRT({SQNORM.format(v='e_emb')}))"
+    )
+    return (
+        F.broadcast(q)
+        .join(e, join_cond(q, e))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Exact brute-force cosine top-k (query side broadcast)."""
+    scored = _scored(
+        queries,
+        corpus,
+        lambda q, e: F.col("query_id") != F.col("neighbor_id"),
+    )
+    return _topk(scored, k)
+
+
+def cosine_topk_blocked(
+    queries: DataFrame, corpus: DataFrame, k: int = 3
+) -> DataFrame:
+    """Coarse-blocked (IVF-style) cosine top-k: score same-block pairs only."""
+    scored = _scored(
+        queries,
+        corpus,
+        lambda q, e: (F.col("q_label") == F.col("e_label"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    )
+    return _topk(scored, k)

@@ -1,0 +1,99 @@
+"""Deduplication operators over the ``documents`` table (SURVEY.md §2B).
+
+Exact dedup: portable fingerprint (md5 of normalized text) + hash groupBy —
+one shuffle on the fingerprint, scales linearly.
+
+Near dedup, two strategies:
+  * ``q_dedup_ngram_jaccard`` — exact 3-gram-shingle Jaccard via a shingle
+    self-join.  Fully oracle-checkable; the inverted-index join bounds work to
+    pairs that share ≥1 shingle (not the full n² cross product).
+  * ``q_dedup_minhash_lsh`` — MinHash + banded LSH (operators/dedup.py), the
+    100 TB-scale path: candidate generation cost is O(docs × bands), not
+    O(pairs).  Hash family is engine-specific → rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import minhash_lsh_candidates, shingle_jaccard_pairs
+from . import register
+
+# Normalization both engines apply before fingerprinting: trim + collapse
+# whitespace + lowercase.
+_NORM_SPARK = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+_NORM_DUCK = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM_DUCK}) AS fingerprint,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup via md5-of-normalized-text fingerprint; keeper = min id. "
+    "Reference analogue: provenance file-hash dedup (util.py:83-93).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.expr(f"md5({_NORM_SPARK})").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
+      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    doc="Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.5 via inverted-"
+    "index self-join (only docs sharing a shingle are compared).",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # xxhash64-based MinHash family is Spark-specific
+    doc="MinHash(16 perms) + 4-band LSH candidate pairs with exact-Jaccard "
+    "verify; the candidate-generation shuffle is O(docs*bands).",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    )

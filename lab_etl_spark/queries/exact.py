@@ -1,0 +1,32 @@
+"""Exact-arithmetic helpers shared by the Spark queries and their DuckDB
+oracle SQL so both engines produce bit-identical doubles.
+
+Floating-point SUM/AVG is order-dependent; hash-based aggregation gives each
+engine (and each run) a different accumulation order.  The fix is to
+accumulate in DECIMAL — exact integer arithmetic, order-independent — and
+cast the final value back to DOUBLE (a single deterministic IEEE rounding).
+Each addend is a deterministic per-row double cast to DECIMAL(38-p, p); the
+cast rounds identically in both engines for non-boundary values.
+
+Array folds (dot products, norms) instead rely on *sequential* left-to-right
+evaluation, which Spark's ``aggregate`` and DuckDB's ``list_reduce`` both
+guarantee, so plain double accumulation is already deterministic there.
+"""
+
+from __future__ import annotations
+
+
+def dsum(expr: str, scale: int = 4) -> str:
+    """Exact SUM of a double expression, returned as DOUBLE.
+
+    Same SQL text is valid in Spark SQL and DuckDB.
+    """
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+def davg(expr: str, scale: int = 6) -> str:
+    """Exact-sum AVG of a double expression, returned as DOUBLE."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )

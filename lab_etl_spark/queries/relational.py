@@ -1,0 +1,514 @@
+"""Relational query surface (SURVEY.md §2B batch 1).
+
+Filter/project, the join family (hash, broadcast, semi, anti, range),
+aggregations, rollup/cube, window functions, sort/limit, set ops, and the
+scalar/array function batteries.  Everything here is pure DataFrame API —
+Catalyst gets full visibility (pushdown, pruning, join selection, AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+from .exact import davg, dsum
+
+# ---------------------------------------------------------------------------
+# Filter + project
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_quantity > 40
+    """,
+    doc="Predicate + projection; filters and column pruning push to the scan.",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_quantity") > 40)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity')} AS sum_qty,
+           {dsum('l_extendedprice')} AS sum_base_price,
+           {dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg('l_quantity')} AS avg_qty,
+           {davg('l_extendedprice')} AS avg_price,
+           {davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary (flagship query; entry() runs this).",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+            F.expr(dsum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias("sum_disc_price"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)).alias(
+                "sum_charge"
+            ),
+            F.expr(davg("l_quantity")).alias("avg_qty"),
+            F.expr(davg("l_extendedprice")).alias("avg_price"),
+            F.expr(davg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_group",
+    oracle=f"""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           {dsum('l_quantity')} AS sum_qty,
+           {davg('l_discount')} AS avg_disc,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem
+    GROUP BY l_suppkey
+    """,
+    doc="Grouped numeric aggregation with min/max over timestamps.",
+)
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+        F.expr(davg("l_discount")).alias("avg_disc"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact distinct aggregation (expand-based in Spark; dedup before count).",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_approx_distinct",
+    oracle=None,  # HLL estimates are engine-specific → rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per event_type; scale path for "
+    "distinct-user counts where exact dedup shuffle would dominate.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+@register(
+    "q_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           {dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical grouping sets; GROUPING() flags disambiguate subtotal rows.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+           COUNT(*) AS n_orders,
+           {dsum('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="Full cube over two dims.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    return od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(dsum("o_totalprice")).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hash_join_inner",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    doc="Fact-fact equi-join on the shared order key; partial aggregation on "
+    "the probe side keeps the post-join shuffle tiny.",
+)
+def q_hash_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_broadcast_join",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {dsum('c_acctbal', 2)} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="Star join: dims broadcast (no shuffle of the fact side at any scale).",
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(dsum("c_acctbal", 2)).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    doc="Left-semi join (EXISTS): emits each customer at most once.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return cu.join(
+        od, cu.c_custkey == od.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    SELECT b.band_name,
+           COUNT(*) AS n_items,
+           {dsum('l_extendedprice', 2)} AS sum_price
+    FROM lineitem l
+    JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 60.0, 'high'))
+         AS b(lo, hi, band_name)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band_name
+    """,
+    doc="Interval (theta) join against a tiny band dim — broadcast "
+    "nested-loop; the dim is rows-constant so this stays O(fact) at any scale.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 60.0, "high")],
+        "lo double, hi double, band_name string",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum("l_extendedprice", 2)).alias("sum_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, sort/limit, set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+    doc="Top-k per group via ranked window; unique o_orderkey tie-break keeps "
+    "the result deterministic across engines.",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@register(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_sum,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS moving_avg
+    FROM events
+    """,
+    doc="Running sum + 4-row moving average per user; decimal accumulation "
+    "keeps frames order-exact.",
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.expr("CAST(value AS DECIMAL(30,6))")
+    run = F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double")
+    frame = w.rowsBetween(-3, 0)
+    mov = F.sum(dec).over(frame).cast("double") / F.count("value").over(frame)
+    return ev.select(
+        "event_id",
+        "user_id",
+        run.alias("running_sum"),
+        mov.alias("moving_avg"),
+    )
+
+
+@register(
+    "q_sort_limit_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    doc="Global top-k: Spark runs TakeOrderedAndProject (per-partition heaps, "
+    "no full sort) — exactly the 100 TB-safe plan.",
+)
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    SELECT 'active_rich' AS cohort, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+      INTERSECT
+      SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'rich_inactive' AS cohort, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+    doc="INTERSECT / EXCEPT / UNION ALL over key projections.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    rich = cu.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    ordered = od.select(F.col("o_custkey").alias("c_custkey"))
+    both = rich.intersect(ordered).select(
+        F.lit("active_rich").alias("cohort"), "c_custkey"
+    )
+    only_rich = rich.subtract(ordered).select(
+        F.lit("rich_inactive").alias("cohort"), "c_custkey"
+    )
+    return both.unionAll(only_rich)
+
+
+# ---------------------------------------------------------------------------
+# Scalar / array function batteries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scalar_fns",
+    oracle="""
+    SELECT event_id,
+           UPPER(event_type) AS type_uc,
+           SUBSTRING(event_type, 1, 3) AS type_3,
+           CONCAT(event_type, '#', CAST(user_id AS VARCHAR)) AS tag,
+           LENGTH(props) AS props_len,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS prop_k,
+           DATE_TRUNC('month', ts) AS month_ts,
+           ROUND(ABS(value), 4) AS abs_val,
+           CASE WHEN value >= 0 THEN 'pos' ELSE 'neg' END AS sign
+    FROM events
+    """,
+    doc="String/regex/date/math battery incl. the reference's value-from-text "
+    "regex pattern (op_parse_value_unit family) applied to JSON props.",
+)
+def q_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_uc"),
+        F.substring("event_type", 1, 3).alias("type_3"),
+        F.concat(
+            F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")
+        ).alias("tag"),
+        F.length("props").alias("props_len"),
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).cast("bigint").alias("prop_k"),
+        F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("month_ts"),
+        F.round(F.abs(F.col("value")), 4).alias("abs_val"),
+        F.when(F.col("value") >= 0, "pos").otherwise("neg").alias("sign"),
+    )
+
+
+@register(
+    "q_array_fns",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           ROUND(SQRT(list_reduce(
+             list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+             (a, b) -> a + b)), 6) AS l2_norm,
+           list_reduce(list_transform(embedding,
+                                      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END),
+                       (a, b) -> a + b) AS n_positive
+    FROM embeddings
+    """,
+    doc="Array battery over embedding vectors: size, index, sequential-fold L2 "
+    "norm (aggregate ↔ list_reduce are both left-to-right, so doubles match).",
+)
+def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.expr("CAST(embedding[0] AS DOUBLE)").alias("first_elem"),
+        F.expr(
+            "ROUND(SQRT(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)"
+        ).alias("l2_norm"),
+        F.expr(
+            "aggregate(embedding, 0, (a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END)"
+        ).alias("n_positive"),
+    )

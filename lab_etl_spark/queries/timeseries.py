@@ -1,0 +1,199 @@
+"""Event-time queries over ``events`` (SURVEY.md §2B): tumbling and session
+windows (batch form of the streaming operators), as-of alignment, and linear
+interpolation onto a regular grid.
+
+The tumbling/session queries use the same `window()`/`session_window()`
+expressions the Structured Streaming versions use (streaming/), so the batch
+oracle check validates the streaming semantics too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.interpolation import interpolate_to_grid
+from . import register
+from .exact import dsum
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Tumbling 1h event-time windows per event_type (batch form of the "
+    "streaming tumbling aggregation).",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    doc="Session windows (30 min gap) per user via session_window(); oracle "
+    "reconstructs sessions with gaps-and-islands. A new session starts when "
+    "the gap is >= the timeout (Spark merges only strictly-overlapping "
+    "[ts, ts+gap) windows).",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_asof_align",
+    oracle="""
+    SELECT event_id, user_id, ts, prev_click_ts,
+           epoch_us(ts) - epoch_us(prev_click_ts) AS gap_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_click_ts
+      FROM events
+    )
+    WHERE event_type = 'purchase'
+    """,
+    doc="As-of (backward) alignment: each purchase joined to the user's most "
+    "recent strictly-prior click — one window pass, no range join. "
+    "Generalizes the reference's time_shift alignment (docs/mcc.md).",
+)
+def q_asof_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prev_click_ts", prev_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "prev_click_ts",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("prev_click_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+    )
+
+
+@register(
+    "q_interp_linear",
+    oracle="""
+    WITH series AS (
+      SELECT ts, value FROM events WHERE event_type = 'view'
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1 FROM series
+    ),
+    grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM bounds
+    ),
+    pts AS (
+      SELECT ts AS _ts, CAST(value AS DOUBLE) AS _val, 0 AS _is_grid FROM series
+      UNION ALL
+      SELECT ts, NULL, 1 FROM grid
+    ),
+    win AS (
+      SELECT _ts, _is_grid,
+        LAST_VALUE(_val IGNORE NULLS) OVER wp AS prev_val,
+        LAST_VALUE(CASE WHEN _is_grid = 0 THEN _ts END IGNORE NULLS) OVER wp AS prev_ts,
+        FIRST_VALUE(_val IGNORE NULLS) OVER wn AS next_val,
+        FIRST_VALUE(CASE WHEN _is_grid = 0 THEN _ts END IGNORE NULLS) OVER wn AS next_ts
+      FROM pts
+      WINDOW
+        wp AS (ORDER BY _ts, _is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (ORDER BY _ts, _is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT _ts AS ts,
+           ROUND(CASE WHEN prev_ts = next_ts THEN prev_val
+                 ELSE prev_val + (next_val - prev_val)
+                      * (CAST(epoch_us(_ts) - epoch_us(prev_ts) AS DOUBLE)
+                         / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+                 END, 6) AS interp_value
+    FROM win
+    WHERE _is_grid = 1
+    """,
+    doc="Linear interpolation of the 'view' value series onto an hourly grid "
+    "— window-only formulation of the reference's np.interp resample "
+    "(bruker_ftir_parser.py:74-86).",
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.filter(F.col("event_type") == "view").select("ts", "value")
+    bounds = series.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("ts")
+    )
+    return interpolate_to_grid(series, grid)

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+configs are the ones we would ship to a 1000-executor cluster, with the
+local-only knobs (driver memory) isolated here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to ANY session our code touches (including
+# a session the driver harness created itself).  These are safe to set
+# post-startup; they matter for correctness, not just speed.
+RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet stores INT64 TIMESTAMP(NANOS); Spark has no ns timestamp
+    # type, so read as long and convert explicitly (catalog.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics; matches the DuckDB oracle's naive ts.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime coalescing, skew-join splitting, broadcast demotion.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build — session factory already set it
+    return spark
+
+
+def get_spark(app_name: str = "lab_etl_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # One shuffle partition per core locally; on a real cluster this would
+        # scale with executor count (AQE coalesces the excess either way).
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

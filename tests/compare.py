@@ -1,0 +1,83 @@
+"""Cross-engine result comparison mimicking the driver's correctness gate:
+row count + column-name schema + order-insensitive value comparison.
+
+Stricter than a hash: on mismatch it reports the first differing rows so the
+query can be fixed instead of guessing.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # 17 significant digits = exact double round-trip; queries are built
+        # so both engines produce bit-identical doubles.
+        return f"{v:.17g}"
+    if isinstance(v, Decimal):
+        return f"{float(v):.17g}"
+    if isinstance(v, (datetime, pd.Timestamp)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    return repr(v)
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_norm_cell(v) for v in row))
+    out.sort()
+    return out
+
+
+def compare(spark_df, duck_df: pd.DataFrame, name: str = "?") -> None:
+    spd = spark_df.toPandas()
+    assert sorted(spd.columns) == sorted(duck_df.columns), (
+        f"{name}: column mismatch spark={sorted(spd.columns)} "
+        f"duck={sorted(duck_df.columns)}"
+    )
+    assert len(spd) == len(duck_df), (
+        f"{name}: row count spark={len(spd)} duck={len(duck_df)}"
+    )
+    a = normalize(spd)
+    b = normalize(duck_df)
+    if a != b:
+        diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+        raise AssertionError(
+            f"{name}: value mismatch; first diffs (spark vs duck):\n"
+            + "\n".join(f"  {x}\n  {y}\n" for x, y in diffs)
+        )
