@@ -32,9 +32,20 @@ def main() -> None:
     registry = load_all()
     bench_set = {n: q for n, q in registry.items() if q.bench}
 
-    # Warm the JVM + file listing once so per-query numbers measure the
-    # queries, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm-up pass: run every query once at a small scale factor first.
+    # Whole-stage codegen + JIT compile hundreds of generated classes for a
+    # diverse plan mix; measuring cold conflates compilation (a one-time,
+    # size-independent cost) with execution.  Plans are shape-identical at
+    # the smaller sf, so the warm pass compiles what the measured pass runs.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARMUP_SF_DIR", "/root/testdata/sf0.01"
+    )
+    for name, q in sorted(bench_set.items()):
+        try:
+            q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # warm-up must never fail the bench
+            print(f"# warmup {name} failed: {e}", file=sys.stderr)
+    print("# warmup complete", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, q in sorted(bench_set.items()):

@@ -1,0 +1,156 @@
+"""Metadata carriage: the reference's load-bearing design fact is that data,
+units, and provenance travel together (util.py:12-73 in the reference).
+
+Spark mapping (SURVEY.md §1.5):
+  * per-column units  → ``StructField.metadata["unit"]`` via
+    ``Column.alias(name, metadata=...)`` — first-class, survives select/alias.
+  * table metadata    → constant columns ``file_metadata`` (JSON string),
+    ``instrument_type``, and ``file_hash`` — columns survive every transform
+    and shuffle, unlike schema-level metadata.
+  * provenance hash   → BLAKE2b of the raw file bytes (util.py:83-93); Spark
+    has no BLAKE2b builtin so this is a (non-hot-path, once-per-file) UDF.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+
+def with_unit(col: Column | str, name: str, unit: str | None) -> Column:
+    """Alias a column and attach ``{"unit": ...}`` field metadata
+    (reference: util.py:38-54)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.alias(name, metadata={"unit": unit} if unit else {})
+
+
+def with_units(df: DataFrame, units: dict[str, str | None]) -> DataFrame:
+    """Re-attach unit metadata on the named columns, preserving the rest.
+
+    Centralized because Spark silently drops field metadata whenever an
+    expression rebuilds a column — every source and operator funnels through
+    here after its last reshaping step.
+    """
+    cols = [
+        with_unit(name, name, units[name]) if name in units else F.col(name)
+        for name in df.columns
+    ]
+    return df.select(*cols)
+
+
+def units_of(df: DataFrame) -> dict[str, str | None]:
+    """Read back the unit map from a DataFrame's schema."""
+    return {
+        f.name: (f.metadata or {}).get("unit")
+        for f in df.schema.fields
+        if (f.metadata or {}).get("unit") is not None
+    }
+
+
+@F.udf(returnType=StringType())
+def blake2b_hex(content: bytes) -> str | None:
+    """BLAKE2b hex digest of raw file bytes (reference util.py:83-93).
+
+    Runs once per *file* (on binaryFile.content), never per row, so the
+    Python-UDF cost is bounded by file count, not data volume.
+    """
+    if content is None:
+        return None
+    return hashlib.blake2b(content).hexdigest()
+
+
+def attach_provenance(
+    df: DataFrame,
+    instrument_type: str,
+    source_file: str,
+    file_hash: str | None,
+    file_metadata: dict | None = None,
+) -> DataFrame:
+    """Tag every row with the reference's table-level metadata triple
+    (util.py:56-67): instrument type, source path + BLAKE2b provenance, and
+    the nested file-metadata dict as a JSON string column.
+
+    Constant columns compress to ~nothing in parquet (RLE/dictionary) and are
+    usable as partition columns in a lake layout.
+    """
+    return (
+        df.withColumn("instrument_type", F.lit(instrument_type))
+        .withColumn("source_file", F.lit(source_file))
+        .withColumn("file_hash", F.lit(file_hash))
+        .withColumn(
+            "file_metadata",
+            F.lit(json.dumps(file_metadata, sort_keys=True) if file_metadata else None),
+        )
+    )
+
+
+def file_blake2b(path: str) -> str:
+    """Driver-side BLAKE2b for single-file loads (mirrors util.py:83-93)."""
+    h = hashlib.blake2b()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
+    """Best-effort encoding detection (reference util.py:76-80 used libmagic;
+    charset_normalizer is the pure-Python equivalent available here).
+
+    BOM checks come first — charset sniffing on UTF-16 without BOM is
+    unreliable and the HFM format is UTF-16LE with BOM.
+    """
+    with open(path, "rb") as f:
+        head = f.read(sample_bytes)
+    if head.startswith(b"\xff\xfe"):
+        return "utf-16le"
+    if head.startswith(b"\xfe\xff"):
+        return "utf-16be"
+    if head.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    detected = None
+    try:
+        from charset_normalizer import from_bytes
+
+        best = from_bytes(head).best()
+        if best is not None:
+            detected = best.encoding
+    except ImportError:
+        pass
+    return _spark_charset(detected)
+
+
+#: Spark's CSV reader accepts exactly these charsets; map detector aliases
+_SPARK_CHARSETS = {
+    "iso-8859-1",
+    "us-ascii",
+    "utf-16",
+    "utf-16be",
+    "utf-16le",
+    "utf-32",
+    "utf-8",
+}
+_CHARSET_ALIASES = {
+    "ascii": "us-ascii",
+    "latin-1": "iso-8859-1",
+    "latin_1": "iso-8859-1",
+    "cp1252": "iso-8859-1",
+    "windows-1252": "iso-8859-1",
+    "utf_8": "utf-8",
+    "utf-16-le": "utf-16le",
+    "utf_16_le": "utf-16le",
+    "utf-16-be": "utf-16be",
+    "utf_16_be": "utf-16be",
+}
+
+
+def _spark_charset(name: str | None) -> str:
+    if not name:
+        return "utf-8"
+    n = name.lower().replace("_", "-")
+    n = _CHARSET_ALIASES.get(n, n)
+    return n if n in _SPARK_CHARSETS else "utf-8"

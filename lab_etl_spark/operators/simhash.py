@@ -1,0 +1,128 @@
+"""SimHash near-duplicate detection, fully cross-engine checkable.
+
+SimHash: each token hashes to b bits; bit j of the document signature is the
+sign of Σ_tokens (2·bit_j − 1).  Near-duplicates are signature pairs within
+a small Hamming distance.
+
+Engine-portable choices (so a DuckDB oracle can verify values exactly):
+  * token hash = first 8 hex chars of md5(token) as an integer (md5 is
+    byte-identical everywhere; 32 bits keeps every intermediate in signed
+    64-bit range in both engines);
+  * candidate generation = LSH on k contiguous bit-bands of the signature
+    (band equality join — O(docs·bands) shuffle, never the n² cross
+    product), exact Hamming verify with bit_count(xor) after.
+
+At 100 TB the band join is the only shuffle that grows with corpus size,
+and it's linear; band-hash skew (many docs sharing a band value, e.g. the
+all-zeros band from short docs) is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BITS = 32
+
+
+def _tok_hash_sql(word: str) -> str:
+    """32-bit token hash; identical text works in Spark SQL and DuckDB
+    (CONV there is from_hex via the shared helper below)."""
+    return f"CAST(CONV(SUBSTRING(MD5({word}), 1, 8), 16, 10) AS BIGINT)"
+
+
+#: DuckDB spelling of the same hash (no CONV; use hex → ubigint cast)
+def _tok_hash_duck(word: str) -> str:
+    return f"CAST(('0x' || SUBSTRING(MD5({word}), 1, 8)) AS BIGINT)"
+
+
+def simhash_expr_spark() -> str:
+    """Spark SQL expression: word array ``_w`` → BIGINT simhash signature.
+
+    Single pass: md5 hashed ONCE per word (``transform``), then one
+    ``aggregate`` folds a 32-long bit-sum accumulator array.  (The obvious
+    alternative — one ``aggregate(...)`` per bit — re-hashes every word 32×
+    and emits a codegen class so large that Janino compilation alone takes
+    minutes and evicts the rest of the session's compiled stages.)
+    """
+    return (
+        f"aggregate("
+        f"  transform(_w, w -> {_tok_hash_sql('w')}),"
+        f"  array_repeat(0L, {BITS}),"
+        f"  (acc, h) -> zip_with(acc, sequence(0, {BITS - 1}),"
+        f"    (a, j) -> a + IF((h div shiftleft(1L, j)) % 2 = 1, 1L, -1L)),"
+        f"  acc -> aggregate(zip_with(acc, sequence(0, {BITS - 1}),"
+        f"    (s, j) -> IF(s > 0, shiftleft(1L, j), 0L)),"
+        f"    0L, (a, x) -> a + x)"
+        f")"
+    )
+
+
+def simhash_sql_duck(norm_text: str) -> str:
+    """DuckDB expression computing the identical signature from raw text."""
+    words = f"string_split_regex(trim({norm_text}), ' ')"
+    bit_terms = []
+    for j in range(BITS):
+        bit = f"(({_tok_hash_duck('w')} // {1 << j}) % 2)"
+        bit_terms.append(
+            f"(CASE WHEN list_reduce(list_transform({words}, "
+            f"w -> CASE WHEN {bit} = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bit_terms) + ")"
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash BIGINT) — whole pipeline is Catalyst builtins."""
+    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    return docs.select(
+        "doc_id",
+        F.split(F.expr(norm), " ").alias("_w"),
+    ).select("doc_id", F.expr(simhash_expr_spark()).alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b, hamming <= max_hamming).
+
+    Bands of BITS/bands contiguous bits generate candidates; by pigeonhole a
+    pair within ``max_hamming < bands`` distance shares ≥1 exact band, so
+    recall is total — this is exact near-dup search with an LSH-bounded join.
+    """
+    sig = simhash_signatures(docs, text_col)
+    width = BITS // bands
+    band_cols = [
+        F.expr(f"(simhash div {1 << (b * width)}) % {1 << width}").alias("bkey")
+        for b in range(bands)
+    ]
+    buckets = None
+    for b, col in enumerate(band_cols):
+        part = sig.select("doc_id", "simhash", F.lit(b).alias("band"), col)
+        buckets = part if buckets is None else buckets.unionAll(part)
+
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -86,3 +86,38 @@ def cosine_topk_blocked(
         & (F.col("query_id") != F.col("neighbor_id")),
     )
     return _topk(scored, k)
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.98,
+    block_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= threshold).
+
+    Pairs are generated only within a coarse block (label here; a quantizer
+    cell at scale), so the self-join shuffles on the block key and the pair
+    count is Σ|block|² instead of n² — the same bounded-shuffle shape as the
+    MinHash band join.
+    """
+    a = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("blk"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = F.expr(
+        f"{DOT.format(a='emb_a', b='emb_b')}"
+        f" / (SQRT({SQNORM.format(v='emb_a')}) * SQRT({SQNORM.format(v='emb_b')}))"
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -49,6 +49,13 @@ def register(
 
 def load_all() -> dict[str, Query]:
     """Import every query module (side effect: fills REGISTRY)."""
-    from . import dedup, relational, similarity, text, timeseries  # noqa: F401
+    from . import (  # noqa: F401
+        dedup,
+        instruments,
+        relational,
+        similarity,
+        text,
+        timeseries,
+    )
 
     return REGISTRY

@@ -97,3 +97,78 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(
         docs, n=3, num_hashes=16, bands=4, threshold=0.5
     )
+
+
+def _simhash_oracle() -> str:
+    from ..operators.simhash import BITS, simhash_sql_duck
+
+    sig = simhash_sql_duck(_NORM_DUCK)
+    width = BITS // 4
+    return f"""
+    WITH sig AS (
+      SELECT doc_id, {sig} AS simhash FROM documents
+    ),
+    buckets AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash // POWER(2, b.band * {width})::BIGINT) % {1 << width} AS bkey
+      FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.simhash AS sig_a, y.simhash AS sig_b
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash(32-bit, md5-token-hash) near-dup pairs at Hamming<=3 via "
+    "4-band LSH candidates — by pigeonhole any pair within distance 3 "
+    "shares an exact band, so recall is total; value-exact vs the oracle "
+    "because the token hash is md5 in both engines.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.simhash import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3, bands=4)
+
+
+_DOT_D = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (p, q) -> p + q)"
+)
+_SQN_D = (
+    "list_reduce(list_transform({v},"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)"
+)
+
+
+@register(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT_D.format(a='a.embedding', b='b.embedding')}
+                 / (SQRT({_SQN_D.format(v='a.embedding')})
+                    * SQRT({_SQN_D.format(v='b.embedding')})), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')}
+          / (SQRT({_SQN_D.format(v='a.embedding')})
+             * SQRT({_SQN_D.format(v='b.embedding')})) >= 0.9
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.9) within "
+    "coarse blocks (label = quantizer cell): pair generation shuffles on "
+    "the block key, Σ|block|² pairs instead of n².",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_pairs
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(em, threshold=0.9)

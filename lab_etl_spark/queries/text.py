@@ -134,6 +134,72 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation — the
+#: GPT-2-style split, minus unicode classes (portable regex subset that
+#: behaves identically in Spark (Java regex) and DuckDB (RE2).
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "q_text_tokens_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), ' +')), 6)
+             AS bpe_per_word
+    FROM documents
+    """,
+    doc="Token counting two ways: whitespace words and a BPE-ish regex "
+    "pre-tokenization (letter runs / digit runs / punctuation) — the "
+    "standard cost estimator for LLM training corpora.",
+)
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), " +"))
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe.cast("double") / ws, 6).alias("bpe_per_word"),
+    )
+
+
+#: 32-bit md5-based token hash — portable across Spark and DuckDB
+_TOK_SPARK = "CAST(CONV(SUBSTRING(MD5(w), 1, 8), 16, 10) AS BIGINT)"
+_TOK_DUCK = "CAST(('0x' || SUBSTRING(MD5(w), 1, 8)) AS BIGINT)"
+_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime; classic Rabin-Karp modulus)
+
+
+@register(
+    "q_text_rolling_hash",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(string_split_regex(trim(lower(text)), ' +'),
+                              w -> {_TOK_DUCK})),
+             (acc, h) -> (acc * 31 + h) % {_MOD}) AS fingerprint
+    FROM documents
+    """,
+    doc="Order-sensitive document fingerprint: Rabin-Karp rolling hash over "
+    "the word sequence (left-to-right fold; md5 token hash keeps both "
+    "engines bit-identical).  Unlike md5-of-text, locality is preserved "
+    "under append (streaming-friendly).",
+)
+def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(split(trim(lower(text)), ' +'), 0L,"
+            f" (acc, w) -> (acc * 31 + {_TOK_SPARK}) % {_MOD})"
+        ).alias("fingerprint"),
+    )
+
+
 @register(
     "q_lang_id_ngram",
     oracle=None,  # heuristic scoring is engine-specific → rows-only
@@ -155,16 +221,24 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tri"),
     ).withColumn("bucket", F.pmod(F.xxhash64("tri"), F.lit(1024)))
+    # Partial-aggregate to per-doc bucket counts FIRST: the profile build and
+    # the scoring join then both run over |docs|·|distinct buckets| rows, not
+    # one row per trigram occurrence — at corpus scale that's the difference
+    # between joining ~10^9 and ~10^12 rows.  Scoring via Σ c·w is identical
+    # to joining per occurrence (score = Σ_buckets count_doc(b) · w(lang, b)).
+    tri_counts = tri.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     profile = (
-        tri.groupBy("lang", "bucket")
-        .agg(F.count(F.lit(1)).alias("w"))
+        tri_counts.groupBy("bucket", "lang")
+        .agg(F.sum("c").alias("w"))
         .withColumnRenamed("lang", "cand_lang")
     )
     scored = (
-        tri.select("doc_id", "bucket")
+        tri_counts.select("doc_id", "bucket", "c")
         .join(F.broadcast(profile), "bucket")
         .groupBy("doc_id", "cand_lang")
-        .agg(F.sum("w").alias("score"))
+        .agg(F.sum(F.col("c") * F.col("w")).alias("score"))
     )
     from pyspark.sql import Window as W
 

@@ -99,6 +99,50 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_sliding",
+    oracle=f"""
+    WITH slides AS (
+      SELECT unnest(generate_series(0, 1)) AS k
+    ),
+    assigned AS (
+      SELECT date_trunc('hour', ts - k * INTERVAL 30 MINUTE)
+               + k * INTERVAL 30 MINUTE AS window_start,
+             event_type, value
+      FROM events, slides
+      WHERE ts >= date_trunc('hour', ts - k * INTERVAL 30 MINUTE)
+                  + k * INTERVAL 30 MINUTE
+    )
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value
+    FROM assigned
+    GROUP BY 1, 2, 3
+    """,
+    doc="Sliding 1h windows every 30min (each event lands in 2 windows) — "
+    "batch form of the streaming sliding aggregation; oracle replicates "
+    "Spark's window assignment arithmetic.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "q_asof_align",
     oracle="""
     SELECT event_id, user_id, ts, prev_click_ts,

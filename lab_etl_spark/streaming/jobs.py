@@ -1,0 +1,117 @@
+"""Structured Streaming surface (SURVEY.md §2B q_stream_* and §7 step 7).
+
+The batch queries in queries/timeseries.py use the exact same
+``window()`` / ``session_window()`` expressions — Spark guarantees identical
+semantics in both modes, so the DuckDB-oracle check on the batch form also
+validates these streaming aggregations; the streaming tests then verify the
+incremental execution path itself (watermarks, state, availableNow replay).
+
+At lake scale the file source replaces a queue: each micro-batch lists new
+parquet files under the events path — the Spark-native form of the
+reference's "watch a directory of instrument runs" aspiration (README.md:6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import tune
+
+#: events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS), which the
+#: session-wide nanosAsLong conf scans as a long (see catalog.load_table).
+EVENTS_PHYSICAL_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (ns→µs ts conversion as in
+    the batch catalog)."""
+    tune(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (tz-aware); session tz is pinned UTC so
+    # values match the batch catalog's TIMESTAMP_NTZ.  Window bounds are
+    # cast back to ntz on output (below) for batch-comparability.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time aggregation with late-data watermark — streaming
+    twin of q_stream_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation (merging state) — streaming twin of
+    q_stream_session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE)"
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, name: str, timeout_s: int = 300) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink and
+    return the result table — processes everything currently on disk then
+    stops (the batch-replay harness for streaming tests)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)

@@ -1,0 +1,123 @@
+"""Unit tests for the Catalyst scalar functions (SURVEY.md §2A), pinned to
+the reference's documented examples (value/unit strings, segment grammar,
+MFC/crucible strings, key normalization)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("out")).first()["out"]
+
+
+def _vals(spark, data, fn):
+    df = spark.createDataFrame([(d,) for d in data], "s string")
+    return [r["out"] for r in df.select(fn(F.col("s")).alias("out")).collect()]
+
+
+def test_parse_value_unit(spark):
+    from lab_etl_spark.functions import parse_value_unit
+
+    out = _vals(
+        spark,
+        ["8.67mm", "0.1497 W/mK", "25.0 °C", "no number", "42"],
+        parse_value_unit,
+    )
+    assert out[0]["value"] == 8.67 and out[0]["unit"] == "mm"
+    assert out[1]["value"] == 0.1497 and out[1]["unit"] == "W/mK"
+    assert out[2]["value"] == 25.0 and out[2]["unit"] == "°C"
+    assert out[3]["value"] is None
+    assert out[4]["value"] == 42.0 and out[4]["unit"] is None
+
+
+def test_parse_date_cascade(spark):
+    from lab_etl_spark.functions import parse_date_cascade
+
+    out = _vals(
+        spark,
+        [
+            "Monday, November 15, 2021, Time 15:16",  # HFM strict format
+            "2/11/2024 13:12:51 (UTC-5)",  # STA with tz remark
+            "2024-02-11T13:12:51",
+            "not a date",
+        ],
+        parse_date_cascade,
+    )
+    assert out[0] == datetime.datetime(2021, 11, 15, 15, 16)
+    assert out[1] == datetime.datetime(2024, 2, 11, 13, 12, 51)
+    assert out[2] == datetime.datetime(2024, 2, 11, 13, 12, 51)
+    assert out[3] is None
+
+
+def test_coerce_typed(spark):
+    from lab_etl_spark.functions import coerce_typed
+
+    out = _vals(spark, ["42", "3.14", "2024-02-11", "hello"], coerce_typed)
+    assert out[0]["kind"] == "int" and out[0]["long_val"] == 42
+    assert out[1]["kind"] == "float" and out[1]["double_val"] == 3.14
+    assert out[2]["kind"] == "date"
+    assert out[3]["kind"] == "string" and out[3]["str_val"] == "hello"
+
+
+def test_normalize_unit(spark):
+    from lab_etl_spark.functions import normalize_unit
+
+    out = _vals(spark, ["(c)", "cc/min", "C/s", "sec", "/m", "W/g"], normalize_unit)
+    assert out == ["°C", "ml/min", "°C/s", "s", "1/m", "W/g"]
+
+
+def test_normalize_key(spark):
+    from lab_etl_spark.functions import normalize_key
+
+    out = _vals(
+        spark,
+        ["SAMPLE MASS /mg", "Heating Rate (K/min)", "  Date.Performed  "],
+        normalize_key,
+    )
+    assert out == ["sample_mass", "heating_rate", "date_performed"]
+
+
+def test_parse_segment_ramp_and_dwell(spark):
+    from lab_etl_spark.functions import parse_segment
+
+    ramp, dwell = _vals(
+        spark, ["25°C/20.0(K/min)/250°C", "25°C/00:20/25°C"], parse_segment
+    )
+    assert ramp["start_temperature"]["value"] == 25.0
+    assert ramp["end_temperature"]["value"] == 250.0
+    assert ramp["heating_rate"]["value"] == 20.0
+    assert ramp["heating_rate"]["unit"] == "K/min"
+    assert ramp["time"] is None
+    assert dwell["heating_rate"] is None
+    assert dwell["time"] == "00:20"
+
+
+def test_parse_mfc_and_crucible(spark):
+    from lab_etl_spark.functions import parse_crucible, parse_mfc
+
+    mfc = _vals(spark, ["NITROGEN,250.0 ml/min"], parse_mfc)[0]
+    assert mfc["gas"] == "nitrogen"
+    assert mfc["range"]["value"] == 250.0
+    assert mfc["range"]["unit"] == "ml/min"
+
+    cru = _vals(spark, ["PtRh20 85 µl, with lid"], parse_crucible)[0]
+    assert cru["material"] == "PtRh20"
+    assert cru["volume"]["value"] == 85.0
+    assert cru["volume"]["unit"] == "µl"
+    assert cru["extra"] == "with lid"
+
+
+def test_unit_metadata_survives_ops(spark):
+    """Property: with_units metadata survives filter/select/parquet-roundtrip
+    on untouched columns (SURVEY.md §7 'what's hard')."""
+    from lab_etl_spark.meta import units_of, with_units
+
+    df = with_units(
+        spark.createDataFrame([(1.0, 2.0)], "a double, b double"),
+        {"a": "°C", "b": "mg"},
+    )
+    out = df.filter("a > 0").select("a", F.col("b"))
+    assert units_of(out) == {"a": "°C", "b": "mg"}

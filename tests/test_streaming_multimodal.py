@@ -1,0 +1,96 @@
+"""Streaming + multimodal tests.
+
+Streaming: availableNow replay over the sf0.001 events file must produce the
+same aggregates as the batch queries (which are themselves oracle-checked),
+proving the incremental path computes the same thing.
+
+Multimodal: the mapInPandas kernels run end-to-end with the deterministic
+stand-in decoder; schema/batching assertions are decoder-independent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    from lab_etl_spark.queries import load_all
+    from lab_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    stream_result = run_available_now(
+        tumbling_counts(stream_events(spark, sf_dir)), "t_tumbling"
+    )
+    batch_result = load_all()["q_stream_tumbling"].fn(spark, sf_dir)
+    a = {tuple(r) for r in stream_result.collect()}
+    b = {tuple(r) for r in batch_result.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_stream_session_matches_batch(spark, sf_dir):
+    from lab_etl_spark.queries import load_all
+    from lab_etl_spark.streaming.jobs import (
+        run_available_now,
+        session_counts,
+        stream_events,
+    )
+
+    stream_result = run_available_now(
+        session_counts(stream_events(spark, sf_dir)), "t_session"
+    )
+    batch_result = load_all()["q_stream_session"].fn(spark, sf_dir)
+    a = {tuple(r) for r in stream_result.collect()}
+    b = {tuple(r) for r in batch_result.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_decode_assets_schema_and_determinism(spark):
+    from lab_etl_spark.multimodal.columns import decode_assets, make_asset_table
+
+    assets = make_asset_table(spark, n=30)
+    decoded = decode_assets(assets)
+    rows = {r["asset_id"]: r for r in decoded.collect()}
+    assert len(rows) == 30
+    # images get dimensions, audio gets duration; features are FEATURE_DIM
+    img = next(r for r in rows.values() if r["modality"] == "image")
+    aud = next(r for r in rows.values() if r["modality"] == "audio")
+    assert img["width"] is not None and img["height"] is not None
+    assert img["duration_s"] is None
+    assert aud["duration_s"] is not None and aud["width"] is None
+    assert len(img["feature"]) == 8
+    # deterministic: re-running yields identical features
+    again = {r["asset_id"]: r for r in decode_assets(assets).collect()}
+    assert again[img["asset_id"]]["feature"] == img["feature"]
+
+
+def test_sample_frames_and_similarity(spark):
+    from lab_etl_spark.multimodal.columns import (
+        cosine_to_query,
+        decode_assets,
+        make_asset_table,
+        sample_frames,
+    )
+
+    assets = make_asset_table(spark, n=30)
+    frames = sample_frames(assets, every_s=2.0)
+    fr = frames.collect()
+    assert len(fr) > 0
+    assert all(len(r["feature"]) == 8 for r in fr)
+    # only video assets produce frames
+    video_ids = {
+        r["asset_id"] for r in assets.select("asset_id", "modality").collect()
+        if r["modality"] == "video"
+    }
+    assert {r["asset_id"] for r in fr} <= video_ids
+
+    scored = cosine_to_query(decode_assets(assets), [1.0] * 8)
+    vals = [r["cosine"] for r in scored.collect()]
+    assert all(v is not None and -1.0001 <= v <= 1.0001 for v in vals)
