@@ -123,19 +123,22 @@ def minhash_lsh_candidates(
     sh = word_shingles(docs, n)
     sig = minhash_signatures(sh, num_hashes)
 
-    band_frames = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + k}") for k in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("bkey"),
+    # One posexplode pass emits every band key (a bands-way union would
+    # recompute the signature aggregation once per branch).
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                *[
+                    F.col(f"h{b * rows_per_band + k}")
+                    for k in range(rows_per_band)
+                ]
             )
-        )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionAll(bf)
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
 
     x = buckets.alias("x")
     y = buckets.alias("y")
