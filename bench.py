@@ -47,12 +47,20 @@ def main() -> None:
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
     print("# warmup complete", file=sys.stderr)
 
+    # min-of-N trials: this host shows sporadic multi-second stalls (CPU
+    # steal / JVM code-cache flushes) that hit random queries; a stall must
+    # strike every trial to corrupt the recorded number.  Honest per-query
+    # compute at sf0.1 is ~0.3-5 s, so extra trials are cheap.
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     timings: dict[str, float] = {}
     for name, q in sorted(bench_set.items()):
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -512,3 +512,27 @@ def q_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(embedding, 0, (a, x) -> a + CASE WHEN x > 0 THEN 1 ELSE 0 END)"
         ).alias("n_positive"),
     )
+
+
+@register(
+    "q_map_fns",
+    oracle="""
+    SELECT event_id,
+           array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+           len(json_keys(props)) AS n_entries,
+           CAST(props->>'k' AS BIGINT) AS k_value
+    FROM events
+    """,
+    doc="Map-typed column battery: events.props JSON parsed to "
+    "map<string,bigint> (from_json), then map_keys / size / element_at — "
+    "flat projection output so the oracle check stays value-exact.",
+)
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys_csv"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, F.lit("k")).alias("k_value"),
+    )

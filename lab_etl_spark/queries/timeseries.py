@@ -241,3 +241,67 @@ def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("ts")
     )
     return interpolate_to_grid(series, grid)
+
+
+@register(
+    "q_interp_by_key",
+    oracle="""
+    WITH series AS (
+      SELECT event_type, ts, value FROM events
+    ),
+    bounds AS (
+      SELECT event_type, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+      FROM series GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+      FROM bounds
+    ),
+    pts AS (
+      SELECT event_type, ts AS _ts, CAST(value AS DOUBLE) AS _val,
+             0 AS _is_grid
+      FROM series
+      UNION ALL
+      SELECT event_type, ts, NULL, 1 FROM grid
+    ),
+    win AS (
+      SELECT event_type, _ts, _is_grid,
+        LAST_VALUE(_val IGNORE NULLS) OVER wp AS prev_val,
+        LAST_VALUE(CASE WHEN _is_grid = 0 THEN _ts END IGNORE NULLS)
+          OVER wp AS prev_ts,
+        FIRST_VALUE(_val IGNORE NULLS) OVER wn AS next_val,
+        FIRST_VALUE(CASE WHEN _is_grid = 0 THEN _ts END IGNORE NULLS)
+          OVER wn AS next_ts
+      FROM pts
+      WINDOW
+        wp AS (PARTITION BY event_type ORDER BY _ts, _is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY event_type ORDER BY _ts, _is_grid
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, _ts AS ts,
+           ROUND(CASE WHEN prev_ts = next_ts THEN prev_val
+                 ELSE prev_val + (next_val - prev_val)
+                      * (CAST(epoch_us(_ts) - epoch_us(prev_ts) AS DOUBLE)
+                         / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+                 END, 6) AS interp_value
+    FROM win
+    WHERE _is_grid = 1
+    """,
+    doc="Per-key linear interpolation: each event_type's value series onto "
+    "its own hourly grid via partitioned cumulative windows — the 100 TB "
+    "scale path for op_interp_resample (bruker_ftir_parser.py:74-86): "
+    "window state stays local to the series partition, no global sort.",
+)
+def q_interp_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.select("event_type", "ts", "value")
+    bounds = series.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("ts"),
+    )
+    return interpolate_to_grid(series, grid, part_cols=["event_type"])

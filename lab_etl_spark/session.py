@@ -53,7 +53,7 @@ def get_spark(app_name: str = "lab_etl_spark") -> SparkSession:
         # starts flushing/deoptimizing, and random queries fall back to the
         # interpreter (measured: 20-60 s stalls on 1 s queries). 1 GB keeps
         # every compiled stage resident.
-        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=2g")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
