@@ -305,3 +305,30 @@ def q_interp_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("ts"),
     )
     return interpolate_to_grid(series, grid, part_cols=["event_type"])
+
+
+_EWMA_RUN = iter(range(10**9))
+
+
+@register(
+    "q_stream_stateful_ewma",
+    oracle=None,  # arbitrary stateful streaming: not SQL-expressible
+    bench=False,  # drains a streaming query; not a plan-timing benchmark
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user EWMA of value with O(1) state per key carried across "
+    "micro-batches, drained via availableNow. Equivalence to a sequential "
+    "pandas oracle is pinned by tests/test_streaming_multimodal.py.",
+)
+def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import (
+        run_available_now,
+        stream_events,
+        user_value_ewma,
+    )
+
+    name = f"q_ewma_mem_{next(_EWMA_RUN)}"
+    return run_available_now(
+        user_value_ewma(stream_events(spark, sf_dir), alpha=0.3),
+        name,
+        output_mode="update",
+    )

@@ -102,16 +102,71 @@ def session_counts(
     )
 
 
-def run_available_now(df: DataFrame, name: str, timeout_s: int = 300) -> DataFrame:
+def run_available_now(
+    df: DataFrame,
+    name: str,
+    timeout_s: int = 300,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink and
     return the result table — processes everything currently on disk then
-    stops (the batch-replay harness for streaming tests)."""
+    stops (the batch-replay harness for streaming tests).  Aggregations use
+    ``complete``; arbitrary-stateful operators require ``update``."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(timeout_s)
     return df.sparkSession.table(name)
+
+
+def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Custom stateful streaming operator: per-user EWMA of ``value``.
+
+    Semantics no built-in window can express: the exponentially-weighted
+    average depends on every prior event for the user, so state (event
+    count + current EWMA) must persist in the state store across
+    micro-batches.  Implemented with ``applyInPandasWithState`` — Arrow
+    batches in, one (count, ewma) pair of state per user key out.
+
+    Scale shape: state is O(1) per user and partitioned by the group key,
+    so a 1000-executor cluster shards the state store horizontally; no
+    global ordering is required because each user's events are delivered
+    to one task per micro-batch (sorted by ts within the batch below).
+
+    Reference analogue: the running-state metadata harvest of the HFM
+    parser's line state machine (fox_hfm_parser.py:36-404) recast as a
+    keyed, distributed, restartable streaming computation.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, ewma double"
+    state_schema = "n bigint, ewma double"
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            n, ewma = state.get
+        else:
+            n, ewma = 0, None
+        chunks = [pdf for pdf in pdf_iter]
+        rows = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        for v in rows["value"]:
+            v = float(v)
+            ewma = v if ewma is None else alpha * v + (1.0 - alpha) * ewma
+            n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [ewma]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

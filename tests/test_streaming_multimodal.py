@@ -94,3 +94,39 @@ def test_sample_frames_and_similarity(spark):
     scored = cosine_to_query(decode_assets(assets), [1.0] * 8)
     vals = [r["cosine"] for r in scored.collect()]
     assert all(v is not None and -1.0001 <= v <= 1.0001 for v in vals)
+
+
+def test_stateful_ewma_matches_pandas(spark, sf_dir):
+    """The applyInPandasWithState EWMA must equal a sequential per-user
+    EWMA computed directly from the parquet file (ts order)."""
+    import pandas as pd
+
+    from lab_etl_spark.streaming.jobs import (
+        run_available_now,
+        stream_events,
+        user_value_ewma,
+    )
+
+    result = run_available_now(
+        user_value_ewma(stream_events(spark, sf_dir), alpha=0.3),
+        "t_ewma",
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"]) for r in result.collect()
+    }
+
+    raw = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values("ts")
+    alpha = 0.3
+    want: dict[int, tuple[int, float]] = {}
+    for uid, grp in raw.groupby("user_id"):
+        ewma = None
+        for v in grp["value"]:
+            v = float(v)
+            ewma = v if ewma is None else alpha * v + (1 - alpha) * ewma
+        want[uid] = (len(grp), ewma)
+
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert got[uid][1] == pytest.approx(want[uid][1], rel=1e-12)
