@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         instruments,
         relational,
+        scale,
         similarity,
         text,
         timeseries,

@@ -1,0 +1,243 @@
+"""Scale-technique query surface (SURVEY.md §2B + BASELINE.json scale mandate).
+
+Each query here demonstrates a 100 TB-relevant physical technique while
+remaining value-exact against the DuckDB oracle:
+
+  * salted skew join      — hot-key fan-out (events.user_id has few, hot keys)
+  * shuffle-hash join     — large⋈large where sorting both sides is waste
+  * full-outer join       — null-completing merge of two keyed sets
+  * scalar subquery       — one-row aggregate broadcast into a filter
+  * pivot / unpivot       — wide↔long reshapes (op_pivot_setpoints_to_rows's
+                            relational cousins; fox_hfm_parser.py:407-479)
+  * grouping sets         — multi-dimensional rollup in one shuffle pass
+  * exact percentiles     — interpolated quantiles (sort-based, per group)
+
+All plans stay in builtin expressions — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+from .exact import davg, dsum
+
+SALT_BUCKETS = 16
+
+
+@register(
+    "q_skew_join_salted",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {dsum('value')} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Skew-proof equi-join: events.user_id concentrates on few hot keys, "
+    "so the fact side carries a deterministic salt (pmod(xxhash64(event_id)))"
+    " and the dim side explodes across all salt buckets; the shuffle then "
+    "spreads each hot key over SALT_BUCKETS reducers. Result is identical to "
+    "the unsalted join (oracle checks it).",
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS))
+    )
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    return (
+        ev.join(cu, (ev.user_id == cu.c_custkey) & (ev.salt == cu.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value")).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_shuffle_hash_join",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {dsum('l_quantity')} AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    doc="Large⋈large equi-join pinned to shuffled hash join via hint: when "
+    "neither side broadcasts but one side's per-partition slice fits in "
+    "memory, hashing beats sorting both sides (no sort, no spill-merge).",
+)
+def q_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_outer_join",
+    oracle=f"""
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           c_name,
+           COUNT(o_orderkey) AS n_orders,
+           {dsum('o_totalprice')} AS sum_spend
+    FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY COALESCE(c_custkey, o_custkey), c_name
+    """,
+    doc="Full-outer join + null-completing aggregate: customers with no "
+    "orders keep NULL sums; COUNT(o_orderkey) ignores the null-extended rows.",
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "full_outer")
+        .groupBy(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.col("c_name"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.expr(dsum("o_totalprice")).alias("sum_spend"),
+        )
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_above,
+           {dsum('l_extendedprice', 2)} AS sum_price
+    FROM lineitem
+    WHERE l_quantity > (SELECT {davg('l_quantity')} FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    doc="Scalar-subquery filter: the one-row global average broadcasts into "
+    "every partition's filter — two scans, zero wide shuffles of the filter "
+    "input.",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_row = li.agg(F.expr(davg("l_quantity")).alias("global_avg"))
+    return (
+        li.join(F.broadcast(avg_row))
+        .filter(F.col("l_quantity") > F.col("global_avg"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.expr(dsum("l_extendedprice", 2)).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_pivot_wide",
+    oracle=f"""
+    SELECT l_linestatus,
+           {dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")} AS qty_a,
+           {dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")} AS qty_n,
+           {dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")} AS qty_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Long→wide pivot with a fixed value list (no discovery job): one "
+    "hash-aggregate pass emitting all pivot cells — the relational analogue "
+    "of op_pivot_setpoints_to_rows (fox_hfm_parser.py:407-479).",
+)
+def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.expr(dsum("l_quantity")))
+        .withColumnsRenamed({"A": "qty_a", "N": "qty_n", "R": "qty_r"})
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    """,
+    doc="Wide→long unpivot (melt): narrow per-row explode, no shuffle at all.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = load_table(spark, sf_dir, "part").withColumn(
+        "p_size", F.col("p_size").cast("double")
+    )
+    return pt.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           {dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit grouping sets (neither rollup nor cube): three groupings "
+    "computed in one expand+shuffle pass instead of three scans + union.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.expr(dsum("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (sort-based within group); "
+    "the approx_percentile sketch is the 100 TB path when exactness can be "
+    "traded (engine-specific, so the exact variant carries the oracle).",
+)
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )

@@ -82,6 +82,54 @@ def test_interp_by_key_partitions_windows(spark, sf_dir):
     assert "SinglePartition" not in p, p
 
 
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    # The skew-proof join must shuffle on (key, salt), not the bare hot key:
+    # the deterministic xxhash64 salt has to appear in the plan's join keys.
+    p = _fmt(REGISTRY["q_skew_join_salted"].fn(spark, sf_dir))
+    assert "xxhash64" in p, p
+    assert "salt" in p, p
+
+
+def test_shuffle_hash_join_hint_respected(spark, sf_dir):
+    p = _fmt(REGISTRY["q_shuffle_hash_join"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    # Co-partitioned lake layout: both sides bucketed+sorted on the join key
+    # → SortMergeJoin with ZERO Exchange (and no per-task Sort), the layout
+    # we'd give the orders⋈lineitem family at 100 TB.
+    import re
+
+    from pyspark.sql import functions as F
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("od_bucketed")
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("li_bucketed")
+        j = spark.table("od_bucketed").join(
+            spark.table("li_bucketed"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = _fmt(j)
+        assert "SortMergeJoin" in p, p
+        assert re.findall(r"\(\d+\) Exchange", p) == [], p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+
+
 def test_scan_prunes_columns_generally(spark, sf_dir):
     # load_table must not defeat parquet column pruning: a 2-col projection
     # reads a 2-col schema.
