@@ -88,6 +88,133 @@ def cosine_topk_blocked(
     return _topk(scored, k)
 
 
+def ivf_assign(
+    corpus: DataFrame, n_clusters: int = 16, n_iter: int = 1
+) -> DataFrame:
+    """IVF coarse quantizer: assign every corpus vector to a centroid.
+
+    Fully distributed k-means-ish training, no driver-side collect:
+      * seeds = the ``n_clusters`` corpus vectors with the smallest
+        ``xxhash64(vec_id)`` (deterministic pseudo-random sample; a global
+        top-k, not a sort);
+      * ``n_iter`` Lloyd steps: nearest-centroid assignment via a broadcast
+        cross join + ``min_by`` argmin, then per-dimension means rebuilt
+        into centroid arrays with posexplode → groupBy → sorted collect.
+
+    The centroid table stays O(n_clusters × dim) — always broadcastable —
+    so the corpus is never shuffled during training; only the tiny
+    per-dimension partial sums move.
+
+    Returns the corpus with a ``cid`` cluster-id column.
+    """
+    seeds = (
+        corpus.orderBy(F.xxhash64("vec_id"))
+        .limit(n_clusters)
+        .select(
+            F.xxhash64("vec_id").alias("seed_order"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    # Unpartitioned window is safe here: it only ever sees the n_clusters
+    # seed rows (post-limit), never the corpus.
+    w = W.orderBy("seed_order")
+    centroids = seeds.select(
+        (F.row_number().over(w) - 1).alias("cid"),
+        F.expr("transform(c_emb, x -> CAST(x AS DOUBLE))").alias("c_emb"),
+    )
+
+    def nearest(df: DataFrame) -> DataFrame:
+        dot = F.expr(DOT.format(a="emb_d", b="c_emb"))
+        cnorm = F.expr(f"SQRT({SQNORM.format(v='c_emb')})")
+        cos = dot / (F.col("q_norm") * cnorm)
+        return (
+            df.crossJoin(F.broadcast(centroids))
+            .groupBy("vec_id")
+            .agg(F.min_by("cid", F.struct(-cos, F.col("cid"))).alias("cid"))
+        )
+
+    prepared = corpus.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb_d"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_norm"),
+    )
+    for _ in range(n_iter):
+        assigned = nearest(prepared)
+        centroids = (
+            prepared.join(assigned, "vec_id")
+            .select("cid", F.posexplode("emb_d").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, m))),"
+                    " s -> s.m)"
+                ).alias("c_emb")
+            )
+        )
+    final = nearest(prepared)
+    return corpus.join(final, "vec_id"), centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``n_probe`` nearest centroid
+    cells per query and brute-force only inside them.
+
+    Scale shape: scored pairs drop from |Q|·|corpus| to
+    |Q|·(n_probe/n_clusters)·|corpus| on average; the corpus shuffles once
+    on ``cid`` and the centroid table is always broadcast.  With
+    ``n_probe == n_clusters`` the search is exhaustive and exactly equals
+    :func:`cosine_topk` (pinned by tests/test_similarity_ivf.py).
+    """
+    indexed, centroids = ivf_assign(corpus, n_clusters=n_clusters)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb_d"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_norm"),
+    )
+    cos_c = F.expr(DOT.format(a="emb_d", b="c_emb")) / (
+        F.col("q_norm") * F.expr(f"SQRT({SQNORM.format(v='c_emb')})")
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "cid", cos_c.alias("c_cos"))
+        .withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= n_probe)
+        .select("query_id", "cid")
+    )
+    q_probed = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        ).join(probes, "query_id")
+    )
+    e = indexed.select(
+        "cid",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+    )
+    cos = F.expr(
+        f"{DOT.format(a='q_emb', b='e_emb')}"
+        f" / (SQRT({SQNORM.format(v='q_emb')}) * SQRT({SQNORM.format(v='e_emb')}))"
+    )
+    scored = (
+        q_probed.join(e, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.98,

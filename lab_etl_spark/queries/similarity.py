@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.similarity import cosine_topk, cosine_topk_blocked
+from ..operators.similarity import cosine_topk, cosine_topk_blocked, ivf_topk
 from . import register
 
 # DuckDB mirrors of the Spark-side sequential folds (list_reduce is
@@ -71,3 +71,18 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_blocked(em.filter(F.col("vec_id") < 16), em, k=3)
+
+
+@register(
+    "q_similarity_ivf",
+    oracle=None,  # learned quantizer cells are engine-specific → rows-only;
+    # exactness at n_probe == n_clusters is pinned by tests/test_similarity_ivf.py
+    doc="True IVF ANN: distributed k-means coarse quantizer (seeded by "
+    "xxhash64 top-k, one Lloyd step), nprobe nearest cells scored per "
+    "query — scored pairs shrink by ~n_probe/n_clusters vs brute force.",
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        em.filter(F.col("vec_id") < 8), em, k=5, n_clusters=8, n_probe=3
+    )

@@ -123,6 +123,20 @@ def run_available_now(
     return df.sparkSession.table(name)
 
 
+def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication by event_id with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key in the state store only
+    until the watermark passes it — the 100 TB-stream answer to "dedup an
+    infinite stream" where plain ``dropDuplicates`` would grow state forever.
+    Batch analogue: q_dedup_exact (same key discipline, bounded by
+    event-time instead of table scope).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     """Custom stateful streaming operator: per-user EWMA of ``value``.
 

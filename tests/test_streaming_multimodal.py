@@ -52,6 +52,24 @@ def test_stream_session_matches_batch(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    # Duplicate every event (union of two streams over the same file) and
+    # require the watermark-bounded dedup to emit each event_id exactly once.
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.streaming.jobs import (
+        dedup_events,
+        run_available_now,
+        stream_events,
+    )
+
+    doubled = stream_events(spark, sf_dir).union(stream_events(spark, sf_dir))
+    out = run_available_now(
+        dedup_events(doubled), "t_dedup", output_mode="append"
+    )
+    assert out.count() == load_table(spark, sf_dir, "events").count()
+    assert out.select("event_id").distinct().count() == out.count()
+
+
 def test_decode_assets_schema_and_determinism(spark):
     from lab_etl_spark.multimodal.columns import decode_assets, make_asset_table
 
