@@ -33,19 +33,23 @@ SQNORM = (
 
 
 def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
+    # Norms are hoisted into the per-vector projections so each vector's
+    # ||v|| fold runs once per row, not once per scored pair (same float
+    # ops per vector → bit-identical cosine vs the unhoisted form).
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_nrm"),
     )
     e = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
         F.col("label").alias("e_label"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("e_nrm"),
     )
-    cos = F.expr(
-        f"{DOT.format(a='q_emb', b='e_emb')}"
-        f" / (SQRT({SQNORM.format(v='q_emb')}) * SQRT({SQNORM.format(v='e_emb')}))"
+    cos = F.expr(DOT.format(a="q_emb", b="e_emb")) / (
+        F.col("q_nrm") * F.col("e_nrm")
     )
     return (
         F.broadcast(q)
@@ -196,16 +200,17 @@ def ivf_topk(
         queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_nrm2"),
         ).join(probes, "query_id")
     )
     e = indexed.select(
         "cid",
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("e_nrm"),
     )
-    cos = F.expr(
-        f"{DOT.format(a='q_emb', b='e_emb')}"
-        f" / (SQRT({SQNORM.format(v='q_emb')}) * SQRT({SQNORM.format(v='e_emb')}))"
+    cos = F.expr(DOT.format(a="q_emb", b="e_emb")) / (
+        F.col("q_nrm2") * F.col("e_nrm")
     )
     scored = (
         q_probed.join(e, "cid")
@@ -227,19 +232,21 @@ def embedding_near_pairs(
     count is Σ|block|² instead of n² — the same bounded-shuffle shape as the
     MinHash band join.
     """
+    # Per-vector norm hoist (see _scored): one fold per row, not per pair.
     a = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("nrm_a"),
     )
     b = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("nrm_b"),
     )
-    cos = F.expr(
-        f"{DOT.format(a='emb_a', b='emb_b')}"
-        f" / (SQRT({SQNORM.format(v='emb_a')}) * SQRT({SQNORM.format(v='emb_b')}))"
+    cos = F.expr(DOT.format(a="emb_a", b="emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
         a.join(b, ["blk"])
