@@ -196,6 +196,96 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-style shipping priority: 3-way join with filters on all "
+    "three tables pushed to their scans, then top-10 by revenue — Catalyst "
+    "orders the joins, the small filtered customer side broadcasts.",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-03-15"
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style local supplier volume: 6-way join (two fact tables, "
+    "four dims); the dims broadcast, the facts shuffle once each on their "
+    "join keys, and the same-nation predicate rides the supplier join.",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, li.l_orderkey == od.o_orderkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey)
+            & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias("revenue")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join family
 # ---------------------------------------------------------------------------
