@@ -91,6 +91,81 @@ def shingle_jaccard_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``vertices``: one row per node (column ``id_col``); ``edges``: undirected
+    pairs (``src``, ``dst``).  Returns (``id_col``, ``component``) where
+    ``component`` is the smallest node id in the node's component — the
+    canonical deterministic labeling, so results are engine-comparable
+    (DuckDB oracle: recursive-CTE reachability + MIN).
+
+    Scale design: each round is one join + hash-aggregate shuffled on the
+    node id; rounds needed = graph diameter (near-dup clusters are shallow —
+    single digits).  ``localCheckpoint`` truncates lineage each round so the
+    plan doesn't grow with iterations (the classic iterative-Spark failure
+    mode), and the convergence probe reads a 1-row count, not the data.
+    For graphs with whale components, swap the propagation step for
+    large-star/small-star; the loop shell stays the same.
+    """
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Only edge-touched vertices can ever change label; iterate over that
+    # subgraph only (in a real corpus non-duplicate docs dominate, so this
+    # shrinks every round's join from |corpus| to |dup-graph| rows) and
+    # union the untouched vertices back as self-labeled singletons at the
+    # end.
+    labels = (
+        sym.select(F.col("_s").alias("_id"))
+        .distinct()
+        .select("_id", F.col("_id").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym._d == labels._id)
+            .groupBy("_s")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels._id == nbr_min._s, "left")
+            .select(
+                "_id",
+                F.least(
+                    "component", F.coalesce("_nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "_id")
+            .filter(F.col("component") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    all_labeled = vertices.select(F.col(id_col).alias("_id")).join(
+        labels, "_id", "left"
+    )
+    return all_labeled.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("component", "_id").alias("component"),
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:

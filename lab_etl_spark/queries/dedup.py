@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.dedup import minhash_lsh_candidates, shingle_jaccard_pairs
+from ..operators.dedup import (
+    connected_components,
+    minhash_lsh_candidates,
+    shingle_jaccard_pairs,
+)
 from . import register
 
 # Normalization both engines apply before fingerprinting: trim + collapse
@@ -97,6 +101,70 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(
         docs, n=3, num_hashes=16, bands=4, threshold=0.5
     )
+
+
+_PAIRS_CTES = f"""
+    words AS (
+      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
+      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM rawpairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )
+"""
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+    ),
+    reach AS (
+      SELECT a, b FROM walk
+      UNION SELECT doc_id, doc_id FROM documents
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+    doc="Near-dup cluster assignment: connected components over the exact-"
+    "Jaccard pair graph (threshold 0.5) by iterative min-label propagation "
+    "(operators/dedup.py connected_components); every document gets a "
+    "cluster id = smallest doc_id in its component (singletons = self). "
+    "The DuckDB oracle derives the same labeling via recursive reachability.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+    return connected_components(
+        docs.select("doc_id"),
+        pairs.select("doc_a", "doc_b"),
+        id_col="doc_id",
+        src="doc_a",
+        dst="doc_b",
+    ).withColumnRenamed("component", "cluster_id")
 
 
 def _simhash_oracle() -> str:
