@@ -203,6 +203,34 @@ def test_load_cone_spark(spark):
     assert df.filter("time IS NULL").count() == 1  # baseline row only
 
 
+def test_lake_partition_pruning(spark, tmp_path):
+    # A mixed-instrument lake partitioned by instrument_type must prune at
+    # the scan: filtering one family reads only that partition directory
+    # (PartitionFilters in the plan; at 100 TB this is the difference
+    # between scanning one instrument family and the whole lake).
+    from lab_etl_spark.sources import load_mcc, load_sta_csv, write_parquet
+
+    out = str(tmp_path / "lake")
+    for df in (load_mcc(spark, MCC_FILE), load_sta_csv(spark, STA_FILE)):
+        write_parquet(
+            df.select(
+                "time", "temperature", "instrument_type", "source_file"
+            ),
+            out,
+        )
+    lake = spark.read.parquet(out)
+    one = lake.filter(lake.instrument_type == "MCC")
+    plan = one._jdf.queryExecution().explainString(
+        one._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "instrument_type" in pf, plan
+    assert one.count() == 2584
+    assert one.select("instrument_type").distinct().collect()[0][0] == "MCC"
+
+
 def test_parquet_roundtrip_preserves_units(spark, tmp_path):
     from lab_etl_spark.meta import units_of
     from lab_etl_spark.sources import load_hfm, write_parquet
