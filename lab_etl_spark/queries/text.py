@@ -226,6 +226,11 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one row per trigram occurrence — at corpus scale that's the difference
     # between joining ~10^9 and ~10^12 rows.  Scoring via Σ c·w is identical
     # to joining per occurrence (score = Σ_buckets count_doc(b) · w(lang, b)).
+    # tri_counts feeds BOTH the profile build and the scoring join, so the
+    # trigram explode runs twice.  Measured: recomputing the (codegen'd,
+    # narrow) explode is cheaper here than materializing ~|docs|·1024
+    # tri_count rows with localCheckpoint (tried: +15% total); revisit only
+    # if the profile side grows another consumer.
     tri_counts = tri.groupBy("doc_id", "lang", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -332,3 +332,32 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         name,
         output_mode="update",
     )
+
+
+@register(
+    "q_interval_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+    doc="Event-time interval join (purchase attributed to a prior click by "
+    "the same user within 1h) — the batch twin of the stream-stream join "
+    "in streaming/jobs.py purchase_after_click; equality of the two modes "
+    "is pinned by tests/test_streaming_multimodal.py.",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import purchase_after_click
+
+    ev = load_table(spark, sf_dir, "events")
+    return purchase_after_click(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -123,6 +123,50 @@ def run_available_now(
     return df.sparkSession.table(name)
 
 
+def purchase_after_click(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to a prior click by
+    the same user within ``within``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's state store evicts rows once the other side's
+    watermark passes the interval — state stays O(rate × within), not
+    O(stream).  The same expression runs in batch mode for the equivalence
+    test (Spark guarantees identical join semantics).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {within}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact deduplication by event_id with bounded state.
 

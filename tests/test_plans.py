@@ -82,6 +82,25 @@ def test_interp_by_key_partitions_windows(spark, sf_dir):
     assert "SinglePartition" not in p, p
 
 
+def test_topk_uses_heap_not_global_sort(spark, sf_dir):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject (per-partition
+    # heaps + driver merge), never a full global sort of the join output.
+    p = _fmt(REGISTRY["q_shipping_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_six_way_join_broadcasts_dims(spark, sf_dir):
+    # supplier/nation/region must ride broadcast joins; only the two fact
+    # tables may meet in a shuffled join.
+    p = _fmt(REGISTRY["q_local_supplier_volume"].fn(spark, sf_dir))
+    import re
+
+    n_bc = len(re.findall(r"\(\d+\) BroadcastHashJoin", p))
+    n_smj = len(re.findall(r"\(\d+\) SortMergeJoin", p))
+    assert n_bc >= 3, p
+    assert n_smj <= 2, p
+
+
 def test_salted_join_keys_include_salt(spark, sf_dir):
     # The skew-proof join must shuffle on (key, salt), not the bare hot key:
     # the deterministic xxhash64 salt has to appear in the plan's join keys.

@@ -52,6 +52,40 @@ def test_stream_session_matches_batch(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    # The interval join in streaming mode (two file-source streams, state
+    # bounded by watermarks) must emit exactly the rows the identical batch
+    # join produces.
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.streaming.jobs import (
+        purchase_after_click,
+        run_available_now,
+        stream_events,
+    )
+    from pyspark.sql import functions as F
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purch = split(stream_events(spark, sf_dir))
+    streamed = run_available_now(
+        purchase_after_click(s_clicks, s_purch),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    b_clicks, b_purch = split(ev)
+    batch = purchase_after_click(b_clicks, b_purch)
+    a = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir):
     # Duplicate every event (union of two streams over the same file) and
     # require the watermark-bounded dedup to emit each event_id exactly once.
