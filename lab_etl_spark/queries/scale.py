@@ -241,3 +241,43 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("q50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
     )
+
+
+# md5-based bucket: portable across Spark (CONV) and DuckDB (0x cast), so the
+# sampled set is engine-identical — the property that makes hash sampling
+# reproducible across reruns, engines, and cluster sizes (unlike RAND()).
+_BUCKET_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 100"
+)
+_BUCKET_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100"
+)
+
+
+@register(
+    "q_deterministic_sample",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_sampled,
+           {dsum('value')} AS sum_value
+    FROM events
+    WHERE {_BUCKET_DUCK} < 10
+    GROUP BY event_type
+    """,
+    doc="Deterministic 10% hash sample (md5 bucket of the row key): "
+    "reproducible across engines/reruns/cluster sizes, embarrassingly "
+    "parallel, no coordination — the scale-safe sampling primitive "
+    "(RAND()-based sampling is none of these).",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.expr(_BUCKET_SPARK) < 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr(dsum("value")).alias("sum_value"),
+        )
+    )

@@ -361,3 +361,62 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "q_hierarchical_rollup",
+    oracle=f"""
+    WITH minute AS (
+      SELECT event_type,
+             date_trunc('minute', ts) AS m_ts,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(30,6))) AS dv
+      FROM events GROUP BY 1, 2
+    ),
+    hour AS (
+      SELECT event_type, date_trunc('hour', m_ts) AS h_ts,
+             SUM(n) AS n, SUM(dv) AS dv
+      FROM minute GROUP BY 1, 2
+    ),
+    day AS (
+      SELECT event_type, date_trunc('day', h_ts) AS d_ts,
+             SUM(n) AS n, SUM(dv) AS dv
+      FROM hour GROUP BY 1, 2
+    )
+    SELECT 'hour' AS level, event_type, h_ts AS bucket_ts,
+           n AS n_events, CAST(dv AS DOUBLE) AS sum_value
+    FROM hour
+    UNION ALL
+    SELECT 'day' AS level, event_type, d_ts AS bucket_ts,
+           n AS n_events, CAST(dv AS DOUBLE) AS sum_value
+    FROM day
+    """,
+    doc="Hypertable-style continuous aggregate: minute-level partials are "
+    "computed once and RE-aggregated into hour and day levels (sums of "
+    "decimal sums are exact), instead of re-scanning raw events per "
+    "resolution — at 100 TB the raw scan happens once, coarser levels "
+    "aggregate ~1/60th and ~1/1440th of the rows.",
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.expr("CAST(value AS DECIMAL(30,6))")
+    minute = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m_ts")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("dv"))
+    hour = minute.groupBy(
+        "event_type", F.date_trunc("hour", "m_ts").alias("h_ts")
+    ).agg(F.sum("n").alias("n"), F.sum("dv").alias("dv"))
+    day = hour.groupBy(
+        "event_type", F.date_trunc("day", "h_ts").alias("d_ts")
+    ).agg(F.sum("n").alias("n"), F.sum("dv").alias("dv"))
+
+    def level(df, name, ts_col):
+        return df.select(
+            F.lit(name).alias("level"),
+            "event_type",
+            F.col(ts_col).cast("timestamp_ntz").alias("bucket_ts"),
+            F.col("n").alias("n_events"),
+            F.col("dv").cast("double").alias("sum_value"),
+        )
+
+    return level(hour, "hour", "h_ts").unionAll(level(day, "day", "d_ts"))
