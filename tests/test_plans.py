@@ -149,6 +149,35 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
 
 
+# Queries allowed to show SinglePartition in their plan, with the reason:
+#   q_interp_linear   — documented single-series grid (q_interp_by_key is the
+#                       partitioned scale path, gated above);
+#   q_scalar_subquery — the one-row global aggregate itself; the fact-table
+#                       filter it feeds stays fully parallel.
+_SINGLE_PARTITION_OK = {"q_interp_linear", "q_scalar_subquery"}
+
+# Excluded from the sweep because their fn() *executes* work at build time
+# (streaming drain / iterative localCheckpoint loop); each has its own
+# dedicated tests.
+_SWEEP_SKIP = {"q_stream_stateful_ewma", "q_dedup_clusters"}
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    # Every registered query: no Python eval anywhere in the row path, and
+    # no unexpected data-sized single-partition stage.
+    offenders_py, offenders_sp = [], []
+    for name, q in sorted(REGISTRY.items()):
+        if name in _SWEEP_SKIP:
+            continue
+        p = _fmt(q.fn(spark, sf_dir))
+        if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+            offenders_py.append(name)
+        if "SinglePartition" in p and name not in _SINGLE_PARTITION_OK:
+            offenders_sp.append(name)
+    assert offenders_py == [], offenders_py
+    assert offenders_sp == [], offenders_sp
+
+
 def test_scan_prunes_columns_generally(spark, sf_dir):
     # load_table must not defeat parquet column pruning: a 2-col projection
     # reads a 2-col schema.
