@@ -51,6 +51,42 @@ def units_of(df: DataFrame) -> dict[str, str | None]:
     }
 
 
+class UnitMismatchError(ValueError):
+    """Raised when an operation would combine columns of incompatible units."""
+
+
+def require_same_unit(df: DataFrame, *cols: str) -> str | None:
+    """Unit-consistency gate (SURVEY.md §4's analyzer nice-to-have): assert
+    that the named columns carry the same ``unit`` field metadata before
+    additive arithmetic (``temperature + mass`` is a bug the type system
+    can't catch — the unit metadata can).
+
+    Returns the shared unit (None if none of the columns declare one).
+    Columns lacking metadata are treated as unit-less and only conflict with
+    columns that declare a unit.
+    """
+    units = units_of(df)
+    declared = {c: units[c] for c in cols if c in units}
+    if len(set(declared.values())) > 1:
+        raise UnitMismatchError(
+            f"incompatible units in {sorted(declared.items())}"
+        )
+    if declared and len(declared) < len(cols):
+        missing = [c for c in cols if c not in declared]
+        raise UnitMismatchError(
+            f"columns {missing} have no unit but {sorted(declared.items())} "
+            "declare one"
+        )
+    return next(iter(declared.values()), None)
+
+
+def add_with_units(df: DataFrame, out: str, *cols: str) -> DataFrame:
+    """Sum the named columns into ``out``, enforcing and propagating units."""
+    unit = require_same_unit(df, *cols)
+    expr = sum((F.col(c) for c in cols[1:]), F.col(cols[0]))
+    return df.withColumn(out, with_unit(expr, out, unit))
+
+
 @F.udf(returnType=StringType())
 def blake2b_hex(content: bytes) -> str | None:
     """BLAKE2b hex digest of raw file bytes (reference util.py:83-93).

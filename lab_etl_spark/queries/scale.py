@@ -281,3 +281,20 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum("value")).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_approx_percentile",
+    oracle=None,  # t-digest/GK sketch internals are engine-specific
+    doc="Approximate percentiles via Spark's Greenwald-Khanna sketch "
+    "(mergeable, single pass, bounded memory) — the 100 TB path where "
+    "q_percentile_exact's per-group sort is not worth the exactness.",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("approx_quartiles"),
+        F.expr("approx_count_distinct(l_partkey, 0.02)").alias("approx_parts"),
+    )

@@ -121,3 +121,32 @@ def test_unit_metadata_survives_ops(spark):
     )
     out = df.filter("a > 0").select("a", F.col("b"))
     assert units_of(out) == {"a": "°C", "b": "mg"}
+
+
+def test_unit_consistency_gate(spark):
+    from pyspark.sql import functions as F
+
+    from lab_etl_spark.meta import (
+        UnitMismatchError,
+        add_with_units,
+        require_same_unit,
+        units_of,
+        with_unit,
+    )
+
+    df = spark.range(3).select(
+        with_unit(F.col("id").cast("double"), "upper_temperature", "°C"),
+        with_unit((F.col("id") * 2.0), "lower_temperature", "°C"),
+        with_unit((F.col("id") * 1.5), "mass", "mg"),
+        (F.col("id") * 9.0).alias("unitless"),
+    )
+    assert require_same_unit(df, "upper_temperature", "lower_temperature") == "°C"
+    out = add_with_units(df, "temp_sum", "upper_temperature", "lower_temperature")
+    assert units_of(out)["temp_sum"] == "°C"
+    assert out.select("temp_sum").collect()[2][0] == 6.0
+    import pytest as _pytest
+
+    with _pytest.raises(UnitMismatchError):
+        require_same_unit(df, "upper_temperature", "mass")
+    with _pytest.raises(UnitMismatchError):
+        require_same_unit(df, "upper_temperature", "unitless")
