@@ -125,11 +125,13 @@ def connected_components(
     # subgraph only (in a real corpus non-duplicate docs dominate, so this
     # shrinks every round's join from |corpus| to |dup-graph| rows) and
     # union the untouched vertices back as self-labeled singletons at the
-    # end.
+    # end.  Round zero is folded into initialization: label = min(self,
+    # neighbors) directly — for the dominant 2-node-cluster case that is
+    # already the fixpoint, so the loop only runs confirmation rounds.
     labels = (
-        sym.select(F.col("_s").alias("_id"))
-        .distinct()
-        .select("_id", F.col("_id").alias("component"))
+        sym.groupBy("_s")
+        .agg(F.least(F.min("_d"), F.first("_s")).alias("component"))
+        .select(F.col("_s").alias("_id"), "component")
         .localCheckpoint()
     )
     for _ in range(max_iter):
