@@ -65,6 +65,10 @@ def require_same_unit(df: DataFrame, *cols: str) -> str | None:
     Columns lacking metadata are treated as unit-less and only conflict with
     columns that declare a unit.
     """
+    unknown = [c for c in cols if c not in df.columns]
+    if unknown:
+        # A typo'd gate must not silently validate nothing.
+        raise UnitMismatchError(f"columns not in DataFrame: {unknown}")
     units = units_of(df)
     declared = {c: units[c] for c in cols if c in units}
     if len(set(declared.values())) > 1:

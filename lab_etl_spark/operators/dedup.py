@@ -134,6 +134,7 @@ def connected_components(
         .select(F.col("_s").alias("_id"), "component")
         .localCheckpoint()
     )
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym._d == labels._id)
@@ -159,6 +160,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # A silent wrong answer is worse than a loud one: a component with
+        # diameter > max_iter would otherwise emit split clusters.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (diameter exceeds the round budget)"
+        )
     all_labeled = vertices.select(F.col(id_col).alias("_id")).join(
         labels, "_id", "left"
     )

@@ -94,7 +94,7 @@ def cosine_topk_blocked(
 
 def ivf_assign(
     corpus: DataFrame, n_clusters: int = 16, n_iter: int = 1
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: assign every corpus vector to a centroid.
 
     Fully distributed k-means-ish training, no driver-side collect:
@@ -107,9 +107,13 @@ def ivf_assign(
 
     The centroid table stays O(n_clusters × dim) — always broadcastable —
     so the corpus is never shuffled during training; only the tiny
-    per-dimension partial sums move.
+    per-dimension partial sums move.  Centroids and the final assignment
+    are localCheckpoint'ed: without that, every downstream reference
+    (probe cross-join, candidate scoring) re-executes the whole Lloyd
+    lineage — measured as 20 parquet scans of the corpus in one plan.
 
-    Returns the corpus with a ``cid`` cluster-id column.
+    Returns ``(assigned_corpus, centroids)``: the corpus with a ``cid``
+    cluster-id column, and the (cid, c_emb) centroid table.
     """
     seeds = (
         corpus.orderBy(F.xxhash64("vec_id"))
@@ -142,6 +146,7 @@ def ivf_assign(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb_d"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_norm"),
     )
+    centroids = centroids.localCheckpoint()
     for _ in range(n_iter):
         assigned = nearest(prepared)
         centroids = (
@@ -156,8 +161,9 @@ def ivf_assign(
                     " s -> s.m)"
                 ).alias("c_emb")
             )
+            .localCheckpoint()
         )
-    final = nearest(prepared)
+    final = nearest(prepared).localCheckpoint()
     return corpus.join(final, "vec_id"), centroids
 
 

@@ -1,0 +1,42 @@
+"""connected_components unit pins: chain convergence, non-convergence raise,
+singleton handling."""
+
+from __future__ import annotations
+
+import pytest
+
+from lab_etl_spark.operators.dedup import connected_components
+
+
+def _chain(spark, n):
+    vertices = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a bigint, b bigint"
+    )
+    return vertices, edges
+
+
+def test_chain_converges_to_min_label(spark):
+    v, e = _chain(spark, 25)
+    out = connected_components(
+        v, e, id_col="doc_id", src="a", dst="b", max_iter=40
+    )
+    rows = {r.doc_id: r.component for r in out.collect()}
+    assert rows == {i: 0 for i in range(25)}
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    # diameter > round budget must be a loud error, never wrong labels.
+    v, e = _chain(spark, 25)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            v, e, id_col="doc_id", src="a", dst="b", max_iter=2
+        )
+
+
+def test_singletons_self_labeled(spark):
+    vertices = spark.range(6).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame([(4, 5)], "a bigint, b bigint")
+    out = connected_components(vertices, edges, id_col="doc_id", src="a", dst="b")
+    rows = {r.doc_id: r.component for r in out.collect()}
+    assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4}

@@ -150,3 +150,5 @@ def test_unit_consistency_gate(spark):
         require_same_unit(df, "upper_temperature", "mass")
     with _pytest.raises(UnitMismatchError):
         require_same_unit(df, "upper_temperature", "unitless")
+    with _pytest.raises(UnitMismatchError, match="not in DataFrame"):
+        require_same_unit(df, "upper_temperatur", "lower_temperature")

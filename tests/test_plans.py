@@ -102,10 +102,13 @@ def test_six_way_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_salted_join_keys_include_salt(spark, sf_dir):
-    # The skew-proof join must shuffle on (key, salt), not the bare hot key:
-    # the deterministic xxhash64 salt has to appear in the plan's join keys.
+    # The skew-proof join must shuffle on (key, salt) AND the salt must be
+    # derived from a non-join-key column (salting by the hot key itself
+    # would send every hot key to one reducer again — the regression this
+    # gate exists to catch).
     p = _fmt(REGISTRY["q_skew_join_salted"].fn(spark, sf_dir))
-    assert "xxhash64" in p, p
+    assert "xxhash64(event_id" in p, p
+    assert "xxhash64(user_id" not in p, p
     assert "salt" in p, p
 
 
