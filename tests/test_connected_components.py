@@ -34,6 +34,53 @@ def test_nonconvergence_raises_not_silent(spark):
         )
 
 
+def test_star_matches_propagation_on_chain(spark):
+    from lab_etl_spark.operators.dedup import connected_components_star
+
+    v, e = _chain(spark, 25)
+    # diameter 24, but star rounds are O(log n): 8 rounds must suffice
+    out = connected_components_star(
+        v, e, id_col="doc_id", src="a", dst="b", max_iter=8
+    )
+    rows = {r.doc_id: r.component for r in out.collect()}
+    assert rows == {i: 0 for i in range(25)}
+
+
+def test_star_matches_propagation_on_random_graph(spark):
+    import random
+
+    from lab_etl_spark.operators.dedup import connected_components_star
+
+    rng = random.Random(42)
+    n = 60
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(45)
+        }
+    )
+    v = spark.range(n).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame(edges, "a bigint, b bigint")
+    a = connected_components(
+        v, e, id_col="doc_id", src="a", dst="b", max_iter=60
+    )
+    b = connected_components_star(v, e, id_col="doc_id", src="a", dst="b")
+    ra = {(r.doc_id, r.component) for r in a.collect()}
+    rb = {(r.doc_id, r.component) for r in b.collect()}
+    assert ra == rb
+
+
+def test_star_empty_edges_all_singletons(spark):
+    from lab_etl_spark.operators.dedup import connected_components_star
+
+    v = spark.range(5).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame([], "a bigint, b bigint")
+    out = connected_components_star(v, e, id_col="doc_id", src="a", dst="b")
+    assert {r.doc_id: r.component for r in out.collect()} == {
+        i: i for i in range(5)
+    }
+
+
 def test_singletons_self_labeled(spark):
     vertices = spark.range(6).withColumnRenamed("id", "doc_id")
     edges = spark.createDataFrame([(4, 5)], "a bigint, b bigint")
