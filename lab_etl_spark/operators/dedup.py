@@ -43,6 +43,47 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     )
 
 
+def _shingle_postings(
+    sh: DataFrame, max_shingle_freq: int | None
+) -> DataFrame:
+    """(shingle, _ds sorted doc-id array) posting lists — ONE shuffle on the
+    shingle.  The stop-shingle cap is a size filter on the posting list, so
+    capping costs nothing extra (no second pass over the shingle stream).
+
+    Caveat: a pathologically hot shingle materializes its posting list in the
+    aggregation buffer before the filter drops it (10^5 doc ids ≈ 800 KB —
+    fine; only a degenerate corpus where one shingle spans 10^7+ docs would
+    pressure memory, and such a corpus needs corpus-level cleaning first).
+    """
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("_ds")
+    )
+    if max_shingle_freq is not None:
+        grouped = grouped.filter(F.size("_ds") <= max_shingle_freq)
+    return grouped
+
+
+def _pair_common_counts(postings: DataFrame) -> DataFrame:
+    """Posting lists → (doc_a, doc_b, n_common), doc_a < doc_b.
+
+    Pair generation happens inside whole-stage codegen (array transform +
+    explode) instead of a shingle self-join: the k·(k-1)/2 pairs per posting
+    are emitted directly, one shuffle on the pair key to count them.
+    """
+    pair_structs = F.expr(
+        "flatten(transform(_ds, (x, i) ->"
+        " transform(slice(_ds, i + 2, size(_ds)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    return (
+        postings.filter(F.size("_ds") >= 2)
+        .select(F.explode(pair_structs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
 def shingle_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -52,28 +93,21 @@ def shingle_jaccard_pairs(
     """Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold).
 
     Columns: doc_a, doc_b, jaccard (rounded to 6 for cross-engine hashing).
+
+    Shape: shingle stream → posting lists (1 shuffle; cap applied there) →
+    codegen pair explosion → pair count (1 shuffle) → size join.  The sizes
+    branch re-reads the posting lists, so its shuffle is a ReusedExchange —
+    the document scan + shingling runs once.
     """
     sh = word_shingles(docs, n)
-    if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_f"))
-        sh = (
-            sh.join(freq.filter(F.col("_f") <= max_shingle_freq), "shingle", "left_semi")
-        )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    postings = _shingle_postings(sh, max_shingle_freq)
+    # per-doc shingle counts AFTER the cap (mirrors the oracle exactly)
+    sizes = (
+        postings.select(F.explode("_ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    pairs = _pair_common_counts(postings)
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")
     )
@@ -134,33 +168,8 @@ def connected_components(
         .select(F.col("_s").alias("_id"), "component")
         .localCheckpoint()
     )
-    changed = 1
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym._d == labels._id)
-            .groupBy("_s")
-            .agg(F.min("component").alias("_nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr_min, labels._id == nbr_min._s, "left")
-            .select(
-                "_id",
-                F.least(
-                    "component", F.coalesce("_nbr_min", "component")
-                ).alias("component"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "_old"), "_id")
-            .filter(F.col("component") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    if changed != 0:
+    labels, converged = _min_label_rounds(sym, labels, max_iter)
+    if not converged:
         # A silent wrong answer is worse than a loud one: a component with
         # diameter > max_iter would otherwise emit split clusters.
         raise RuntimeError(
@@ -174,6 +183,41 @@ def connected_components(
         F.col("_id").alias(id_col),
         F.coalesce("component", "_id").alias("component"),
     )
+
+
+def _min_label_rounds(
+    sym: DataFrame, labels: DataFrame, rounds: int
+) -> tuple[DataFrame, bool]:
+    """Run up to ``rounds`` min-label propagation steps; returns
+    (labels, converged).  Each step is one join + hash-aggregate; the
+    previous label rides along through the checkpoint so convergence is read
+    back with a single cheap aggregate over the materialized step — no
+    second join against the old labels (half the per-round job cost)."""
+    for _ in range(rounds):
+        nbr_min = (
+            sym.join(labels, sym._d == labels._id)
+            .groupBy("_s")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        stepped = (
+            labels.withColumnRenamed("component", "_old")
+            .join(nbr_min, F.col("_id") == nbr_min._s, "left")
+            .select(
+                "_id",
+                F.least("_old", F.coalesce("_nbr_min", "_old")).alias(
+                    "component"
+                ),
+                "_old",
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            stepped.filter(F.col("component") != F.col("_old")).limit(1).count()
+        )
+        labels = stepped.select("_id", "component")
+        if changed == 0:
+            return labels, True
+    return labels, False
 
 
 def connected_components_star(
@@ -264,14 +308,140 @@ def connected_components_star(
     )
 
 
-def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 16
+def connected_components_auto(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src: str = "a",
+    dst: str = "b",
+    propagation_rounds: int = 3,
+    max_iter: int = 30,
 ) -> DataFrame:
-    """(doc_id, h0..h{k-1}) MinHash signature via seeded xxhash64.
+    """Adaptive connected components: cheap min-label propagation first,
+    automatic escalation to large-star/small-star when the graph is deep.
+
+    Near-dup graphs are overwhelmingly shallow (duplicate clusters of 2-5
+    docs), where a couple of propagation rounds — one join+agg each — reach
+    the fixpoint faster than star rounds (two join+aggs each).  But a whale
+    component (a boilerplate page duplicated across millions of URLs, say)
+    has propagation cost proportional to its diameter.  So: propagate for
+    ``propagation_rounds``; if not converged, CONTRACT the graph by the
+    current labels (each label is provably a member of its node's component,
+    so label-edges preserve components; the contracted graph is usually
+    orders of magnitude smaller) and finish with the O(log n)-round star
+    algorithm on the contraction.  The component minimum survives
+    contraction — the min node's label is itself — so the composed labeling
+    equals what either algorithm alone would produce.
+    """
+    sym = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.groupBy("_s")
+        .agg(F.least(F.min("_d"), F.first("_s")).alias("component"))
+        .select(F.col("_s").alias("_id"), "component")
+        .localCheckpoint()
+    )
+    labels, converged = _min_label_rounds(sym, labels, propagation_rounds)
+    if not converged:
+        l_s = labels.select(
+            F.col("_id").alias("_s"), F.col("component").alias("_ls")
+        )
+        l_d = labels.select(
+            F.col("_id").alias("_d"), F.col("component").alias("_ld")
+        )
+        contracted = (
+            sym.join(l_s, "_s")
+            .join(l_d, "_d")
+            .filter(F.col("_ls") != F.col("_ld"))
+            .select(F.col("_ls").alias("a"), F.col("_ld").alias("b"))
+            .distinct()
+        )
+        label_nodes = labels.select(F.col("component").alias("id")).distinct()
+        star = connected_components_star(
+            label_nodes, contracted, id_col="id", src="a", dst="b",
+            max_iter=max_iter,
+        )
+        labels = (
+            labels.join(
+                star.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("_final"),
+                ),
+                "component",
+            )
+            .select("_id", F.col("_final").alias("component"))
+        )
+    all_labeled = vertices.select(F.col(id_col).alias("_id")).join(
+        labels, "_id", "left"
+    )
+    return all_labeled.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("component", "_id").alias("component"),
+    )
+
+
+#: modulus for the portable universal-hash MinHash family (Mersenne prime).
+MERSENNE61 = (1 << 61) - 1
+
+#: Spark SQL / DuckDB expression for the 32-bit md5-derived shingle base hash
+#: (identical value in both engines; the affine permutations below are plain
+#: integer arithmetic on it, so the whole family is engine-reproducible).
+MINHASH_BASE_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(shingle), 1, 8), 16, 10) AS BIGINT)"
+)
+MINHASH_BASE_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5(shingle), 1, 8)) AS BIGINT)"
+)
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine permutations
+    h_i(x) = (a_i * x + b_i) mod 2^61-1.
+
+    a < 2^29 and the base hash < 2^32, so a*x + b < 2^62 — no 64-bit signed
+    overflow in either engine.  Derived from md5 so both the Spark plan and
+    the DuckDB oracle SQL are built from the very same numbers.
+    """
+    import hashlib as _hl
+
+    out = []
+    for i in range(num_hashes):
+        h = _hl.md5(f"lab-etl-minhash-{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % ((1 << 29) - 2) + 1  # 1 .. 2^29-2, never 0
+        b = int(h[8:23], 16) % MERSENNE61
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, portable: bool = True
+) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signature.
 
     One hash-aggregate over the shingle stream computes all k permutations
     (k min() aggs), so signature cost is a single shuffle on doc_id.
+
+    ``portable=True`` (default) computes ONE md5 per shingle (a 32-bit base
+    hash) and derives the k permutations as affine maps (a_i*x + b_i) mod
+    2^61-1 — whole-stage-codegen integer arithmetic, reproducible bit-for-bit
+    in any engine with md5 (the DuckDB oracle recomputes the identical
+    family, making the LSH output value-checkable).  ``portable=False``
+    swaps in seeded xxhash64 for a pure-Spark run — marginally cheaper and
+    64-bit, but engine-specific.
     """
+    if portable:
+        base = shingles.withColumn("_mh", F.expr(MINHASH_BASE_SPARK))
+        aggs = [
+            F.min(
+                (F.lit(a) * F.col("_mh") + F.lit(b)) % F.lit(MERSENNE61)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_constants(num_hashes))
+        ]
+        return base.groupBy("doc_id").agg(*aggs)
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -285,30 +455,47 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    portable: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
     Pipeline: shingle → signature (1 shuffle) → band buckets (1 shuffle) →
     bucket self-join (candidates only) → exact-Jaccard verify restricted to
     candidates.  Columns: doc_a, doc_b, jaccard.
+
+    With ``portable=True`` the signature family and band keys are md5-derived
+    (see :func:`minhash_signatures`), so the full pipeline is reproducible in
+    the DuckDB oracle — value-exact correctness, not just a rows-only check.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); trailing hash functions would be silently unused"
+        )
     rows_per_band = num_hashes // bands
     sh = word_shingles(docs, n)
-    sig = minhash_signatures(sh, num_hashes)
+    sig = minhash_signatures(sh, num_hashes, portable=portable)
 
     # One posexplode pass emits every band key (a bands-way union would
     # recompute the signature aggregation once per branch).
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                *[
-                    F.col(f"h{b * rows_per_band + k}")
-                    for k in range(rows_per_band)
-                ]
-            )
-            for b in range(bands)
+    def _band_cols(b: int) -> list:
+        return [
+            F.col(f"h{b * rows_per_band + k}") for k in range(rows_per_band)
         ]
-    )
+
+    if portable:
+        band_keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(",", *[c.cast("string") for c in _band_cols(b)])
+                )
+                for b in range(bands)
+            ]
+        )
+    else:
+        band_keys = F.array(
+            *[F.xxhash64(*_band_cols(b)).cast("string") for b in range(bands)]
+        )
     buckets = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bkey")
     )
@@ -329,7 +516,8 @@ def minhash_lsh_candidates(
     )
 
     # Exact verify on candidates only: semi-join the shingle stream down to
-    # candidate docs, then compute true Jaccard for candidate pairs.
+    # candidate docs, then compute true Jaccard for candidate pairs via the
+    # same posting-list pair explosion as shingle_jaccard_pairs.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
@@ -337,18 +525,8 @@ def minhash_lsh_candidates(
     )
     sh_c = sh.join(cand_docs, "doc_id", "left_semi")
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    a = sh_c.alias("a")
-    b2 = sh_c.alias("b")
-    common = (
-        a.join(
-            b2,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    common = _pair_common_counts(_shingle_postings(sh_c, None)).join(
+        cand, ["doc_a", "doc_b"], "left_semi"
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")

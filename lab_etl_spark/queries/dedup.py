@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.dedup import (
-    connected_components,
+    connected_components_auto,
     minhash_lsh_candidates,
     shingle_jaccard_pairs,
 )
@@ -55,9 +55,92 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stop-shingle cap applied in every registered exact-Jaccard path: a shingle
+#: shared by more than this many documents carries ~no Jaccard signal but
+#: dominates the inverted-index join fan-out (a shingle in 10^5 docs at 100 TB
+#: would alone emit 10^10 candidate pairs).  Mirrored in the DuckDB oracles.
+MAX_SHINGLE_FREQ = 100
+
+#: shared oracle CTEs: shingling + the same stop-shingle cap + sizes/pairs —
+#: sizes are computed AFTER the cap filter, exactly as the Spark operator does.
+_CAPPED_SHINGLE_CTES = f"""
+    words AS (
+      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
+      FROM documents
+    ),
+    shingles_all AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
+      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    keep AS (
+      SELECT shingle FROM shingles_all
+      GROUP BY shingle HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}
+    ),
+    shingles AS (
+      SELECT s.doc_id, s.shingle FROM shingles_all s
+      JOIN keep USING (shingle)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
+    WITH {_CAPPED_SHINGLE_CTES}
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM rawpairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    doc="Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.5 via inverted-"
+    "index self-join (only docs sharing a shingle are compared); stop-"
+    f"shingles (> {MAX_SHINGLE_FREQ} docs) dropped before the join so a hot "
+    "shingle cannot explode the pair fan-out at scale.",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of minhash_lsh_candidates(portable=True): the identical
+    md5-derived permutation family and band keys, so the LSH candidate set —
+    and therefore the verified pair set — matches Spark value-for-value."""
+    from ..operators.dedup import (
+        MERSENNE61,
+        MINHASH_BASE_DUCK,
+        minhash_constants,
+    )
+
+    rows_per_band = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN(({a} * mh + {b}) % {MERSENNE61}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_constants(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5(concat_ws(',', {cols})) AS bkey"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + k}" for k in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
     WITH words AS (
       SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
       FROM documents
@@ -67,34 +150,48 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
     ),
+    shingle_h AS (
+      SELECT doc_id, {MINHASH_BASE_DUCK} AS mh FROM shingles
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingle_h GROUP BY doc_id
+    ),
+    buckets AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-    pairs AS (
+    common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
       FROM shingles a JOIN shingles b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT doc_a, doc_b,
+    SELECT c.doc_a, c.doc_b,
            ROUND(CAST(n_common AS DOUBLE)
                  / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-    FROM pairs
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
+    FROM common c
+    JOIN cand USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-    """,
-    doc="Near-dup pairs by exact 3-gram-shingle Jaccard >= 0.5 via inverted-"
-    "index self-join (only docs sharing a shingle are compared).",
-)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+    """
 
 
 @register(
     "q_dedup_minhash_lsh",
-    oracle=None,  # xxhash64-based MinHash family is Spark-specific
+    oracle=_minhash_oracle(),
     doc="MinHash(16 perms) + 4-band LSH candidate pairs with exact-Jaccard "
-    "verify; the candidate-generation shuffle is O(docs*bands).",
+    "verify; the candidate-generation shuffle is O(docs*bands). The md5-"
+    "derived permutation family (operators/dedup.py minhash_signatures "
+    "portable=True) is engine-reproducible, so the DuckDB oracle recomputes "
+    "the identical pipeline end-to-end — full value check, not rows-only.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -104,22 +201,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIRS_CTES = f"""
-    words AS (
-      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
-      FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id,
-             concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
-      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-    rawpairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
+    {_CAPPED_SHINGLE_CTES},
     pairs AS (
       SELECT doc_a, doc_b FROM rawpairs
       JOIN sizes sa ON sa.doc_id = doc_a
@@ -149,16 +231,21 @@ _PAIRS_CTES = f"""
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
     """,
-    doc="Near-dup cluster assignment: connected components over the exact-"
-    "Jaccard pair graph (threshold 0.5) by iterative min-label propagation "
-    "(operators/dedup.py connected_components); every document gets a "
-    "cluster id = smallest doc_id in its component (singletons = self). "
+    doc="Near-dup cluster assignment: adaptive connected components over the "
+    "exact-Jaccard pair graph (threshold 0.5) — min-label propagation for "
+    "the common shallow-cluster case, auto-escalating to O(log n) large-"
+    "star/small-star rounds on the label-contracted graph when propagation "
+    "hasn't converged (operators/dedup.py connected_components_auto), so a "
+    "whale component cannot stall the job at 100 TB.  Every document gets a "
+    "cluster id = smallest doc_id in its component (singletons = self).  "
     "The DuckDB oracle derives the same labeling via recursive reachability.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shingle_jaccard_pairs(docs, n=3, threshold=0.5)
-    return connected_components(
+    pairs = shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    return connected_components_auto(
         docs.select("doc_id"),
         pairs.select("doc_a", "doc_b"),
         id_col="doc_id",

@@ -151,49 +151,65 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_rollup",
+    "q_rollup_cube",
     oracle=f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
-           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
-           {dsum('l_quantity')} AS sum_qty,
+    SELECT 'rollup' AS src, l_returnflag AS dim1, l_linestatus AS dim2,
+           CAST(GROUPING(l_returnflag) AS INT) AS g1,
+           CAST(GROUPING(l_linestatus) AS INT) AS g2,
+           {dsum('l_quantity')} AS sum_val,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    doc="Hierarchical grouping sets; GROUPING() flags disambiguate subtotal rows.",
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_rf"),
-        F.grouping("l_linestatus").cast("int").alias("g_ls"),
-        F.expr(dsum("l_quantity")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@register(
-    "q_cube",
-    oracle=f"""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
-           CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
-           COUNT(*) AS n_orders,
-           {dsum('o_totalprice')} AS sum_price
+    UNION ALL
+    SELECT 'cube' AS src, o_orderstatus AS dim1, o_orderpriority AS dim2,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+           {dsum('o_totalprice')} AS sum_val,
+           COUNT(*) AS n_rows
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    doc="Full cube over two dims.",
+    doc="Hierarchical grouping-set operators in one surface: ROLLUP over "
+    "lineitem(returnflag, linestatus) unioned with CUBE over orders(status, "
+    "priority), schemas aligned to (src, dim1, dim2, g1, g2, sum_val, n_rows). "
+    "GROUPING() flags disambiguate subtotal rows vs genuine NULL dims. Both "
+    "branches are single-shuffle partial aggregations; the union is a no-op "
+    "for the planner (no extra exchange).",
 )
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    od = load_table(spark, sf_dir, "orders")
-    return od.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping("o_orderstatus").cast("int").alias("g_st"),
-        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.expr(dsum("o_totalprice")).alias("sum_price"),
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g1"),
+        F.grouping("l_linestatus").cast("int").alias("g2"),
+        F.expr(dsum("l_quantity")).alias("sum_val"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
+    rollup = rollup.select(
+        F.lit("rollup").alias("src"),
+        F.col("l_returnflag").alias("dim1"),
+        F.col("l_linestatus").alias("dim2"),
+        "g1",
+        "g2",
+        "sum_val",
+        "n_rows",
+    )
+    od = load_table(spark, sf_dir, "orders")
+    cube = od.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g1"),
+        F.grouping("o_orderpriority").cast("int").alias("g2"),
+        F.expr(dsum("o_totalprice")).alias("sum_val"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    cube = cube.select(
+        F.lit("cube").alias("src"),
+        F.col("o_orderstatus").alias("dim1"),
+        F.col("o_orderpriority").alias("dim2"),
+        "g1",
+        "g2",
+        "sum_val",
+        "n_rows",
+    )
+    return rollup.unionByName(cube)
 
 
 @register(

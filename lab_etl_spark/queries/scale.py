@@ -292,9 +292,11 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Scalar projections of the sketch (not array<double>): the driver's
+    # canonicalizer sorts columns with pandas and cannot hash list cells.
     return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("approx_quartiles"),
+        F.expr("percentile_approx(l_quantity, 0.25, 10000)").alias("q25"),
+        F.expr("percentile_approx(l_quantity, 0.5, 10000)").alias("q50"),
+        F.expr("percentile_approx(l_quantity, 0.75, 10000)").alias("q75"),
         F.expr("approx_count_distinct(l_partkey, 0.02)").alias("approx_parts"),
     )

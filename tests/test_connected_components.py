@@ -81,6 +81,55 @@ def test_star_empty_edges_all_singletons(spark):
     }
 
 
+def test_auto_escalates_on_deep_chain(spark):
+    from lab_etl_spark.operators.dedup import connected_components_auto
+
+    v, e = _chain(spark, 25)
+    # 2 propagation rounds cannot close a diameter-24 chain → the contracted
+    # star phase must finish it, still yielding min-id labels.
+    out = connected_components_auto(
+        v, e, id_col="doc_id", src="a", dst="b", propagation_rounds=2
+    )
+    rows = {r.doc_id: r.component for r in out.collect()}
+    assert rows == {i: 0 for i in range(25)}
+
+
+def test_auto_shallow_graph_no_escalation(spark):
+    from lab_etl_spark.operators.dedup import connected_components_auto
+
+    # 3 disjoint 2-cliques + singletons: propagation converges in round 1.
+    v = spark.range(8).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "a bigint, b bigint"
+    )
+    out = connected_components_auto(v, e, id_col="doc_id", src="a", dst="b")
+    rows = {r.doc_id: r.component for r in out.collect()}
+    assert rows == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_auto_matches_plain_on_random_graph(spark):
+    import random
+
+    from lab_etl_spark.operators.dedup import connected_components_auto
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)}
+    )
+    v = spark.range(n).withColumnRenamed("id", "doc_id")
+    e = spark.createDataFrame(edges, "a bigint, b bigint")
+    a = connected_components(
+        v, e, id_col="doc_id", src="a", dst="b", max_iter=60
+    )
+    b = connected_components_auto(
+        v, e, id_col="doc_id", src="a", dst="b", propagation_rounds=1
+    )
+    assert {(r.doc_id, r.component) for r in a.collect()} == {
+        (r.doc_id, r.component) for r in b.collect()
+    }
+
+
 def test_singletons_self_labeled(spark):
     vertices = spark.range(6).withColumnRenamed("id", "doc_id")
     edges = spark.createDataFrame([(4, 5)], "a bigint, b bigint")

@@ -1,0 +1,80 @@
+"""Dedup-operator unit pins: stop-shingle cap behavior and portable MinHash
+family invariants (cross-engine reproducibility + band math guards)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lab_etl_spark.operators.dedup import (
+    MERSENNE61,
+    minhash_constants,
+    minhash_lsh_candidates,
+    shingle_jaccard_pairs,
+)
+
+
+def _hot_shingle_docs(spark, n=20):
+    # Every doc shares the same long boilerplate prefix (near-dup by
+    # construction) plus a unique one-word tail.
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{boiler} tail{i}") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_stop_shingle_cap_prunes_hot_shingles(spark):
+    docs = _hot_shingle_docs(spark, 20)
+    uncapped = shingle_jaccard_pairs(docs, n=3, threshold=0.5)
+    capped = shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=10
+    )
+    # Without the cap the boilerplate makes every pair near-dup: 20*19/2.
+    assert uncapped.count() == 190
+    # With the cap, every boilerplate shingle (freq 20 > 10) is dropped from
+    # the inverted index; only the unique-tail shingles remain, which no two
+    # docs share — the hot-shingle join island never forms.
+    assert capped.count() == 0
+
+
+def test_stop_shingle_cap_keeps_rare_shingles(spark):
+    # Two docs sharing text that is NOT hot must still pair under the cap.
+    rows = [
+        (0, "one two three four five six"),
+        (1, "one two three four five seven"),
+        (2, "totally different words here entirely now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=10
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(0, 1)}
+
+
+def test_minhash_constants_fit_64bit_arithmetic():
+    # a < 2^29 and base < 2^32 guarantee a*x+b < 2^62: no signed overflow in
+    # either engine.  Constants must be deterministic across calls.
+    cs = minhash_constants(64)
+    assert cs == minhash_constants(64)
+    for a, b in cs:
+        assert 1 <= a < (1 << 29)
+        assert 0 <= b < MERSENNE61
+        assert a * ((1 << 32) - 1) + b < (1 << 62)
+
+
+def test_minhash_rejects_ragged_bands(spark):
+    docs = _hot_shingle_docs(spark, 4)
+    with pytest.raises(ValueError, match="must divide evenly"):
+        minhash_lsh_candidates(docs, num_hashes=16, bands=5)
+
+
+def test_minhash_portable_and_fast_paths_agree_on_clear_dups(spark):
+    # Identical docs minhash to identical signatures under ANY hash family,
+    # so both paths must report the duplicate pair with jaccard 1.0.
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated content with no overlap whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for portable in (True, False):
+        out = minhash_lsh_candidates(docs, portable=portable).collect()
+        assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(0, 1, 1.0)]
