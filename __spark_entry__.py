@@ -22,9 +22,13 @@ from lab_etl_spark.queries import load_all  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    """Flagship query (TPC-H Q1-style pricing summary) on the smoke-check
+    scale factor (override dir via SPARK_GRAFT_ENTRY_SF_DIR)."""
     registry = load_all()
-    return registry["q_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001"
+    )
+    return registry["q_pricing_summary"].fn(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -23,7 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    # sf is reporting metadata only — never let an unconventional dir name
+    # (e.g. "sf0.1_v2", "data") kill the bench before a single query runs.
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else None
 
     from lab_etl_spark.queries import load_all
     from lab_etl_spark.session import get_spark

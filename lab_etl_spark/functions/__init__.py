@@ -8,6 +8,7 @@ from .core import (
     normalize_unit,
     parse_crucible,
     parse_date_cascade,
+    parse_date_fuzzy,
     parse_epoch_seconds,
     parse_mfc,
     parse_segment,
@@ -23,6 +24,7 @@ __all__ = [
     "normalize_unit",
     "parse_crucible",
     "parse_date_cascade",
+    "parse_date_fuzzy",
     "parse_epoch_seconds",
     "parse_mfc",
     "parse_segment",

@@ -89,6 +89,62 @@ def parse_date_cascade(col: Column | str, formats: list[str] | None = None) -> C
     return F.coalesce(*attempts)
 
 
+#: additional formats reachable only through the fuzzy token extraction
+#: (12-hour clocks, European dotted dates, bare month-name dates).
+_FUZZY_EXTRA_FORMATS = [
+    "M/d/yyyy h:mm:ss a",
+    "M/d/yyyy h:mm a",
+    "d.M.yyyy H:mm:ss",
+    "d.M.yyyy H:mm",
+    "d.M.yyyy",
+    "MMMM d, yyyy H:mm:ss",
+    "MMMM d, yyyy H:mm",
+    "MMMM d, yyyy",
+    "MMMM d yyyy",
+    "yyyy-MM-dd H:mm",
+]
+
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October|"
+    "November|December"
+)
+#: a numeric or month-name date token embedded anywhere in the string
+_FUZZY_DATE_TOKEN = (
+    r"(\d{1,4}[/.-]\d{1,2}[/.-]\d{1,4}"
+    rf"|(?:{_MONTHS})\s+\d{{1,2}},?\s+\d{{4}})"
+)
+#: a clock token, optionally 12-hour
+_FUZZY_TIME_TOKEN = r"(\d{1,2}:\d{2}(?::\d{2})?(?:\s?[APap][Mm])?)"
+
+
+def parse_date_fuzzy(col: Column | str) -> Column:
+    """Cascade parse with a fuzzy fallback for novel strings: when no known
+    format matches the whole input, extract the embedded date token and
+    clock token by regex — ignoring arbitrary surrounding words, exactly the
+    contract of the reference's ``dateutil.parser.parse(fuzzy=True)``
+    (netzsch_sta_parser.py:278-291) — and re-run the cascade on the
+    recombined ``'<date> <time>'`` with an extended format list.  Stays
+    fully deterministic (no locale guessing): an input matching none of the
+    known shapes returns NULL rather than a speculative parse.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    strict = parse_date_cascade(c)
+    date_tok = F.nullif(
+        F.regexp_extract(c, _FUZZY_DATE_TOKEN, 1), F.lit("")
+    )
+    time_tok = F.nullif(
+        F.regexp_extract(c, _FUZZY_TIME_TOKEN, 1), F.lit("")
+    )
+    recombined = F.when(
+        date_tok.isNotNull(),
+        F.trim(F.concat_ws(" ", date_tok, F.upper(time_tok))),
+    )
+    fuzzy = parse_date_cascade(
+        recombined, formats=_DATE_FORMATS + _FUZZY_EXTRA_FORMATS
+    )
+    return F.coalesce(strict, fuzzy)
+
+
 def parse_epoch_seconds(col: Column | str) -> Column:
     """int32 epoch seconds → timestamp (netzsch_sta_ngb_parser.py:164-169)."""
     c = F.col(col) if isinstance(col, str) else col

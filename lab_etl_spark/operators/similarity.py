@@ -254,10 +254,13 @@ def embedding_near_pairs(
     cos = F.expr(DOT.format(a="emb_a", b="emb_b")) / (
         F.col("nrm_a") * F.col("nrm_b")
     )
+    # Threshold on the RAW cosine; round only in the projection — matching
+    # the oracle exactly (filtering on the rounded value admits pairs in
+    # [threshold - 5e-7, threshold) that the oracle rejects).
     return (
         a.join(b, ["blk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .withColumn("_raw_cos", cos)
+        .filter(F.col("_raw_cos") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("_raw_cos"), 6).alias("cosine"))
     )

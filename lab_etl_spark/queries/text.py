@@ -253,3 +253,160 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: repetition signals, benchmark
+# contamination, PII redaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_repetition",
+    priority=1,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws, len(ws) AS n_words,
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(CAST(list_max(list_transform(list_distinct(ws),
+                     d -> len(list_filter(ws, x -> x = d)))) AS DOUBLE)
+                 / n_words, 6) AS top_word_frac,
+           ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams), 6) AS dup_bigram_frac
+    FROM g
+    WHERE n_words >= 2
+    """,
+    doc="Per-doc repetition signals (Gopher-style quality rules): most-"
+    "frequent-word fraction and duplicate-bigram fraction, computed entirely "
+    "inside whole-stage codegen (array transforms — no explode, no shuffle "
+    "beyond the scan).  Docs dominated by a few repeated tokens or phrases "
+    "are the classic low-quality pretraining material these gates remove.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), " +")
+    d = docs.select("doc_id", ws.alias("ws"), F.size(ws).alias("n_words"))
+    d = d.filter(F.col("n_words") >= 2).withColumn(
+        "bigrams",
+        F.expr(
+            "transform(sequence(1, size(ws) - 1),"
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+        ),
+    )
+    top_word = F.expr(
+        "array_max(transform(array_distinct(ws),"
+        " d -> size(filter(ws, x -> x = d))))"
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            top_word.cast("double") / F.col("n_words"), 6
+        ).alias("top_word_frac"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("bigrams")).cast("double")
+            / F.size("bigrams"),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "q_contamination",
+    priority=1,
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]) AS sh
+      FROM words, UNNEST(generate_series(1, len(ws) - 4)) AS t(i)
+    ),
+    bench AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0
+    )
+    SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_shared
+    FROM shingles s JOIN bench b ON s.sh = b.sh
+    WHERE s.doc_id % 97 <> 0
+    GROUP BY s.doc_id
+    """,
+    doc="Benchmark-contamination scan: flags corpus documents sharing any "
+    "5-gram with the held-out benchmark slice (doc_id % 97 = 0 stands in "
+    "for the eval set).  The benchmark shingle set is orders of magnitude "
+    "smaller than the corpus, so the join broadcasts it in practice and the "
+    "corpus shingle stream is touched exactly once — the standard shape for "
+    "decontaminating a 100 TB crawl against eval suites.",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=5).withColumnRenamed("shingle", "sh")
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("sh").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(bench, "sh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("sh").alias("n_shared"))
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@register(
+    "q_pii_redact",
+    priority=1,
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com from 10.0.' || (doc_id % 256) || '.7' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_IP_RE}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_IP_RE}', '[IP]', 'g')) AS redacted_md5
+    FROM aug
+    """,
+    doc="PII scrubbing pass: count and redact emails / IPv4 addresses via "
+    "portable regexes (identical semantics in Java regex and RE2).  The "
+    "synthetic corpus carries no PII, so the query deterministically plants "
+    "one of each per document first — the redaction path itself is the "
+    "operator under test, verified by md5 of the fully redacted text.  "
+    "Pure per-row codegen: at 100 TB this is a map-only pass.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    d = docs.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("t", _EMAIL_RE, "[EMAIL]"), _IP_RE, "[IP]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(_IP_RE)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )

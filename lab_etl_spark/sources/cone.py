@@ -198,7 +198,14 @@ def load_cone(spark: SparkSession, path: str) -> DataFrame:
     with open(path, "rb") as f:
         blob = f.read()
     meta, pdf, units = parse_cone_bytes(blob)
-    df = spark.createDataFrame(pdf)
+    if pdf.empty:
+        # no data rows decoded → explicit-schema empty frame
+        # (createDataFrame cannot infer a schema from an empty pandas frame)
+        df = spark.createDataFrame(
+            [], StructType([StructField(c, DoubleType()) for c in _SCAN_COLS])
+        )
+    else:
+        df = spark.createDataFrame(pdf)
     df = with_units(df, units)
     return attach_provenance(df, "Cone", path, file_blake2b(path), meta)
 

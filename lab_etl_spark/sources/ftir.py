@@ -188,7 +188,14 @@ def load_ftir(spark: SparkSession, path: str) -> DataFrame:
     with open(path, "rb") as f:
         blob = f.read()
     meta, pdf, units = opus_to_frame(blob)
-    df = spark.createDataFrame(pdf)
+    if pdf.empty:
+        # no spectra decoded → minimal stable schema
+        # (createDataFrame cannot infer a schema from an empty pandas frame)
+        df = spark.createDataFrame(
+            [], StructType([StructField("wavelength", DoubleType())])
+        )
+    else:
+        df = spark.createDataFrame(pdf)
     df = with_units(df, units)
     return attach_provenance(
         df, "FTIR", path, file_blake2b(path), {"parameters": meta}

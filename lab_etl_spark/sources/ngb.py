@@ -229,7 +229,17 @@ def load_ngb(spark: SparkSession, path: str) -> DataFrame:
     with open(path, "rb") as f:
         blob = f.read()
     meta, pdf = parse_ngb_bytes(blob)
-    df = spark.createDataFrame(pdf)
+    if pdf.empty:
+        # no decodable data streams → explicit-schema empty frame
+        # (createDataFrame cannot infer a schema from an empty pandas frame)
+        df = spark.createDataFrame(
+            [],
+            StructType(
+                [StructField(c, DoubleType()) for c in COLUMN_MAP.values()]
+            ),
+        )
+    else:
+        df = spark.createDataFrame(pdf)
     df = with_units(df, {c: COLUMN_UNITS.get(c) for c in pdf.columns if COLUMN_UNITS.get(c)})
     return attach_provenance(df, "STA", path, file_blake2b(path), meta)
 

@@ -29,3 +29,19 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_csv_debug(
+    df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = True
+) -> None:
+    """Debug CSV sink (SURVEY.md §2A ``sink_csv_debug``; reference
+    netzsch_sta_ngb_parser.py:307 dumps a CSV next to the parquet for eyeball
+    checks).
+
+    ``single_file=True`` coalesces to one part for human reading — the right
+    default for a debug dump of one instrument run, and deliberately wrong
+    for bulk data (it serializes the write through one task); pass
+    ``single_file=False`` to keep the parallel multi-part write.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)

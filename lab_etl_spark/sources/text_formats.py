@@ -31,10 +31,15 @@ from ..meta import attach_provenance, detect_encoding, file_blake2b, with_units
 # ---------------------------------------------------------------------------
 
 
-def _read_head(path: str, encoding: str, max_bytes: int = 1 << 20) -> list[str]:
+def _read_head_raw(path: str, max_bytes: int = 1 << 20) -> bytes:
     with open(path, "rb") as f:
-        raw = f.read(max_bytes)
-    return raw.decode(encoding, errors="replace").splitlines()
+        return f.read(max_bytes)
+
+
+def _read_head(path: str, encoding: str, max_bytes: int = 1 << 20) -> list[str]:
+    return _read_head_raw(path, max_bytes).decode(
+        encoding, errors="replace"
+    ).splitlines()
 
 
 def _sniff_delimiter(sample: str, candidates: str = ",\t;") -> str:
@@ -224,13 +229,19 @@ def _csv_scan(
       * ``comment`` — when every non-data line shares a prefix char (STA's
         ``#``), Spark's comment option drops them inside the distributed
         scan itself: full pushdown, correct encoding, zero extra passes.
-      * indexed lines — otherwise (MCC's heterogeneous preamble), read
-        lines, number them with ``zipWithIndex`` (order-preserving for file
-        sources), drop the first ``skip_rows``, parse with ``from_csv``.
-        Data rows in these instrument formats are numeric ASCII, so the
-        text source's UTF-8 decode is byte-exact where it matters; the
-        non-ASCII header region is parsed driver-side with the true
-        encoding (see load_*).
+      * preamble exclusion — otherwise (MCC's heterogeneous preamble): the
+        driver pre-scan already holds the exact preamble lines, so the
+        distributed text scan drops them with a broadcast NOT-IN filter and
+        parses the rest with ``from_csv``.  Pure DataFrame API — no RDD
+        hop, no extra job, and the filter pushes into the scan.  Exact by
+        format invariant: preamble lines are ``key: value`` text / the
+        sentinel / header names, while data lines are numeric CSV, so no
+        data line can collide with a preamble string.  The exclusion
+        strings come from the RAW head bytes decoded the same way the text
+        source decodes them (UTF-8, replacement chars), so matching is
+        byte-faithful even for non-UTF-8 preambles; data rows in these
+        instrument formats are numeric ASCII, byte-identical under any of
+        the encodings seen.
     """
     schema = StructType(
         [StructField(n, DoubleType(), True) for n, _ in names_units]
@@ -246,13 +257,15 @@ def _csv_scan(
         )
     else:
         ddl = ", ".join(f"`{n}` DOUBLE" for n, _ in names_units)
-        lines = spark.read.text(path)
-        indexed = lines.rdd.zipWithIndex().toDF(["row", "idx"])
+        preamble = _read_head_raw(path).decode(
+            "utf-8", errors="replace"
+        ).splitlines()[:skip_rows]
         df = (
-            indexed.filter(F.col("idx") >= skip_rows)
+            spark.read.text(path)
+            .filter(~F.col("value").isin(preamble))
             .select(
                 F.from_csv(
-                    F.col("row.value"), ddl, {"sep": delim, "mode": "PERMISSIVE"}
+                    F.col("value"), ddl, {"sep": delim, "mode": "PERMISSIVE"}
                 ).alias("r")
             )
             .select("r.*")

@@ -119,7 +119,13 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        # Partial results must never masquerade as a complete drain — and a
+        # still-running background query would corrupt concurrent timings.
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain of '{name}' exceeded {timeout_s}s"
+        )
     return df.sparkSession.table(name)
 
 

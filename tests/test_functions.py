@@ -52,6 +52,33 @@ def test_parse_date_cascade(spark):
     assert out[3] is None
 
 
+def test_parse_date_fuzzy(spark):
+    from lab_etl_spark.functions import parse_date_fuzzy
+
+    out = _vals(
+        spark,
+        [
+            # strict formats still parse identically through the fuzzy entry
+            "2/11/2024 13:12:51 (UTC-5)",
+            # embedded in arbitrary prose (the dateutil fuzzy=True contract)
+            "Started on 2/11/2024 13:12:51 local time",
+            "Export created 2024-03-05 at 14:30:00 by operator",
+            "Run date: 11.02.2024 13:12",
+            "Calibrated March 4, 2024 14:00 in lab 3",
+            "acquired at 2:30:05 PM on 2/11/2024",
+            "Report for week 7, no timestamp here",
+        ],
+        parse_date_fuzzy,
+    )
+    assert out[0] == datetime.datetime(2024, 2, 11, 13, 12, 51)
+    assert out[1] == datetime.datetime(2024, 2, 11, 13, 12, 51)
+    assert out[2] == datetime.datetime(2024, 3, 5, 14, 30)
+    assert out[3] == datetime.datetime(2024, 2, 11, 13, 12)
+    assert out[4] == datetime.datetime(2024, 3, 4, 14, 0)
+    assert out[5] == datetime.datetime(2024, 2, 11, 14, 30, 5)
+    assert out[6] is None  # no speculative parse of junk
+
+
 def test_coerce_typed(spark):
     from lab_etl_spark.functions import coerce_typed
 

@@ -241,3 +241,35 @@ def test_parquet_roundtrip_preserves_units(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 6
     assert units_of(back).get("upper_temperature") == "°C"
+
+
+def test_write_csv_debug_roundtrip(spark, tmp_path):
+    from lab_etl_spark.sources.sink import write_csv_debug
+
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, 3.5)], "run_id bigint, value double"
+    )
+    out = str(tmp_path / "debug_csv")
+    write_csv_debug(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == 2
+    assert set(back.columns) == {"run_id", "value"}
+    # single_file=True must produce exactly one CSV part
+    parts = [p for p in os.listdir(out) if p.startswith("part-")]
+    assert len(parts) == 1
+
+
+def test_load_ngb_empty_container_explicit_schema(spark, tmp_path):
+    # A container with no decodable data streams must yield an explicit-
+    # schema empty DataFrame, not crash createDataFrame schema inference.
+    import zipfile
+
+    from lab_etl_spark.sources.ngb import COLUMN_MAP, load_ngb
+
+    p = tmp_path / "empty.ngb-ss3"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("Streams/placeholder", b"")
+    df = load_ngb(spark, str(p))
+    assert df.count() == 0
+    for c in COLUMN_MAP.values():
+        assert c in df.columns
