@@ -202,10 +202,46 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_lang_id_ngram",
-    oracle=None,  # heuristic scoring is engine-specific → rows-only
+    priority=1,
+    oracle="""
+    WITH tri AS (
+      SELECT doc_id, lang, substring(text, i, 3) AS tri
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - 2, 0))) AS t(i)
+    ),
+    tb AS (
+      SELECT doc_id, lang,
+             (CAST(unicode(substring(tri, 1, 1)) AS BIGINT) * 7919
+              + CAST(unicode(substring(tri, 2, 1)) AS BIGINT) * 104729
+              + CAST(unicode(substring(tri, 3, 1)) AS BIGINT) * 31) % 1024
+               AS bucket
+      FROM tri
+    ),
+    tri_counts AS (
+      SELECT doc_id, lang, bucket, COUNT(*) AS c FROM tb GROUP BY 1, 2, 3
+    ),
+    profile AS (
+      SELECT bucket, lang AS cand_lang, SUM(c) AS w
+      FROM tri_counts GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT t.doc_id, p.cand_lang,
+             CAST(SUM(t.c * p.w) AS BIGINT) AS score
+      FROM tri_counts t JOIN profile p USING (bucket)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, cand_lang, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang) AS rk
+      FROM scored
+    )
+    SELECT doc_id, cand_lang AS predicted_lang, score FROM ranked WHERE rk = 1
+    """,
     doc="Character-n-gram language-ID heuristic: score text against per-lang "
-    "trigram profiles built from the corpus itself (xxhash64 buckets), pick "
-    "argmax lang.",
+    "trigram profiles built from the corpus itself (portable prime-mixed "
+    "code-point buckets — integer scores, so the DuckDB oracle reproduces "
+    "the pipeline exactly), pick argmax lang with a deterministic tie-break.",
 )
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -220,7 +256,21 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> substring(text, i, 3))"
             )
         ).alias("tri"),
-    ).withColumn("bucket", F.pmod(F.xxhash64("tri"), F.lit(1024)))
+    ).withColumn(
+        "bucket",
+        # Portable zero-cost bucket: prime-mixed code points of the three
+        # chars (identical in DuckDB via unicode()) — plain codegen integer
+        # math instead of a per-trigram md5, and BIGINT to dodge 32-bit
+        # overflow on CJK code points.
+        F.pmod(
+            F.expr(
+                "CAST(ascii(substring(tri, 1, 1)) AS BIGINT) * 7919"
+                " + CAST(ascii(substring(tri, 2, 1)) AS BIGINT) * 104729"
+                " + CAST(ascii(substring(tri, 3, 1)) AS BIGINT) * 31"
+            ),
+            F.lit(1024),
+        ),
+    )
     # Partial-aggregate to per-doc bucket counts FIRST: the profile build and
     # the scoring join then both run over |docs|·|distinct buckets| rows, not
     # one row per trigram occurrence — at corpus scale that's the difference

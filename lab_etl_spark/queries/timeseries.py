@@ -420,3 +420,41 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return level(hour, "hour", "h_ts").unionAll(level(day, "day", "d_ts"))
+
+
+@register(
+    "q_asof_join",
+    priority=1,
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS asof_ts, r.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    doc="Two-table as-of join (each click annotated with the user's most "
+    "recent prior error): implemented as operators/asof.py "
+    "asof_join_backward — union + one key-partitioned window pass with "
+    "ignorenulls forward-fill, O(n+m) rows and a single shuffle, instead of "
+    "the range-join + argmax formulation whose intermediate pair count is "
+    "O(n·m) per key.  The DuckDB oracle is the engine-native ASOF LEFT "
+    "JOIN, so the cross-engine check pins the exact at-or-before matching "
+    "semantics including no-match NULLs.",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join_backward(
+        clicks, errors, by=["user_id"], ts="ts", r_cols=["ts", "value"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("asof_ts"), F.col("asof_value"),
+    )
