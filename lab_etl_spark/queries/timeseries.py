@@ -458,3 +458,179 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value",
         F.col("asof_ts"), F.col("asof_value"),
     )
+
+
+@register(
+    "q_funnel",
+    priority=1,
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS s_view,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  THEN 1 ELSE 0 END AS s_click,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                  THEN 1 ELSE 0 END AS s_purchase
+      FROM f
+    )
+    SELECT SUM(s_view) AS n_view,
+           SUM(s_click) AS n_click_after_view,
+           SUM(s_purchase) AS n_purchase_after_click,
+           COUNT(*) AS n_users
+    FROM staged
+    """,
+    doc="Ordered conversion funnel (view -> click -> purchase): per-user "
+    "first-event times via one conditional aggregation — a single shuffle "
+    "on user_id for the whole funnel, never an n-way self-join of the "
+    "events table (the naive formulation joins events to itself once per "
+    "stage: at 100 TB that is stages× the scan and shuffle volume).  "
+    "Strict ordering (> not >=) keeps the stage predicate unambiguous in "
+    "both engines.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.col("ts"))
+        )
+
+    f = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    s_view = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    reached_click = F.col("t_view").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    s_click = F.when(reached_click, 1).otherwise(0)
+    s_purchase = F.when(
+        reached_click & (F.col("t_purchase") > F.col("t_click")), 1
+    ).otherwise(0)
+    return f.select(
+        s_view.alias("s_view"),
+        s_click.alias("s_click"),
+        s_purchase.alias("s_purchase"),
+    ).agg(
+        F.sum("s_view").alias("n_view"),
+        F.sum("s_click").alias("n_click_after_view"),
+        F.sum("s_purchase").alias("n_purchase_after_click"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@register(
+    "q_sessionize",
+    priority=1,
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT)
+                          - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                          > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    per_session AS (
+      SELECT user_id, sid, COUNT(*) AS n
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity threshold) built from "
+    "window primitives: lag -> new-session flag -> running sum = session "
+    "id, then two aggregations.  One shuffle on user_id serves the lag, "
+    "the running sum, AND the per-session aggregation (the sort/partition "
+    "is reused); the batch twin of session_window with an explicit, "
+    "portable construction both engines execute identically.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ntz → ltz → long epoch seconds (session tz is UTC, so this equals
+    # DuckDB's epoch() on the same naive timestamps)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    ns = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    s = ev.select("user_id", "ts", "event_id").withColumn(
+        "sid",
+        F.sum(ns).over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    per_session = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+@register(
+    "q_retention",
+    priority=1,
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firstday f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users bucketed by first-seen day, counted per "
+    "day-offset of later activity.  The cohort table is one aggregation of "
+    "the events scan and joins back broadcast-small (|users| rows, not "
+    "|events|); the distinct-activity set shuffles once on user_id.  The "
+    "standard DAU-retention matrix, engine-portable via date arithmetic "
+    "only.",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firstday = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .join(F.broadcast(firstday), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+    ).agg(F.count(F.lit(1)).alias("n_users"))

@@ -128,3 +128,37 @@ def test_decode_assets_spark_path_uses_real_headers(spark):
     assert (out[3].width, out[3].height, out[3].duration_s) == (320, 240, 3.0)
     # feature plumbing intact in all rows
     assert all(len(r.feature) == 8 for r in out.values())
+
+
+def test_header_decode_never_raises_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(blob=st.binary(max_size=256), modality=st.sampled_from(
+        ["image", "audio", "video"]
+    ))
+    def run(blob, modality):
+        d = header_decode(blob, modality)
+        assert set(d) == {
+            "width", "height", "n_channels", "duration_s", "feature"
+        }
+        assert len(d["feature"]) == 8
+
+    run()
+
+
+def test_header_decode_truncated_real_headers_fall_back():
+    # Valid magic but truncated bodies must not raise — they fall back (or
+    # return partial header info), never crash the executor kernel.
+    for blob in (
+        make_png(64, 32)[:20],
+        make_jpeg(100, 50)[:6],
+        make_wav(1.0)[:16],
+        make_mp4(320, 240, 3.0)[:10],
+        b"GIF89a\x01",
+        b"BM\x00\x00",
+        b"RIFF\x00\x00\x00\x00WAVE",
+    ):
+        d = header_decode(blob, "image")
+        assert "feature" in d and len(d["feature"]) == 8

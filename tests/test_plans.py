@@ -157,7 +157,10 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #                       partitioned scale path, gated above);
 #   q_scalar_subquery — the one-row global aggregate itself; the fact-table
 #                       filter it feeds stays fully parallel.
-_SINGLE_PARTITION_OK = {"q_interp_linear", "q_scalar_subquery"}
+#   q_funnel          — the final 4-counter global aggregate; the per-user
+#                       conditional aggregation below it is the data-sized
+#                       stage and stays hash-partitioned on user_id.
+_SINGLE_PARTITION_OK = {"q_interp_linear", "q_scalar_subquery", "q_funnel"}
 
 # Excluded from the sweep because their fn() *executes* work at build time
 # (streaming drain / iterative localCheckpoint loop); each has its own
@@ -192,3 +195,35 @@ def test_scan_prunes_columns_generally(spark, sf_dir):
     )
     assert "l_comment" not in read_schema, read_schema
     assert read_schema.count(",") <= 2, read_schema
+
+
+def test_asof_join_single_exchange_single_window(spark, sf_dir):
+    # The as-of join must stay union + ONE key shuffle + ONE window pass —
+    # if it ever regresses to a range join the plan grows a second Exchange
+    # or a join node, and a global window would be a SinglePartition sort.
+    import re
+
+    p = _fmt(REGISTRY["q_asof_join"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1, p
+    assert "Join" not in p, p
+    assert "SinglePartition" not in p, p
+    # both branch scans push their event_type predicate into parquet
+    assert p.count("PushedFilters: [IsNotNull(event_type)") == 2, p
+
+
+def test_text_repetition_is_map_only(spark, sf_dir):
+    # Repetition gates are pure per-row array math: no shuffle at all.
+    import re
+
+    p = _fmt(REGISTRY["q_text_repetition"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    import re
+
+    p = _fmt(REGISTRY["q_pii_redact"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+    assert "BatchEvalPython" not in p, p
