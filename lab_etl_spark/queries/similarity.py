@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.similarity import cosine_topk, cosine_topk_blocked, ivf_topk
 from . import register
+from .exact import davg
 
 # DuckDB mirrors of the Spark-side sequential folds (list_reduce is
 # left-to-right, matching Spark's `aggregate`).
@@ -85,4 +86,44 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         em.filter(F.col("vec_id") < 8), em, k=5, n_clusters=8, n_probe=3
+    )
+
+
+@register(
+    "q_embedding_stats",
+    priority=1,
+    oracle=f"""
+    WITH e AS (
+      SELECT UNNEST(list_transform(generate_series(1, len(embedding)),
+                    i -> struct_pack(dim := i - 1,
+                                     val := CAST(embedding[i] AS DOUBLE))))
+               AS s
+      FROM embeddings
+    )
+    SELECT s.dim AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {davg('s.val')} AS avg_val,
+           ROUND(MIN(s.val), 6) AS min_val,
+           ROUND(MAX(s.val), 6) AS max_val
+    FROM e
+    GROUP BY s.dim
+    """,
+    doc="Vector-column profiling: per-dimension count/mean/min/max over the "
+    "embedding table (posexplode -> one hash aggregation on the dimension "
+    "index; decimal-exact mean for cross-engine parity).  The sanity check "
+    "run before any ANN indexing job — dead or exploding dimensions show "
+    "up here, not after a cluster-day of index building.",
+)
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    ex = em.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        )
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(davg("val")).alias("avg_val"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
     )

@@ -460,3 +460,70 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t", F.lit(_IP_RE)).alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+@register(
+    "q_tfidf",
+    priority=1,
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6)
+               AS score
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rk
+      FROM scored
+    )
+    SELECT doc_id, token AS top_token, score FROM ranked WHERE rk = 1
+    """,
+    doc="TF-IDF keyword extraction: term frequency per (doc, token), "
+    "document frequency from the same aggregate (no second corpus scan), "
+    "idf = ln((N+1)/(df+1)), top-scoring token per doc with a deterministic "
+    "tie-break.  The token vocabulary aggregate is the only data-sized "
+    "shuffle; N is a one-row broadcast.  The standard keyword/relevance "
+    "primitive for corpus curation.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("token")
+    )
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("token").alias("top_token"), "score")
+    )

@@ -634,3 +634,71 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q_interarrival",
+    priority=1,
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+                                             ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.50), 6) AS p50_s,
+           ROUND(quantile_cont(gap_s, 0.95), 6) AS p95_s
+    FROM gaps
+    GROUP BY event_type
+    """,
+    doc="Inter-arrival-time distribution per event type: per-(user, type) "
+    "lag gaps from one partitioned window pass, then exact interpolated "
+    "p50/p95 per type.  The workload-characterization query behind "
+    "watermark and session-gap tuning — these percentiles ARE the inputs "
+    "to choosing the streaming job's lateness budget.",
+)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("double")
+    gap = sec - F.lag(sec).over(w)
+    gaps = ev.select("event_type", gap.alias("gap_s"))
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.50)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 6).alias("p95_s"),
+    )
+
+
+@register(
+    "q_stream_hourly_users",
+    priority=1,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Distinct users per event-time hour — the batch twin of the "
+    "streaming hourly-uniques job (streaming/jobs.py hourly_unique_users): "
+    "identical window expression, so this oracle check validates the "
+    "streaming semantics.  In streaming mode the same result comes from "
+    "watermarked dropDuplicates(user, window) + count — exact distinct "
+    "with state bounded by the watermark horizon, the standard pattern "
+    "when HLL sketch error is not acceptable.",
+)
+def q_stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_users", "n_events"
+        )
+    )

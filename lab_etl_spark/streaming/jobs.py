@@ -102,6 +102,34 @@ def session_counts(
     )
 
 
+def hourly_unique_users(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Exact distinct users per event-time hour — streaming twin of
+    q_stream_hourly_users.
+
+    Streaming ``count_distinct`` isn't supported as an incremental aggregate,
+    so the standard exact pattern applies: watermarked
+    ``dropDuplicates([user_id, window])`` first (state = one row per distinct
+    key per open window, evicted at the watermark), then a plain count per
+    window.  Use this when HLL sketch error is unacceptable; swap in
+    ``approx_count_distinct`` when it is.
+    """
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", F.window("ts", "1 hour").alias("w"))
+        .dropDuplicates(["user_id", "w"])
+    )
+    return (
+        deduped.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_users",
+        )
+    )
+
+
 def run_available_now(
     df: DataFrame,
     name: str,

@@ -160,7 +160,14 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_funnel          — the final 4-counter global aggregate; the per-user
 #                       conditional aggregation below it is the data-sized
 #                       stage and stays hash-partitioned on user_id.
-_SINGLE_PARTITION_OK = {"q_interp_linear", "q_scalar_subquery", "q_funnel"}
+#   q_tfidf           — the one-row corpus-size (N) aggregate broadcast into
+#                       the scoring join; tf/df aggregates stay partitioned.
+_SINGLE_PARTITION_OK = {
+    "q_interp_linear",
+    "q_scalar_subquery",
+    "q_funnel",
+    "q_tfidf",
+}
 
 # Excluded from the sweep because their fn() *executes* work at build time
 # (streaming drain / iterative localCheckpoint loop); each has its own

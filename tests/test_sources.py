@@ -155,7 +155,23 @@ def test_load_mcc_golden(spark):
     assert units.get("time") == "s"
     row = df.first()
     assert row["instrument_type"] == "MCC"
-    assert len(row["file_hash"]) == 128  # blake2b-512 hex
+    # exact BLAKE2b-512 the reference's own test pins for this fixture
+    # (test_faa_mcc_parser.py:64-67) — byte-identical provenance hashing
+    assert row["file_hash"] == (
+        "894746aebd128d33e8f24b068795787762ef0ef2cb0edcceb8eeb75a059ba9da"
+        "f989ffd14de6297aa32b9957f0c3a671f316003c1bc2fa8359318d173ff9d828"
+    )
+    import json as _json
+
+    meta = _json.loads(row["file_metadata"])
+    # metadata typing ladder + unit normalization, as the reference extracts
+    # (test_faa_mcc_parser.py:51-63)
+    assert meta["sample_mass"] == {"value": 4.64, "unit": "mg"}
+    assert meta["combustor_temperature"] == {"value": 900, "unit": "°C"}
+    assert meta["heating_rate"] == {"value": 0.5, "unit": "°C/s"}
+    assert {"sample_id", "n2_flow_rate", "o2_flow_rate", "time_shift"} <= set(
+        meta
+    )
 
 
 def test_load_sta_csv_golden(spark):

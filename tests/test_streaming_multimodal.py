@@ -182,3 +182,20 @@ def test_stateful_ewma_matches_pandas(spark, sf_dir):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == pytest.approx(want[uid][1], rel=1e-12)
+
+
+def test_stream_hourly_users_matches_batch(spark, sf_dir):
+    from lab_etl_spark.queries import load_all
+    from lab_etl_spark.streaming.jobs import (
+        hourly_unique_users,
+        run_available_now,
+        stream_events,
+    )
+
+    stream_result = run_available_now(
+        hourly_unique_users(stream_events(spark, sf_dir)), "t_hourly_users"
+    )
+    batch_result = load_all()["q_stream_hourly_users"].fn(spark, sf_dir)
+    a = {(r.window_start, r.n_users) for r in stream_result.collect()}
+    b = {(r.window_start, r.n_users) for r in batch_result.collect()}
+    assert a == b and len(a) > 0
