@@ -125,6 +125,24 @@ def shingle_jaccard_pairs(
     )
 
 
+def _symmetrize(
+    edges: DataFrame, src: str, dst: str, edges_distinct: bool
+) -> DataFrame:
+    """Undirected edge list → materialized symmetric (_s, _d) edge set.
+
+    ``edges_distinct=True`` promises the input has unique pairs with
+    src < dst (true for every *_pairs operator in this package) — then the
+    union with its own reversal cannot contain duplicates and the
+    dedup shuffle is skipped entirely, saving a full pass over the edge set.
+    """
+    sym = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).unionAll(
+        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+    )
+    if not edges_distinct:
+        sym = sym.distinct()
+    return sym.localCheckpoint()
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -132,6 +150,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 20,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -149,12 +168,7 @@ def connected_components(
     For graphs with whale components, swap the propagation step for
     large-star/small-star; the loop shell stays the same.
     """
-    sym = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
-        .distinct()
-        .localCheckpoint()
-    )
+    sym = _symmetrize(edges, src, dst, edges_distinct)
     # Only edge-touched vertices can ever change label; iterate over that
     # subgraph only (in a real corpus non-duplicate docs dominate, so this
     # shrinks every round's join from |corpus| to |dup-graph| rows) and
@@ -316,6 +330,7 @@ def connected_components_auto(
     dst: str = "b",
     propagation_rounds: int = 3,
     max_iter: int = 30,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Adaptive connected components: cheap min-label propagation first,
     automatic escalation to large-star/small-star when the graph is deep.
@@ -333,12 +348,7 @@ def connected_components_auto(
     contraction — the min node's label is itself — so the composed labeling
     equals what either algorithm alone would produce.
     """
-    sym = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .unionAll(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d")))
-        .distinct()
-        .localCheckpoint()
-    )
+    sym = _symmetrize(edges, src, dst, edges_distinct)
     labels = (
         sym.groupBy("_s")
         .agg(F.least(F.min("_d"), F.first("_s")).alias("component"))

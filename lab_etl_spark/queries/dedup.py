@@ -251,6 +251,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         src="doc_a",
         dst="doc_b",
+        # pair operator emits unique doc_a < doc_b rows → skip the
+        # symmetrization dedup shuffle
+        edges_distinct=True,
     ).withColumnRenamed("component", "cluster_id")
 
 

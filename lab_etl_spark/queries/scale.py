@@ -300,3 +300,83 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_approx(l_quantity, 0.75, 10000)").alias("q75"),
         F.expr("approx_count_distinct(l_partkey, 0.02)").alias("approx_parts"),
     )
+
+
+@register(
+    "q_zscore_anomaly",
+    priority=1,
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_pop(value) AS sigma,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(e.value - s.mu) > 3 * s.sigma
+    """,
+    doc="Per-key z-score anomaly flags: one aggregation builds the "
+    "per-event_type mean/stddev table (|keys| rows, broadcast back), one "
+    "map-side pass flags |value - mu| > 3 sigma.  Two scans, zero "
+    "data-sized shuffles on the flagging side — the streaming-friendly "
+    "outlier gate shape.  zscore rounded to 4 (not 6): the division "
+    "amplifies the one-ulp stddev_pop difference between engines.",
+)
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
+@register(
+    "q_stratified_sample",
+    priority=1,
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           {dsum('value')} AS sum_value
+    FROM events
+    WHERE {_BUCKET_DUCK} < CASE event_type
+        WHEN 'error' THEN 50 WHEN 'purchase' THEN 20 ELSE 5 END
+    GROUP BY event_type
+    """,
+    doc="Stratified deterministic sampling: per-stratum rates (50% errors, "
+    "20% purchases, 5% rest) applied through the same portable md5-bucket "
+    "predicate as q_deterministic_sample — reproducible across engines, "
+    "reruns, and cluster sizes, embarrassingly parallel, no coordination.  "
+    "The standard class-rebalancing primitive for training-data curation.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "error", 50)
+        .when(F.col("event_type") == "purchase", 20)
+        .otherwise(5)
+    )
+    return (
+        ev.filter(F.expr(_BUCKET_SPARK) < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr(dsum("value")).alias("sum_value"),
+        )
+    )
