@@ -210,7 +210,9 @@ def _parse_mp4(b: bytes) -> dict | None:
                 walk(s, e)
             elif btype == b"mvhd" and e - s >= 24:
                 ver = b[s]
-                if ver == 1 and e - s >= 28:
+                if ver == 1:
+                    if e - s < 32:  # v1 needs 32 payload bytes for duration
+                        continue
                     (ts,) = struct.unpack(">I", b[s + 20 : s + 24])
                     (dur,) = struct.unpack(">Q", b[s + 24 : s + 32])
                 else:
@@ -218,7 +220,7 @@ def _parse_mp4(b: bytes) -> dict | None:
                     (dur,) = struct.unpack(">I", b[s + 16 : s + 20])
                 if ts:
                     out["duration_s"] = round(dur / ts, 3)
-            elif btype == b"tkhd":
+            elif btype == b"tkhd" and e > s:
                 ver = b[s]
                 off = s + (88 if ver == 1 else 76)
                 if e - off >= 8 and "width" not in out:

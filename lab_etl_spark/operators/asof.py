@@ -39,23 +39,34 @@ def asof_join_backward(
 
     ``r_cols`` must not overlap ``by``; include the right timestamp itself in
     ``r_cols`` to expose the matched time.
+
+    Precondition (same as DuckDB/pandas as-of joins): at most one right row
+    per (key, ts) instant.  With duplicate right instants the winner among
+    them is tie-broken arbitrarily by the sort, i.e. nondeterministic —
+    dedup the right side first if that can occur.
+
+    The right payload is forward-filled as ONE struct, not per column:
+    per-column ``last(ignorenulls)`` would tear columns from different
+    right rows whenever a payload column is legitimately NULL (a NULL
+    ``value`` in the matched row must stay NULL, not inherit an older
+    row's value).
     """
     lcols = [c for c in left.columns if c not in by and c != ts]
     l_schema = {f.name: f.dataType for f in left.schema.fields}
-    r_schema = {f.name: f.dataType for f in right.schema.fields}
 
     r_tagged = right.select(
         *[F.col(c) for c in by],
         F.col(ts).alias(ts),
         F.lit(1).alias("_is_r"),
-        *[F.col(c).alias(f"_r_{c}") for c in r_cols],
+        F.struct(*[F.col(c).alias(c) for c in r_cols]).alias("_r"),
         *[F.lit(None).cast(l_schema[c]).alias(c) for c in lcols],
     )
+    r_struct_type = r_tagged.schema["_r"].dataType
     l_tagged = left.select(
         *[F.col(c) for c in by],
         F.col(ts).alias(ts),
         F.lit(0).alias("_is_r"),
-        *[F.lit(None).cast(r_schema[c]).alias(f"_r_{c}") for c in r_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
         *[F.col(c) for c in lcols],
     )
     u = r_tagged.unionByName(l_tagged)
@@ -69,9 +80,11 @@ def asof_join_backward(
         ts,
         "_is_r",
         *lcols,
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in r_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_rf"),
     )
-    return filled.filter(F.col("_is_r") == 0).drop("_is_r")
+    return filled.filter(F.col("_is_r") == 0).select(
+        *by,
+        ts,
+        *lcols,
+        *[F.col(f"_rf.{c}").alias(f"{prefix}{c}") for c in r_cols],
+    )

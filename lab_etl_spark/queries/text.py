@@ -247,12 +247,15 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Per-language character-trigram profile (top hashed trigram buckets),
     # then each doc votes for the language whose profile overlaps most.
-    tri = docs.select(
+    # length >= 3 guard matters: Spark's sequence(1, 0) is the DESCENDING
+    # [1, 0] (not empty like DuckDB's generate_series), which would emit
+    # bogus trigrams for 1-2 char docs.
+    tri = docs.filter(F.length("text") >= 3).select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                "transform(sequence(1, length(text) - 2),"
                 " i -> substring(text, i, 3))"
             )
         ).alias("tri"),

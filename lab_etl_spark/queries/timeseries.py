@@ -482,9 +482,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS s_purchase
       FROM f
     )
-    SELECT SUM(s_view) AS n_view,
-           SUM(s_click) AS n_click_after_view,
-           SUM(s_purchase) AS n_purchase_after_click,
+    SELECT CAST(SUM(s_view) AS BIGINT) AS n_view,
+           CAST(SUM(s_click) AS BIGINT) AS n_click_after_view,
+           CAST(SUM(s_purchase) AS BIGINT) AS n_purchase_after_click,
            COUNT(*) AS n_users
     FROM staged
     """,

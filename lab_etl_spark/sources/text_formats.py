@@ -257,9 +257,13 @@ def _csv_scan(
         )
     else:
         ddl = ", ".join(f"`{n}` DOUBLE" for n, _ in names_units)
-        preamble = _read_head_raw(path).decode(
-            "utf-8", errors="replace"
-        ).splitlines()[:skip_rows]
+        # Split on \r\n|\r|\n only — Hadoop's line reader recognizes just
+        # these, while str.splitlines() also breaks on \v \f \x85  …,
+        # which would desync the exclusion strings from Spark's line view.
+        preamble = re.split(
+            r"\r\n|\r|\n",
+            _read_head_raw(path).decode("utf-8", errors="replace"),
+        )[:skip_rows]
         df = (
             spark.read.text(path)
             .filter(~F.col("value").isin(preamble))
