@@ -322,6 +322,95 @@ def sample_frames(
     )
 
 
+def _write_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal valid 8-bit grayscale PNG writer (stdlib zlib only).
+
+    ``pixels`` must hold ``width * height`` bytes, row-major.  Used by
+    :func:`resize_images` so the resized payload is a REAL container that
+    :func:`header_decode` round-trips — not an opaque blob.
+    """
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Image rows → re-encoded at (width, height); non-images pass through.
+
+    The Spark contract is the real thing: one Arrow-batched ``mapInPandas``
+    pass, binary in → binary out, schema preserved (``ASSET_SCHEMA``), no
+    payload ever leaves the executors.  The pixel RESAMPLING is the labeled
+    stand-in (no codec libs in this env): output pixels are BLAKE2b-derived
+    from the source payload, tiled to exactly width*height, then packed into
+    a genuine PNG by :func:`_write_png_gray` — so downstream
+    ``decode_assets`` reads back the target dimensions from a real header.
+    A real implementation swaps only the pixel-producing line for
+    Pillow's ``Image.resize``.
+    """
+    out_cols = [f.name for f in ASSET_SCHEMA.fields]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        npix = width * height
+        for pdf in batches:
+            rows = []
+            for aid, modality, mime, content, meta in zip(
+                pdf["asset_id"],
+                pdf["modality"],
+                pdf["mime_type"],
+                pdf["content"],
+                pdf["meta_json"],
+            ):
+                if modality != "image":
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "modality": modality,
+                            "mime_type": mime,
+                            "content": content,
+                            "meta_json": meta,
+                        }
+                    )
+                    continue
+                # STAND-IN resample: deterministic pixels from the payload.
+                seed = hashlib.blake2b(
+                    bytes(content), digest_size=64
+                ).digest()
+                pixels = (seed * (npix // len(seed) + 1))[:npix]
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "modality": "image",
+                        "mime_type": "image/png",
+                        "content": bytearray(
+                            _write_png_gray(width, height, pixels)
+                        ),
+                        "meta_json": meta,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return assets.select(*out_cols).mapInPandas(kernel, ASSET_SCHEMA)
+
+
 def make_asset_table(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic asset table (no real media libs in env)."""
     rows = []

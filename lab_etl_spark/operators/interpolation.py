@@ -50,8 +50,13 @@ def interpolate_to_grid(
     # from scratch per row — O(n²), 40+ s on a 20k-row series — so the
     # "next bracketing sample" is instead a cumulative pass over the
     # *descending* order, which sees exactly the rows at-or-after each point.
+    # In BOTH passes the data row must be processed before a grid row at the
+    # same instant (_is_grid asc), so an exact-hit grid point sees its
+    # bracketing sample on each side.  With _is_grid desc in the backward
+    # pass, a grid point at the LAST sample's ts found no next sample and
+    # interpolated to NULL (caught by tests/test_property_ops.py).
     asc = [F.col("_ts").asc(), F.col("_is_grid").asc()]
-    desc = [F.col("_ts").desc(), F.col("_is_grid").desc()]
+    desc = [F.col("_ts").desc(), F.col("_is_grid").asc()]
     base_asc = (
         W.partitionBy(*part_cols).orderBy(*asc) if part_cols else W.orderBy(*asc)
     )

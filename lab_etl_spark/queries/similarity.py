@@ -90,6 +90,70 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_embedding_lsh",
+    priority=1,
+    oracle="""
+    WITH sig AS (
+      SELECT vec_id,
+             list_reduce(list_transform(generate_series(1, 16), h ->
+               CASE WHEN list_reduce(list_transform(
+                        generate_series(1, len(embedding)),
+                        d -> CAST(embedding[d] AS DOUBLE)
+                             * CAST(((h * 7919 + d * 104729) % 2003) - 1001
+                                    AS DOUBLE)),
+                      (p, q) -> p + q) > 0
+                    THEN CAST(pow(2, h - 1) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END),
+               (p, q) -> p + q) AS bucket
+      FROM embeddings
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n_cand_pairs,
+           MIN(vec_id) AS min_vec_id
+    FROM sig GROUP BY bucket
+    """,
+    doc="Random-hyperplane LSH bucketing (cosine SimHash for vectors): "
+    "16 sign bits per vector from integer prime-mixed hyperplane weights "
+    "(portable — no RNG, both engines rebuild the exact same planes "
+    "inline), packed into a bucket id, then per-bucket candidate stats.  "
+    "The training-free blocking pass for embedding near-dup at 100 TB: "
+    "one scan computing 16x64 fused multiply-adds per row in codegen, one "
+    "shuffle on bucket — candidate verification then touches only "
+    "same-bucket pairs (sum n_i^2), never the n^2 cross join.  Unlike IVF "
+    "it needs no k-means fit, so it composes with streaming ingest.  "
+    "Sequential fold (aggregate <-> list_reduce) keeps the double dot "
+    "product bit-identical cross-engine, so even near-zero margins hash "
+    "to the same side.",
+)
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    bits = (
+        "transform(sequence(1, 16), h -> CASE WHEN "
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+        "transform(sequence(1, size(embedding)), "
+        "d -> CAST(pmod(h * 7919 + d * 104729, 2003) - 1001 AS DOUBLE)), "
+        "(a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), h - 1) ELSE CAST(0 AS BIGINT) "
+        "END)"
+    )
+    sig = em.select(
+        "vec_id",
+        F.expr(
+            f"aggregate({bits}, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("bucket"),
+    )
+    n = F.count(F.lit(1))
+    return sig.groupBy("bucket").agg(
+        n.alias("n_vecs"),
+        F.expr("CAST((COUNT(1) * (COUNT(1) - 1)) DIV 2 AS BIGINT)").alias(
+            "n_cand_pairs"
+        ),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+@register(
     "q_embedding_stats",
     priority=1,
     oracle=f"""

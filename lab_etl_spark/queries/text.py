@@ -530,3 +530,81 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("token").alias("top_token"), "score")
     )
+
+
+@register(
+    "q_quality_filter",
+    priority=1,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws) AS awl,
+             CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1) AS fa,
+             list_max(list_transform(ws, x -> len(x))) AS max_tok
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id, n_words, awl, fa,
+             list_filter([
+               CASE WHEN n_words < 5 THEN 'too_few_words' END,
+               CASE WHEN awl < 2 OR awl > 12 THEN 'word_len' END,
+               CASE WHEN fa < 0.5 THEN 'low_alpha' END,
+               CASE WHEN max_tok > 25 THEN 'giant_token' END
+             ], x -> x IS NOT NULL) AS fails
+      FROM m
+    )
+    SELECT doc_id, n_words,
+           ROUND(awl, 6) AS avg_word_len,
+           ROUND(fa, 6) AS alpha_frac,
+           CASE WHEN len(fails) = 0 THEN 1 ELSE 0 END AS keep,
+           COALESCE(array_to_string(fails, ','), '') AS drop_reasons
+    FROM g
+    """,
+    doc="Composite C4/Gopher-style quality gate: word count, mean word "
+    "length, alphabetic fraction, and giant-token rules evaluated in one "
+    "codegen pass, emitting keep/drop plus the comma-joined list of failed "
+    "rules (the audit trail curation pipelines keep next to every drop "
+    "decision).  Map-only — no shuffle at all: at 100 TB this runs at scan "
+    "speed and partitions trivially.  Regex classes are shared-subset "
+    "(Java regex == RE2 here); the word split reuses the corpus-wide "
+    "' +' idiom so gates compose with the other text queries.",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), " +")
+    d = docs.select("doc_id", "text", ws.alias("ws")).select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        (
+            F.length(F.concat_ws("", F.col("ws"))).cast("double")
+            / F.size("ws")
+        ).alias("awl"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("fa"),
+        F.expr("array_max(transform(ws, x -> length(x)))").alias("max_tok"),
+    )
+    fails = F.expr(
+        "filter(array("
+        "CASE WHEN n_words < 5 THEN 'too_few_words' END, "
+        "CASE WHEN awl < 2 OR awl > 12 THEN 'word_len' END, "
+        "CASE WHEN fa < 0.5 THEN 'low_alpha' END, "
+        "CASE WHEN max_tok > 25 THEN 'giant_token' END"
+        "), x -> x IS NOT NULL)"
+    )
+    return d.withColumn("fails", fails).select(
+        "doc_id",
+        "n_words",
+        F.round("awl", 6).alias("avg_word_len"),
+        F.round("fa", 6).alias("alpha_frac"),
+        F.when(F.size("fails") == 0, 1).otherwise(0).alias("keep"),
+        F.concat_ws(",", "fails").alias("drop_reasons"),
+    )

@@ -568,26 +568,11 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "portable construction both engines execute identically.",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import session_stats
+
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # ntz → ltz → long epoch seconds (session tz is UTC, so this equals
-    # DuckDB's epoch() on the same naive timestamps)
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    ns = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    s = ev.select("user_id", "ts", "event_id").withColumn(
-        "sid",
-        F.sum(ns).over(
-            w.rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    per_session = s.groupBy("user_id", "sid").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    return per_session.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n").alias("n_events"),
-        F.max("n").alias("max_session_events"),
+    return session_stats(
+        ev.select("user_id", "ts", "event_id"), gap_s=1800
     )
 
 
