@@ -380,3 +380,110 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum("value")).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_seq_packing",
+    priority=1,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, doc_id % 32 AS shard,
+             len(string_split_regex(trim(text), ' +')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           cum_before // 2048 AS seq_start,
+           cum_before % 2048 AS seq_offset,
+           (cum_before + n_tokens - 1) // 2048
+             - cum_before // 2048 + 1 AS seqs_spanned
+    FROM c
+    """,
+    doc="Training-sequence packing accounting (concat-and-chunk): documents "
+    "are concatenated in deterministic order within a hash shard and cut "
+    "into fixed 2048-token sequences; each doc gets its sequence index, "
+    "intra-sequence offset, and span count from ONE partitioned running "
+    "sum — no per-sequence loop, no driver state.  Shards (doc_id % 32) "
+    "bound every window to a partition, so packing a 100 TB corpus is 32+ "
+    "independent sorted streams (scale shards with the cluster); the "
+    "output is exactly the manifest a data loader needs to slice packed "
+    "training batches.",
+)
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(32)).alias("shard"),
+        F.size(F.split(F.trim("text"), " +")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("cum_before DIV 2048").alias("seq_start"),
+        (F.col("cum_before") % 2048).alias("seq_offset"),
+        F.expr(
+            "(cum_before + n_tokens - 1) DIV 2048"
+            " - cum_before DIV 2048 + 1"
+        ).alias("seqs_spanned"),
+    )
+
+
+@register(
+    "q_training_shuffle",
+    priority=1,
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, hv % 64 AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hv % 64
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="Deterministic global training shuffle: md5(doc_id) orders the "
+    "corpus pseudo-randomly and assigns each doc a shard (hash % 64) and "
+    "position within the shard — one hash per row plus a per-shard window "
+    "sort, no global ordering anywhere.  Reproducible across engines, "
+    "reruns, and cluster sizes (the property a training run needs to "
+    "resume mid-epoch); shards are written/read independently, so the "
+    "shuffle of a 100 TB corpus is 64 parallel sorted writes.",
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(CONV(SUBSTRING(MD5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("hv"),
+    )
+    w = W.partitionBy(F.col("hv") % 64).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hv") % 64).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
