@@ -187,13 +187,15 @@ def _iter_boxes(b: bytes, start: int, end: int):
     while i + 8 <= end:
         (size,) = struct.unpack(">I", b[i : i + 4])
         btype = b[i + 4 : i + 8]
-        if size == 1:  # 64-bit largesize
+        hdr = 8
+        if size == 1:  # 64-bit largesize: payload starts after the 16B header
             if i + 16 > end:
                 return
             (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
-        if size < 8 or i + size > end:
+            hdr = 16
+        if size < hdr or i + size > end:
             return
-        yield btype, i + 8, i + size
+        yield btype, i + hdr, i + size
         i += size
 
 

@@ -317,14 +317,16 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
     FROM events e JOIN stats s USING (event_type)
-    WHERE abs(e.value - s.mu) > 3 * s.sigma
+    WHERE ROUND(abs(e.value - s.mu) - 3 * s.sigma, 9) > 0
     """,
     doc="Per-key z-score anomaly flags: one aggregation builds the "
     "per-event_type mean/stddev table (|keys| rows, broadcast back), one "
     "map-side pass flags |value - mu| > 3 sigma.  Two scans, zero "
     "data-sized shuffles on the flagging side — the streaming-friendly "
     "outlier gate shape.  zscore rounded to 4 (not 6): the division "
-    "amplifies the one-ulp stddev_pop difference between engines.",
+    "amplifies the one-ulp stddev_pop difference between engines.  The "
+    "3-sigma boundary test itself is rounded to 9 decimals in BOTH engines "
+    "so a value within one ulp of the threshold lands on the same side.",
 )
 def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -335,7 +337,12 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.join(F.broadcast(stats), "event_type")
-        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .filter(
+            F.round(
+                F.abs(F.col("value") - F.col("mu")) - 3 * F.col("sigma"), 9
+            )
+            > 0
+        )
         .select(
             "event_id",
             "event_type",

@@ -377,7 +377,11 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority=1,
     oracle="""
     WITH words AS (
-      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws FROM documents
+      SELECT doc_id,
+             string_split_regex(
+               trim(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
+               ' ') AS ws
+      FROM documents
     ),
     shingles AS (
       SELECT DISTINCT doc_id,

@@ -307,9 +307,6 @@ def q_interp_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate_to_grid(series, grid, part_cols=["event_type"])
 
 
-_EWMA_RUN = iter(range(10**9))
-
-
 @register(
     "q_stream_stateful_ewma",
     oracle=None,  # arbitrary stateful streaming: not SQL-expressible
@@ -326,7 +323,9 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         user_value_ewma,
     )
 
-    name = f"q_ewma_mem_{next(_EWMA_RUN)}"
+    # Fixed name: run_available_now drops any previous drain's memory table
+    # first, so repeated invocations don't leak temp views.
+    name = "q_ewma_mem"
     return run_available_now(
         user_value_ewma(stream_events(spark, sf_dir), alpha=0.3),
         name,
@@ -384,11 +383,11 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hour GROUP BY 1, 2
     )
     SELECT 'hour' AS level, event_type, h_ts AS bucket_ts,
-           n AS n_events, CAST(dv AS DOUBLE) AS sum_value
+           CAST(n AS BIGINT) AS n_events, CAST(dv AS DOUBLE) AS sum_value
     FROM hour
     UNION ALL
     SELECT 'day' AS level, event_type, d_ts AS bucket_ts,
-           n AS n_events, CAST(dv AS DOUBLE) AS sum_value
+           CAST(n AS BIGINT) AS n_events, CAST(dv AS DOUBLE) AS sum_value
     FROM day
     """,
     doc="Hypertable-style continuous aggregate: minute-level partials are "
@@ -596,10 +595,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Cohort retention: users bucketed by first-seen day, counted per "
     "day-offset of later activity.  The cohort table is one aggregation of "
-    "the events scan and joins back broadcast-small (|users| rows, not "
-    "|events|); the distinct-activity set shuffles once on user_id.  The "
-    "standard DAU-retention matrix, engine-portable via date arithmetic "
-    "only.",
+    "the events scan (|users| rows, not |events|); the join back is left "
+    "un-hinted so AQE picks broadcast when the cohort table fits and a "
+    "sort-merge/shuffle-hash join when |users| is billions — a forced "
+    "broadcast hint would bypass the size check and OOM at 100 TB.  The "
+    "distinct-activity set shuffles once on user_id.  The standard "
+    "DAU-retention matrix, engine-portable via date arithmetic only.",
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -608,7 +609,7 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     activity = (
         ev.select("user_id", F.col("ts").cast("date").alias("d"))
-        .join(F.broadcast(firstday), "user_id")
+        .join(firstday, "user_id")
         .select(
             "user_id",
             "cohort_day",

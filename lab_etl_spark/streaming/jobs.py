@@ -139,7 +139,11 @@ def run_available_now(
     """Drain the stream with an availableNow trigger into a memory sink and
     return the result table — processes everything currently on disk then
     stops (the batch-replay harness for streaming tests).  Aggregations use
-    ``complete``; arbitrary-stateful operators require ``update``."""
+    ``complete``; arbitrary-stateful operators require ``update``.
+
+    A leftover memory table from a previous drain under the same name is
+    dropped first, so repeated runs are bounded (no per-run table leak)."""
+    df.sparkSession.catalog.dropTempView(name)
     q = (
         df.writeStream.format("memory")
         .queryName(name)

@@ -106,6 +106,36 @@ def test_header_decode_mp4_dims_and_duration():
     assert (d["width"], d["height"], d["duration_s"]) == (1280, 720, 12.34)
 
 
+def test_header_decode_mp4_largesize_boxes():
+    # >4 GB files use size==1 + 64-bit largesize; the payload then starts at
+    # offset 16, not 8 — mvhd/tkhd fields must not be read 8 bytes early.
+    def largebox(btype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", 1)
+            + btype
+            + struct.pack(">Q", 16 + len(payload))
+            + payload
+        )
+
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+    mvhd = largebox(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, 5500)
+        + b"\x00" * 80,
+    )
+    tkhd = largebox(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + b"\x00" * 72
+        + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    blob = ftyp + largebox(b"moov", mvhd + largebox(b"trak", tkhd))
+    d = header_decode(blob, "video")
+    assert (d["width"], d["height"], d["duration_s"]) == (640, 360, 5.5)
+
+
 def test_header_decode_unknown_falls_back_to_fake():
     blob = b"not any known container format, just bytes"
     assert header_decode(blob, "image") == deterministic_fake_decode(
