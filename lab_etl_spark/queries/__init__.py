@@ -49,16 +49,61 @@ def register(
     return deco
 
 
-def load_all() -> dict[str, Query]:
-    """Import every query module and return the registry, ordered so that
-    every oracle-bearing query precedes every rows-only one.
+# The driver's correctness harness checks only the FIRST 50 registered
+# entries each round, but the registry has outgrown that cap (74+ queries),
+# so coverage is made cumulative by ROTATING the window per round:
+#
+#   round 1: all 41 then-registered queries fit -> all driver-checked.
+#   round 2: oracle-backed-first ordering -> the 50 core oracle queries.
+#   round 3 (this list): the 18 round-2 additions whose only verification so
+#     far was the local twin harness (tests/test_oracle_parity.py), the
+#     rows-only entries whose last driver rows date from round 1, and the
+#     queries newly added this round — veterans (all green in r1/r2) fill
+#     the remaining slots in their round-2 order.
+#
+# Every name listed here is green in the local twin at sf0.01, so promoting
+# it into the checked prefix is low-risk.  Keep this list <= ~40 so a core
+# veteran cohort stays in every round's window as a regression canary.
+_WINDOW_FRONT = [
+    # round-2 additions, never driver-checked (oracle-backed)
+    "q_zscore_anomaly",
+    "q_stratified_sample",
+    "q_seq_packing",
+    "q_training_shuffle",
+    "q_embedding_lsh",
+    "q_embedding_stats",
+    "q_text_repetition",
+    "q_contamination",
+    "q_pii_redact",
+    "q_tfidf",
+    "q_quality_filter",
+    "q_asof_join",
+    "q_funnel",
+    "q_sessionize",
+    "q_retention",
+    "q_interarrival",
+    "q_stream_hourly_users",
+    # never driver-checked rows-only (arbitrary stateful streaming)
+    "q_stream_stateful_ewma",
+    # rows-only entries last driver-checked in round 1
+    "q_instrument_peak_hrr",
+    "q_instrument_sta_mass_loss",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_similarity_ivf",
+    # round-3 additions
+    "q_lake_roundtrip",
+]
 
-    The driver's correctness harness checks only the first 50 registered
-    entries; putting the oracle-backed queries first guarantees each one gets
-    a rows+schema+value-hash row in CORRECTNESS_r{N}.json.  Rows-only entries
-    (engine-specific sketches, instrument-file readers DuckDB can't parse)
-    still register — they are bench'd and locally tested — but sit past the
-    checked prefix.  Within each class, `priority` then definition order.
+
+def load_all() -> dict[str, Query]:
+    """Import every query module and return the registry, ordered so the
+    driver's 50-entry checked prefix rotates across rounds (see
+    ``_WINDOW_FRONT``): stale/never-checked entries first this round, then
+    oracle-backed veterans (round-2 order: oracle-first, priority,
+    definition order), then the rest.  Queries outside the prefix are still
+    bench'd and value-verified locally by tests/test_oracle_parity.py at
+    sf0.001 and sf0.01 — the identical rows+schema+value-hash check.
     """
     from . import (  # noqa: F401
         dedup,
@@ -71,8 +116,13 @@ def load_all() -> dict[str, Query]:
     )
 
     order = list(REGISTRY)
+    front = {n: i for i, n in enumerate(_WINDOW_FRONT)}
     ordered = sorted(
         REGISTRY.values(),
-        key=lambda q: (q.oracle is None, q.priority, order.index(q.name)),
+        key=lambda q: (
+            (0, front[q.name], False, 0, 0)
+            if q.name in front
+            else (1, 0, q.oracle is None, q.priority, order.index(q.name))
+        ),
     )
     return {q.name: q for q in ordered}
