@@ -319,14 +319,20 @@ _SQN_D = (
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')}
           / (SQRT({_SQN_D.format(v='a.embedding')})
-             * SQRT({_SQN_D.format(v='b.embedding')})) >= 0.9
+             * SQRT({_SQN_D.format(v='b.embedding')})) >= 0.35
     """,
-    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.9) within "
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.35) within "
     "coarse blocks (label = quantizer cell): pair generation shuffles on "
-    "the block key, Σ|block|² pairs instead of n².",
+    "the block key, Σ|block|² pairs instead of n².  Threshold 0.35, not the "
+    "production-typical 0.9: the synthetic embeddings are near-random 64-d "
+    "vectors whose max within-label cosine is ~0.47, so 0.9 returned 0 rows "
+    "at every SF and the oracle comparison was vacuous; 0.35 yields "
+    "14/26/391 pairs at sf0.001/0.01/0.1.  Both engines threshold the RAW "
+    "double cosine computed with the same left-to-right fold, so the "
+    "boundary is deterministic.",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import embedding_near_pairs
 
     em = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_pairs(em, threshold=0.9)
+    return embedding_near_pairs(em, threshold=0.35)

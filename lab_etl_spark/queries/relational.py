@@ -384,13 +384,22 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1999-01-01')
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+    doc="Left-anti join (NOT EXISTS): customers with no order since "
+    "1999-01-01.  The date filter keeps the check non-vacuous: the synthetic "
+    "generator gives every customer at least one all-time order, so the "
+    "unfiltered variant returned 0 rows at every SF — a comparison that "
+    "could never fail.  This cutoff yields non-empty results at sf0.001, "
+    "0.01 and 0.1.",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders")
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    )
     return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
