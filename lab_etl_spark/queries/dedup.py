@@ -120,15 +120,15 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     md5-derived permutation family and band keys, so the LSH candidate set —
     and therefore the verified pair set — matches Spark value-for-value."""
     from ..operators.dedup import (
-        MERSENNE61,
         MINHASH_BASE_DUCK,
+        _minhash_perm_sql,
         minhash_constants,
     )
 
     rows_per_band = num_hashes // bands
     mins = ",\n             ".join(
-        f"MIN(({a} * mh + {b}) % {MERSENNE61}) AS h{i}"
-        for i, (a, b) in enumerate(minhash_constants(num_hashes))
+        f"MIN({_minhash_perm_sql(a, b, c, d, 'mh')}) AS h{i}"
+        for i, (a, b, c, d) in enumerate(minhash_constants(num_hashes))
     )
     band_rows = "\n      UNION ALL ".join(
         "SELECT doc_id, {b} AS band, MD5(concat_ws(',', {cols})) AS bkey"

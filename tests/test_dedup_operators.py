@@ -50,14 +50,42 @@ def test_stop_shingle_cap_keeps_rare_shingles(spark):
 
 
 def test_minhash_constants_fit_64bit_arithmetic():
-    # a < 2^29 and base < 2^32 guarantee a*x+b < 2^62: no signed overflow in
-    # either engine.  Constants must be deterministic across calls.
+    # a,c,d < 2^29 and base < 2^32 guarantee every intermediate stays below
+    # 2^62: no signed overflow in either engine.  Constants must be
+    # deterministic across calls.
     cs = minhash_constants(64)
     assert cs == minhash_constants(64)
-    for a, b in cs:
+    for a, b, c, d in cs:
         assert 1 <= a < (1 << 29)
         assert 0 <= b < MERSENNE61
+        assert 1 <= c < (1 << 29)
+        assert 1 <= d < (1 << 29)
         assert a * ((1 << 32) - 1) + b < (1 << 62)
+        # second round: c*(r>>31) + d*(r & 0x7FFFFFFF) with r < 2^61
+        assert c * ((MERSENNE61 - 1) >> 31) + d * 0x7FFFFFFF < (1 << 62)
+
+
+def test_minhash_permutations_decorrelated():
+    # The r1/r2 affine family (a*x+b) mod M with a < 2^29 was near-monotone
+    # in x, so every permutation chose the same minimizing shingle and LSH
+    # candidate pairs exploded 44x.  The two-round mixer must pick many
+    # distinct argmins over a random set.
+    import random
+
+    from lab_etl_spark.operators.dedup import _minhash_perm_sql  # noqa: F401
+
+    random.seed(7)
+    xs = [random.getrandbits(32) for _ in range(50)]
+
+    def h(a, b, c, d, x):
+        r = (a * x + b) % MERSENNE61
+        return (c * (r >> 31) + d * (r & 0x7FFFFFFF)) % MERSENNE61
+
+    argmins = {
+        min(xs, key=lambda x: h(a, b, c, d, x))
+        for a, b, c, d in minhash_constants(16)
+    }
+    assert len(argmins) >= 8
 
 
 def test_minhash_rejects_ragged_bands(spark):
