@@ -99,9 +99,11 @@ def deterministic_fake_decode(content: bytes, modality: str) -> dict:
 # Real header-level decode (pure Python, no media libraries)
 # ---------------------------------------------------------------------------
 # Container *headers* carry dimensions / duration in documented fixed
-# layouts, so no codec is needed to extract them.  Only the pixel/sample
-# FEATURE extraction still uses the BLAKE2b stand-in (a real embedding model
-# would replace that part alone).
+# layouts, so no codec is needed to extract them.  PNG goes further: the
+# pixel data itself is just zlib + per-scanline filters (both stdlib), so
+# PNG features are computed from REAL decoded pixels (`_png_pixels` +
+# `pixel_feature`).  Formats that need an entropy codec (JPEG/GIF/MP4)
+# keep the BLAKE2b feature stand-in.
 
 #: PNG color type → sample channels (PNG spec, IHDR color type field)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -118,6 +120,121 @@ def _parse_png(b: bytes) -> dict | None:
         return None
     w, h = struct.unpack(">II", b[16:24])
     return {"width": w, "height": h, "n_channels": _PNG_CHANNELS.get(b[25])}
+
+
+def _png_pixels(b: bytes) -> np.ndarray | None:
+    """Decode a non-interlaced 8-bit PNG to a (height, width, channels)
+    uint8 array using only stdlib zlib — no media library.
+
+    Handles color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit
+    depth 8, which covers everything :func:`_write_png_gray` emits plus the
+    common web/baseline cases.  Palette (3), sub-byte depths, 16-bit, and
+    interlaced images return None and the caller falls back to the hash
+    stand-in.  Filters None/Up are vectorized; Sub/Average/Paeth carry a
+    per-byte left dependency and run as a Python loop over the scanline —
+    fine inside a mapInPandas batch, where the per-row cost is dominated by
+    zlib anyway.
+    """
+    import zlib
+
+    hdr = _parse_png(b)
+    if hdr is None or len(b) < 33:
+        return None
+    bit_depth, color_type, interlace = b[24], b[25], b[28]
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        return None
+    w, h, ch = hdr["width"], hdr["height"], _PNG_CHANNELS[color_type]
+    if not w or not h or w * h * ch > 1 << 28:  # 256 MB decoded cap
+        return None
+    # concatenate IDAT payloads in stream order
+    idat = bytearray()
+    for ctype, s, e in _iter_png_chunks(b):
+        if ctype == b"IDAT":
+            idat += b[s:e]
+        elif ctype == b"IEND":
+            break
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (1 + stride):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256 per spec
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-sequential
+            cur = np.empty(stride, dtype=np.uint8)
+            li, pv, cu = line.tolist(), prev.tolist(), [0] * stride
+            for i in range(stride):
+                a = cu[i - ch] if i >= ch else 0
+                up = pv[i]
+                if ftype == 1:
+                    rec = li[i] + a
+                elif ftype == 3:
+                    rec = li[i] + ((a + up) >> 1)
+                else:
+                    c = pv[i - ch] if i >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    rec = li[i] + pred
+                cu[i] = rec & 0xFF
+            cur = np.array(cu, dtype=np.uint8)
+        else:
+            return None
+        out[r] = cur
+        prev = out[r]
+    return out.reshape(h, w, ch)
+
+
+def _iter_png_chunks(b: bytes):
+    """Yield (type, payload_start, payload_end) over well-formed PNG chunks."""
+    i = 8
+    while i + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[i : i + 4])
+        ctype = b[i + 4 : i + 8]
+        s = i + 8
+        e = s + length
+        if e + 4 > len(b):
+            return
+        yield ctype, s, e
+        i = e + 4  # skip CRC
+
+
+def _luminance(px: np.ndarray) -> np.ndarray:
+    """(h, w, ch) uint8 → (h, w) float64 luminance (ITU-R BT.601 weights for
+    color; alpha ignored)."""
+    ch = px.shape[2]
+    if ch in (1, 2):  # gray / gray+alpha
+        return px[:, :, 0].astype(np.float64)
+    rgb = px[:, :, :3].astype(np.float64)
+    return rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+
+
+def pixel_feature(px: np.ndarray) -> list[float]:
+    """FEATURE_DIM-dim descriptor from REAL pixels: luminance mean, std,
+    min, max (all /255) + 4-bin luminance histogram fractions.  Deterministic
+    and content-derived — two images with the same pixels get the same
+    feature regardless of container byte differences."""
+    lum = _luminance(px)
+    hist, _ = np.histogram(lum, bins=4, range=(0.0, 256.0))
+    frac = hist / max(lum.size, 1)
+    return [
+        round(float(lum.mean()) / 255.0, 9),
+        round(float(lum.std()) / 255.0, 9),
+        round(float(lum.min()) / 255.0, 9),
+        round(float(lum.max()) / 255.0, 9),
+        *(round(float(x), 9) for x in frac),
+    ]
 
 
 def _parse_jpeg(b: bytes) -> dict | None:
@@ -242,19 +359,30 @@ def header_decode(content: bytes, modality: str) -> dict:
     """DEFAULT decoder: real metadata from container headers (pure Python —
     PNG/JPEG/GIF/BMP dimensions, WAV duration, MP4 dimensions+duration),
     falling back to :func:`deterministic_fake_decode` for unrecognized
-    payloads.  The feature vector remains BLAKE2b-derived in both paths: it
-    stands in for a learned embedding, which no header can provide.
+    payloads.  For PNGs the feature vector is computed from REAL decoded
+    pixels (:func:`_png_pixels` → :func:`pixel_feature`: luminance
+    mean/std/min/max + histogram).  Formats needing an entropy codec
+    (JPEG/GIF/MP4 — no media libs in this env) keep the BLAKE2b-derived
+    stand-in feature, which a learned embedding would replace.
     """
     for sniff in _SNIFFERS:
         parsed = sniff(content)
         if parsed:
-            fake = deterministic_fake_decode(content, modality)
+            feature = None
+            if sniff is _parse_png:
+                px = _png_pixels(content)
+                if px is not None:
+                    feature = pixel_feature(px)
+            if feature is None:
+                feature = deterministic_fake_decode(content, modality)[
+                    "feature"
+                ]
             return {
                 "width": parsed.get("width"),
                 "height": parsed.get("height"),
                 "n_channels": parsed.get("n_channels"),
                 "duration_s": parsed.get("duration_s"),
-                "feature": fake["feature"],
+                "feature": feature,
             }
     return deterministic_fake_decode(content, modality)
 
@@ -360,13 +488,13 @@ def resize_images(
 
     The Spark contract is the real thing: one Arrow-batched ``mapInPandas``
     pass, binary in → binary out, schema preserved (``ASSET_SCHEMA``), no
-    payload ever leaves the executors.  The pixel RESAMPLING is the labeled
-    stand-in (no codec libs in this env): output pixels are BLAKE2b-derived
-    from the source payload, tiled to exactly width*height, then packed into
-    a genuine PNG by :func:`_write_png_gray` — so downstream
+    payload ever leaves the executors.  Decodable PNG inputs get REAL
+    nearest-neighbor resampling of their decoded luminance plane
+    (:func:`_png_pixels`), re-encoded by :func:`_write_png_gray`.  Inputs
+    needing an entropy codec (JPEG/GIF — no codec libs in this env) fall
+    back to the labeled stand-in: BLAKE2b-derived pixels tiled to
+    width*height, still packed into a genuine PNG so downstream
     ``decode_assets`` reads back the target dimensions from a real header.
-    A real implementation swaps only the pixel-producing line for
-    Pillow's ``Image.resize``.
     """
     out_cols = [f.name for f in ASSET_SCHEMA.fields]
 
@@ -392,11 +520,21 @@ def resize_images(
                         }
                     )
                     continue
-                # STAND-IN resample: deterministic pixels from the payload.
-                seed = hashlib.blake2b(
-                    bytes(content), digest_size=64
-                ).digest()
-                pixels = (seed * (npix // len(seed) + 1))[:npix]
+                src = _png_pixels(bytes(content))
+                if src is not None:
+                    # REAL nearest-neighbor resample of the decoded
+                    # luminance plane.
+                    lum = np.clip(_luminance(src), 0, 255).astype(np.uint8)
+                    ri = (np.arange(height) * lum.shape[0]) // height
+                    ci = (np.arange(width) * lum.shape[1]) // width
+                    pixels = lum[np.ix_(ri, ci)].tobytes()
+                else:
+                    # STAND-IN resample (non-PNG: no codec libs in env):
+                    # deterministic pixels from the payload.
+                    seed = hashlib.blake2b(
+                        bytes(content), digest_size=64
+                    ).digest()
+                    pixels = (seed * (npix // len(seed) + 1))[:npix]
                 rows.append(
                     {
                         "asset_id": aid,
