@@ -226,6 +226,98 @@ def ivf_topk(
     return _topk(scored, k)
 
 
+def lsh_bucket_spark(nbits: int, emb: str = "embedding") -> str:
+    """Spark SQL expression packing ``nbits`` random-hyperplane sign bits
+    into a BIGINT cell id.  Hyperplane weights are integer prime-mixed
+    (``(h*7919 + d*104729) % 2003 - 1001``) — no RNG, no training — and the
+    dot product folds sequentially, so any engine rebuilds the exact same
+    cells (see :func:`lsh_bucket_duck`)."""
+    return (
+        f"aggregate(transform(sequence(1, {nbits}), h -> CASE WHEN "
+        f"aggregate(zip_with(CAST({emb} AS ARRAY<DOUBLE>), "
+        f"transform(sequence(1, size({emb})), "
+        "d -> CAST(pmod(h * 7919 + d * 104729, 2003) - 1001 AS DOUBLE)), "
+        "(a, b) -> a * b), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0 "
+        "THEN shiftleft(CAST(1 AS BIGINT), h - 1) ELSE CAST(0 AS BIGINT) "
+        "END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def lsh_bucket_duck(nbits: int, emb: str = "embedding") -> str:
+    """DuckDB twin of :func:`lsh_bucket_spark` (list_reduce is the same
+    left-to-right fold as Spark's aggregate, so the doubles are
+    bit-identical)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {nbits}), h -> "
+        "CASE WHEN list_reduce(list_transform("
+        f"generate_series(1, len({emb})), "
+        f"d -> CAST({emb}[d] AS DOUBLE) "
+        "* CAST(((h * 7919 + d * 104729) % 2003) - 1001 AS DOUBLE)), "
+        "(p, q) -> p + q) > 0 THEN CAST(pow(2, h - 1) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END), (p, q) -> p + q)"
+    )
+
+
+def ivf_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nbits: int = 6,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF approximate cosine top-k with a TRAINING-FREE coarse quantizer:
+    the portable hyperplane-LSH cells of :func:`lsh_bucket_spark` replace
+    learned k-means centroids, and probing ranks cells by Hamming distance
+    between the query's own signature and each occupied cell id
+    (tie-broken by cell id).
+
+    Why this variant exists alongside :func:`ivf_topk` (k-means):
+      * deterministic and engine-reproducible — the DuckDB oracle rebuilds
+        the identical cells, so the query is full-value-checkable, not
+        rows-only;
+      * no training pass — composes with streaming ingest, and the cell of
+        a vector never drifts when the corpus grows.
+
+    Scale shape: corpus scanned once to bucket (map-only expression), the
+    occupied-cell list is ≤ 2^nbits rows (always broadcast), probes are
+    |Q|·n_probe rows (broadcast), and scoring touches only probed cells —
+    |Q|·(n_probe/2^nbits)·|corpus| pairs on average, one shuffle on cell.
+    """
+    bucket = F.expr(lsh_bucket_spark(nbits))
+    e = corpus.select(
+        bucket.alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("e_nrm"),
+    )
+    cells = e.select("cell").distinct()
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        bucket.alias("q_cell"),
+        F.col("embedding").alias("q_emb"),
+        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_nrm"),
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        F.expr("bit_count(q_cell ^ cell)"), F.col("cell")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= n_probe)
+        .select("query_id", "q_emb", "q_nrm", "cell")
+    )
+    cos = F.expr(DOT.format(a="q_emb", b="e_emb")) / (
+        F.col("q_nrm") * F.col("e_nrm")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(e, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cos, 6).alias("cosine"))
+    )
+    return _topk(scored, k)
+
+
 def embedding_near_pairs(
     embeddings: DataFrame,
     threshold: float = 0.98,

@@ -6,7 +6,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.similarity import cosine_topk, cosine_topk_blocked, ivf_topk
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_blocked,
+    ivf_topk_lsh,
+)
 from . import register
 from .exact import davg
 
@@ -74,18 +78,63 @@ def q_similarity_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_blocked(em.filter(F.col("vec_id") < 16), em, k=3)
 
 
+def _ivf_lsh_oracle(nbits: int = 6, n_probe: int = 3, k: int = 5) -> str:
+    from ..operators.similarity import lsh_bucket_duck
+
+    cell = lsh_bucket_duck(nbits)
+    return f"""
+    WITH ec AS (
+      SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
+      FROM ec WHERE vec_id < 8
+    ),
+    cells AS (SELECT DISTINCT cell FROM ec),
+    probes AS (
+      SELECT query_id, q_emb, cell FROM (
+        SELECT q.query_id, q.q_emb, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(q.q_cell, c.cell)), c.cell) AS crk
+        FROM q, cells c
+      ) WHERE crk <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             ROUND({_DOT_DUCK.format(a='p.q_emb', b='e.embedding')}
+                   / (SQRT({_SQNORM_DUCK.format(v='p.q_emb')})
+                      * SQRT({_SQNORM_DUCK.format(v='e.embedding')})), 6)
+               AS cosine
+      FROM probes p JOIN ec e
+        ON e.cell = p.cell AND e.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
 @register(
     "q_similarity_ivf",
-    oracle=None,  # learned quantizer cells are engine-specific → rows-only;
-    # exactness at n_probe == n_clusters is pinned by tests/test_similarity_ivf.py
-    doc="True IVF ANN: distributed k-means coarse quantizer (seeded by "
-    "xxhash64 top-k, one Lloyd step), nprobe nearest cells scored per "
-    "query — scored pairs shrink by ~n_probe/n_clusters vs brute force.",
+    oracle=_ivf_lsh_oracle(),
+    doc="IVF ANN with a training-free portable coarse quantizer: "
+    "hyperplane-LSH cells (6 sign bits, integer prime-mixed planes — the "
+    "same family as q_embedding_lsh) partition the corpus; each query "
+    "probes the n_probe=3 occupied cells nearest by Hamming distance to "
+    "its own signature and brute-forces only inside them.  Deterministic "
+    "and engine-reproducible, so unlike the learned k-means variant "
+    "(operators/similarity.ivf_topk, exactness pinned by "
+    "tests/test_similarity_ivf.py) this is full-value-checked against the "
+    "DuckDB oracle.  Scored pairs ~ |Q| * n_probe/2^nbits * |corpus|; the "
+    "cell list and probe table stay broadcast-small at any corpus size.",
 )
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        em.filter(F.col("vec_id") < 8), em, k=5, n_clusters=8, n_probe=3
+    return ivf_topk_lsh(
+        em.filter(F.col("vec_id") < 8), em, k=5, nbits=6, n_probe=3
     )
 
 

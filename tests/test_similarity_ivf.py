@@ -49,3 +49,31 @@ def test_ivf_partial_probe_subset_and_ranked(spark, sf_dir):
         cosines = [r.cosine for r in rows]
         assert cosines == sorted(cosines, reverse=True)
         assert len(rows) <= 5
+
+
+def test_ivf_lsh_full_probe_equals_brute_force(spark, sf_dir):
+    # The portable hyperplane-LSH quantizer (q_similarity_ivf's cell
+    # assignment) must also degenerate to exhaustive search when every
+    # occupied cell is probed.
+    from lab_etl_spark.operators.similarity import ivf_topk_lsh
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    exact = _rows(cosine_topk(q, em, k=5))
+    full = _rows(ivf_topk_lsh(q, em, k=5, nbits=6, n_probe=64))
+    assert full == exact
+
+
+def test_ivf_lsh_partial_probe_scores_are_true_cosines(spark, sf_dir):
+    from lab_etl_spark.operators.similarity import ivf_topk_lsh
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < 8)
+    exact_all = {
+        (r.query_id, r.neighbor_id, r.cosine)
+        for r in cosine_topk(q, em, k=em.count()).collect()
+    }
+    part = ivf_topk_lsh(q, em, k=5, nbits=6, n_probe=3).collect()
+    assert len(part) > 0
+    for r in part:
+        assert (r.query_id, r.neighbor_id, r.cosine) in exact_all
