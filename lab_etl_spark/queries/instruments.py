@@ -50,6 +50,65 @@ def q_instrument_peak_hrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: committed lake snapshot the DuckDB oracle reads (built by
+#: tests/test_lake_roundtrip.py::test_rebuild_committed_lake from the same
+#: deterministic pipeline; rebuild + re-commit if the HFM parser changes)
+_LAKE_ORACLE_DIR = "/root/repo/lake/hfm"
+
+#: scratch lake the query writes at runtime (gitignored)
+_LAKE_SCRATCH = "/root/repo/spark-warehouse/hfm_lake"
+
+_LAKE_COLS = [
+    "source_file",
+    "run_mode",
+    "setpoint",
+    "upper_temperature",
+    "lower_temperature",
+    "upper_thermal_conductivity",
+    "lower_thermal_conductivity",
+    "sample_id",
+]
+
+
+@register(
+    "q_lake_roundtrip",
+    oracle=f"""
+    SELECT {', '.join(_LAKE_COLS)}
+    FROM read_parquet('{_LAKE_ORACLE_DIR}/*/*.parquet', hive_partitioning=1)
+    WHERE run_mode = 'conductivity'
+    """,
+    bench=False,
+    doc="End-to-end lake round-trip (reference README.md:6's multi-file "
+    "lake aspiration, SURVEY.md §1.5): scan_hfm over the instrument "
+    "fixtures → sink.write_parquet partitioned by run_mode → read back "
+    "through a partition-pruned scan (only the run_mode=conductivity "
+    "directory is touched; plan gate in tests/test_lake_roundtrip.py).  "
+    "The oracle reads a committed snapshot of the same deterministic "
+    "pipeline output, so parity proves write→read fidelity including the "
+    "hive partition column, not just the in-memory frame.",
+)
+def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import scan_hfm
+    from ..sources.sink import write_parquet
+
+    if not os.path.isdir(f"{_FIX}/HFM"):
+        return spark.createDataFrame(
+            [],
+            "source_file string, run_mode string, setpoint int, "
+            "upper_temperature double, lower_temperature double, "
+            "upper_thermal_conductivity double, "
+            "lower_thermal_conductivity double, sample_id string",
+        )
+    df = scan_hfm(spark, f"{_FIX}/HFM/*.tst")
+    write_parquet(
+        df, _LAKE_SCRATCH, mode="overwrite", partition_by=["run_mode"]
+    )
+    back = spark.read.parquet(_LAKE_SCRATCH).filter(
+        F.col("run_mode") == "conductivity"
+    )
+    return back.select(*_LAKE_COLS)
+
+
 @register(
     "q_instrument_sta_mass_loss",
     oracle=None,
