@@ -125,8 +125,32 @@ def shingle_jaccard_pairs(
     )
 
 
+def _chk(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Lineage truncation for the iterative loops below.
+
+    Default: ``localCheckpoint`` — executor-local blocks, no extra I/O, the
+    right trade on a healthy cluster.  But those blocks die with their
+    executor, and at 100 TB a 30-round star job WILL see executor loss —
+    one lost block then fails the whole job with no recompute path (the
+    lineage was truncated).  Passing ``checkpoint_dir`` switches every
+    round to a reliable ``checkpoint()`` into that directory (HDFS/S3 at
+    cluster scale), making each round restartable at the cost of one
+    write+read per round.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint()
+
+
 def _symmetrize(
-    edges: DataFrame, src: str, dst: str, edges_distinct: bool
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    edges_distinct: bool,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Undirected edge list → materialized symmetric (_s, _d) edge set.
 
@@ -140,7 +164,7 @@ def _symmetrize(
     )
     if not edges_distinct:
         sym = sym.distinct()
-    return sym.localCheckpoint()
+    return _chk(sym, checkpoint_dir)
 
 
 def connected_components(
@@ -151,6 +175,7 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 20,
     edges_distinct: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -168,7 +193,7 @@ def connected_components(
     For graphs with whale components, swap the propagation step for
     large-star/small-star; the loop shell stays the same.
     """
-    sym = _symmetrize(edges, src, dst, edges_distinct)
+    sym = _symmetrize(edges, src, dst, edges_distinct, checkpoint_dir)
     # Only edge-touched vertices can ever change label; iterate over that
     # subgraph only (in a real corpus non-duplicate docs dominate, so this
     # shrinks every round's join from |corpus| to |dup-graph| rows) and
@@ -176,13 +201,13 @@ def connected_components(
     # end.  Round zero is folded into initialization: label = min(self,
     # neighbors) directly — for the dominant 2-node-cluster case that is
     # already the fixpoint, so the loop only runs confirmation rounds.
-    labels = (
+    labels = _chk(
         sym.groupBy("_s")
         .agg(F.least(F.min("_d"), F.first("_s")).alias("component"))
-        .select(F.col("_s").alias("_id"), "component")
-        .localCheckpoint()
+        .select(F.col("_s").alias("_id"), "component"),
+        checkpoint_dir,
     )
-    labels, converged = _min_label_rounds(sym, labels, max_iter)
+    labels, converged = _min_label_rounds(sym, labels, max_iter, checkpoint_dir)
     if not converged:
         # A silent wrong answer is worse than a loud one: a component with
         # diameter > max_iter would otherwise emit split clusters.
@@ -200,7 +225,10 @@ def connected_components(
 
 
 def _min_label_rounds(
-    sym: DataFrame, labels: DataFrame, rounds: int
+    sym: DataFrame,
+    labels: DataFrame,
+    rounds: int,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, bool]:
     """Run up to ``rounds`` min-label propagation steps; returns
     (labels, converged).  Each step is one join + hash-aggregate; the
@@ -223,8 +251,8 @@ def _min_label_rounds(
                 ),
                 "_old",
             )
-            .localCheckpoint()
         )
+        stepped = _chk(stepped, checkpoint_dir)
         changed = (
             stepped.filter(F.col("component") != F.col("_old")).limit(1).count()
         )
@@ -241,6 +269,7 @@ def connected_components_star(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond" —
@@ -295,12 +324,13 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    cur = dedup(
-        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
-    ).localCheckpoint()
+    cur = _chk(
+        dedup(edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))),
+        checkpoint_dir,
+    )
     prev_fp = None
     for _ in range(max_iter):
-        cur = small_star(large_star(cur)).localCheckpoint()
+        cur = _chk(small_star(large_star(cur)), checkpoint_dir)
         fp = fingerprint(cur)
         if fp == prev_fp:
             break
@@ -331,6 +361,7 @@ def connected_components_auto(
     propagation_rounds: int = 3,
     max_iter: int = 30,
     edges_distinct: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Adaptive connected components: cheap min-label propagation first,
     automatic escalation to large-star/small-star when the graph is deep.
@@ -348,14 +379,16 @@ def connected_components_auto(
     contraction — the min node's label is itself — so the composed labeling
     equals what either algorithm alone would produce.
     """
-    sym = _symmetrize(edges, src, dst, edges_distinct)
-    labels = (
+    sym = _symmetrize(edges, src, dst, edges_distinct, checkpoint_dir)
+    labels = _chk(
         sym.groupBy("_s")
         .agg(F.least(F.min("_d"), F.first("_s")).alias("component"))
-        .select(F.col("_s").alias("_id"), "component")
-        .localCheckpoint()
+        .select(F.col("_s").alias("_id"), "component"),
+        checkpoint_dir,
     )
-    labels, converged = _min_label_rounds(sym, labels, propagation_rounds)
+    labels, converged = _min_label_rounds(
+        sym, labels, propagation_rounds, checkpoint_dir
+    )
     if not converged:
         l_s = labels.select(
             F.col("_id").alias("_s"), F.col("component").alias("_ls")
@@ -373,7 +406,7 @@ def connected_components_auto(
         label_nodes = labels.select(F.col("component").alias("id")).distinct()
         star = connected_components_star(
             label_nodes, contracted, id_col="id", src="a", dst="b",
-            max_iter=max_iter,
+            max_iter=max_iter, checkpoint_dir=checkpoint_dir,
         )
         labels = (
             labels.join(

@@ -106,3 +106,43 @@ def test_minhash_portable_and_fast_paths_agree_on_clear_dups(spark):
     for portable in (True, False):
         out = minhash_lsh_candidates(docs, portable=portable).collect()
         assert [(r.doc_a, r.doc_b, r.jaccard) for r in out] == [(0, 1, 1.0)]
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    # checkpoint_dir switches every iterative round from executor-local
+    # localCheckpoint blocks to reliable checkpoint() files; labels must be
+    # identical in both modes and the directory must actually be used.
+    from lab_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    verts = spark.range(0, 12).withColumnRenamed("id", "id")
+    # two chains (0-1-2-3, 4-5-6-7) deep enough to force auto's escalation
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 7), (8, 9)],
+        "a bigint, b bigint",
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    base = sorted(
+        (r.id, r.component)
+        for r in connected_components(verts, edges, max_iter=10).collect()
+    )
+    reliable = sorted(
+        (r.id, r.component)
+        for r in connected_components(
+            verts, edges, max_iter=10, checkpoint_dir=ckdir
+        ).collect()
+    )
+    assert reliable == base
+    import os
+
+    assert os.path.isdir(ckdir) and any(os.scandir(ckdir))
+
+    auto = sorted(
+        (r.id, r.component)
+        for r in connected_components_auto(
+            verts, edges, propagation_rounds=1, checkpoint_dir=ckdir
+        ).collect()
+    )
+    assert auto == base
