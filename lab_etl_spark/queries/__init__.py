@@ -93,6 +93,15 @@ _WINDOW_FRONT = [
     "q_similarity_ivf",
     # round-3 additions
     "q_lake_roundtrip",
+    "q_returned_items",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_large_volume_customer",
+    "q_region_market_share",
+    "q_json_functions",
+    "q_doc_source_stats",
+    "q_sequence_budget",
+    "q_dedup_cross_source",
 ]
 
 
@@ -106,6 +115,7 @@ def load_all() -> dict[str, Query]:
     sf0.001 and sf0.01 — the identical rows+schema+value-hash check.
     """
     from . import (  # noqa: F401
+        analytics,
         dedup,
         instruments,
         relational,

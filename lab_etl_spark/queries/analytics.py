@@ -1,0 +1,366 @@
+"""Extended analytic surface: TPC-H-flavored multi-join/aggregate queries
+adapted to the driver schema, JSON-function coverage, and corpus/source
+profiling for training-data pipelines.
+
+Cross-engine rules as everywhere (queries/exact.py): double sums accumulate
+in DECIMAL, every ranked output carries a deterministic tie-break, shares
+divide two exact sums, and all computed columns are identically aliased in
+the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+from .exact import davg, dsum
+
+
+@register(
+    "q_returned_items",
+    priority=1,
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 adaptation: lost-revenue ranking of customers who "
+    "returned items in a window — 3-way fact/dim join, exact-decimal "
+    "revenue, TakeOrderedAndProject top-20 (no global sort).  The nation "
+    "dim is broadcast; orders/lineitem join shuffles on the order key.",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q_promo_revenue",
+    priority=1,
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * {dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 6)}
+             / {dsum('l_extendedprice * (1 - l_discount)', 6)}, 6)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    """,
+    doc="TPC-H Q14 adaptation: promotional revenue share over a ship-date "
+    "window — conditional exact-decimal aggregation; the part dim joins "
+    "broadcast, one row out.  The ratio divides two exact sums, so the "
+    "double is deterministic cross-engine.",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    promo = dsum(
+        "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+        " ELSE 0.0 END",
+        6,
+    )
+    total = dsum("l_extendedprice * (1 - l_discount)", 6)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0) * F.expr(promo) / F.expr(total), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q_top_supplier",
+    priority=1,
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             {dsum('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    ),
+    mx AS (SELECT MAX(total_revenue) AS max_rev FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.suppkey, mx
+    WHERE r.total_revenue = mx.max_rev
+    """,
+    doc="TPC-H Q15 adaptation: top supplier by quarterly revenue — "
+    "per-supplier exact-decimal aggregate, scalar-subquery max (broadcast "
+    "1-row cross join, no single-partition window), ties all returned.  "
+    "Revenue sums are exact, so the max comparison is boundary-safe.",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q_large_volume_customer",
+    priority=1,
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {dsum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING {dsum('l_quantity')} > 200
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H Q18 adaptation: large-volume orders (exact-decimal "
+    "quantity sum > 200 — the HAVING boundary is exact, so both engines "
+    "admit identical orders) joined back to order + customer detail.  "
+    "Aggregate-then-join: the group-by prunes before the joins touch "
+    "the dims.",
+)
+def q_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.expr(dsum("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q_region_market_share",
+    priority=1,
+    oracle=f"""
+    WITH rr AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, r.r_name,
+             {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT o_year, r_name, revenue,
+           ROUND(revenue / CAST(SUM(CAST(revenue AS DECIMAL(30,6)))
+                                OVER (PARTITION BY o_year) AS DOUBLE), 6)
+             AS share
+    FROM rr
+    """,
+    doc="TPC-H Q8 adaptation: per-year revenue share of each customer "
+    "region — 4-way snowflake join (nation/region broadcast), exact-"
+    "decimal revenue, share via a year-partitioned window sum that ALSO "
+    "accumulates in DECIMAL (a plain double window sum would be "
+    "order-dependent across engines).",
+)
+def q_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rr = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("o_year"), "r_name"
+        )
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias(
+                "revenue"
+            )
+        )
+    )
+    return rr.select(
+        "o_year",
+        "r_name",
+        "revenue",
+        F.round(
+            F.col("revenue")
+            / F.expr(
+                "CAST(SUM(CAST(revenue AS DECIMAL(30,6)))"
+                " OVER (PARTITION BY o_year) AS DOUBLE)"
+            ),
+            6,
+        ).alias("share"),
+    )
+
+
+@register(
+    "q_json_functions",
+    priority=1,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column processing: get_json_object path "
+    "extraction (json_extract_string in the oracle) with typed casts and "
+    "integer aggregation per event type — JSON parse stays in codegen, "
+    "one hash aggregate, no Python.",
+)
+def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q_doc_source_stats",
+    priority=1,
+    oracle=f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           {davg('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Corpus provenance profiling: per (source, lang) document counts "
+    "and size stats — the first query run on any new crawl dump before "
+    "spending cluster time on dedup (a source with 10x the average doc "
+    "size or a lone-language source is a pipeline smell).  One hash "
+    "aggregate, integer + exact-decimal stats.",
+)
+def q_doc_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr(davg("CAST(n_chars AS DOUBLE)")).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_sequence_budget",
+    priority=1,
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT CASE WHEN n_tokens <= 32 THEN '0032'
+                WHEN n_tokens <= 64 THEN '0064'
+                WHEN n_tokens <= 128 THEN '0128'
+                WHEN n_tokens <= 256 THEN '0256'
+                ELSE 'long' END AS seq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN n_tokens <= 32 THEN 32
+                         WHEN n_tokens <= 64 THEN 64
+                         WHEN n_tokens <= 128 THEN 128
+                         WHEN n_tokens <= 256 THEN 256
+                         ELSE n_tokens END - n_tokens) AS BIGINT)
+             AS padding_waste
+    FROM t GROUP BY 1
+    """,
+    doc="Context-length budget planning: whitespace-token counts bucketed "
+    "to power-of-two sequence lengths, with per-bucket padding waste "
+    "(bucket capacity minus actual tokens — what a naive fixed-length "
+    "batcher burns).  Map-only projection + one hash aggregate; pure "
+    "integer arithmetic, engine-exact.",
+)
+def q_sequence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+    bucket = (
+        "CASE WHEN n_tokens <= 32 THEN '0032'"
+        " WHEN n_tokens <= 64 THEN '0064'"
+        " WHEN n_tokens <= 128 THEN '0128'"
+        " WHEN n_tokens <= 256 THEN '0256'"
+        " ELSE 'long' END"
+    )
+    cap = (
+        "CASE WHEN n_tokens <= 32 THEN 32"
+        " WHEN n_tokens <= 64 THEN 64"
+        " WHEN n_tokens <= 128 THEN 128"
+        " WHEN n_tokens <= 256 THEN 256"
+        " ELSE n_tokens END"
+    )
+    t = docs.select(F.expr(n_tok).alias("n_tokens"))
+    return t.groupBy(F.expr(bucket).alias("seq_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.expr(cap) - F.col("n_tokens")).alias("padding_waste"),
+    )

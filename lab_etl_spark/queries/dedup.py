@@ -336,3 +336,58 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs(em, threshold=0.35)
+
+
+@register(
+    "q_dedup_cross_source",
+    priority=1,
+    oracle=f"""
+    WITH {_CAPPED_SHINGLE_CTES}
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           da.source AS source_a, db.source AS source_b,
+           CASE WHEN da.source < db.source THEN doc_a ELSE doc_b
+                END AS keeper_id
+    FROM rawpairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+      AND da.source <> db.source
+    """,
+    doc="Provenance-aware near-dup: Jaccard >= 0.5 pairs whose documents "
+    "come from DIFFERENT sources — the cross-crawl duplication scan run "
+    "before merging dumps, with a deterministic keep decision (the doc "
+    "from the lexicographically-smaller source wins).  Same capped "
+    "inverted-index shape as q_dedup_ngram_jaccard plus two broadcast-"
+    "size provenance joins on the (tiny) surviving pair set.",
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "source_a",
+            "source_b",
+            F.when(F.col("source_a") < F.col("source_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("keeper_id"),
+        )
+    )

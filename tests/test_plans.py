@@ -162,11 +162,20 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #                       stage and stays hash-partitioned on user_id.
 #   q_tfidf           — the one-row corpus-size (N) aggregate broadcast into
 #                       the scoring join; tf/df aggregates stay partitioned.
+#   q_promo_revenue   — the single-row promo-share result itself; the
+#                       lineitem×part join + partial aggregation below it
+#                       stay fully parallel (map-side combine feeds one
+#                       final 2-value reduce).
+#   q_top_supplier    — the one-row MAX(total_revenue) scalar broadcast
+#                       back over the per-supplier aggregate; the revenue
+#                       aggregation stays hash-partitioned on suppkey.
 _SINGLE_PARTITION_OK = {
     "q_interp_linear",
     "q_scalar_subquery",
     "q_funnel",
     "q_tfidf",
+    "q_promo_revenue",
+    "q_top_supplier",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
