@@ -91,6 +91,12 @@ _WINDOW_FRONT = [
     "q_approx_distinct",
     "q_approx_percentile",
     "q_similarity_ivf",
+    # round-2's one red row (HUGEINT oracle cast, fixed this round) — must
+    # re-appear in the driver file to show green
+    "q_hierarchical_rollup",
+    # implementation reworked this round (code-point-array bucketing) —
+    # promote for fresh driver eyes
+    "q_lang_id_ngram",
     # round-3 additions
     "q_lake_roundtrip",
     "q_returned_items",
