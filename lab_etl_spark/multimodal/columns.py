@@ -5,10 +5,12 @@ The Spark-side plumbing here — schemas, batch shapes, partitioning-safe UDF
 signatures — is real and tested.  Metadata extraction is ALSO real: the
 default :func:`header_decode` parses dimensions and duration straight from
 container headers in pure Python (PNG/JPEG/GIF/BMP images, WAV audio, MP4
-video) — no media library needed.  Only two pieces remain stand-ins, each
-clearly marked: the *feature vector* (BLAKE2b-derived; stands in for a
-learned embedding) and full pixel/sample decode for formats outside the
-header-parsable set, which falls back to
+video) — no media library needed.  Content decode is REAL wherever the
+format needs no entropy codec: PNG pixels (stdlib zlib + filter undo),
+uncompressed BMP pixels, and WAV PCM samples all produce features computed
+from actual content (:func:`pixel_feature`, :func:`audio_feature`).  Only
+formats that genuinely require a codec (JPEG/GIF/MP4 payloads — no media
+libs in this env) keep the clearly-marked BLAKE2b stand-in feature via
 :func:`deterministic_fake_decode`.  Swapping in a full decoder
 (Pillow/ffmpeg/torchaudio) changes one constructor argument and nothing
 else.
@@ -278,6 +280,111 @@ def _parse_bmp(b: bytes) -> dict | None:
     return {"width": w, "height": abs(h), "n_channels": 3}
 
 
+def _bmp_pixels(b: bytes) -> np.ndarray | None:
+    """Decode an uncompressed (BI_RGB) 24/32-bit BMP to (h, w, 3) uint8 RGB
+    using only struct+numpy — BMP stores raw pixels, no codec needed.
+
+    Rows are 4-byte aligned and bottom-up when height > 0 (the common
+    layout); top-down (negative height) is handled too.  Palette, RLE, and
+    bitfield BMPs return None and the caller falls back to the stand-in.
+    """
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (hdr_size,) = struct.unpack("<I", b[14:18])
+    if hdr_size < 40:  # BITMAPCOREHEADER lacks the compression field
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    planes, bpp = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    if w * h * 3 > 1 << 28:  # 256 MB decoded cap, mirrors _png_pixels
+        return None
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    if data_off + stride * h > len(b):
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * nbytes].reshape(h, w, nbytes)
+    if not top_down:
+        px = px[::-1]
+    # BMP stores BGR(A); emit RGB
+    return px[:, :, 2::-1].copy()
+
+
+def _wav_samples(b: bytes) -> np.ndarray | None:
+    """Decode WAV PCM samples to a (n_frames, channels) float64 array in
+    [-1, 1] — pure struct+numpy, no audio library (PCM is just raw ints).
+
+    Supports format 1 (integer PCM: u8, i16, i32) and format 3 (float32/
+    float64).  Compressed formats (ADPCM, mp3-in-wav, ...) return None and
+    the caller falls back to the stand-in feature.
+    """
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt = 12, None
+    data_off = data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= len(b):
+            audio_fmt, channels = struct.unpack("<HH", b[i + 8 : i + 12])
+            bits, = struct.unpack("<H", b[i + 22 : i + 24])
+            fmt = (audio_fmt, channels, bits)
+        elif cid == b"data":
+            data_off, data_size = i + 8, size
+        i += 8 + size + (size & 1)
+    if fmt is None or data_off is None:
+        return None
+    audio_fmt, channels, bits = fmt
+    if not channels:
+        return None
+    data_size = min(data_size, len(b) - data_off)
+    dtypes = {(1, 8): "u1", (1, 16): "<i2", (1, 32): "<i4",
+              (3, 32): "<f4", (3, 64): "<f8"}
+    dt = dtypes.get((audio_fmt, bits))
+    if dt is None:
+        return None
+    width = bits // 8
+    n = data_size // (width * channels) * channels
+    if n == 0:
+        return np.zeros((0, channels))
+    raw = np.frombuffer(b, dtype=dt, count=n, offset=data_off)
+    if audio_fmt == 1:
+        if bits == 8:  # u8 PCM is offset-binary around 128
+            x = (raw.astype(np.float64) - 128.0) / 128.0
+        else:
+            x = raw.astype(np.float64) / float(2 ** (bits - 1))
+    else:
+        x = raw.astype(np.float64)
+    return x.reshape(-1, channels)
+
+
+def audio_feature(samples: np.ndarray) -> list[float]:
+    """FEATURE_DIM-dim descriptor from REAL audio samples (channel-mean
+    mono mix): RMS, peak, mean, std, zero-crossing rate + 3-bin
+    |amplitude| histogram fractions.  Content-derived and deterministic —
+    the audio analogue of :func:`pixel_feature`."""
+    mono = samples.mean(axis=1) if samples.size else np.zeros(1)
+    n = mono.size
+    zc = float(np.count_nonzero(np.diff(np.signbit(mono)))) / max(n - 1, 1)
+    hist, _ = np.histogram(np.abs(mono), bins=3, range=(0.0, 1.0))
+    frac = hist / max(n, 1)
+    return [
+        round(float(np.sqrt(np.mean(mono**2))), 9),
+        round(float(np.max(np.abs(mono))), 9),
+        round(float(mono.mean()), 9),
+        round(float(mono.std()), 9),
+        round(zc, 9),
+        *(round(float(x), 9) for x in frac),
+    ]
+
+
 def _parse_wav(b: bytes) -> dict | None:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
@@ -359,11 +466,13 @@ def header_decode(content: bytes, modality: str) -> dict:
     """DEFAULT decoder: real metadata from container headers (pure Python —
     PNG/JPEG/GIF/BMP dimensions, WAV duration, MP4 dimensions+duration),
     falling back to :func:`deterministic_fake_decode` for unrecognized
-    payloads.  For PNGs the feature vector is computed from REAL decoded
-    pixels (:func:`_png_pixels` → :func:`pixel_feature`: luminance
-    mean/std/min/max + histogram).  Formats needing an entropy codec
-    (JPEG/GIF/MP4 — no media libs in this env) keep the BLAKE2b-derived
-    stand-in feature, which a learned embedding would replace.
+    payloads.  Feature vectors come from REAL content wherever no entropy
+    codec is needed: PNG and uncompressed BMP pixels
+    (:func:`_png_pixels` / :func:`_bmp_pixels` → :func:`pixel_feature`)
+    and WAV PCM samples (:func:`_wav_samples` → :func:`audio_feature`).
+    Formats that genuinely need a codec (JPEG/GIF/MP4 — no media libs in
+    this env) keep the BLAKE2b-derived stand-in feature, which a learned
+    embedding would replace.
     """
     for sniff in _SNIFFERS:
         parsed = sniff(content)
@@ -373,6 +482,14 @@ def header_decode(content: bytes, modality: str) -> dict:
                 px = _png_pixels(content)
                 if px is not None:
                     feature = pixel_feature(px)
+            elif sniff is _parse_bmp:
+                px = _bmp_pixels(content)
+                if px is not None:
+                    feature = pixel_feature(px)
+            elif sniff is _parse_wav:
+                s = _wav_samples(content)
+                if s is not None and s.size:
+                    feature = audio_feature(s)
             if feature is None:
                 feature = deterministic_fake_decode(content, modality)[
                     "feature"

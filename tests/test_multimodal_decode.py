@@ -355,3 +355,86 @@ def test_resize_images_real_nearest_neighbor(spark):
     out = resize_images(assets, width=2, height=1).collect()[0]
     px = _png_pixels(bytes(out.content))
     assert px.reshape(-1).tolist() == [0, 200]
+
+
+def make_bmp_pixels(rows_rgb) -> bytes:
+    """Real 24-bit BI_RGB BMP: rows_rgb is [[(r,g,b), ...], ...] top-down."""
+    h = len(rows_rgb)
+    w = len(rows_rgb[0])
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))  # BGR on disk
+        line += b"\x00" * (stride - len(line))
+        body += line
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    filehdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    return bytes(filehdr + dib + body)
+
+
+def test_bmp_pixels_real_decode():
+    from lab_etl_spark.multimodal.columns import _bmp_pixels
+
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    px = _bmp_pixels(make_bmp_pixels(rows))
+    assert px is not None and px.shape == (2, 2, 3)
+    assert px.tolist() == [[list(p) for p in r] for r in rows]
+    # header-only fixture (no pixel data) -> None, caller falls back
+    assert _bmp_pixels(make_bmp(800, 600)) is None
+
+
+def test_header_decode_bmp_features_are_pixel_stats():
+    # half black / half white rows: luminance mean 0.5, hist [.5,0,0,.5]
+    rows = [[(0, 0, 0), (0, 0, 0)], [(255, 255, 255), (255, 255, 255)]]
+    d = header_decode(make_bmp_pixels(rows), "image")
+    assert (d["width"], d["height"]) == (2, 2)
+    f = d["feature"]
+    assert f[0] == 0.5 and f[2] == 0.0 and f[3] == 1.0
+    assert f[4:] == [0.5, 0.0, 0.0, 0.5]
+    # header-only BMP (no pixels): falls back to the labeled stand-in
+    blob = make_bmp(8, 8)
+    assert (
+        header_decode(blob, "image")["feature"]
+        == deterministic_fake_decode(blob, "image")["feature"]
+    )
+
+
+def make_wav_pcm(frames, rate: int = 8000, channels: int = 1) -> bytes:
+    """Real 16-bit PCM WAV from a list of int16 frames (interleaved)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(struct.pack("<%dh" % len(frames), *frames))
+    return buf.getvalue()
+
+
+def test_wav_samples_real_decode():
+    from lab_etl_spark.multimodal.columns import _wav_samples
+
+    # full-scale alternating square wave
+    wav = make_wav_pcm([16384, -16384] * 8)
+    s = _wav_samples(wav)
+    assert s is not None and s.shape == (16, 1)
+    assert abs(s[0, 0] - 0.5) < 1e-9 and abs(s[1, 0] + 0.5) < 1e-9
+    # stereo interleave
+    st = _wav_samples(make_wav_pcm([100, -100, 200, -200], channels=2))
+    assert st is not None and st.shape == (2, 2)
+    assert st[0, 0] > 0 > st[0, 1]
+
+
+def test_header_decode_wav_features_are_sample_stats():
+    wav = make_wav_pcm([16384, -16384] * 8)  # |x| = 0.5 everywhere
+    d = header_decode(wav, "audio")
+    f = d["feature"]
+    assert abs(f[0] - 0.5) < 1e-9  # RMS
+    assert abs(f[1] - 0.5) < 1e-9  # peak
+    assert abs(f[2]) < 1e-9  # mean ~ 0
+    assert f[4] == 1.0  # zero-crossing every step
+    assert f[5:] == [0.0, 1.0, 0.0]  # all |x| in the middle third
+    # silence (the make_wav fixture) keeps real features too: all-zero
+    dz = header_decode(make_wav(0.5), "audio")
+    assert dz["feature"][:4] == [0.0, 0.0, 0.0, 0.0]
