@@ -108,6 +108,12 @@ _WINDOW_FRONT = [
     "q_doc_source_stats",
     "q_sequence_budget",
     "q_dedup_cross_source",
+    "q_customer_order_counts",
+    "q_small_qty_revenue",
+    "q_idle_customers",
+    "q_nation_year_profit",
+    "q_disjunctive_join",
+    "q_multimodal_decode",
 ]
 
 
@@ -124,6 +130,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         dedup,
         instruments,
+        multimodal_q,
         relational,
         scale,
         similarity,

@@ -364,3 +364,230 @@ def q_sequence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.sum(F.expr(cap) - F.col("n_tokens")).alias("padding_waste"),
     )
+
+
+@register(
+    "q_customer_order_counts",
+    priority=1,
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey AS custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 adaptation: customer order-count distribution — an "
+    "outer join that MUST keep zero-order customers, then a two-level "
+    "aggregation (per-customer count, then histogram of counts).  Both "
+    "aggregates are integer-exact; the second groupBy input is one row "
+    "per customer, so the second shuffle is tiny.  The join predicate "
+    "on o_orderpriority lives in the join condition, not a post-filter "
+    "(a post-filter would turn the outer join inner).",
+)
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_small_qty_revenue",
+    priority=1,
+    oracle=f"""
+    WITH thr AS (
+      SELECT l_partkey AS t_partkey,
+             {davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ROUND({dsum('l_extendedprice', 4)} / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thr ON t_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.5 * avg_qty
+    """,
+    doc="TPC-H Q17 adaptation: small-quantity order revenue — a "
+    "correlated-average filter (lineitems under half their part's mean "
+    "quantity) expressed as an aggregate + self-join, NOT a per-row "
+    "subquery.  The per-part threshold table is |parts|-sized and "
+    "broadcast; the mean uses decimal accumulation so both engines "
+    "compute a bit-identical threshold (no boundary flicker).",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    )
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.expr(davg("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thr), li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.expr(dsum("l_extendedprice", 4)) / 7.0, 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q_idle_customers",
+    priority=1,
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {davg('c_acctbal')} AS v FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {dsum('c_acctbal', 4)} AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.v
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="TPC-H Q22 adaptation: high-balance customers with no urgent "
+    "orders — a scalar subquery (global decimal-exact average, broadcast "
+    "as a 1-row cross join) feeding an anti join against a filtered "
+    "orders subset, then a per-segment rollup.  The anti join's build "
+    "side is pre-filtered to urgent orders only (~20% of the table) "
+    "before the shuffle.",
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.expr(davg("c_acctbal")).alias("v")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("v"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(dsum("c_acctbal", 4)).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_nation_year_profit",
+    priority=1,
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+           {dsum('l_extendedprice * (1 - l_discount)', 6)} AS profit
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN part     ON p_partkey = l_partkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 adaptation: supplier-nation profit by order year for a "
+    "part-name pattern — a 5-way star join (fact + 4 dims) with a "
+    "non-sargable LIKE that still prunes the part dim before the join, "
+    "plus date-part extraction.  nation is broadcast; supplier/part "
+    "join via shuffle so the plan survives dims that scale with the "
+    "fact table (AQE may still elect broadcast at small SF).",
+)
+def q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias(
+                "profit"
+            )
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q_disjunctive_join",
+    priority=1,
+    oracle=f"""
+    SELECT {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 adaptation: disjunctive multi-attribute join filter "
+    "(OR of brand/size/quantity conjunctions).  The equi-key "
+    "(p_partkey = l_partkey) is conjunct with the whole disjunction, so "
+    "Catalyst plans a hash join on the key with the OR as a post-join "
+    "filter — not a cartesian product; per-branch single-table "
+    "predicates (brand/size, quantity ranges) are also pushed to both "
+    "scans as an OR-union filter.",
+)
+def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 30))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -1,0 +1,47 @@
+"""Driver-visible multimodal query: decode a deterministic synthetic asset
+table and profile it per modality.
+
+No DuckDB oracle is possible — the asset payloads are binary columns
+decoded by a mapInPandas kernel (multimodal/columns.py), which SQL cannot
+express — so this registers as a rows-only check; the value-level pins
+live in tests/test_multimodal_decode.py and
+tests/test_streaming_multimodal.py (fixture-pinned real header/pixel/PCM
+decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..multimodal.columns import decode_assets, make_asset_table
+from . import register
+
+
+@register(
+    "q_multimodal_decode",
+    oracle=None,  # binary mapInPandas decode: not SQL-expressible
+    priority=1,
+    bench=False,  # synthetic in-memory table, not an sf-scaled scan
+    doc="Multimodal asset profiling: binary image/audio/video columns -> "
+    "one Arrow-batched mapInPandas decode (real header/pixel/PCM decode "
+    "where no codec is needed) -> per-modality rollup of dimensions, "
+    "duration, and the first feature component.  Payloads never leave "
+    "the executors; the aggregate sees only flat decoded columns.",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = make_asset_table(spark, n=96)
+    decoded = decode_assets(assets)
+    return (
+        decoded.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.round(F.avg("duration_s"), 6).alias("avg_duration_s"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias(
+                "avg_feature0"
+            ),
+        )
+        .orderBy("modality")
+    )

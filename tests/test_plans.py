@@ -169,6 +169,12 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_top_supplier    — the one-row MAX(total_revenue) scalar broadcast
 #                       back over the per-supplier aggregate; the revenue
 #                       aggregation stays hash-partitioned on suppkey.
+#   q_small_qty_revenue / q_disjunctive_join — the single-row global
+#                       revenue result itself; the join + partial
+#                       aggregation below it stay fully parallel.
+#   q_idle_customers  — the one-row average-balance scalar broadcast into
+#                       the cross join; the anti join + per-segment
+#                       aggregate stay hash-partitioned.
 _SINGLE_PARTITION_OK = {
     "q_interp_linear",
     "q_scalar_subquery",
@@ -176,6 +182,9 @@ _SINGLE_PARTITION_OK = {
     "q_tfidf",
     "q_promo_revenue",
     "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_disjunctive_join",
+    "q_idle_customers",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
