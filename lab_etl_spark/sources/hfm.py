@@ -230,42 +230,46 @@ _SCAN_SCHEMA = StructType(
 )
 
 
+def hfm_parse_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Arrow-batched whole-file parse kernel: (path, content) rows →
+    unified-schema data rows.  Shared by the batch scan (:func:`scan_hfm`)
+    and the streaming ingest (streaming/jobs.py ``instrument_ingest``), so
+    both paths decode byte-identically."""
+    for pdf in batches:
+        out: list[dict[str, Any]] = []
+        for path, content in zip(pdf["path"], pdf["content"]):
+            meta, rows = parse_hfm_text(
+                bytes(content).decode("utf-16-le", errors="replace")
+            )
+            for r in rows:
+                out.append(
+                    {
+                        "source_file": path,
+                        "run_mode": meta.get("type"),
+                        "sample_id": meta.get("sample_id"),
+                        **r,
+                    }
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in _SCAN_SCHEMA.fields])
+
+
+def apply_hfm_units(df: DataFrame) -> DataFrame:
+    return with_units(df, {**CONDUCTIVITY_UNITS, **HEAT_CAPACITY_UNITS})
+
+
 def scan_hfm(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed multi-file scan: ``binaryFile`` source → per-file parse in
     ``mapInPandas`` (Arrow-batched; one Python call per file partition, not
     per row).  Unified superset schema across both run modes — nulls where a
     mode lacks the column, exactly how a lake table unions heterogeneous
     instrument runs."""
-
-    def parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict[str, Any]] = []
-            for path, content in zip(pdf["path"], pdf["content"]):
-                meta, rows = parse_hfm_text(
-                    bytes(content).decode("utf-16-le", errors="replace")
-                )
-                for r in rows:
-                    out.append(
-                        {
-                            "source_file": path,
-                            "run_mode": meta.get("type"),
-                            "sample_id": meta.get("sample_id"),
-                            **r,
-                        }
-                    )
-            yield pd.DataFrame(
-                out, columns=[f.name for f in _SCAN_SCHEMA.fields]
-            )
-
     binary = spark.read.format("binaryFile").load(path_glob)
     return (
         binary.select("path", "content")
-        .mapInPandas(parse_batch, _SCAN_SCHEMA)
-        .transform(
-            lambda df: with_units(
-                df, {**CONDUCTIVITY_UNITS, **HEAT_CAPACITY_UNITS}
-            )
-        )
+        .mapInPandas(hfm_parse_batch, _SCAN_SCHEMA)
+        .transform(apply_hfm_units)
     )
 
 

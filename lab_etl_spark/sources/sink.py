@@ -45,3 +45,115 @@ def write_csv_debug(
     """
     out = df.coalesce(1) if single_file else df
     out.write.mode(mode).option("header", True).csv(path)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for a (possibly partitioned) parquet lake table.
+
+    Streaming ingest and frequent appends fragment a lake into many small
+    files; at scale the per-file open/footer cost dominates scans long
+    before data size does.  This rewrites the table so each partition holds
+    ``ceil(partition_bytes / target_bytes)`` files:
+
+      1. file census from the hidden ``_metadata`` column (one metadata-only
+         scan — no data read);
+      2. one shuffle job: hash-repartition on (partition cols, bounded
+         salt), where the per-partition salt modulus is its target file
+         count — each (partition, salt) bucket becomes exactly one output
+         file, so file sizes land near the target without a per-partition
+         driver loop;
+      3. write to a staging directory, then swap directories.
+
+    The swap (step 3) is the local-filesystem stand-in for a metastore/
+    transaction-log commit — on a real lake this final step is a Delta/
+    Iceberg rewrite commit (atomic by log append); everything before it is
+    the scale-correct single-job plan either way.  Readers mid-swap see the
+    old or new listing, never a mix, only if the rename is atomic (true on
+    POSIX for same-filesystem renames).
+
+    Returns ``{"files_before", "files_after", "bytes"}``.
+    """
+    import math
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    census = (
+        spark.read.parquet(path)
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .groupBy("fp")
+        .agg(F.first("sz").alias("sz"))
+        .collect()
+    )  # one row per FILE (not per data row) — driver-safe at any row scale
+    files_before = len(census)
+    total_bytes = sum(r["sz"] for r in census)
+
+    df = spark.read.parquet(path)
+    partition_cols = partition_cols or []
+    if partition_cols:
+        # Per-PARTITION salt modulus: each partition's target file count is
+        # ceil(partition_bytes / target), computed in one metadata-weighted
+        # aggregate and broadcast-joined back — a single uniform modulus
+        # would spread small partitions over max-target files and re-create
+        # the fragmentation being fixed.
+        part_targets = (
+            df.select(
+                *partition_cols,
+                F.col("_metadata.file_path").alias("fp"),
+                F.col("_metadata.file_size").alias("sz"),
+            )
+            .groupBy(*partition_cols, "fp")
+            .agg(F.first("sz").alias("sz"))
+            .groupBy(*partition_cols)
+            .agg(
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.sum("sz") / F.lit(float(target_bytes))),
+                ).alias("_n_target")
+            )
+        )
+        data_cols = df.columns
+        salt = F.abs(F.hash(*[F.col(c) for c in data_cols])) % F.col(
+            "_n_target"
+        )
+        staged = (
+            df.join(F.broadcast(part_targets), partition_cols)
+            .withColumn("_salt", salt)
+            .repartition(*partition_cols, "_salt")
+            .drop("_n_target", "_salt")
+        )
+    else:
+        n_target = max(1, math.ceil(total_bytes / target_bytes))
+        staged = df.repartition(n_target)
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    writer = staged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+    files_after = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .distinct()
+        .count()
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }
