@@ -114,6 +114,7 @@ _WINDOW_FRONT = [
     "q_nation_year_profit",
     "q_disjunctive_join",
     "q_multimodal_decode",
+    "q_window_distribution",
 ]
 
 

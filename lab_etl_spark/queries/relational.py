@@ -651,3 +651,43 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_entries"),
         F.element_at(m, F.lit("k")).alias("k_value"),
     )
+
+
+@register(
+    "q_window_distribution",
+    priority=1,
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           LAG(value, 1) OVER w AS prev_value,
+           LEAD(value, 1) OVER w AS next_value,
+           value - LAG(value, 1) OVER w AS delta_prev
+    FROM events
+    WHERE user_id % 100 = 7
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="Distribution/navigation window battery: ntile quartiles, "
+    "percent_rank, cume_dist, lag/lead and a first-difference — all "
+    "rank-arithmetic (exact integer ratios) or identity value moves, so "
+    "cross-engine exact with no decimal accumulation needed.  One "
+    "partitioned sort, no global window; the user_id sample filter is "
+    "pushed to the scan.",
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 100 == 7
+    )
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    prev = F.lag("value", 1).over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        prev.alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - prev).alias("delta_prev"),
+    )
