@@ -1,0 +1,105 @@
+"""Z-order (Morton-curve) clustering for lake writes: multi-column data
+skipping without a table format.
+
+Sorting a table by one column tightens parquet min/max footer stats for
+that column only; a range filter on any OTHER column still touches every
+file.  Interleaving the bits of several columns' rank-buckets produces a
+space-filling-curve key whose contiguous ranges are small hyper-rectangles
+in the original column space — range-partitioning files by that key gives
+every z-ordered column tight per-file bounds, so selective filters on ANY
+of them concentrate their rows in a few files (parquet row-group pruning
+then skips the rest; a file-index layer like Delta/Iceberg would skip
+whole files from the same stats).
+
+Buckets are QUANTILE ranks, not linear min/max scaling: real columns are
+skewed (the sf0.1 ``events.value`` packs 27% of rows into the lowest 5%
+of its range), and linear buckets collapse most of a skewed column into a
+handful of codes, destroying curve resolution exactly where the data is.
+One ``approxQuantile`` pass per z-ordered column (driver gets 2^bits - 1
+doubles — bounded, scale-safe) yields boundaries; the per-row bucket is a
+codegen ``aggregate`` over the broadcast literal boundary array.  This is
+the same rank-based design as Delta's OPTIMIZE ZORDER
+(range_partition_id), expressed with open Spark APIs.
+
+All pure Catalyst: one quantile pass, one range-shuffle write, bit
+arithmetic unrolled into a codegen expression.  No reference analogue
+(lab-etl writes one file per instrument run); this is lake-layout
+infrastructure for the 100 TB regime.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits per dimension: 8 -> 256 rank buckets per column, z-key fits in a
+#: BIGINT for up to 8 columns.  File-level clustering saturates long before
+#: bucket resolution does, so more bits only lengthen the codegen expr.
+DEFAULT_BITS = 8
+
+
+def _quantile_bucket(col: Column, boundaries: list[float]) -> Column:
+    """Rank bucket = number of quantile boundaries <= value, computed by a
+    codegen ``aggregate`` over a literal boundary array (O(2^bits) compares
+    per row, all JVM-side).  NULLs sort to bucket 0."""
+    arr = F.lit(boundaries)  # broadcast literal, one copy per plan
+    cnt = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(col.cast("double") >= b, 1).otherwise(0),
+    )
+    return F.coalesce(cnt, F.lit(0)).cast("bigint")
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Column:
+    """Morton key column over ``cols`` (numeric), bits interleaved
+    round-robin so every column gets equal weight in the curve.
+
+    Runs one multi-column ``approxQuantile`` job on ``df`` (a bounded
+    sketch aggregate — no row data reaches the driver) to learn per-column
+    rank boundaries; the returned Column must be used against ``df`` or a
+    distribution-compatible derivative.
+    """
+    n_buckets = 1 << bits
+    probs = [(i + 1) / n_buckets for i in range(n_buckets - 1)]
+    # relativeError trades sketch size for boundary precision; 1/(4*buckets)
+    # keeps adjacent buckets distinct without an expensive exact pass.
+    all_bounds = df.approxQuantile(cols, probs, 1.0 / (4 * n_buckets))
+    buckets = [
+        _quantile_bucket(F.col(c), bounds)
+        for c, bounds in zip(cols, all_bounds)
+    ]
+    ndim = len(cols)
+    parts = [
+        F.shiftleft(
+            F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * ndim + i
+        )
+        for i, b in enumerate(buckets)
+        for bit in range(bits)
+    ]
+    return reduce(lambda a, x: a.bitwiseOR(x), parts)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = DEFAULT_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned along the
+    z-curve of ``cols``: one range shuffle (sampled bounds, same mechanism
+    as a global sort) and an in-partition sort to tighten row-group stats
+    within each file."""
+    z = zorder_key(df, cols, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
