@@ -115,6 +115,7 @@ _WINDOW_FRONT = [
     "q_disjunctive_join",
     "q_multimodal_decode",
     "q_window_distribution",
+    "q_zorder_skipping",
 ]
 
 

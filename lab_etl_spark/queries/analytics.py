@@ -591,3 +591,52 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+#: scratch lake the z-order query rewrites at runtime (gitignored); the
+#: oracle reads the ORIGINAL events table — parity proves the clustered
+#: rewrite is row-preserving under a selective read-back.
+_ZORDER_SCRATCH = "/root/repo/spark-warehouse/events_zorder"
+
+
+@register(
+    "q_zorder_skipping",
+    priority=1,
+    bench=False,  # dominated by the rewrite's disk I/O, not query compute
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           {dsum('value')} AS sum_value
+    FROM events
+    WHERE user_id <= 7 AND value <= 5.0
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Z-order lake layout end-to-end (operators/zorder.py): rewrite "
+    "events range-partitioned along the Morton curve of (user_id, value) "
+    "with quantile rank buckets, then answer a two-dimensional selective "
+    "filter from the READ-BACK files.  Parity vs the oracle over the "
+    "original table proves the clustered rewrite loses/duplicates nothing; "
+    "the data-skipping payoff (a ~5%-selective filter on either dimension "
+    "touches <=1/4 of the files vs ~all under a random layout) is pinned "
+    "by tests/test_zorder.py via _metadata.file_path.  At 100 TB the "
+    "rewrite is one range shuffle, and every file carries tight min/max "
+    "footer stats on BOTH columns for row-group pruning.",
+)
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    write_zordered(ev, _ZORDER_SCRATCH, ["user_id", "value"], n_files=16)
+    back = spark.read.parquet(_ZORDER_SCRATCH)
+    return (
+        back.filter((F.col("user_id") <= 7) & (F.col("value") <= 5.0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value")).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
