@@ -116,6 +116,8 @@ _WINDOW_FRONT = [
     "q_multimodal_decode",
     "q_window_distribution",
     "q_zorder_skipping",
+    "q_frequent_ngrams",
+    "q_jsonl_roundtrip",
 ]
 
 

@@ -640,3 +640,50 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: scratch JSONL export the roundtrip query rewrites at runtime (gitignored)
+_JSONL_SCRATCH = "/root/repo/spark-warehouse/documents_jsonl"
+
+#: 32-bit md5-derived content hash of the text column, one expression per
+#: engine, identical value (same idiom as operators/dedup.py MINHASH_BASE_*)
+_TEXT_H32_SPARK = "CAST(CONV(SUBSTRING(MD5(text), 1, 8), 16, 10) AS BIGINT)"
+_TEXT_H32_DUCK = "CAST(('0x' || SUBSTRING(MD5(text), 1, 8)) AS BIGINT)"
+
+
+@register(
+    "q_jsonl_roundtrip",
+    priority=1,
+    bench=False,  # dominated by the export's disk I/O, not query compute
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           bit_xor({_TEXT_H32_DUCK}) AS text_checksum
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="JSONL export/ingest fidelity (the interchange format of LLM data "
+    "pipelines): write documents as snappy-less JSON lines with an explicit "
+    "schema, read them back through a schema-pinned distributed scan (no "
+    "inference job), and aggregate per source with an order-independent "
+    "bit_xor content checksum over an md5-derived 32-bit text hash.  "
+    "Parity vs the oracle over the ORIGINAL parquet proves the JSON "
+    "encode/decode round-trip preserves every document byte-exactly "
+    "(escapes, unicode, newlines) — not just row counts.  Map-only write "
+    "+ one agg shuffle; at 100 TB the export shards embarrassingly.",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(_JSONL_SCRATCH)
+    back = spark.read.schema(docs.schema).json(_JSONL_SCRATCH)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.expr(f"bit_xor({_TEXT_H32_SPARK})").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )

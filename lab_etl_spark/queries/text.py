@@ -617,3 +617,52 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.size("fails") == 0, 1).otherwise(0).alias("keep"),
         F.concat_ws(",", "fails").alias("drop_reasons"),
     )
+
+
+@register(
+    "q_frequent_ngrams",
+    priority=1,
+    oracle="""
+    WITH words AS (
+      SELECT string_split_regex(trim(lower(regexp_replace(trim(text),
+             '\\s+', ' ', 'g'))), ' ') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS ngram
+      FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 2
+    )
+    SELECT ngram, COUNT(*) AS n
+    FROM grams
+    GROUP BY ngram
+    ORDER BY n DESC, ngram
+    LIMIT 25
+    """,
+    doc="Corpus heavy-hitters: top-25 word bigrams by raw frequency "
+    "(vocabulary/boilerplate analysis — the corpus-level twin of the "
+    "per-doc q_text_repetition gate).  One codegen explode feeds a "
+    "hash aggregate with map-side partial combine (the bigram space is "
+    "Zipfian, so partial aggregation collapses the hot head before the "
+    "shuffle), and the top-25 is TakeOrderedAndProject — no global "
+    "sort.  At 100 TB this is one scan + one agg shuffle of the "
+    "distinct-bigram set, not the token stream.",
+)
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.expr("lower(regexp_replace(trim(text), '\\\\s+', ' '))"), " "
+    )
+    grams = F.expr(
+        "transform(sequence(1, size(_w) - 1),"
+        " i -> concat_ws(' ', slice(_w, i, 2)))"
+    )
+    return (
+        docs.select(words.alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "ngram")
+        .limit(25)
+    )
