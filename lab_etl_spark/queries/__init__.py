@@ -118,6 +118,10 @@ _WINDOW_FRONT = [
     "q_zorder_skipping",
     "q_frequent_ngrams",
     "q_jsonl_roundtrip",
+    # de-vacuized this round (were 0-row == 0-row in r2, now return real
+    # rows) — must re-appear in the driver file to prove the fix
+    "q_anti_join",
+    "q_dedup_embedding",
 ]
 
 

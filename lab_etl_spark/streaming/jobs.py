@@ -27,33 +27,47 @@ from pyspark.sql.types import (
 
 from ..session import tune
 
-#: events.parquet physical schema — ts is INT64 TIMESTAMP(NANOS), which the
-#: session-wide nanosAsLong conf scans as a long (see catalog.load_table).
-EVENTS_PHYSICAL_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_physical_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+#: events.parquet physical schema when ts is INT64 TIMESTAMP(NANOS), which
+#: the session-wide nanosAsLong conf scans as a long (see catalog.load_table).
+EVENTS_PHYSICAL_SCHEMA = _events_physical_schema(LongType())
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (ns→µs ts conversion as in
-    the batch catalog)."""
+    """File-source stream over the events table, normalized like the batch
+    catalog: a one-file batch probe decides whether ``ts`` scans as a long
+    (nanos parquet → ns→µs integer division) or as a native timestamp
+    (micros parquet → read directly).  readStream needs the schema up front,
+    so the probe replaces catalog.load_table's dtype sniff."""
     tune(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_PHYSICAL_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    probe = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)
+    ts_is_long = probe.get("ts") == "bigint"
     # Watermarks require TIMESTAMP (tz-aware); session tz is pinned UTC so
     # values match the batch catalog's TIMESTAMP_NTZ.  Window bounds are
     # cast back to ntz on output (below) for batch-comparability.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    schema = _events_physical_schema(
+        LongType() if ts_is_long else TimestampType()
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
