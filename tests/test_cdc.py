@@ -1,0 +1,120 @@
+"""MERGE/upsert semantics: the generic operator (operators/cdc.py), the
+registered q_cdc_merge query (oracle parity covered by test_oracle_parity),
+and the streaming foreachBatch upsert vs its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lab_etl_spark.operators.cdc import merge_upsert
+
+
+def test_merge_upsert_actions(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "b2", 21.0),   # matched update
+            (3, "D", None, None),   # matched delete
+            (4, "I", "d", 40.0),    # unmatched insert
+            (5, "U", "e", 50.0),    # unmatched update -> upsert insert
+            (6, "D", None, None),   # unmatched delete -> no-op
+        ],
+        "k long, op string, name string, v double",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(base, changes, key="k").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 21.0),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }
+
+
+def test_merge_upsert_idempotent_redelivery(spark):
+    """Applying the same change batch twice yields the same table (the
+    at-least-once delivery guarantee a CDC consumer needs)."""
+    base = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [(1, "U", 9.0), (3, "I", 3.0), (2, "D", None)],
+        "k long, op string, v double",
+    )
+    once = merge_upsert(base, changes, key="k")
+    twice = merge_upsert(once, changes, key="k")
+    assert sorted(map(tuple, once.collect())) == sorted(
+        map(tuple, twice.collect())
+    ) == [(1, 9.0), (3, 3.0)]
+
+
+def test_streaming_upsert_matches_batch_latest(spark, sf_dir, tmp_path):
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.streaming.jobs import (
+        latest_per_user,
+        stream_events,
+        upsert_latest,
+    )
+
+    table_dir = str(tmp_path / "latest_state")
+    q = upsert_latest(
+        stream_events(spark, sf_dir),
+        table_dir,
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+        for r in spark.read.parquet(table_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+        for r in latest_per_user(ev).collect()
+    }
+    assert len(want) > 0 and got == want
+
+
+def test_streaming_upsert_incremental_batches(spark, sf_dir, tmp_path):
+    """Two successive availableNow runs over a growing directory converge to
+    the same state as one batch pass (merge across micro-batch boundaries)."""
+    import shutil
+    from pyspark.sql import DataFrame
+
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.streaming.jobs import latest_per_user, upsert_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def _stream() -> DataFrame:
+        return spark.readStream.schema(ev.schema).parquet(src)
+
+    half1.write.mode("overwrite").parquet(src + "/b1")
+    q = upsert_latest(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"), table_dir, ckpt
+    )
+    assert q.awaitTermination(300)
+    half2.write.mode("overwrite").parquet(src + "/b2")
+    q = upsert_latest(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"), table_dir, ckpt
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(table_dir).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
+    }
+    assert got == want

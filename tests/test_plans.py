@@ -175,7 +175,13 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_idle_customers  — the one-row average-balance scalar broadcast into
 #                       the cross join; the anti join + per-segment
 #                       aggregate stay hash-partitioned.
+#   q_global_share    — the global-revenue scalar re-aggregates the <=25-row
+#                       per-nation result; the data-sized aggregation below
+#                       stays hash-partitioned on s_nationkey.
+#   q_source_mix_weights — same shape: 1-row total over |sources| rows.
 _SINGLE_PARTITION_OK = {
+    "q_global_share",
+    "q_source_mix_weights",
     "q_interp_linear",
     "q_scalar_subquery",
     "q_funnel",
