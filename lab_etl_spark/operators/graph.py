@@ -1,0 +1,73 @@
+"""Join-based iterative graph algorithms (PageRank).
+
+Complements the connected-components family in operators/dedup.py: CC covers
+converge-by-fixpoint label propagation; PageRank is the fixed-iteration
+numeric kind.  Both are expressed as DataFrame joins/aggregations so Catalyst
+handles distribution — the standard formulation for Pregel-less engines.
+
+Determinism: per-target contribution sums accumulate in DECIMAL(38,9)
+(order-independent) and cast back to DOUBLE, so results are bit-identical
+across partitionings, engines, and cluster sizes.  Scale 9 — not higher —
+because DuckDB casts double→decimal by multiplying by 10^scale IN DOUBLE and
+rounding: once the product nears 2^53 the cast diverges from Spark's
+(shortest-decimal-string) path.  Contributions are ≤ 1, so scale 9 keeps
+products ≤ 1e9 where both casts agree — which is what lets the
+registered query (queries/advanced.py q_pagerank) be value-checked against a
+DuckDB oracle that unrolls the same iterations.
+
+Scale: each iteration is one join (edges ⋈ ranks, both hash-partitioned on
+src — AQE reuses the layout) plus one aggregation shuffled on dst.  For long
+iteration counts, persist/checkpoint `edges` and truncate rank lineage the
+way operators/dedup.py does; for the fixed small iteration counts used here
+the composed plan is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: exact accumulator for rank contributions — same SQL text runs in DuckDB
+CONTRIB_SUM = "CAST(SUM(CAST((pr / d) AS DECIMAL(38,9))) AS DOUBLE)"
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """PageRank over a directed edge list (`src`, `dst` string ids).
+
+    Every vertex must appear as a source at least once (true for the
+    undirected/bidirectional graphs this repo builds); dangling-mass
+    redistribution is deliberately out of scope.  Returns (id, pr) after
+    ``iters`` synchronous iterations from a uniform start.
+
+    ``edges`` and the degree table are persisted: every iteration joins
+    against both, and the per-iteration broadcast of the vertex-count scalar
+    would otherwise recompute the whole edge derivation each time (measured
+    36.7 s -> 2.0 s warm at sf0.1 for 3 iterations over the quarter-filtered
+    lineitem graph; the first execution still pays ~9 s of stage/codegen
+    warmup for the composed 3-iteration plan).
+    """
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    pr = (
+        deg.select(F.col("src").alias("id"))
+        .crossJoin(F.broadcast(n))
+        .select("id", (F.lit(1.0) / F.col("n")).alias("pr"))
+    )
+    for _ in range(iters):
+        pr = (
+            edges.join(pr, edges.src == pr.id)
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.expr(CONTRIB_SUM).alias("_c"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                "id",
+                (
+                    (1.0 - damping) / F.col("n") + damping * F.col("_c")
+                ).alias("pr"),
+            )
+        )
+    return pr

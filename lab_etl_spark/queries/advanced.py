@@ -544,3 +544,140 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return merge_upsert(cust, upd.unionByName(ins), key="c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative numeric graph algorithm)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled-iteration DuckDB twin of operators/graph.pagerank — same
+    double arithmetic (all literals forced to DOUBLE; DuckDB would otherwise
+    treat 0.85 as DECIMAL and diverge) and the same DECIMAL(38,9)
+    contribution accumulator, so ranks are bit-identical."""
+    sql = """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1995-04-01'
+    ),
+    edges AS (
+      SELECT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM pairs
+      UNION ALL
+      SELECT 'p' || CAST(l_partkey AS VARCHAR),
+             's' || CAST(l_suppkey AS VARCHAR)
+      FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nv AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (
+      SELECT deg.src AS id, CAST(1.0 AS DOUBLE) / nv.n AS pr
+      FROM deg CROSS JOIN nv
+    )"""
+    for k in range(iters):
+        sql += f""",
+    pr{k + 1} AS (
+      SELECT e.dst AS id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nv.n
+               + CAST(0.85 AS DOUBLE)
+               * CAST(SUM(CAST((p.pr / dg.d) AS DECIMAL(38,9))) AS DOUBLE)
+               AS pr
+      FROM edges e
+      JOIN pr{k} p ON p.id = e.src
+      JOIN deg dg ON dg.src = e.src
+      CROSS JOIN nv
+      GROUP BY e.dst, nv.n
+    )"""
+    return sql + f"\n    SELECT id, pr FROM pr{iters}"
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank (3 synchronous iterations, d=0.85) over the bidirectional "
+    "supplier<->part co-occurrence graph from distinct lineitem pairs -- "
+    "the fixed-iteration numeric complement to the connected-components "
+    "family (operators/dedup.py).  Each iteration is one edges-to-ranks "
+    "hash join plus one dst-keyed aggregation whose contribution sum "
+    "accumulates in DECIMAL(38,9), making ranks bit-identical across "
+    "engines, partitionings, and cluster sizes (the oracle unrolls the "
+    "same iterations).  At scale: persist the edge list and checkpoint "
+    "rank lineage every ~10 rounds, as the CC operator does.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    # one quarter of co-occurrences: the graph stays thousands of vertices
+    # while the distinct + per-iteration fixed costs stay benchmarkable;
+    # the operator itself has no such restriction.
+    pairs = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    fwd = pairs.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    rev = pairs.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(fwd.unionByName(rev), iters=3, damping=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE-lite CEP)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_event_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST((length(s) - length(regexp_replace(s, 'cp', '', 'g'))) / 2
+                AS BIGINT) AS n_click_then_purchase
+    FROM seq
+    """,
+    doc="Complex-event-processing lite: per user, order the event stream "
+    "(ts, event_id tie-break), encode it as a type-initial string, and "
+    "count click-immediately-followed-by-purchase occurrences via global "
+    "regex erasure -- MATCH_RECOGNIZE semantics from portable primitives.  "
+    "One shuffle on user_id; the in-group sort is array_sort over a "
+    "collected struct array, bounded by per-user activity (chunk by "
+    "(user, week) for unbounded histories at 100 TB).  Arbitrary "
+    "regex patterns over the encoded sequence come free.",
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            "",
+            F.expr(
+                "transform(array_sort(collect_list(struct("
+                "ts, event_id, substring(event_type, 1, 1) AS c))),"
+                " x -> x.c)"
+            ),
+        ).alias("s"),
+    )
+    hits = (
+        F.length("s") - F.length(F.regexp_replace("s", "cp", ""))
+    ) / 2
+    return seq.select(
+        "user_id", "n_events", hits.cast("bigint").alias("n_click_then_purchase")
+    )

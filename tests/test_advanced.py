@@ -93,3 +93,38 @@ def test_source_mix_weights_sum_to_one(spark, sf_dir):
     # weight * actual_frac == target uniform share for every source
     for r in rows:
         assert abs(r["weight"] * r["actual_frac"] - 1.0 / len(rows)) < 1e-4
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Without dangling nodes, total rank mass stays ~1 after 3 iterations."""
+    rows = REGISTRY["q_pagerank"].fn(spark, sf_dir).collect()
+    total = sum(r["pr"] for r in rows)
+    assert abs(total - 1.0) < 1e-6 and len(rows) > 0
+    assert all(r["pr"] > 0 for r in rows)
+
+
+def test_event_pattern_counts_vs_python(spark, sf_dir):
+    """Re-derive click->purchase adjacency counts in plain Python."""
+    from lab_etl_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        seqs.setdefault(r["user_id"], []).append(r["event_type"][0])
+    want = {
+        u: sum(
+            1
+            for i in range(len(s) - 1)
+            if s[i] == "c" and s[i + 1] == "p"
+        )
+        for u, s in seqs.items()
+    }
+    got = {
+        r["user_id"]: r["n_click_then_purchase"]
+        for r in REGISTRY["q_event_pattern"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -179,7 +179,11 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #                       per-nation result; the data-sized aggregation below
 #                       stays hash-partitioned on s_nationkey.
 #   q_source_mix_weights — same shape: 1-row total over |sources| rows.
+#   q_pagerank        — the broadcast 1-row vertex-count scalar (per
+#                       iteration); the edge joins and contribution
+#                       aggregations stay hash-partitioned on src/dst.
 _SINGLE_PARTITION_OK = {
+    "q_pagerank",
     "q_global_share",
     "q_source_mix_weights",
     "q_interp_linear",
