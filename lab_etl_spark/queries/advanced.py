@@ -681,3 +681,166 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.select(
         "user_id", "n_events", hits.cast("bigint").alias("n_click_then_purchase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on the lake (mergeSchema read over heterogeneous batches)
+# ---------------------------------------------------------------------------
+
+_EVO_SCRATCH = "/root/repo/spark-warehouse/schema_evo"
+
+
+@register(
+    "q_schema_evolution",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS props
+      FROM events WHERE event_type = 'click'
+    ),
+    v2 AS (
+      SELECT event_id, user_id, value, props
+      FROM events WHERE event_type = 'purchase'
+    ),
+    merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           COUNT(props) AS n_with_props,
+           {dsum('value')} AS sum_value
+    FROM merged GROUP BY user_id
+    """,
+    doc="Lake schema evolution: an early-schema batch (no props column) and "
+    "a later-schema batch land as separate parquet directories; one "
+    "mergeSchema read unions them with NULL back-fill and downstream "
+    "aggregation sees a single evolved schema -- how a 100 TB lake absorbs "
+    "producer schema changes without rewriting history.  The oracle "
+    "replays the same union from the source table, so parity proves the "
+    "disk round-trip (write -> merged read) preserved values, types, and "
+    "NULL semantics.  Per-batch directories keep footer reads bounded; at "
+    "scale the merged schema comes from the table catalog, not a "
+    "footer sweep.",
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+    v2 = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value", "props"
+    )
+    v1.write.mode("overwrite").parquet(f"{_EVO_SCRATCH}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{_EVO_SCRATCH}/batch=2")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(_EVO_SCRATCH)
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("props").alias("n_with_props"),
+        F.expr(dsum("value")).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics battery (null-safe join, NULLIF/COALESCE, COUNT(col))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH segs AS (
+      SELECT NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+      FROM customer
+    ),
+    dim AS (
+      SELECT DISTINCT NULLIF(c_mktsegment, 'BUILDING') AS seg,
+             COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNSEGMENTED')
+               AS label
+      FROM customer
+    )
+    SELECT d.label, COUNT(*) AS n, COUNT(s.seg) AS n_nonnull_key
+    FROM segs s JOIN dim d ON s.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.label
+    """,
+    doc="NULL-semantics battery: NULLIF manufactures a NULL group key, the "
+    "join runs NULL-SAFE (Spark <=> / eqNullSafe vs SQL IS NOT DISTINCT "
+    "FROM -- a regular join would silently drop the NULL group), COALESCE "
+    "restores a label, and COUNT(*) vs COUNT(col) pins the "
+    "NULL-counting difference.  The null-safe equality compiles to an "
+    "ordinary hash join key (knownfloatingpointnormalized coalesce trick) "
+    "-- no skew, no fallback to nested-loop.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    segs = cust.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    dim = (
+        cust.select(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+        )
+        .distinct()
+        .select(
+            "seg", F.coalesce("seg", F.lit("UNSEGMENTED")).alias("label")
+        )
+    )
+    return (
+        segs.join(F.broadcast(dim), segs.seg.eqNullSafe(dim.seg))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(segs.seg).alias("n_nonnull_key"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (blocked Levenshtein pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS a_key, b.p_partkey AS b_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    doc="Fuzzy entity matching: near-identical part names within a brand "
+    "block via Levenshtein distance <= 2 -- the blocked edit-distance "
+    "pattern for catalog/entity dedup where token-level (shingle/minhash) "
+    "dedup is too coarse.  The brand equi-key makes it a hash join with "
+    "candidate pairs bounded by the largest block, never an all-pairs "
+    "product; the key inequality halves the pair space.  Both engines' "
+    "Levenshtein are the same integer DP, so results are exact.  At 100 TB "
+    "block on a stronger key (brand x name-length-bucket x first-char).",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.join(b, "brand")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(dist <= 2)
+        .select(
+            "brand",
+            "a_key",
+            "b_key",
+            dist.cast("int").alias("dist"),
+        )
+    )
