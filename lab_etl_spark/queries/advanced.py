@@ -844,3 +844,107 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking with overlap (RAG/window preprocessing)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap
+
+
+@register(
+    "q_doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_id,
+           CAST(len(ws) AS INTEGER) AS doc_tokens,
+           array_to_string(list_slice(ws, i * {CHUNK_STRIDE} + 1,
+                                      i * {CHUNK_STRIDE} + {CHUNK_TOKENS}),
+                           ' ') AS chunk_text
+    FROM toks,
+         UNNEST(generate_series(0,
+           CAST(ceil(greatest(len(ws) - {CHUNK_TOKENS}, 0)
+                     / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT))) AS t(i)
+    """,
+    doc=f"Overlapping-window document chunking ({CHUNK_TOKENS}-token chunks, "
+    f"{CHUNK_STRIDE}-token stride): the retrieval/embedding preprocessing "
+    "step that turns each document into deterministic chunk rows with "
+    "stable (doc_id, chunk_id) keys.  Pure codegen -- split once, "
+    "explode a computed chunk-index sequence, slice the token array per "
+    "chunk; map-only (zero exchanges), so it scales linearly with corpus "
+    "bytes and parallelizes per input split at 100 TB.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k, s = CHUNK_TOKENS, CHUNK_STRIDE
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " +").alias("ws")
+    )
+    n_chunks = F.expr(
+        f"CAST(ceil(greatest(size(ws) - {k}, 0) / CAST({s} AS DOUBLE))"
+        " AS BIGINT)"
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_chunks)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            F.size("ws").cast("int").alias("doc_tokens"),
+            F.concat_ws(
+                " ", F.slice("ws", F.col("i") * s + 1, k)
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group fixed-k sample
+# ---------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 3
+
+
+@register(
+    "q_group_sample",
+    oracle=f"""
+    SELECT event_type, event_id, user_id, value
+    FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn
+      FROM events
+    )
+    WHERE rn <= {GROUP_SAMPLE_K}
+    """,
+    doc=f"Deterministic per-group fixed-k sample ({GROUP_SAMPLE_K} rows per "
+    "event_type, md5-rank order): 'show me K examples per class' for "
+    "debugging/eval-set construction, reproducible across engines, runs, "
+    "and cluster sizes because the order is a content hash, not a scan "
+    "order.  One window shuffle on the group key; at 100 TB swap "
+    "ROW_NUMBER for a per-partition top-K heap (the rank filter pushes "
+    "into TakeOrdered per group via AQE) if groups are huge.",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GROUP_SAMPLE_K)
+        .select("event_type", "event_id", "user_id", "value")
+    )

@@ -118,3 +118,38 @@ def test_streaming_upsert_incremental_batches(spark, sf_dir, tmp_path):
         r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
     }
     assert got == want
+
+
+def test_merge_upsert_property_random_batches(spark):
+    """Property: merge_upsert over arbitrary op sequences matches a plain
+    dict replay (hypothesis-style randomized cases, fixed seeds)."""
+    import random
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        base_rows = [(k, float(rng.randint(0, 99))) for k in range(12)]
+        state = dict(base_rows)
+        df = spark.createDataFrame(base_rows, "k long, v double")
+        for _ in range(3):
+            batch = []
+            for _ in range(8):
+                k = rng.randint(0, 19)
+                op = rng.choice(["U", "D", "I"])
+                v = float(rng.randint(100, 999))
+                batch.append((k, op, v))
+            # dict replay of the documented semantics: last op per key wins
+            # within a batch is NOT assumed — make keys unique per batch to
+            # keep semantics well-defined (real CDC batches are key-deduped)
+            dedup = {}
+            for k, op, v in batch:
+                dedup[k] = (op, v)
+            batch = [(k, op, v) for k, (op, v) in dedup.items()]
+            for k, op, v in batch:
+                if op == "D":
+                    state.pop(k, None)
+                else:
+                    state[k] = v
+            ch = spark.createDataFrame(batch, "k long, op string, v double")
+            df = merge_upsert(df, ch, key="k")
+        got = {r["k"]: r["v"] for r in df.collect()}
+        assert got == state, f"seed {seed}: {got} != {state}"
