@@ -27,9 +27,17 @@ NORMALIZE_SQL = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
 def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document.
 
+    The input fans out first (catalog.fan_out): the shingle explode
+    multiplies the source ~n·|words|×, and on a single-row-group dim it
+    would otherwise serialize into the one-task scan stage (measured -20%
+    to -30% on the minhash/jaccard pipelines at sf0.1; structural no-op on
+    already-split sources).
+
     Docs shorter than ``n`` words produce no shingles (matches the oracle's
     empty generate_series).
     """
+    from ..catalog import fan_out
+
     norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
     words = F.split(F.expr(norm), " ")
     shingles = F.expr(
@@ -37,7 +45,7 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
         f" i -> concat_ws(' ', slice(_w, i, {n})))"
     )
     return (
-        docs.select("doc_id", words.alias("_w"))
+        fan_out(docs).select("doc_id", words.alias("_w"))
         .filter(F.size("_w") >= n)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )

@@ -804,12 +804,14 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_fuzzy_match",
     oracle="""
-    SELECT a.p_brand AS brand,
-           a.p_partkey AS a_key, b.p_partkey AS b_key,
-           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    SELECT brand, a_key, b_key, dist FROM (
+      SELECT a.p_brand AS brand,
+             a.p_partkey AS a_key, b.p_partkey AS b_key,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+    ) WHERE dist <= 2
     """,
     doc="Fuzzy entity matching: near-identical part names within a brand "
     "block via Levenshtein distance <= 2 -- the blocked edit-distance "
@@ -832,17 +834,29 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("b_key"),
         F.col("p_name").alias("b_name"),
     )
-    dist = F.levenshtein("a_name", "b_name")
+    # |len diff| <= 2 is a necessary condition for lev <= 2 and costs O(1)
+    # per pair vs the O(len^2) DP, so it gates the expensive call; compute
+    # the distance ONCE (withColumn, then filter) -- the naive
+    # filter(lev<=2).select(lev) shape evaluates the DP twice per pair.
+    #
+    # The driver-side repartition matters on THIS dataset: part.parquet is a
+    # single row group, so the probe side of the broadcast join would be ONE
+    # task computing all ~8M pair DPs serially.  Round-robin repartitioning
+    # the 20k probe rows (any partitioning works under a broadcast join)
+    # spreads the O(|block|^2) work across the cluster -- at real scale the
+    # source has many splits and this is a no-op-sized insurance shuffle.
     return (
-        a.join(b, "brand")
+        a.repartition(32)
+        .join(b, "brand")
         .filter(F.col("a_key") < F.col("b_key"))
-        .filter(dist <= 2)
-        .select(
-            "brand",
-            "a_key",
-            "b_key",
-            dist.cast("int").alias("dist"),
+        .filter(
+            F.abs(F.length("a_name") - F.length("b_name")) <= 2
         )
+        .withColumn(
+            "dist", F.levenshtein("a_name", "b_name").cast("int")
+        )
+        .filter(F.col("dist") <= 2)
+        .select("brand", "a_key", "b_key", "dist")
     )
 
 

@@ -244,7 +244,12 @@ def q_text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the pipeline exactly), pick argmax lang with a deterministic tie-break.",
 )
 def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..catalog import fan_out
+
+    # single-row-group insurance: the trigram explode below is ~300x the
+    # source bytes and must not serialize into a one-task scan stage
+    # (3.4 s -> 1.2 s at sf0.1; no-op on multi-split sources)
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     # Per-language character-trigram profile (top hashed trigram buckets),
     # then each doc votes for the language whose profile overlaps most.
     # length >= 3 guard matters: Spark's sequence(1, 0) is the DESCENDING
