@@ -124,6 +124,13 @@ _WINDOW_FRONT = [
     "q_dedup_embedding",
 ]
 
+# ROUND-4 ROTATION DUTY: the late-round-3 queries/advanced.py additions past
+# slot 50 have never been driver-checked (all green in the local twin at
+# sf0.01): q_global_share, q_scd2_build, q_vocab_oov, q_source_mix_weights,
+# q_cdc_merge, q_pagerank, q_event_pattern, q_schema_evolution,
+# q_null_semantics, q_fuzzy_match, q_doc_chunking, q_group_sample, and the
+# rows-only q_hll_rollup.  Front them next round, back-filled with veterans.
+
 
 def load_all() -> dict[str, Query]:
     """Import every query module and return the registry, ordered so the

@@ -88,8 +88,9 @@ def q_argmin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("partkey"),
         "p_name",
         F.col("l_suppkey").alias("best_suppkey"),
-        # no ROUND here: davg is already bit-identical cross-engine, and
-        # ROUND itself is NOT (Spark half-up vs DuckDB half-even at .5 ulps)
+        # no ROUND here: the sum/sum ratio is already bit-identical
+        # cross-engine, and ROUND itself is NOT (Spark half-up vs DuckDB
+        # half-even at .5 ulps)
         "unit_price",
     )
 
