@@ -9,7 +9,7 @@ video) — no media library needed.  Content decode is REAL wherever the
 format needs no entropy codec: PNG pixels (stdlib zlib + filter undo),
 uncompressed BMP pixels, and WAV PCM samples all produce features computed
 from actual content (:func:`pixel_feature`, :func:`audio_feature`).  Only
-formats that genuinely require a codec (JPEG/GIF/MP4 payloads — no media
+formats that genuinely require a codec (JPEG/MP4 payloads — no media
 libs in this env) keep the clearly-marked BLAKE2b stand-in feature via
 :func:`deterministic_fake_decode`.  Swapping in a full decoder
 (Pillow/ffmpeg/torchaudio) changes one constructor argument and nothing
@@ -104,8 +104,9 @@ def deterministic_fake_decode(content: bytes, modality: str) -> dict:
 # layouts, so no codec is needed to extract them.  PNG goes further: the
 # pixel data itself is just zlib + per-scanline filters (both stdlib), so
 # PNG features are computed from REAL decoded pixels (`_png_pixels` +
-# `pixel_feature`).  Formats that need an entropy codec (JPEG/GIF/MP4)
-# keep the BLAKE2b feature stand-in.
+# `pixel_feature`).  GIF's LZW is simple enough to decode in pure Python
+# too (`_gif_pixels`).  Only formats whose codecs are genuinely out of
+# reach without media libraries (JPEG/MP4) keep the BLAKE2b stand-in.
 
 #: PNG color type → sample channels (PNG spec, IHDR color type field)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -268,6 +269,135 @@ def _parse_gif(b: bytes) -> dict | None:
         return None
     w, h = struct.unpack("<HH", b[6:10])
     return {"width": w, "height": h, "n_channels": 3}
+
+
+def _gif_pixels(b: bytes) -> np.ndarray | None:
+    """Decode the FIRST frame of a GIF to (h, w, 3) uint8 RGB in pure
+    Python — GIF's only codec is LZW (variable 3..12-bit codes, little-
+    endian bit packing), which needs no media library.
+
+    Handles global/local color tables, interlaced row order, and the
+    full clear/end/grow LZW state machine; animation beyond frame 1,
+    and malformed streams, return None (caller falls back).
+    """
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw, sh = struct.unpack("<HH", b[6:10])
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    try:
+        while pos < len(b):
+            blk = b[pos]
+            if blk == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while b[pos] != 0:
+                    pos += 1 + b[pos]
+                pos += 1
+            elif blk == 0x2C:  # image descriptor
+                _, _, w, h = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+                ipacked = b[pos + 9]
+                pos += 10
+                ct = gct
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 0x07)
+                    ct = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+                    pos += 3 * n
+                if ct is None or w == 0 or h == 0 or w * h * 3 > 1 << 28:
+                    return None
+                min_code = b[pos]
+                pos += 1
+                data = bytearray()
+                while b[pos] != 0:
+                    ln = b[pos]
+                    data += b[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _gif_lzw(bytes(data), min_code, w * h)
+                if idx is None:
+                    return None
+                img = idx.reshape(h, w)
+                if ipacked & 0x40:  # interlaced: 4-pass row order
+                    out = np.empty_like(img)
+                    rows = np.concatenate(
+                        [
+                            np.arange(0, h, 8),
+                            np.arange(4, h, 8),
+                            np.arange(2, h, 4),
+                            np.arange(1, h, 2),
+                        ]
+                    )
+                    out[rows] = img
+                    img = out
+                return ct[np.minimum(img, len(ct) - 1)]
+            else:  # 0x3B trailer or junk
+                return None
+    except (IndexError, struct.error):
+        return None
+    return None
+
+
+def _gif_lzw(data: bytes, min_code: int, npix: int) -> np.ndarray | None:
+    """GIF LZW decode → uint8 index array of length ``npix``."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    size = min_code + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= size:
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            bits -= size
+            if code == clear:
+                table = list(base)
+                size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                if len(out) < npix:
+                    return None
+                return np.array(out[:npix], np.uint8)
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    return None
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + [entry[0]])
+            elif code == len(table):
+                entry = prev + [prev[0]]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) >= npix:
+                return np.array(out[:npix], np.uint8)
+            prev = entry
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+    return np.array(out[:npix], np.uint8) if len(out) >= npix else None
+
+
+def _image_pixels(b: bytes) -> np.ndarray | None:
+    """Decode any codec-free (or pure-Python-decodable) image payload to an
+    (h, w, c) uint8 array: PNG, GIF (LZW), uncompressed BMP."""
+    for dec in (_png_pixels, _gif_pixels, _bmp_pixels):
+        px = dec(b)
+        if px is not None:
+            return px
+    return None
 
 
 def _parse_bmp(b: bytes) -> dict | None:
@@ -469,8 +599,9 @@ def header_decode(content: bytes, modality: str) -> dict:
     payloads.  Feature vectors come from REAL content wherever no entropy
     codec is needed: PNG and uncompressed BMP pixels
     (:func:`_png_pixels` / :func:`_bmp_pixels` → :func:`pixel_feature`)
+    GIF LZW frames (:func:`_gif_pixels` → :func:`pixel_feature`),
     and WAV PCM samples (:func:`_wav_samples` → :func:`audio_feature`).
-    Formats that genuinely need a codec (JPEG/GIF/MP4 — no media libs in
+    Formats that genuinely need a codec (JPEG/MP4 — no media libs in
     this env) keep the BLAKE2b-derived stand-in feature, which a learned
     embedding would replace.
     """
@@ -480,6 +611,10 @@ def header_decode(content: bytes, modality: str) -> dict:
             feature = None
             if sniff is _parse_png:
                 px = _png_pixels(content)
+                if px is not None:
+                    feature = pixel_feature(px)
+            elif sniff is _parse_gif:
+                px = _gif_pixels(content)
                 if px is not None:
                     feature = pixel_feature(px)
             elif sniff is _parse_bmp:
@@ -607,8 +742,9 @@ def resize_images(
     pass, binary in → binary out, schema preserved (``ASSET_SCHEMA``), no
     payload ever leaves the executors.  Decodable PNG inputs get REAL
     nearest-neighbor resampling of their decoded luminance plane
-    (:func:`_png_pixels`), re-encoded by :func:`_write_png_gray`.  Inputs
-    needing an entropy codec (JPEG/GIF — no codec libs in this env) fall
+    (:func:`_image_pixels`: PNG, GIF, uncompressed BMP), re-encoded by
+    :func:`_write_png_gray`.  Inputs
+    needing an entropy codec (JPEG — no codec libs in this env) fall
     back to the labeled stand-in: BLAKE2b-derived pixels tiled to
     width*height, still packed into a genuine PNG so downstream
     ``decode_assets`` reads back the target dimensions from a real header.
@@ -637,7 +773,7 @@ def resize_images(
                         }
                     )
                     continue
-                src = _png_pixels(bytes(content))
+                src = _image_pixels(bytes(content))
                 if src is not None:
                     # REAL nearest-neighbor resample of the decoded
                     # luminance plane.

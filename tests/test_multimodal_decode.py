@@ -438,3 +438,147 @@ def test_header_decode_wav_features_are_sample_stats():
     # silence (the make_wav fixture) keeps real features too: all-zero
     dz = header_decode(make_wav(0.5), "audio")
     assert dz["feature"][:4] == [0.0, 0.0, 0.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW content decode (real pixels, pure Python)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(indices, min_code):
+    """Reference GIF LZW compressor (dictionary growth, 12-bit cap,
+    mid-stream clear) — exercises every decoder state transition."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code, sz):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += sz
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code, size = end + 1, min_code + 1
+    emit(clear, size)
+    prefix = ()
+    for px in indices:
+        cand = prefix + (px,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << size) and size < 12:
+            size += 1
+        if next_code == 4096:
+            emit(clear, size)
+            table = {(i,): i for i in range(clear)}
+            next_code, size = end + 1, min_code + 1
+        prefix = (px,)
+    if prefix:
+        emit(table[prefix], size)
+    emit(end, size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif_full(w, h, indices, palette, min_code=2, interlace=False):
+    gct_bits = 0
+    while (2 << gct_bits) < len(palette):
+        gct_bits += 1
+    gct = bytearray()
+    for r, g, b in palette:
+        gct += bytes([r, g, b])
+    gct += b"\x00" * (3 * ((2 << gct_bits) - len(palette)))
+    hdr = (
+        b"GIF89a"
+        + struct.pack("<HH", w, h)
+        + bytes([0x80 | gct_bits, 0, 0])
+        + gct
+    )
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control, skipped
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes(
+        [0x40 if interlace else 0]
+    )
+    data = _lzw_compress(indices, min_code)
+    sub = b"".join(
+        bytes([len(data[i : i + 255])]) + data[i : i + 255]
+        for i in range(0, len(data), 255)
+    )
+    return hdr + ext + img + bytes([min_code]) + sub + b"\x00" + b"\x3b"
+
+
+_GIF_PALETTE = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+
+
+def test_gif_pixels_roundtrip():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import _gif_pixels
+
+    rng = np.random.RandomState(42)
+    for w, h in [(8, 6), (64, 48), (127, 33)]:
+        idx = ((np.arange(w * h) // 7) % 4).tolist()
+        repl = rng.randint(0, 4, len(idx[::13])).tolist()
+        idx[::13] = repl
+        gif = make_gif_full(w, h, idx, _GIF_PALETTE)
+        px = _gif_pixels(gif)
+        want = np.array([_GIF_PALETTE[i] for i in idx], np.uint8).reshape(
+            h, w, 3
+        )
+        assert px is not None and (px == want).all(), (w, h)
+
+
+def test_gif_pixels_interlaced():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import _gif_pixels
+
+    w, h = 64, 32
+    idx = ((np.arange(w * h) // 5) % 4).tolist()
+    pass_rows = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    stored = [idx[r * w + c] for r in pass_rows for c in range(w)]
+    gif = make_gif_full(w, h, stored, _GIF_PALETTE, interlace=True)
+    px = _gif_pixels(gif)
+    want = np.array([_GIF_PALETTE[i] for i in idx], np.uint8).reshape(h, w, 3)
+    assert px is not None and (px == want).all()
+
+
+def test_gif_feature_is_pixel_derived():
+    """header_decode on a decodable GIF must emit pixel statistics, not the
+    BLAKE2b stand-in."""
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import (
+        header_decode,
+        pixel_feature,
+    )
+
+    w, h = 16, 12
+    idx = [(x * y) % 4 for y in range(h) for x in range(w)]
+    gif = make_gif_full(w, h, idx, _GIF_PALETTE)
+    d = header_decode(gif, "image")
+    want = np.array([_GIF_PALETTE[i] for i in idx], np.uint8).reshape(h, w, 3)
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["feature"] == pixel_feature(want)
+
+
+def test_gif_truncated_stream_falls_back():
+    from lab_etl_spark.multimodal.columns import _gif_pixels, header_decode
+
+    gif = make_gif_full(16, 12, [0] * (16 * 12), _GIF_PALETTE)
+    broken = gif[: len(gif) // 2]
+    assert _gif_pixels(broken) is None
+    d = header_decode(gif[:20] + b"\x00", "image")  # header ok, body junk
+    assert d["width"] == 16  # header still parsed, stand-in feature used
