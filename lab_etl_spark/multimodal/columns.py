@@ -733,6 +733,105 @@ def _write_png_gray(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+def _write_gif_indexed(
+    width: int, height: int, indices: list[int], palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Minimal valid GIF89a writer (pure Python LZW compressor).
+
+    Together with :func:`_gif_pixels` this closes the GIF round-trip without
+    any media library — used by :func:`make_asset_table` so the synthetic
+    lake contains REAL decodable GIF payloads.
+    """
+    min_code = 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, sz: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += sz
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code, size = end + 1, min_code + 1
+    emit(clear, size)
+    prefix: tuple[int, ...] = ()
+    for px in indices:
+        cand = prefix + (px,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << size) and size < 12:
+            size += 1
+        if next_code == 4096:
+            emit(clear, size)
+            table = {(i,): i for i in range(clear)}
+            next_code, size = end + 1, min_code + 1
+        prefix = (px,)
+    if prefix:
+        emit(table[prefix], size)
+    emit(end, size)
+    if nbits:
+        out.append(acc & 0xFF)
+    gct_bits = 1  # 4-entry table
+    gct = bytearray()
+    for r, g, b in palette[:4]:
+        gct += bytes([r, g, b])
+    gct += b"\x00" * (12 - len(gct))
+    sub = b"".join(
+        bytes([len(out[i : i + 255])]) + bytes(out[i : i + 255])
+        for i in range(0, len(out), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x80 | gct_bits, 0, 0])
+        + gct
+        + b"\x2c"
+        + struct.pack("<HHHH", 0, 0, width, height)
+        + b"\x00"
+        + bytes([min_code])
+        + sub
+        + b"\x00\x3b"
+    )
+
+
+def _write_bmp_rgb(width: int, height: int, px: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (bottom-up, 4-byte row pad)."""
+    stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = px[r, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + bytes(body)
+
+
+def _write_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal PCM16 mono WAV writer (struct only)."""
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def resize_images(
     assets: DataFrame, width: int, height: int
 ) -> DataFrame:
@@ -805,16 +904,51 @@ def resize_images(
 
 
 def make_asset_table(spark, n: int = 64) -> DataFrame:
-    """Deterministic synthetic asset table (no real media libs in env)."""
+    """Deterministic synthetic asset table.
+
+    Four of every six payloads are REAL decodable containers written by the
+    pure-Python writers in this module (gray PNG, 4-color GIF, 24-bit BMP,
+    PCM16 WAV) so the decode pipeline exercises its actual pixel/sample
+    paths; the remaining two are labeled opaque blobs standing in for
+    entropy-coded media (JPEG-like image, MP4-like video) that route
+    through the BLAKE2b fallback."""
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
     rows = []
     for i in range(n):
-        modality = ["image", "audio", "video"][i % 3]
-        content = hashlib.blake2b(str(i).encode(), digest_size=64).digest() * (
-            1 + i % 7
-        )
-        rows.append(
-            (i, modality, f"application/x-fake-{modality}", bytearray(content), "{}")
-        )
+        w, h = 8 + i % 9, 6 + i % 7
+        seed = hashlib.blake2b(str(i).encode(), digest_size=32).digest()
+        kind = i % 6
+        if kind == 0:
+            gray = bytes(
+                seed[(x * y + i) % len(seed)] for y in range(h) for x in range(w)
+            )
+            row = (i, "image", "image/png",
+                   bytearray(_write_png_gray(w, h, gray)), "{}")
+        elif kind == 1:
+            idx = [(x + y + i) % 4 for y in range(h) for x in range(w)]
+            row = (i, "image", "image/gif",
+                   bytearray(_write_gif_indexed(w, h, idx, palette)), "{}")
+        elif kind == 2:
+            px = np.frombuffer(
+                (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3], np.uint8
+            ).reshape(h, w, 3)
+            row = (i, "image", "image/bmp",
+                   bytearray(_write_bmp_rgb(w, h, px)), "{}")
+        elif kind == 3:
+            t = np.arange(800 + 100 * (i % 5))
+            samples = (3000 * np.sin(t * (0.02 + 0.003 * (i % 11)))).astype(
+                np.int16
+            )
+            row = (i, "audio", "audio/wav",
+                   bytearray(_write_wav_pcm16(samples)), "{}")
+        else:
+            modality = "image" if kind == 4 else "video"
+            content = hashlib.blake2b(
+                str(i).encode(), digest_size=64
+            ).digest() * (1 + i % 7)
+            row = (i, modality, f"application/x-fake-{modality}",
+                   bytearray(content), "{}")
+        rows.append(row)
     return spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8, "asset_id")
 
 

@@ -582,3 +582,36 @@ def test_gif_truncated_stream_falls_back():
     assert _gif_pixels(broken) is None
     d = header_decode(gif[:20] + b"\x00", "image")  # header ok, body junk
     assert d["width"] == 16  # header still parsed, stand-in feature used
+
+
+def test_asset_table_mixes_real_containers(spark):
+    """make_asset_table emits real decodable payloads for 4 of 6 kinds; the
+    decode pipeline must produce pixel/sample-derived features for them."""
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import (
+        _gif_pixels,
+        _image_pixels,
+        decode_assets,
+        make_asset_table,
+        pixel_feature,
+    )
+
+    assets = make_asset_table(spark, n=12)
+    raw = {r["asset_id"]: bytes(r["content"]) for r in assets.collect()}
+    decoded = {r["asset_id"]: r for r in decode_assets(assets).collect()}
+    mimes = {
+        r["asset_id"]: r["mime_type"]
+        for r in assets.select("asset_id", "mime_type").collect()
+    }
+    n_real_images = 0
+    for aid, mime in mimes.items():
+        if mime in ("image/png", "image/gif", "image/bmp"):
+            px = _image_pixels(raw[aid])
+            assert px is not None, (aid, mime)
+            assert decoded[aid]["feature"] == pixel_feature(px), (aid, mime)
+            n_real_images += 1
+    assert n_real_images >= 6  # 3 real image kinds x 2 cycles of 6 in n=12
+    # GIF specifically must decode through the LZW path
+    gif_ids = [a for a, m in mimes.items() if m == "image/gif"]
+    assert gif_ids and all(_gif_pixels(raw[a]) is not None for a in gif_ids)
