@@ -6,12 +6,12 @@ signatures — is real and tested.  Metadata extraction is ALSO real: the
 default :func:`header_decode` parses dimensions and duration straight from
 container headers in pure Python (PNG/JPEG/GIF/BMP images, WAV audio, MP4
 video) — no media library needed.  Content decode is REAL wherever the
-format needs no entropy codec: PNG pixels (stdlib zlib + filter undo),
+format is pure-Python-decodable: PNG pixels (stdlib zlib + filter undo),
+GIF (LZW, this repo's decoder), baseline JPEG (Huffman+IDCT, `jpeg.py`),
 uncompressed BMP pixels, and WAV PCM samples all produce features computed
 from actual content (:func:`pixel_feature`, :func:`audio_feature`).  Only
-formats that genuinely require a codec (JPEG/MP4 payloads — no media
-libs in this env) keep the clearly-marked BLAKE2b stand-in feature via
-:func:`deterministic_fake_decode`.  Swapping in a full decoder
+video payloads (MP4/h264 — a real codec stack) keep the clearly-marked
+BLAKE2b stand-in feature via :func:`deterministic_fake_decode`.  Swapping in a full decoder
 (Pillow/ffmpeg/torchaudio) changes one constructor argument and nothing
 else.
 
@@ -104,9 +104,9 @@ def deterministic_fake_decode(content: bytes, modality: str) -> dict:
 # layouts, so no codec is needed to extract them.  PNG goes further: the
 # pixel data itself is just zlib + per-scanline filters (both stdlib), so
 # PNG features are computed from REAL decoded pixels (`_png_pixels` +
-# `pixel_feature`).  GIF's LZW is simple enough to decode in pure Python
-# too (`_gif_pixels`).  Only formats whose codecs are genuinely out of
-# reach without media libraries (JPEG/MP4) keep the BLAKE2b stand-in.
+# `pixel_feature`).  GIF's LZW (`_gif_pixels`) and baseline JPEG
+# (`jpeg.py`: Huffman + dequant + IDCT) decode in pure Python too.  Only
+# MP4/h264 video — a real codec stack — keeps the BLAKE2b stand-in.
 
 #: PNG color type → sample channels (PNG spec, IHDR color type field)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -391,9 +391,11 @@ def _gif_lzw(data: bytes, min_code: int, npix: int) -> np.ndarray | None:
 
 
 def _image_pixels(b: bytes) -> np.ndarray | None:
-    """Decode any codec-free (or pure-Python-decodable) image payload to an
-    (h, w, c) uint8 array: PNG, GIF (LZW), uncompressed BMP."""
-    for dec in (_png_pixels, _gif_pixels, _bmp_pixels):
+    """Decode any pure-Python-decodable image payload to an (h, w, c)
+    uint8 array: PNG, GIF (LZW), uncompressed BMP, baseline JPEG."""
+    from .jpeg import jpeg_pixels
+
+    for dec in (_png_pixels, _gif_pixels, _bmp_pixels, jpeg_pixels):
         px = dec(b)
         if px is not None:
             return px
@@ -600,10 +602,10 @@ def header_decode(content: bytes, modality: str) -> dict:
     codec is needed: PNG and uncompressed BMP pixels
     (:func:`_png_pixels` / :func:`_bmp_pixels` → :func:`pixel_feature`)
     GIF LZW frames (:func:`_gif_pixels` → :func:`pixel_feature`),
+    baseline JPEG (:func:`jpeg.jpeg_pixels` — Huffman + IDCT in numpy),
     and WAV PCM samples (:func:`_wav_samples` → :func:`audio_feature`).
-    Formats that genuinely need a codec (JPEG/MP4 — no media libs in
-    this env) keep the BLAKE2b-derived stand-in feature, which a learned
-    embedding would replace.
+    Only MP4/h264 video keeps the BLAKE2b-derived stand-in feature,
+    which a learned embedding would replace.
     """
     for sniff in _SNIFFERS:
         parsed = sniff(content)
@@ -611,6 +613,12 @@ def header_decode(content: bytes, modality: str) -> dict:
             feature = None
             if sniff is _parse_png:
                 px = _png_pixels(content)
+                if px is not None:
+                    feature = pixel_feature(px)
+            elif sniff is _parse_jpeg:
+                from .jpeg import jpeg_pixels
+
+                px = jpeg_pixels(content)
                 if px is not None:
                     feature = pixel_feature(px)
             elif sniff is _parse_gif:
@@ -841,9 +849,8 @@ def resize_images(
     pass, binary in → binary out, schema preserved (``ASSET_SCHEMA``), no
     payload ever leaves the executors.  Decodable PNG inputs get REAL
     nearest-neighbor resampling of their decoded luminance plane
-    (:func:`_image_pixels`: PNG, GIF, uncompressed BMP), re-encoded by
-    :func:`_write_png_gray`.  Inputs
-    needing an entropy codec (JPEG — no codec libs in this env) fall
+    (:func:`_image_pixels`: PNG, GIF, uncompressed BMP, baseline JPEG),
+    re-encoded by :func:`_write_png_gray`.  Undecodable inputs fall
     back to the labeled stand-in: BLAKE2b-derived pixels tiled to
     width*height, still packed into a genuine PNG so downstream
     ``decode_assets`` reads back the target dimensions from a real header.
@@ -906,12 +913,11 @@ def resize_images(
 def make_asset_table(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic asset table.
 
-    Four of every six payloads are REAL decodable containers written by the
-    pure-Python writers in this module (gray PNG, 4-color GIF, 24-bit BMP,
-    PCM16 WAV) so the decode pipeline exercises its actual pixel/sample
-    paths; the remaining two are labeled opaque blobs standing in for
-    entropy-coded media (JPEG-like image, MP4-like video) that route
-    through the BLAKE2b fallback."""
+    Five of every six payloads are REAL decodable containers written by
+    the pure-Python writers in this repo (gray PNG, 4-color GIF, 24-bit
+    BMP, baseline JPEG, PCM16 WAV) so the decode pipeline exercises its
+    actual pixel/sample paths; the sixth is a labeled opaque blob standing
+    in for video (MP4/h264) that routes through the BLAKE2b fallback."""
     palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
     rows = []
     for i in range(n):
@@ -941,12 +947,19 @@ def make_asset_table(spark, n: int = 64) -> DataFrame:
             )
             row = (i, "audio", "audio/wav",
                    bytearray(_write_wav_pcm16(samples)), "{}")
+        elif kind == 4:
+            from .jpeg import write_jpeg_baseline
+
+            px = np.frombuffer(
+                (seed * ((w * h * 3) // len(seed) + 1))[: w * h * 3], np.uint8
+            ).reshape(h, w, 3)
+            row = (i, "image", "image/jpeg",
+                   bytearray(write_jpeg_baseline(px)), "{}")
         else:
-            modality = "image" if kind == 4 else "video"
             content = hashlib.blake2b(
                 str(i).encode(), digest_size=64
             ).digest() * (1 + i % 7)
-            row = (i, modality, f"application/x-fake-{modality}",
+            row = (i, "video", "application/x-fake-video",
                    bytearray(content), "{}")
         rows.append(row)
     return spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8, "asset_id")

