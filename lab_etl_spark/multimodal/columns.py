@@ -129,11 +129,11 @@ def _png_pixels(b: bytes) -> np.ndarray | None:
     """Decode a non-interlaced 8-bit PNG to a (height, width, channels)
     uint8 array using only stdlib zlib — no media library.
 
-    Handles color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit
-    depth 8, which covers everything :func:`_write_png_gray` emits plus the
-    common web/baseline cases.  Palette (3), sub-byte depths, 16-bit, and
-    interlaced images return None and the caller falls back to the hash
-    stand-in.  Filters None/Up are vectorized; Sub/Average/Paeth carry a
+    Handles color types 0 (gray), 2 (RGB), 3 (palette -> RGB via PLTE),
+    4 (gray+alpha), 6 (RGBA) at bit depth 8, which covers everything
+    :func:`_write_png_gray` emits plus the common web/baseline cases.
+    Sub-byte depths, 16-bit, and interlaced images return None and the
+    caller falls back to the hash stand-in.  Filters None/Up are vectorized; Sub/Average/Paeth carry a
     per-byte left dependency and run as a Python loop over the scanline —
     fine inside a mapInPandas batch, where the per-row cost is dominated by
     zlib anyway.
@@ -144,8 +144,18 @@ def _png_pixels(b: bytes) -> np.ndarray | None:
     if hdr is None or len(b) < 33:
         return None
     bit_depth, color_type, interlace = b[24], b[25], b[28]
-    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 3, 4, 6):
         return None
+    palette = None
+    if color_type == 3:  # indexed: need the PLTE chunk
+        for ctype, cs, ce in _iter_png_chunks(b):
+            if ctype == b"PLTE" and (ce - cs) % 3 == 0:
+                palette = np.frombuffer(
+                    b, np.uint8, ce - cs, cs
+                ).reshape(-1, 3)
+                break
+        if palette is None:
+            return None
     w, h, ch = hdr["width"], hdr["height"], _PNG_CHANNELS[color_type]
     if not w or not h or w * h * ch > 1 << 28:  # 256 MB decoded cap
         return None
@@ -196,7 +206,10 @@ def _png_pixels(b: bytes) -> np.ndarray | None:
             return None
         out[r] = cur
         prev = out[r]
-    return out.reshape(h, w, ch)
+    px = out.reshape(h, w, ch)
+    if color_type == 3:
+        return palette[np.minimum(px[:, :, 0], len(palette) - 1)]
+    return px
 
 
 def _iter_png_chunks(b: bytes):

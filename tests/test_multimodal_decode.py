@@ -698,3 +698,42 @@ def test_jpeg_out_of_coverage_falls_back():
     # truncated stream: decline, not crash
     ok = write_jpeg_baseline(np.zeros((16, 16), np.uint8), 1)
     assert jpeg_pixels(ok[: len(ok) // 3]) is not None or True  # no raise
+
+
+def test_png_palette_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import _png_pixels
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    w, h = 9, 5
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    idx = [(x + y) % 4 for y in range(h) for x in range(w)]
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", b"".join(bytes(c) for c in pal))
+        + chunk(
+            b"IDAT",
+            zlib.compress(
+                b"".join(
+                    b"\x00" + bytes(idx[r * w : (r + 1) * w])
+                    for r in range(h)
+                )
+            ),
+        )
+        + chunk(b"IEND", b"")
+    )
+    px = _png_pixels(png)
+    want = np.array([pal[i] for i in idx], np.uint8).reshape(h, w, 3)
+    assert px is not None and (px == want).all()
