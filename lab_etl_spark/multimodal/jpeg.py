@@ -1,11 +1,11 @@
 """Baseline JPEG codec in pure Python/numpy — no media library.
 
 Coverage (decoder): baseline sequential DCT (SOF0), 8-bit precision,
-Huffman entropy coding, grayscale or YCbCr with UNIFORM sampling factors
-(4:4:4); restart intervals honored.  Progressive (SOF2), arithmetic
-coding, 12-bit, and subsampled (4:2:0/4:2:2) streams return None and the
-caller falls back to the labeled stand-in feature — honest partial
-coverage, extendable.
+Huffman entropy coding, grayscale or YCbCr at 4:4:4, 4:2:0, and 4:2:2
+sampling (nearest-neighbor chroma upsample); restart intervals honored.
+Progressive (SOF2), arithmetic coding, 12-bit, and sampling factors > 2
+return None and the caller falls back to the labeled stand-in feature —
+honest partial coverage, extendable.
 
 The encoder exists so the synthetic asset lake and the tests can produce
 REAL JPEG payloads without Pillow: it writes its own DQT/DHT segments
@@ -216,11 +216,18 @@ def _decode_scan(b, i, frame, qt, huff, smap, dri):
     if not h or not w or h * w * 3 > 1 << 28:
         return None
     hmax = max(c[1] for c in comps)
-    if any(c[1] != hmax or c[2] != c[1] for c in comps) or hmax != 1:
-        return None  # subsampled: out of coverage
-    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        return None  # exotic sampling: out of coverage
+    if any(hmax % c[1] or vmax % c[2] for c in comps):
+        return None
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     br = _BitReader(b[i:])
-    planes = [np.zeros((mcuy * 8, mcux * 8)) for _ in comps]
+    # per-component planes at COMPONENT resolution; upsampled after the scan
+    planes = [
+        np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1])) for c in comps
+    ]
     pred = [0] * len(comps)
     mcu = 0
     try:
@@ -229,33 +236,46 @@ def _decode_scan(b, i, frame, qt, huff, smap, dri):
                 if dri and mcu and mcu % dri == 0:
                     br.resync_to_rst(b, i)
                     pred = [0] * len(comps)
-                for ci, (cid, _, _, tq) in enumerate(comps):
+                for ci, (cid, ch_, cv, tq) in enumerate(comps):
                     dc_t, ac_t = smap[cid]
-                    coef = np.zeros((8, 8))
-                    t = _decode_huff(br, huff[(0, dc_t)])
-                    pred[ci] += _extend(br.bits(t), t)
-                    coef[0, 0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _decode_huff(br, huff[(1, ac_t)])
-                        r, s = rs >> 4, rs & 15
-                        if rs == 0:
-                            break
-                        if rs == 0xF0:
-                            k += 16
-                            continue
-                        k += r
-                        if k > 63:
-                            break
-                        coef[ZIGZAG[k]] = _extend(br.bits(s), s)
-                        k += 1
-                    planes[ci][
-                        my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
-                    ] = _idct(coef * qt[tq]) + 128
+                    for by in range(cv):
+                        for bx in range(ch_):
+                            coef = np.zeros((8, 8))
+                            t = _decode_huff(br, huff[(0, dc_t)])
+                            pred[ci] += _extend(br.bits(t), t)
+                            coef[0, 0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _decode_huff(br, huff[(1, ac_t)])
+                                r, s = rs >> 4, rs & 15
+                                if rs == 0:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    break
+                                coef[ZIGZAG[k]] = _extend(br.bits(s), s)
+                                k += 1
+                            r0 = (my * cv + by) * 8
+                            c0 = (mx * ch_ + bx) * 8
+                            planes[ci][r0 : r0 + 8, c0 : c0 + 8] = (
+                                _idct(coef * qt[tq]) + 128
+                            )
                 mcu += 1
     except (KeyError, ValueError, IndexError):
         return None
-    out = np.stack([p[:h, :w] for p in planes], axis=-1)
+    # nearest-neighbor chroma upsample to full resolution, then crop
+    full = []
+    for ci, (cid, ch_, cv, _) in enumerate(comps):
+        p = planes[ci]
+        if ch_ != hmax:
+            p = np.repeat(p, hmax // ch_, axis=1)
+        if cv != vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        full.append(p[:h, :w])
+    out = np.stack(full, axis=-1)
     out = np.clip(np.round(out), 0, 255).astype(np.uint8)
     if len(comps) == 3:
         y = out[:, :, 0].astype(np.float64)
@@ -330,9 +350,69 @@ def _csize(v: int) -> int:
     return abs(int(v)).bit_length()
 
 
-def write_jpeg_baseline(px: np.ndarray, quant_val: int = 2) -> bytes:
-    """Encode (h, w) gray or (h, w, 3) RGB uint8 as a baseline JFIF JPEG."""
+def _encode_block(bw, block, qtbl, pred, ci, dc_enc, ac_enc):
+    qc = np.round(_fdct(block) / qtbl).astype(int)
+    # the flat AC table tops out at size 10 (|coef| <= 1023); clamp ACs so
+    # extreme blocks stay encodable (DC size 11 always fits: |dc| <=
+    # 1024/quant, diff <= 2047)
+    dc = qc[0, 0]
+    qc = np.clip(qc, -1023, 1023)
+    qc[0, 0] = dc
+    diff = qc[0, 0] - pred[ci]
+    pred[ci] = qc[0, 0]
+    s = _csize(diff)
+    ln, code = dc_enc[s]
+    bw.write(code, ln)
+    if s:
+        v = diff if diff >= 0 else diff + (1 << s) - 1
+        bw.write(v & ((1 << s) - 1), s)
+    zz = [qc[ZIGZAG[k]] for k in range(1, 64)]
+    last_nz = max((k for k, v in enumerate(zz) if v), default=-1)
+    run = 0
+    for k in range(last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = ac_enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _csize(v)
+        ln, code = ac_enc[(run << 4) | s]
+        bw.write(code, ln)
+        vv = v if v >= 0 else v + (1 << s) - 1
+        bw.write(vv & ((1 << s) - 1), s)
+        run = 0
+    if last_nz < 62:
+        ln, code = ac_enc[0x00]
+        bw.write(code, ln)
+
+
+def _pad_plane(p, rows, cols):
+    h, w = p.shape
+    q = np.zeros((rows, cols))
+    q[:h, :w] = p
+    q[h:, :w] = p[-1:, :]
+    q[:, w:] = q[:, w - 1 : w]
+    return q
+
+
+def write_jpeg_baseline(
+    px: np.ndarray, quant_val: int = 2, subsample: int = 1
+) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 as a baseline JFIF JPEG.
+
+    ``subsample=1`` writes 4:4:4; ``subsample=2`` writes 4:2:0 (box-mean
+    chroma downsample, Y sampling factors 2x2) — the layout nearly every
+    camera/web JPEG uses, so the decoder's subsampled path gets a real
+    in-repo producer."""
     gray = px.ndim == 2
+    if gray:
+        subsample = 1
+    ss = subsample
+    if ss not in (1, 2):
+        raise ValueError("subsample must be 1 or 2")
     h, w = px.shape[:2]
     qtbl = np.full((8, 8), float(quant_val))
     dc_enc = _enc_table(_DC_BITS, _DC_SYMS)
@@ -348,58 +428,41 @@ def write_jpeg_baseline(px: np.ndarray, quant_val: int = 2) -> bytes:
             -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128,
             0.5 * r - 0.418688 * g - 0.081312 * b_ + 128,
         ]
-    mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+    mcux = (w + 8 * ss - 1) // (8 * ss)
+    mcuy = (h + 8 * ss - 1) // (8 * ss)
     padded = []
-    for p in planes:
-        q = np.zeros((mcuy * 8, mcux * 8))
-        q[:h, :w] = p
-        q[h:, :w] = p[-1:, :]
-        q[:, w:] = q[:, w - 1 : w]
-        padded.append(q)
+    samp = []  # (h_factor, v_factor) per component
+    for ci, p in enumerate(planes):
+        if ci == 0 or ss == 1:
+            padded.append(_pad_plane(p, mcuy * 8 * ss, mcux * 8 * ss))
+            samp.append((ss, ss) if not gray and ss == 2 and ci == 0 else (ss if ci == 0 else 1,) * 2)
+        else:
+            # box-mean 2x2 chroma downsample at component resolution
+            ph = _pad_plane(p, mcuy * 8 * ss, mcux * 8 * ss)
+            down = ph.reshape(mcuy * 8, ss, mcux * 8, ss).mean(axis=(1, 3))
+            padded.append(down)
+            samp.append((1, 1))
+    if ss == 1:
+        samp = [(1, 1)] * len(planes)
     bw = _BitWriter()
     pred = [0] * len(planes)
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, p in enumerate(padded):
-                block = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-                qc = np.round(_fdct(block) / qtbl).astype(int)
-                # the flat AC table tops out at size 10 (|coef| <= 1023);
-                # clamp ACs so extreme blocks stay encodable (DC size 11
-                # always fits: |dc| <= 1024/quant, diff <= 2047)
-                dc = qc[0, 0]
-                qc = np.clip(qc, -1023, 1023)
-                qc[0, 0] = dc
-                diff = qc[0, 0] - pred[ci]
-                pred[ci] = qc[0, 0]
-                s = _csize(diff)
-                ln, code = dc_enc[s]
-                bw.write(code, ln)
-                if s:
-                    v = diff if diff >= 0 else diff + (1 << s) - 1
-                    bw.write(v & ((1 << s) - 1), s)
-                zz = [qc[ZIGZAG[k]] for k in range(1, 64)]
-                last_nz = max(
-                    (k for k, v in enumerate(zz) if v), default=-1
-                )
-                run = 0
-                for k in range(last_nz + 1):
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        ln, code = ac_enc[0xF0]
-                        bw.write(code, ln)
-                        run -= 16
-                    s = _csize(v)
-                    ln, code = ac_enc[(run << 4) | s]
-                    bw.write(code, ln)
-                    vv = v if v >= 0 else v + (1 << s) - 1
-                    bw.write(vv & ((1 << s) - 1), s)
-                    run = 0
-                if last_nz < 62:
-                    ln, code = ac_enc[0x00]
-                    bw.write(code, ln)
+                hf, vf = samp[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        r0 = (my * vf + by) * 8
+                        c0 = (mx * hf + bx) * 8
+                        _encode_block(
+                            bw,
+                            p[r0 : r0 + 8, c0 : c0 + 8] - 128.0,
+                            qtbl,
+                            pred,
+                            ci,
+                            dc_enc,
+                            ac_enc,
+                        )
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -411,7 +474,8 @@ def write_jpeg_baseline(px: np.ndarray, quant_val: int = 2) -> bytes:
     dqt = bytes([0]) + bytes(int(qtbl[ZIGZAG[k]]) for k in range(64))
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
     for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0])
+        hf, vf = samp[c]
+        sof += bytes([c + 1, (hf << 4) | vf, 0])
     dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_SYMS)
     dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_SYMS)
     sos = bytes([nc])

@@ -737,3 +737,32 @@ def test_png_palette_decode():
     px = _png_pixels(png)
     want = np.array([pal[i] for i in idx], np.uint8).reshape(h, w, 3)
     assert px is not None and (px == want).all()
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.jpeg import jpeg_pixels, write_jpeg_baseline
+
+    rng = np.random.RandomState(8)
+    # gray-content RGB: constant chroma, so 4:2:0 subsampling is lossless
+    # modulo DCT rounding — tight bound proves the MCU interleave and
+    # chroma upsample are laid out correctly
+    for h, w in [(16, 16), (33, 17), (40, 28)]:
+        g = rng.randint(0, 255, (h, w)).astype(np.uint8)
+        px = np.stack([g, g, g], -1)
+        out = jpeg_pixels(write_jpeg_baseline(px, 1, subsample=2))
+        assert out is not None and out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+    # colored content: bounded chroma loss
+    x = np.linspace(0, 255, 64)
+    px = np.stack(
+        [
+            x[None, :] * np.ones((48, 1)),
+            x[::-1][None, :] * np.ones((48, 1)),
+            128 * np.ones((48, 64)),
+        ],
+        -1,
+    ).astype(np.uint8)
+    out = jpeg_pixels(write_jpeg_baseline(px, 1, subsample=2))
+    assert np.abs(out.astype(float) - px.astype(float)).mean() < 4
