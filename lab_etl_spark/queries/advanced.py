@@ -963,3 +963,84 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= GROUP_SAMPLE_K)
         .select("event_type", "event_id", "user_id", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed median / MAD (robust statistics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_robust_stats",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS median
+      FROM ranked
+      WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, abs(e.value - m.median) AS d
+      FROM events e JOIN med m USING (event_type)
+    ),
+    ranked2 AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY d, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM dev
+    )
+    SELECT r.event_type, m.median,
+           CAST(SUM(CAST(r.d AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mad
+    FROM ranked2 r JOIN med m USING (event_type)
+    WHERE r.rn = (r.cnt + 1) // 2 OR r.rn = (r.cnt + 2) // 2
+    GROUP BY r.event_type, m.median
+    """,
+    doc="EXACT distributed median + median-absolute-deviation per group -- "
+    "the robust outlier pair (vs q_zscore_anomaly's mean/sigma, which a "
+    "single corrupt reading can drag).  Built from rank-select primitives "
+    "rather than an engine quantile function: pick the middle row(s) by "
+    "ROW_NUMBER and average them in exact decimal, so both engines "
+    "compute bit-identical medians regardless of their interpolation "
+    "formulas.  Two window passes hash-partitioned on the group key plus "
+    "a broadcast of the |groups|-row median table; no global sort.",
+)
+def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    davg_dec = (
+        "CAST(SUM(CAST(({c}) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)"
+    )
+
+    def middle_avg(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        cw = W.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "cnt", F.count(F.lit(1)).over(cw)
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(
+            F.expr(davg_dec.format(c=col)).alias(out)
+        )
+
+    med = middle_avg(ev.select("event_type", "event_id", "value"), "value", "median")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("median")).alias("d"),
+    )
+    mad = middle_avg(dev, "d", "mad")
+    return med.join(mad, "event_type").select("event_type", "median", "mad")
