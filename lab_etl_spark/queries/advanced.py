@@ -1044,3 +1044,97 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = middle_avg(dev, "d", "mad")
     return med.join(mad, "event_type").select("event_type", "median", "mad")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution (block -> score -> cluster -> canonicalize)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_entity_resolution",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        AND levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION SELECT pb, pa FROM pairs
+    ),
+    walk(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a
+    ),
+    reach AS (
+      SELECT a, b FROM walk
+      UNION SELECT p_partkey, p_partkey FROM part
+    ),
+    labeled AS (
+      SELECT a AS p_partkey, MIN(b) AS entity_id FROM reach GROUP BY a
+    )
+    SELECT l.entity_id,
+           COUNT(*) AS n_members,
+           MIN(p.p_name) AS canonical_name,
+           CAST(SUM(CAST(p.p_retailprice AS DECIMAL(30,4))) AS DOUBLE)
+             / COUNT(*) AS avg_price
+    FROM labeled l JOIN part p ON p.p_partkey = l.p_partkey
+    GROUP BY l.entity_id
+    """,
+    doc="End-to-end entity resolution over the part catalog, composing the "
+    "repo's primitives: brand-blocked Levenshtein<=2 candidate pairs (the "
+    "q_fuzzy_match kernel) -> adaptive connected components "
+    "(operators/dedup.py, the same min-label/star machinery the document "
+    "near-dup uses) -> per-entity canonicalization (deterministic MIN-name "
+    "representative, member count, exact-decimal average price).  The "
+    "oracle replays the identical pipeline with a recursive-CTE "
+    "reachability closure.  Candidate generation is block-bounded, "
+    "clustering is O(log n) rounds worst-case, canonicalization is one "
+    "hash aggregation -- the full ER shape a catalog-scale dedup needs.",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components_auto
+
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("pa"),
+        F.col("p_name").alias("na"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("pb"),
+        F.col("p_name").alias("nb"),
+    )
+    pairs = (
+        a.repartition(32)
+        .join(b, "brand")
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(F.abs(F.length("na") - F.length("nb")) <= 2)
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("pa", "pb")
+    )
+    labeled = connected_components_auto(
+        part.select("p_partkey"),
+        pairs,
+        id_col="p_partkey",
+        src="pa",
+        dst="pb",
+        edges_distinct=True,
+    ).withColumnRenamed("component", "entity_id")
+    return (
+        labeled.join(part, "p_partkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("p_name").alias("canonical_name"),
+            F.expr(
+                "CAST(SUM(CAST(p_retailprice AS DECIMAL(30,4))) AS DOUBLE)"
+                " / COUNT(*)"
+            ).alias("avg_price"),
+        )
+    )

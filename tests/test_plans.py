@@ -200,7 +200,11 @@ _SINGLE_PARTITION_OK = {
 # Excluded from the sweep because their fn() *executes* work at build time
 # (streaming drain / iterative localCheckpoint loop); each has its own
 # dedicated tests.
-_SWEEP_SKIP = {"q_stream_stateful_ewma", "q_dedup_clusters"}
+_SWEEP_SKIP = {
+    "q_stream_stateful_ewma",
+    "q_dedup_clusters",
+    "q_entity_resolution",  # same eager CC loop as q_dedup_clusters
+}
 
 
 def test_registry_wide_plan_hygiene(spark, sf_dir):
