@@ -128,7 +128,8 @@ _WINDOW_FRONT = [
 # slot 50 have never been driver-checked (all green in the local twin at
 # sf0.01): q_global_share, q_scd2_build, q_vocab_oov, q_source_mix_weights,
 # q_cdc_merge, q_pagerank, q_event_pattern, q_schema_evolution,
-# q_null_semantics, q_fuzzy_match, q_doc_chunking, q_group_sample, and the
+# q_null_semantics, q_fuzzy_match, q_doc_chunking, q_group_sample,
+# q_pagerank, q_event_pattern, q_robust_stats, q_entity_resolution, and the
 # rows-only q_hll_rollup.  Front them next round, back-filled with veterans.
 
 
