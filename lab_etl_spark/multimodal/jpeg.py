@@ -204,7 +204,7 @@ def jpeg_pixels(b: bytes) -> np.ndarray | None:
                     cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                     smap[cid] = (tt >> 4, tt & 15)
                 return _decode_scan(b, i, frame, qt, huff, smap, dri)
-    except (IndexError, struct.error, ValueError):
+    except (IndexError, struct.error, ValueError, ZeroDivisionError):
         return None
     return None
 
@@ -219,6 +219,8 @@ def _decode_scan(b, i, frame, qt, huff, smap, dri):
     vmax = max(c[2] for c in comps)
     if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
         return None  # exotic sampling: out of coverage
+    if any(c[1] < 1 or c[2] < 1 for c in comps):
+        return None  # zero sampling factor: corrupt stream
     if any(hmax % c[1] or vmax % c[2] for c in comps):
         return None
     mcux = (w + 8 * hmax - 1) // (8 * hmax)

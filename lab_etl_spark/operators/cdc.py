@@ -4,7 +4,7 @@ Delta/Iceberg expose ``MERGE INTO`` as a table-format primitive; on raw
 parquet the same semantics are a single full-outer join against the change
 batch (keyed on the business key) plus per-row action resolution:
 
-    matched   + op='U'  -> updated row
+    matched   + op='U'  -> updated row (op=NULL is treated as 'U')
     matched   + op='D'  -> dropped
     matched   + op='I'  -> treated as update (idempotent upsert re-delivery)
     unmatched change 'I' -> inserted row
@@ -54,14 +54,16 @@ def merge_upsert(
         *[F.col(col).alias(f"_c_{col}") for col in payload],
     )
     joined = b.join(c, b._bk == c._ck, "full_outer")
-    matched = F.col("_bk").isNotNull() & F.col("_ck").isNotNull()
+    # null-safe delete test: a malformed change row with op=NULL must act
+    # as an upsert, not silently satisfy neither branch and vanish the
+    # base row (three-valued logic made `_op != 'D'` NULL, i.e. falsy)
+    not_delete = ~F.col("_op").eqNullSafe(OP_DELETE)
     keep = (
         # base row with no change, or change row that isn't a pure delete
         (F.col("_ck").isNull())
-        | (matched & (F.col("_op") != OP_DELETE))
-        | (F.col("_bk").isNull() & (F.col("_op") != OP_DELETE))
+        | (F.col("_ck").isNotNull() & not_delete)
     )
-    take_change = F.col("_ck").isNotNull() & (F.col("_op") != OP_DELETE)
+    take_change = F.col("_ck").isNotNull() & not_delete
     cols = [F.coalesce("_bk", "_ck").alias(key)] + [
         F.when(take_change, F.col(f"_c_{col}"))
         .otherwise(F.col(f"_b_{col}"))

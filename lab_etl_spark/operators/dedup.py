@@ -38,7 +38,10 @@ def word_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFr
     """
     from ..catalog import fan_out
 
-    norm = f"lower(regexp_replace(trim({text_col}), '\\\\s+', ' '))"
+    # OUTER trim matters: SQL trim strips spaces only, so a doc edged by
+    # \n/\t still has a leading/trailing space after the \s+ collapse,
+    # and split would emit empty edge tokens the oracles' trim(...) removes.
+    norm = f"trim(lower(regexp_replace(trim({text_col}), '\\\\s+', ' ')))"
     words = F.split(F.expr(norm), " ")
     shingles = F.expr(
         f"transform(sequence(1, size(_w) - {n - 1}),"

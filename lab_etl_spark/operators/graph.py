@@ -46,7 +46,11 @@ def pagerank(
     would otherwise recompute the whole edge derivation each time (measured
     36.7 s -> 2.0 s warm at sf0.1 for 3 iterations over the quarter-filtered
     lineitem graph; the first execution still pays ~9 s of stage/codegen
-    warmup for the composed 3-iteration plan).
+    warmup for the composed 3-iteration plan).  The cached blocks are NOT
+    unpersisted here — the returned frame is lazy and still depends on them;
+    callers running many pagerank() invocations in one long session should
+    `spark.catalog.clearCache()` between batches (Spark's LRU evicts them
+    under memory pressure otherwise).
     """
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()

@@ -129,8 +129,8 @@ _WINDOW_FRONT = [
 # sf0.01): q_global_share, q_scd2_build, q_vocab_oov, q_source_mix_weights,
 # q_cdc_merge, q_pagerank, q_event_pattern, q_schema_evolution,
 # q_null_semantics, q_fuzzy_match, q_doc_chunking, q_group_sample,
-# q_pagerank, q_event_pattern, q_robust_stats, q_entity_resolution, and the
-# rows-only q_hll_rollup.  Front them next round, back-filled with veterans.
+# q_robust_stats, q_entity_resolution, and the rows-only q_hll_rollup.
+# Front them next round, back-filled with veterans.
 
 
 def load_all() -> dict[str, Query]:

@@ -351,7 +351,10 @@ VOCAB_K = 25
 )
 def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    norm = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
+    # outer trim mirrors the oracle: without it a \n-edged doc leaves a
+    # leading/trailing space after the collapse and split() emits empty
+    # edge tokens (SQL trim strips spaces only)
+    norm = "trim(lower(regexp_replace(trim(text), '\\\\s+', ' ')))"
     words = docs.select(
         "doc_id", F.explode(F.split(F.expr(norm), " ")).alias("w")
     )
@@ -688,7 +691,12 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Schema evolution on the lake (mergeSchema read over heterogeneous batches)
 # ---------------------------------------------------------------------------
 
-_EVO_SCRATCH = "/root/repo/spark-warehouse/schema_evo"
+import os as _os
+
+_EVO_SCRATCH_BASE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "spark-warehouse",
+)
 
 
 @register(
@@ -728,12 +736,17 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "value", "props"
     )
-    v1.write.mode("overwrite").parquet(f"{_EVO_SCRATCH}/batch=1")
-    v2.write.mode("overwrite").parquet(f"{_EVO_SCRATCH}/batch=2")
+    # repo-relative scratch, one dir per scale factor so parity runs over
+    # different sf_dirs cannot clobber each other's batches
+    scratch = _os.path.join(
+        _EVO_SCRATCH_BASE, f"schema_evo_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    v1.write.mode("overwrite").parquet(f"{scratch}/batch=1")
+    v2.write.mode("overwrite").parquet(f"{scratch}/batch=2")
     merged = (
         spark.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true")
-        .parquet(_EVO_SCRATCH)
+        .parquet(scratch)
     )
     return merged.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -846,8 +859,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 20k probe rows (any partitioning works under a broadcast join)
     # spreads the O(|block|^2) work across the cluster -- at real scale the
     # source has many splits and this is a no-op-sized insurance shuffle.
+    from ..catalog import fan_out
+
     return (
-        a.repartition(32)
+        fan_out(a)
         .join(b, "brand")
         .filter(F.col("a_key") < F.col("b_key"))
         .filter(
@@ -1110,8 +1125,10 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("pb"),
         F.col("p_name").alias("nb"),
     )
+    from ..catalog import fan_out
+
     pairs = (
-        a.repartition(32)
+        fan_out(a)
         .join(b, "brand")
         .filter(F.col("pa") < F.col("pb"))
         .filter(F.abs(F.length("na") - F.length("nb")) <= 2)

@@ -382,10 +382,19 @@ def upsert_latest(events: DataFrame, table_dir: str, checkpoint_dir: str):
             base = spark.read.parquet(table_dir)
             out = latest_per_user(base.unionByName(out))
         staging = table_dir + ".staging"
+        backup = table_dir + ".old"
         out.write.mode("overwrite").parquet(staging)
+        # commit order keeps a recoverable copy at every instant: current
+        # table moves ASIDE (not rmtree) before staging takes its place, so
+        # a crash between the renames leaves .old intact for manual (or
+        # next-batch) recovery instead of losing all prior state
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
         if os.path.isdir(table_dir):
-            shutil.rmtree(table_dir)
+            os.rename(table_dir, backup)
         os.rename(staging, table_dir)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
 
     return (
         events.writeStream.foreachBatch(_apply)

@@ -57,23 +57,35 @@ def test_scd2_intervals_chain(spark, sf_dir):
 
 
 def test_sole_supplier_wait_is_sole(spark, sf_dir):
-    """Every flagged supplier's counted orders have no OTHER supplier with a
-    returned line on the same order (spot re-check of the anti-join)."""
+    """Every supplier counted by the query must, on some finalized multi-
+    supplier order, be the ONLY supplier with a returned line — re-derive
+    that set independently and require the query's suppliers to be a
+    nonempty subset of it."""
     from lab_etl_spark.catalog import load_table
 
     li = load_table(spark, sf_dir, "lineitem")
-    ret = li.filter("l_returnflag = 'R'").select("l_orderkey", "l_suppkey")
-    multi_ret_orders = (
-        ret.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("k"))
-        .filter("k > 1")
-        .select("l_orderkey")
-    )
-    flagged = REGISTRY["q_sole_supplier_wait"].fn(spark, sf_dir)
-    # a supplier counted by the query must have at least one R-order where
-    # it is the only returner => joining its R-lines against multi-returner
-    # orders can't account for ALL of its counted orders
-    assert flagged.count() > 0
+    orders = load_table(spark, sf_dir, "orders")
+    rows = li.join(
+        orders.filter("o_orderstatus = 'F'").select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).collect()
+    by_order = {}
+    for r in rows:
+        by_order.setdefault(r["l_orderkey"], []).append(
+            (r["l_suppkey"], r["l_returnflag"])
+        )
+    sole = set()
+    for ok, lines in by_order.items():
+        supps = {s for s, _ in lines}
+        returners = {s for s, f in lines if f == "R"}
+        if len(supps) > 1 and len(returners) == 1:
+            sole |= returners
+    flagged = {
+        r["s_suppkey"]
+        for r in REGISTRY["q_sole_supplier_wait"].fn(spark, sf_dir).collect()
+    }
+    assert flagged and flagged <= sole
 
 
 def test_vocab_oov_bounds(spark, sf_dir):

@@ -153,3 +153,14 @@ def test_merge_upsert_property_random_batches(spark):
             df = merge_upsert(df, ch, key="k")
         got = {r["k"]: r["v"] for r in df.collect()}
         assert got == state, f"seed {seed}: {got} != {state}"
+
+
+def test_merge_upsert_null_op_acts_as_upsert(spark):
+    """op=NULL must not silently delete the matched base row (three-valued
+    logic regression): it is documented to behave as an update."""
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(2, None, 9.0), (3, None, 3.0)], "k long, op string, v double"
+    )
+    got = {r["k"]: r["v"] for r in merge_upsert(base, changes, key="k").collect()}
+    assert got == {1: 1.0, 2: 9.0, 3: 3.0}

@@ -695,9 +695,16 @@ def test_jpeg_out_of_coverage_falls_back():
     i = bytes(jb).find(b"\xff\xc0")
     jb[i + 1] = 0xC2
     assert jpeg_pixels(bytes(jb)) is None
-    # truncated stream: decline, not crash
+    # truncated/corrupt streams: must return (anything) without raising
     ok = write_jpeg_baseline(np.zeros((16, 16), np.uint8), 1)
-    assert jpeg_pixels(ok[: len(ok) // 3]) is not None or True  # no raise
+    for blob in (ok[: len(ok) // 3], ok[:4], b"\xff\xd8\xff\xc0"):
+        jpeg_pixels(blob)  # raising here fails the test
+    # zero sampling factor (h=1, v=0 alongside a normal component): the
+    # hmax/vmax modulo check must decline, not ZeroDivisionError
+    bad = bytearray(write_jpeg_baseline(np.zeros((8, 8, 3), np.uint8), 1))
+    i = bytes(bad).find(b"\xff\xc0")
+    bad[i + 12] = 0x10  # component 1 sampling byte: h=1, v=0
+    assert jpeg_pixels(bytes(bad)) is None
 
 
 def test_png_palette_decode():
