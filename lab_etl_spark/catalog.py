@@ -7,6 +7,12 @@ move to partitioned/bucketed lake layouts only touches this file.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import time
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,6 +53,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     for name in tables or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+#: repo-local warehouse for runtime scratch lakes (gitignored)
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "spark-warehouse"
+)
+
+#: scratch dirs older than this are pruned on the next same-family call;
+#: generous vs the seconds-scale window between plan build and collection
+_SCRATCH_TTL_S = 1800.0
+
+
+def scratch_dir(family: str, sf_dir: str) -> str:
+    """Unique per-invocation scratch directory under the repo warehouse.
+
+    Queries that round-trip through disk (JSONL export, z-order rewrite,
+    schema-evolution batches) must never share a path across invocations:
+    the returned DataFrame reads the directory LAZILY, so a later run
+    overwriting the same fixed path silently changes an earlier result
+    between plan-build and collection while per-group row counts stay
+    identical — exactly the round-3 ``q_jsonl_roundtrip`` driver-mismatch
+    signature.  The path is keyed on a hash of the RESOLVED ``sf_dir``
+    (same-named basenames or different scale factors can't collide) plus a
+    fresh uuid per call (concurrent bench/correctness runs can't either).
+    Stale same-family siblings are pruned best-effort after
+    ``_SCRATCH_TTL_S`` so repeated invocations don't accumulate unboundedly.
+    """
+    now = time.time()
+    try:
+        for entry in os.listdir(_WAREHOUSE):
+            if entry.startswith(f"{family}_"):
+                path = os.path.join(_WAREHOUSE, entry)
+                try:
+                    if now - os.path.getmtime(path) > _SCRATCH_TTL_S:
+                        shutil.rmtree(path, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
+    return os.path.join(
+        _WAREHOUSE, f"{family}_{key}_{uuid.uuid4().hex[:8]}"
+    )
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scratch_dir
 from . import register
 from .exact import dsum
 
@@ -691,12 +691,6 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Schema evolution on the lake (mergeSchema read over heterogeneous batches)
 # ---------------------------------------------------------------------------
 
-import os as _os
-
-_EVO_SCRATCH_BASE = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
-    "spark-warehouse",
-)
 
 
 @register(
@@ -736,11 +730,11 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "value", "props"
     )
-    # repo-relative scratch, one dir per scale factor so parity runs over
-    # different sf_dirs cannot clobber each other's batches
-    scratch = _os.path.join(
-        _EVO_SCRATCH_BASE, f"schema_evo_{_os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    # per-invocation unique scratch (catalog.scratch_dir): keyed on the
+    # resolved sf_dir hash + uuid so same-named dirs, other scale factors,
+    # and concurrent runs can never clobber these batches between plan
+    # build and lazy collection
+    scratch = scratch_dir("schema_evo", sf_dir)
     v1.write.mode("overwrite").parquet(f"{scratch}/batch=1")
     v2.write.mode("overwrite").parquet(f"{scratch}/batch=2")
     merged = (

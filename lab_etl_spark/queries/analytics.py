@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scratch_dir
 from . import register
 from .exact import davg, dsum
 
@@ -593,10 +593,10 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: scratch lake the z-order query rewrites at runtime (gitignored); the
-#: oracle reads the ORIGINAL events table — parity proves the clustered
-#: rewrite is row-preserving under a selective read-back.
-_ZORDER_SCRATCH = "/root/repo/spark-warehouse/events_zorder"
+# Scratch lakes (z-order rewrite, JSONL export) are per-invocation unique
+# via catalog.scratch_dir — a fixed shared path let any other execution
+# (bench at sf0.1, a concurrent run) overwrite the directory between plan
+# build and lazy collection; see the round-3 q_jsonl_roundtrip mismatch.
 
 
 @register(
@@ -629,8 +629,9 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
-    write_zordered(ev, _ZORDER_SCRATCH, ["user_id", "value"], n_files=16)
-    back = spark.read.parquet(_ZORDER_SCRATCH)
+    scratch = scratch_dir("events_zorder", sf_dir)
+    write_zordered(ev, scratch, ["user_id", "value"], n_files=16)
+    back = spark.read.parquet(scratch)
     return (
         back.filter((F.col("user_id") <= 7) & (F.col("value") <= 5.0))
         .groupBy("user_id")
@@ -641,9 +642,6 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
 
-
-#: scratch JSONL export the roundtrip query rewrites at runtime (gitignored)
-_JSONL_SCRATCH = "/root/repo/spark-warehouse/documents_jsonl"
 
 #: 32-bit md5-derived content hash of the text column, one expression per
 #: engine, identical value (same idiom as operators/dedup.py MINHASH_BASE_*)
@@ -676,8 +674,9 @@ _TEXT_H32_DUCK = "CAST(('0x' || SUBSTRING(MD5(text), 1, 8)) AS BIGINT)"
 )
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    docs.write.mode("overwrite").json(_JSONL_SCRATCH)
-    back = spark.read.schema(docs.schema).json(_JSONL_SCRATCH)
+    scratch = scratch_dir("documents_jsonl", sf_dir)
+    docs.write.mode("overwrite").json(scratch)
+    back = spark.read.schema(docs.schema).json(scratch)
     return (
         back.groupBy("source")
         .agg(

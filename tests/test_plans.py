@@ -204,6 +204,11 @@ _SWEEP_SKIP = {
     "q_stream_stateful_ewma",
     "q_dedup_clusters",
     "q_entity_resolution",  # same eager CC loop as q_dedup_clusters
+    # disk-round-trip queries: fn() eagerly writes a scratch lake at
+    # build time (each has dedicated tests + oracle parity coverage)
+    "q_jsonl_roundtrip",
+    "q_zorder_skipping",
+    "q_schema_evolution",
 }
 
 
