@@ -50,87 +50,58 @@ def register(
 
 
 # The driver's correctness harness checks only the FIRST 50 registered
-# entries each round, but the registry has outgrown that cap (74+ queries),
-# so coverage is made cumulative by ROTATING the window per round:
+# entries each round, but the registry has outgrown that cap, so coverage
+# is made cumulative by ROTATING the window per round:
 #
 #   round 1: all 41 then-registered queries fit -> all driver-checked.
 #   round 2: oracle-backed-first ordering -> the 50 core oracle queries.
-#   round 3 (this list): the 18 round-2 additions whose only verification so
-#     far was the local twin harness (tests/test_oracle_parity.py), the
-#     rows-only entries whose last driver rows date from round 1, and the
-#     queries newly added this round — veterans (all green in r1/r2) fill
-#     the remaining slots in their round-2 order.
+#   round 3: the 18 round-2 additions + rows-only entries + round-3 adds.
+#   round 4 (this list): the 15 late-round-3 advanced.py additions that
+#     have never had a driver CORRECTNESS row, the two disk-round-trip
+#     queries whose scratch dirs were made per-invocation-unique this
+#     round (q_jsonl_roundtrip was round 3's one red row — the fixed
+#     shared path, not the query logic), and the round-4 additions —
+#     veterans (all green in r1/r2/r3) auto-fill the remaining window
+#     slots in their round-2 order.
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.  Keep this list <= ~40 so a core
 # veteran cohort stays in every round's window as a regression canary.
 _WINDOW_FRONT = [
-    # round-2 additions, never driver-checked (oracle-backed)
-    "q_zscore_anomaly",
-    "q_stratified_sample",
-    "q_seq_packing",
-    "q_training_shuffle",
-    "q_embedding_lsh",
-    "q_embedding_stats",
-    "q_text_repetition",
-    "q_contamination",
-    "q_pii_redact",
-    "q_tfidf",
-    "q_quality_filter",
-    "q_asof_join",
-    "q_funnel",
-    "q_sessionize",
-    "q_retention",
-    "q_interarrival",
-    "q_stream_hourly_users",
-    # never driver-checked rows-only (arbitrary stateful streaming)
-    "q_stream_stateful_ewma",
-    # rows-only entries last driver-checked in round 1
-    "q_instrument_peak_hrr",
-    "q_instrument_sta_mass_loss",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_similarity_ivf",
-    # round-2's one red row (HUGEINT oracle cast, fixed this round) — must
-    # re-appear in the driver file to show green
-    "q_hierarchical_rollup",
-    # implementation reworked this round (code-point-array bucketing) —
-    # promote for fresh driver eyes
-    "q_lang_id_ngram",
-    # round-3 additions
-    "q_lake_roundtrip",
-    "q_returned_items",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_large_volume_customer",
-    "q_region_market_share",
-    "q_json_functions",
-    "q_doc_source_stats",
-    "q_sequence_budget",
-    "q_dedup_cross_source",
-    "q_customer_order_counts",
-    "q_small_qty_revenue",
-    "q_idle_customers",
-    "q_nation_year_profit",
-    "q_disjunctive_join",
-    "q_multimodal_decode",
-    "q_window_distribution",
-    "q_zorder_skipping",
-    "q_frequent_ngrams",
+    # late-round-3 advanced.py cohort, never driver-checked (oracle-backed)
+    "q_global_share",
+    "q_scd2_build",
+    "q_vocab_oov",
+    "q_source_mix_weights",
+    "q_cdc_merge",
+    "q_pagerank",
+    "q_event_pattern",
+    "q_schema_evolution",
+    "q_null_semantics",
+    "q_fuzzy_match",
+    "q_doc_chunking",
+    "q_group_sample",
+    "q_robust_stats",
+    "q_entity_resolution",
+    # never driver-checked rows-only (mergeable-sketch algebra)
+    "q_hll_rollup",
+    # round 3's one red row: fixed shared scratch path made
+    # per-invocation-unique this round — must re-appear to show green
     "q_jsonl_roundtrip",
-    # de-vacuized this round (were 0-row == 0-row in r2, now return real
-    # rows) — must re-appear in the driver file to prove the fix
-    "q_anti_join",
-    "q_dedup_embedding",
+    # same scratch-path pattern fixed this round — re-front to re-verify
+    "q_zorder_skipping",
+    # round-4 additions (registered later this round)
+    "q_forecast_revenue",
+    "q_volume_shipping",
+    "q_shipmode_priority",
+    "q_parts_supplier_count",
+    "q_potential_promotion",
 ]
 
-# ROUND-4 ROTATION DUTY: the late-round-3 queries/advanced.py additions past
-# slot 50 have never been driver-checked (all green in the local twin at
-# sf0.01): q_global_share, q_scd2_build, q_vocab_oov, q_source_mix_weights,
-# q_cdc_merge, q_pagerank, q_event_pattern, q_schema_evolution,
-# q_null_semantics, q_fuzzy_match, q_doc_chunking, q_group_sample,
-# q_robust_stats, q_entity_resolution, and the rows-only q_hll_rollup.
-# Front them next round, back-filled with veterans.
+# ROUND-5 ROTATION DUTY: every query registered through round 4 has a green
+# driver row once CORRECTNESS_r04 lands; front any round-4 additions that
+# missed this round's window, then resume cycling veterans by the age of
+# their last driver row.
 
 
 def load_all() -> dict[str, Query]:
