@@ -808,6 +808,59 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Fuzzy string matching (blocked Levenshtein pairs)
 # ---------------------------------------------------------------------------
 
+#: name-length bucket width for candidate blocking; must be >= the max edit
+#: distance so a qualifying pair spans at most ADJACENT buckets
+_LEN_BUCKET = 4
+
+
+def _blocked_name_pairs(part: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Candidate part-name pairs blocked on (brand, name-length bucket).
+
+    ``|len(a) - len(b)| <= max_dist`` is a necessary condition for
+    ``levenshtein(a, b) <= max_dist``, so the length bound can move INTO
+    the equi-join key instead of being a post-join filter: bucket name
+    lengths by ``_LEN_BUCKET`` (>= max_dist) and replicate side B to its
+    own and both adjacent buckets.  Every qualifying pair lands in exactly
+    one joined block (side A's bucket), so results are identical to
+    brand-only blocking — but no block is ever quadratic in a hot brand:
+    per-brand work drops from O(k^2) to sum over buckets of
+    O(3 * k_bucket^2), which stays bounded at 100x scale where a brand
+    block alone would explode.  The exact length bound and the key
+    inequality remain as cheap residual filters.
+
+    Returns columns ``brand, a_key, a_name, b_key, b_name`` — callers add
+    the Levenshtein gate (computing the DP once per surviving pair).
+    """
+    from ..catalog import fan_out
+
+    bucket = (F.length("p_name") / _LEN_BUCKET).cast("int")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        bucket.alias("bucket"),
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_name").alias("a_name"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_name").alias("b_name"),
+    )
+    # The driver-side fan_out matters on THIS dataset: part.parquet is a
+    # single row group, so the probe side of the join would otherwise be
+    # ONE task computing every block's DPs serially; at real scale the
+    # source has many splits and this is a no-op (see catalog.fan_out).
+    return (
+        fan_out(a)
+        .join(b, ["brand", "bucket"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(
+            F.abs(F.length("a_name") - F.length("b_name")) <= max_dist
+        )
+    )
+
 
 @register(
     "q_fuzzy_match",
@@ -825,43 +878,19 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "block via Levenshtein distance <= 2 -- the blocked edit-distance "
     "pattern for catalog/entity dedup where token-level (shingle/minhash) "
     "dedup is too coarse.  The brand equi-key makes it a hash join with "
-    "candidate pairs bounded by the largest block, never an all-pairs "
-    "product; the key inequality halves the pair space.  Both engines' "
-    "Levenshtein are the same integer DP, so results are exact.  At 100 TB "
-    "block on a stronger key (brand x name-length-bucket x first-char).",
+    "candidate pairs blocked on (brand, name-length bucket) with "
+    "adjacent-bucket probes (_blocked_name_pairs) so the length bound is "
+    "part of the join key and no hot brand ever goes quadratic; the key "
+    "inequality halves the pair space.  Both engines' Levenshtein are the "
+    "same integer DP, so results are exact.",
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("a_key"),
-        F.col("p_name").alias("a_name"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("b_key"),
-        F.col("p_name").alias("b_name"),
-    )
-    # |len diff| <= 2 is a necessary condition for lev <= 2 and costs O(1)
-    # per pair vs the O(len^2) DP, so it gates the expensive call; compute
-    # the distance ONCE (withColumn, then filter) -- the naive
-    # filter(lev<=2).select(lev) shape evaluates the DP twice per pair.
-    #
-    # The driver-side repartition matters on THIS dataset: part.parquet is a
-    # single row group, so the probe side of the broadcast join would be ONE
-    # task computing all ~8M pair DPs serially.  Round-robin repartitioning
-    # the 20k probe rows (any partitioning works under a broadcast join)
-    # spreads the O(|block|^2) work across the cluster -- at real scale the
-    # source has many splits and this is a no-op-sized insurance shuffle.
-    from ..catalog import fan_out
-
+    # compute the O(len^2) DP ONCE per surviving pair (withColumn, then
+    # filter) -- the naive filter(lev<=2).select(lev) shape evaluates the
+    # DP twice per pair
     return (
-        fan_out(a)
-        .join(b, "brand")
-        .filter(F.col("a_key") < F.col("b_key"))
-        .filter(
-            F.abs(F.length("a_name") - F.length("b_name")) <= 2
-        )
+        _blocked_name_pairs(part, max_dist=2)
         .withColumn(
             "dist", F.levenshtein("a_name", "b_name").cast("int")
         )
@@ -1095,8 +1124,9 @@ def q_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l.entity_id
     """,
     doc="End-to-end entity resolution over the part catalog, composing the "
-    "repo's primitives: brand-blocked Levenshtein<=2 candidate pairs (the "
-    "q_fuzzy_match kernel) -> adaptive connected components "
+    "repo's primitives: (brand, length-bucket)-blocked Levenshtein<=2 "
+    "candidate pairs (the q_fuzzy_match kernel, _blocked_name_pairs) "
+    "-> adaptive connected components "
     "(operators/dedup.py, the same min-label/star machinery the document "
     "near-dup uses) -> per-entity canonicalization (deterministic MIN-name "
     "representative, member count, exact-decimal average price).  The "
@@ -1109,25 +1139,10 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components_auto
 
     part = load_table(spark, sf_dir, "part")
-    a = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("pa"),
-        F.col("p_name").alias("na"),
-    )
-    b = part.select(
-        F.col("p_brand").alias("brand"),
-        F.col("p_partkey").alias("pb"),
-        F.col("p_name").alias("nb"),
-    )
-    from ..catalog import fan_out
-
     pairs = (
-        fan_out(a)
-        .join(b, "brand")
-        .filter(F.col("pa") < F.col("pb"))
-        .filter(F.abs(F.length("na") - F.length("nb")) <= 2)
-        .filter(F.levenshtein("na", "nb") <= 2)
-        .select("pa", "pb")
+        _blocked_name_pairs(part, max_dist=2)
+        .filter(F.levenshtein("a_name", "b_name") <= 2)
+        .select(F.col("a_key").alias("pa"), F.col("b_key").alias("pb"))
     )
     labeled = connected_components_auto(
         part.select("p_partkey"),

@@ -101,6 +101,22 @@ def test_six_way_join_broadcasts_dims(spark, sf_dir):
     assert n_smj <= 2, p
 
 
+def test_fuzzy_blocking_key_includes_length_bucket(spark, sf_dir):
+    # The fuzzy-match / entity-resolution candidate join must block on
+    # (brand, name-length bucket), not brand alone: with a brand-only key a
+    # hot brand's block goes quadratic at scale.  The bucket column must be
+    # part of the join key (visible in the join's key list / shuffle
+    # partitioning), not merely a post-join filter.
+    # (q_entity_resolution shares _blocked_name_pairs but is an eager CC
+    # loop — see _SWEEP_SKIP — so the kernel is asserted once here.)
+    p = _fmt(REGISTRY["q_fuzzy_match"].fn(spark, sf_dir))
+    key_lines = [
+        line for line in p.splitlines() if "keys [" in line.lower()
+    ]
+    assert key_lines, p
+    assert any("bucket" in line for line in key_lines), "\n".join(key_lines)
+
+
 def test_salted_join_keys_include_salt(spark, sf_dir):
     # The skew-proof join must shuffle on (key, salt) AND the salt must be
     # derived from a non-join-key column (salting by the hot key itself
