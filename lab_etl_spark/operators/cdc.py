@@ -42,13 +42,16 @@ def merge_upsert(
     ``changes`` must carry the key column, ``op_col`` (U/D/I), and the same
     payload columns as ``base``; for U/I rows the payload holds the new
     values (payload of D rows is ignored).  Column set of the result equals
-    ``base.columns``.
+    ``base.columns``.  Change rows with a NULL key are DROPPED: a NULL
+    business key can't address any base row, and before this filter such a
+    row satisfied the base-only keep branch after the full-outer join and
+    leaked into the result as an all-NULL row.
     """
     payload = [c for c in base.columns if c != key]
     b = base.select(
         F.col(key).alias("_bk"), *[F.col(c).alias(f"_b_{c}") for c in payload]
     )
-    c = changes.select(
+    c = changes.filter(F.col(key).isNotNull()).select(
         F.col(key).alias("_ck"),
         F.col(op_col).alias("_op"),
         *[F.col(col).alias(f"_c_{col}") for col in payload],

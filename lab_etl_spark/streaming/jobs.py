@@ -377,19 +377,25 @@ def upsert_latest(events: DataFrame, table_dir: str, checkpoint_dir: str):
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
+        staging = table_dir + ".staging"
+        backup = table_dir + ".old"
+        # crash recovery BEFORE merging: a crash between the two commit
+        # renames below leaves table_dir missing and .old holding the sole
+        # copy of prior state — restore it first, or the replayed batch
+        # would merge against nothing and then delete .old (losing all
+        # prior state, the exact failure the backup exists to prevent)
+        if not os.path.isdir(table_dir) and os.path.isdir(backup):
+            os.rename(backup, table_dir)
         out = latest_per_user(batch)
         if os.path.isdir(table_dir):
             base = spark.read.parquet(table_dir)
             out = latest_per_user(base.unionByName(out))
-        staging = table_dir + ".staging"
-        backup = table_dir + ".old"
         out.write.mode("overwrite").parquet(staging)
         # commit order keeps a recoverable copy at every instant: current
-        # table moves ASIDE (not rmtree) before staging takes its place, so
-        # a crash between the renames leaves .old intact for manual (or
-        # next-batch) recovery instead of losing all prior state
+        # table moves ASIDE (not rmtree) before staging takes its place,
+        # and the backup is deleted only AFTER the staging swap succeeds
         if os.path.isdir(backup):
-            shutil.rmtree(backup)
+            shutil.rmtree(backup)  # stale: table_dir exists past this point
         if os.path.isdir(table_dir):
             os.rename(table_dir, backup)
         os.rename(staging, table_dir)

@@ -83,9 +83,6 @@ def test_streaming_upsert_matches_batch_latest(spark, sf_dir, tmp_path):
 def test_streaming_upsert_incremental_batches(spark, sf_dir, tmp_path):
     """Two successive availableNow runs over a growing directory converge to
     the same state as one batch pass (merge across micro-batch boundaries)."""
-    import shutil
-    from pyspark.sql import DataFrame
-
     from lab_etl_spark.catalog import load_table
     from lab_etl_spark.streaming.jobs import latest_per_user, upsert_latest
 
@@ -95,9 +92,6 @@ def test_streaming_upsert_incremental_batches(spark, sf_dir, tmp_path):
     src = str(tmp_path / "src")
     table_dir = str(tmp_path / "state")
     ckpt = str(tmp_path / "ckpt2")
-
-    def _stream() -> DataFrame:
-        return spark.readStream.schema(ev.schema).parquet(src)
 
     half1.write.mode("overwrite").parquet(src + "/b1")
     q = upsert_latest(
@@ -153,6 +147,58 @@ def test_merge_upsert_property_random_batches(spark):
             df = merge_upsert(df, ch, key="k")
         got = {r["k"]: r["v"] for r in df.collect()}
         assert got == state, f"seed {seed}: {got} != {state}"
+
+
+def test_streaming_upsert_recovers_from_mid_commit_crash(spark, sf_dir, tmp_path):
+    """A crash between the two commit renames leaves table_dir missing and
+    .old holding the sole copy of prior state; the next batch must restore
+    it before merging — not merge against nothing and delete the backup."""
+    import os
+
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.streaming.jobs import latest_per_user, upsert_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    table_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    half1.write.mode("overwrite").parquet(src + "/b1")
+    q = upsert_latest(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"), table_dir, ckpt
+    )
+    assert q.awaitTermination(300)
+    # simulate the crash window: table moved aside, replacement never landed
+    os.rename(table_dir, table_dir + ".old")
+
+    half2.write.mode("overwrite").parquet(src + "/b2")
+    q = upsert_latest(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"), table_dir, ckpt
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in spark.read.parquet(table_dir).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
+    }
+    assert got == want
+    assert not os.path.isdir(table_dir + ".old")
+
+
+def test_merge_upsert_drops_null_key_changes(spark):
+    """A change row with a NULL business key can't address any base row and
+    must be dropped, not emitted as an all-NULL merged row."""
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(None, "U", 9.0), (3, "I", 3.0)], "k long, op string, v double"
+    )
+    got = {r["k"]: r["v"] for r in merge_upsert(base, changes, key="k").collect()}
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
 
 
 def test_merge_upsert_null_op_acts_as_upsert(spark):
