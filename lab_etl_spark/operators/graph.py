@@ -46,11 +46,13 @@ def pagerank(
     would otherwise recompute the whole edge derivation each time (measured
     36.7 s -> 2.0 s warm at sf0.1 for 3 iterations over the quarter-filtered
     lineitem graph; the first execution still pays ~9 s of stage/codegen
-    warmup for the composed 3-iteration plan).  The cached blocks are NOT
-    unpersisted here — the returned frame is lazy and still depends on them;
-    callers running many pagerank() invocations in one long session should
-    `spark.catalog.clearCache()` between batches (Spark's LRU evicts them
-    under memory pressure otherwise).
+    warmup for the composed 3-iteration plan).  The final ranks are
+    materialized via ``localCheckpoint`` and the cached blocks released
+    before returning, so repeated invocations in one long session leave no
+    session-lifetime cache footprint (the returned frame reads checkpoint
+    blocks, not the persisted inputs).  Result size is O(|vertices|); swap
+    to a reliable ``checkpoint`` dir for executor-loss resilience the way
+    operators/dedup.py does if iterating on a real cluster.
     """
     edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
@@ -74,4 +76,8 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-    return pr
+    try:
+        return pr.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
+        deg.unpersist()

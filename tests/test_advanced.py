@@ -109,10 +109,16 @@ def test_source_mix_weights_sum_to_one(spark, sf_dir):
 
 def test_pagerank_mass_conservation(spark, sf_dir):
     """Without dangling nodes, total rank mass stays ~1 after 3 iterations."""
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = jcache.isEmpty()
     rows = REGISTRY["q_pagerank"].fn(spark, sf_dir).collect()
     total = sum(r["pr"] for r in rows)
     assert abs(total - 1.0) < 1e-6 and len(rows) > 0
     assert all(r["pr"] > 0 for r in rows)
+    # unpersist discipline: pagerank() must release its persisted
+    # edge/degree blocks before returning (session-lifetime cache footgun)
+    if was_empty:
+        assert jcache.isEmpty(), "pagerank left persisted blocks cached"
 
 
 def test_event_pattern_counts_vs_python(spark, sf_dir):

@@ -225,6 +225,8 @@ _SWEEP_SKIP = {
     "q_jsonl_roundtrip",
     "q_zorder_skipping",
     "q_schema_evolution",
+    # eager localCheckpoint materialization (unpersist discipline)
+    "q_pagerank",
 }
 
 
