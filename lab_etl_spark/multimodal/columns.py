@@ -9,11 +9,15 @@ video) — no media library needed.  Content decode is REAL wherever the
 format is pure-Python-decodable: PNG pixels (stdlib zlib + filter undo),
 GIF (LZW, this repo's decoder), baseline JPEG (Huffman+IDCT, `jpeg.py`),
 uncompressed BMP pixels, and WAV PCM samples all produce features computed
-from actual content (:func:`pixel_feature`, :func:`audio_feature`).  Only
-video payloads (MP4/h264 — a real codec stack) keep the clearly-marked
-BLAKE2b stand-in feature via :func:`deterministic_fake_decode`.  Swapping in a full decoder
-(Pillow/ffmpeg/torchaudio) changes one constructor argument and nothing
-else.
+from actual content (:func:`pixel_feature`, :func:`audio_feature`).  MP4
+video resolves the real sample table (stts/stsc/stsz/stco →
+:func:`_mp4_sample_table`) to per-frame byte ranges and timestamps, and
+features are statistics of the ACTUAL mdat sample bytes
+(:func:`video_feature`) — only the codec-domain → pixel-domain transform
+(a full h264 stack) stays out of scope; unresolvable payloads fall back to
+the clearly-marked BLAKE2b stand-in via :func:`deterministic_fake_decode`.
+Swapping in a full decoder (Pillow/ffmpeg/torchaudio) changes one
+constructor argument and nothing else.
 
 Design-for-scale notes:
   * binary payloads stay in the executor — no collect, no driver transfer;
@@ -105,8 +109,10 @@ def deterministic_fake_decode(content: bytes, modality: str) -> dict:
 # pixel data itself is just zlib + per-scanline filters (both stdlib), so
 # PNG features are computed from REAL decoded pixels (`_png_pixels` +
 # `pixel_feature`).  GIF's LZW (`_gif_pixels`) and baseline JPEG
-# (`jpeg.py`: Huffman + dequant + IDCT) decode in pure Python too.  Only
-# MP4/h264 video — a real codec stack — keeps the BLAKE2b stand-in.
+# (`jpeg.py`: Huffman + dequant + IDCT) decode in pure Python too.  MP4
+# resolves the sample table to real per-frame mdat byte ranges
+# (`_mp4_sample_table`); only the h264 entropy decode itself is skipped
+# (features are coded-domain byte statistics of the actual samples).
 
 #: PNG color type → sample channels (PNG spec, IHDR color type field)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -604,6 +610,157 @@ def _parse_mp4(b: bytes) -> dict | None:
     return out or None
 
 
+def _mp4_sample_table(b: bytes) -> dict | None:
+    """Resolve the first video track's sample table to absolute per-frame
+    byte ranges and timestamps — REAL frame counts, durations, and payload
+    locations from stts/stsc/stsz/stco (ISO 14496-12 §8.6-8.7), no entropy
+    decode needed.
+
+    Returns ``{"offsets": [...], "sizes": [...], "ts_s": [...],
+    "n_frames": n}`` or None when any table is absent/corrupt or a resolved
+    sample range falls outside the payload.
+    """
+
+    def parse_trak(ts: int, te: int) -> dict:
+        t: dict = {}
+
+        def walk(s: int, e: int) -> None:
+            for btype, cs, ce in _iter_boxes(b, s, e):
+                if btype in (b"mdia", b"minf", b"stbl"):
+                    walk(cs, ce)
+                elif btype == b"mdhd" and ce - cs >= 24:
+                    off = cs + (20 if b[cs] == 1 else 12)
+                    (t["timescale"],) = struct.unpack(">I", b[off : off + 4])
+                elif btype == b"hdlr" and ce - cs >= 12:
+                    t["handler"] = b[cs + 8 : cs + 12]
+                elif btype == b"stts" and ce - cs >= 8:
+                    (n,) = struct.unpack(">I", b[cs + 4 : cs + 8])
+                    if cs + 8 + 8 * n <= ce:
+                        t["stts"] = [
+                            struct.unpack(">II", b[p : p + 8])
+                            for p in range(cs + 8, cs + 8 + 8 * n, 8)
+                        ]
+                elif btype == b"stsc" and ce - cs >= 8:
+                    (n,) = struct.unpack(">I", b[cs + 4 : cs + 8])
+                    if cs + 8 + 12 * n <= ce:
+                        t["stsc"] = [
+                            struct.unpack(">III", b[p : p + 12])
+                            for p in range(cs + 8, cs + 8 + 12 * n, 12)
+                        ]
+                elif btype == b"stsz" and ce - cs >= 12:
+                    fixed, n = struct.unpack(">II", b[cs + 4 : cs + 12])
+                    if fixed:
+                        t["sizes"] = [fixed] * n
+                    elif cs + 12 + 4 * n <= ce:
+                        t["sizes"] = [
+                            struct.unpack(">I", b[p : p + 4])[0]
+                            for p in range(cs + 12, cs + 12 + 4 * n, 4)
+                        ]
+                elif btype == b"stco" and ce - cs >= 8:
+                    (n,) = struct.unpack(">I", b[cs + 4 : cs + 8])
+                    if cs + 8 + 4 * n <= ce:
+                        t["chunks"] = [
+                            struct.unpack(">I", b[p : p + 4])[0]
+                            for p in range(cs + 8, cs + 8 + 4 * n, 4)
+                        ]
+                elif btype == b"co64" and ce - cs >= 8:
+                    (n,) = struct.unpack(">I", b[cs + 4 : cs + 8])
+                    if cs + 8 + 8 * n <= ce:
+                        t["chunks"] = [
+                            struct.unpack(">Q", b[p : p + 8])[0]
+                            for p in range(cs + 8, cs + 8 + 8 * n, 8)
+                        ]
+
+        walk(ts, te)
+        return t
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    for btype, s, e in _iter_boxes(b, 0, len(b)):
+        if btype != b"moov":
+            continue
+        for bt2, s2, e2 in _iter_boxes(b, s, e):
+            if bt2 != b"trak":
+                continue
+            t = parse_trak(s2, e2)
+            if t.get("handler", b"vide") != b"vide" or not all(
+                k in t for k in ("stts", "stsc", "sizes", "chunks")
+            ):
+                continue
+            # walk chunks in order; stsc runs give samples-per-chunk until
+            # the next run's first_chunk (1-based)
+            sizes, chunks, runs = t["sizes"], t["chunks"], t["stsc"]
+            offsets: list[int] = []
+            si = 0
+            for ci, chunk_off in enumerate(chunks, start=1):
+                per = 0
+                for first, n_per, _desc in runs:
+                    if first <= ci:
+                        per = n_per
+                    else:
+                        break
+                pos = chunk_off
+                for _ in range(per):
+                    if si >= len(sizes):
+                        break
+                    offsets.append(pos)
+                    pos += sizes[si]
+                    si += 1
+            if si != len(sizes) or any(
+                o + z > len(b) for o, z in zip(offsets, sizes)
+            ):
+                return None
+            scale = t.get("timescale") or 0
+            ts_s, acc = [], 0
+            for count, delta in t["stts"]:
+                for _ in range(count):
+                    if len(ts_s) == len(sizes):
+                        break
+                    ts_s.append(round(acc / scale, 6) if scale else 0.0)
+                    acc += delta
+            ts_s += [0.0] * (len(sizes) - len(ts_s))
+            return {
+                "offsets": offsets,
+                "sizes": sizes,
+                "ts_s": ts_s,
+                "n_frames": len(sizes),
+            }
+    return None
+
+
+def byte_feature(u: np.ndarray) -> list[float]:
+    """FEATURE_DIM-dim descriptor over REAL payload bytes (uint8): mean,
+    std, min, max (all /255) + 4-bin byte-value histogram fractions — the
+    coded-domain analogue of :func:`pixel_feature` for entropy-coded
+    payloads (video samples) where pixel decode needs a codec stack."""
+    if u.size == 0:
+        u = np.zeros(1, np.uint8)
+    hist, _ = np.histogram(u, bins=4, range=(0.0, 256.0))
+    frac = hist / u.size
+    return [
+        round(float(u.mean()) / 255.0, 9),
+        round(float(u.std()) / 255.0, 9),
+        round(float(u.min()) / 255.0, 9),
+        round(float(u.max()) / 255.0, 9),
+        *(round(float(x), 9) for x in frac),
+    ]
+
+
+def video_feature(content: bytes, table: dict) -> list[float]:
+    """Feature from the ACTUAL mdat sample bytes addressed by the resolved
+    sample table — every byte that enters the statistics is real frame
+    payload located via stts/stsc/stsz/stco; only the codec-domain →
+    pixel-domain transform (a full h264 stack) is out of scope."""
+    u = np.frombuffer(
+        b"".join(
+            content[o : o + z]
+            for o, z in zip(table["offsets"], table["sizes"])
+        ),
+        np.uint8,
+    )
+    return byte_feature(u)
+
+
 _SNIFFERS = (_parse_png, _parse_jpeg, _parse_gif, _parse_bmp, _parse_wav, _parse_mp4)
 
 
@@ -617,14 +774,21 @@ def header_decode(content: bytes, modality: str) -> dict:
     GIF LZW frames (:func:`_gif_pixels` → :func:`pixel_feature`),
     baseline JPEG (:func:`jpeg.jpeg_pixels` — Huffman + IDCT in numpy),
     and WAV PCM samples (:func:`_wav_samples` → :func:`audio_feature`).
-    Only MP4/h264 video keeps the BLAKE2b-derived stand-in feature,
-    which a learned embedding would replace.
+    MP4 video features are computed from the ACTUAL mdat sample bytes
+    addressed by the resolved sample table (:func:`_mp4_sample_table` →
+    :func:`video_feature`) — coded-domain statistics, since pixel decode
+    would need a full h264 stack; payloads with no resolvable sample
+    table fall back to the BLAKE2b-derived stand-in.
     """
     for sniff in _SNIFFERS:
         parsed = sniff(content)
         if parsed:
             feature = None
-            if sniff is _parse_png:
+            if sniff is _parse_mp4:
+                table = _mp4_sample_table(content)
+                if table:
+                    feature = video_feature(content, table)
+            elif sniff is _parse_png:
                 px = _png_pixels(content)
                 if px is not None:
                     feature = pixel_feature(px)
@@ -688,8 +852,12 @@ def sample_frames(
     every_s: float = 1.0,
     decoder: Decoder = header_decode,
 ) -> DataFrame:
-    """Video → one row per sampled frame timestamp (frame payload decode is
-    the same stand-in; the explode/batch shape is the real contract)."""
+    """Video → one row per sampled frame.  For MP4 payloads with a
+    resolvable sample table the frames are REAL: timestamps come from stts
+    and each feature is computed from that frame's actual mdat bytes
+    (:func:`byte_feature`); frames are thinned to one per ``every_s``
+    seconds (cap 64).  Payloads without a sample table keep the labeled
+    stand-in path so the explode/batch contract is exercised either way."""
     schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -706,11 +874,35 @@ def sample_frames(
             ):
                 if modality != "video":
                     continue
-                d = decoder(bytes(content), modality)
+                raw = bytes(content)
+                table = _mp4_sample_table(raw)
+                if table:
+                    next_t = 0.0
+                    taken = 0
+                    for off, sz, t in zip(
+                        table["offsets"], table["sizes"], table["ts_s"]
+                    ):
+                        if t + 1e-9 < next_t or taken >= 64:
+                            continue
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_ts_s": round(t, 3),
+                                "feature": byte_feature(
+                                    np.frombuffer(
+                                        raw[off : off + sz], np.uint8
+                                    )
+                                ),
+                            }
+                        )
+                        next_t = t + every_s
+                        taken += 1
+                    continue
+                d = decoder(raw, modality)
                 dur = d["duration_s"] or 0.0
                 n = max(1, min(int(dur / every_s), 64))
                 for i in range(n):
-                    f = decoder(bytes(content) + str(i).encode(), "image")
+                    f = decoder(raw + str(i).encode(), "image")
                     rows.append(
                         {
                             "asset_id": aid,
@@ -853,6 +1045,104 @@ def _write_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
     )
 
 
+def _write_mp4_video(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    fps: int = 10,
+    timescale: int = 1000,
+) -> bytes:
+    """Minimal valid ISO BMFF (MP4) writer: ftyp + mdat + moov with a full
+    video-track sample table (stsd/stts/stsc/stsz/stco), one chunk, one
+    constant frame delta.
+
+    The frame payloads are stored verbatim as mdat samples (format tag
+    'mp4v'; no entropy coding — decoders that honor the sample table, like
+    :func:`_mp4_sample_table`, recover every payload byte exactly).  moov
+    is written AFTER mdat so chunk offsets don't depend on moov's size.
+    """
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    def full(tag: bytes, verflags: int, payload: bytes) -> bytes:
+        return box(tag, struct.pack(">I", verflags) + payload)
+
+    delta = max(timescale // fps, 1)
+    n = len(frames)
+    dur = n * delta
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = box(b"mdat", b"".join(frames))
+    first_off = len(ftyp) + 8  # first sample starts right after mdat header
+
+    entry = box(
+        b"mp4v",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count per sample
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),  # depth, pre_defined
+    )
+    stbl = box(
+        b"stbl",
+        full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        + full(b"stts", 0, struct.pack(">III", 1, n, delta))
+        + full(b"stsc", 0, struct.pack(">IIII", 1, 1, n, 1))
+        + full(
+            b"stsz",
+            0,
+            struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        + full(b"stco", 0, struct.pack(">II", 1, first_off)),
+    )
+    minf = box(
+        b"minf",
+        full(b"vmhd", 1, b"\x00" * 8)
+        + box(b"dinf", full(b"dref", 0, struct.pack(">I", 1) + full(b"url ", 1, b"")))
+        + stbl,
+    )
+    mdia = box(
+        b"mdia",
+        full(
+            b"mdhd",
+            0,
+            struct.pack(">IIII", 0, 0, timescale, dur)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        + full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00")
+        + minf,
+    )
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd = full(
+        b"tkhd",
+        7,  # enabled | in_movie | in_preview
+        struct.pack(">III", 0, 0, 1)  # creation, modification, track_id
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mvhd = full(
+        b"mvhd",
+        0,
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    return ftyp + mdat + box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+
+
 def resize_images(
     assets: DataFrame, width: int, height: int
 ) -> DataFrame:
@@ -926,11 +1216,11 @@ def resize_images(
 def make_asset_table(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic asset table.
 
-    Five of every six payloads are REAL decodable containers written by
-    the pure-Python writers in this repo (gray PNG, 4-color GIF, 24-bit
-    BMP, baseline JPEG, PCM16 WAV) so the decode pipeline exercises its
-    actual pixel/sample paths; the sixth is a labeled opaque blob standing
-    in for video (MP4/h264) that routes through the BLAKE2b fallback."""
+    EVERY payload is a real decodable container written by the pure-Python
+    writers in this repo: gray PNG, 4-color GIF, 24-bit BMP, baseline
+    JPEG, PCM16 WAV, and ISO-BMFF MP4 with a full sample table
+    (:func:`_write_mp4_video`) — so the decode pipeline exercises its
+    actual pixel/sample/sample-table paths for all six modalities."""
     palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
     rows = []
     for i in range(n):
@@ -969,11 +1259,14 @@ def make_asset_table(spark, n: int = 64) -> DataFrame:
             row = (i, "image", "image/jpeg",
                    bytearray(write_jpeg_baseline(px)), "{}")
         else:
-            content = hashlib.blake2b(
-                str(i).encode(), digest_size=64
-            ).digest() * (1 + i % 7)
-            row = (i, "video", "application/x-fake-video",
-                   bytearray(content), "{}")
+            frames = [
+                hashlib.blake2b(
+                    seed + bytes([j]), digest_size=32
+                ).digest() * (2 + (i + j) % 3)
+                for j in range(3 + i % 5)
+            ]
+            row = (i, "video", "video/mp4",
+                   bytearray(_write_mp4_video(16 * w, 16 * h, frames)), "{}")
         rows.append(row)
     return spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8, "asset_id")
 
