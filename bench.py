@@ -67,6 +67,21 @@ def main() -> None:
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # Host-variance floor: a fixed map-only plan (scan + project + noop)
+    # whose cost is dominated by per-job overhead, not query compute.  This
+    # host shows round-to-round CPU-steal swings of ~1.2-2x that hit every
+    # query uniformly; recording the floor alongside the timings lets a
+    # reader normalize across rounds (divide by floor_r{N}/floor_r{M})
+    # without cross-referencing map-only queries in old BENCH files.
+    floor = float("inf")
+    for _ in range(max(trials, 3)):
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+            "l_orderkey", "l_quantity + 1.0 AS q1"
+        ).write.format("noop").mode("overwrite").save()
+        floor = min(floor, time.perf_counter() - t0)
+    print(f"# host_floor: {floor:.4f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -76,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_floor": round(floor, 4),
             }
         )
     )

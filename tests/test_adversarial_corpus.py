@@ -1,0 +1,99 @@
+"""Cross-engine text-query parity over an ADVERSARIAL corpus variant.
+
+The driver-generated ``documents`` table is well-behaved (single spaces,
+lowercase-ish, LF-only), so a Spark/DuckDB tokenization divergence on
+tabs, CRLF, repeated spaces, or case would never surface in the standard
+parity run (the round-2 ``q_contamination`` oracle whitespace bug was
+caught by review, not by a test).  This suite rebuilds ``documents`` with
+extra documents full of mixed whitespace/case/unicode and re-runs the
+driver-identical compare for every registered text/dedup query that reads
+only the documents table.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from lab_etl_spark.queries import load_all
+
+from .compare import TABLES, compare, duck_con
+
+REGISTRY = load_all()
+
+#: registered queries whose inputs are exactly {documents} and whose oracle
+#: tokenization must agree with Spark on hostile whitespace/case
+_TEXT_QUERIES = [
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_tokens_bpe",
+    "q_token_histogram",
+    "q_lang_id_ngram",
+    "q_text_repetition",
+    "q_contamination",
+    "q_pii_redact",
+    "q_tfidf",
+    "q_quality_filter",
+    "q_frequent_ngrams",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_doc_chunking",
+    "q_vocab_oov",
+]
+
+_NASTY_DOCS = [
+    # tabs + CRLF + run-on spaces + uppercase: every tokenizer edge at once
+    "The\tQuick  BROWN fox\r\njumps\r\nOVER\t\tthe LAZY  dog "
+    "the quick brown fox jumps over the lazy dog",
+    # leading/trailing whitespace + unicode letters + mixed case repeats
+    "  Ünïcode Tokens\tand MORE unicode TOKENS\r\n"
+    "ünïcode tokens and more UNICODE tokens  ",
+    # a single very spacey doc: empty-ish splits must not diverge
+    " \t \r\n two\t\twords \r\n ",
+]
+
+
+@pytest.fixture(scope="module")
+def nasty_sf_dir(spark, sf_dir, tmp_path_factory):
+    """sf0.001 clone whose documents table carries the adversarial docs."""
+    out = tmp_path_factory.mktemp("nasty_sf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{sf_dir}/{t}.parquet", out / f"{t}.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.count()
+    extra = spark.createDataFrame(
+        [
+            (base + i, text, "en", "src_nasty", len(text))
+            for i, text in enumerate(_NASTY_DOCS)
+        ],
+        docs.schema,
+    )
+    # single output file so DuckDB's view glob sees one parquet footer
+    docs.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        str(out / "_docs_dir")
+    )
+    files = list((out / "_docs_dir").glob("*.parquet"))
+    assert len(files) == 1
+    shutil.move(str(files[0]), out / "documents.parquet")
+    shutil.rmtree(out / "_docs_dir")
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _TEXT_QUERIES)
+def test_text_query_parity_on_adversarial_corpus(spark, nasty_sf_dir, name):
+    q = REGISTRY[name]
+    assert q.oracle is not None, name
+    con = duck_con(nasty_sf_dir)
+    try:
+        compare(
+            q.fn(spark, nasty_sf_dir),
+            con.execute(q.oracle).fetchdf(),
+            name,
+        )
+    finally:
+        con.close()
