@@ -686,3 +686,247 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 decision-support widening: the five classic TPC-H shapes the
+# surface was still missing (Q6 forecast, Q7 bi-nation volume, Q12 lateness
+# x priority, Q16 supplier counts, Q20 nested semi-join chain), adapted to
+# the driver schema (no partsupp / shipmode / commitdate columns — each
+# adaptation preserves the original's join/agg shape and notes the swap).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_forecast_revenue",
+    priority=1,
+    oracle=f"""
+    SELECT {dsum('l_extendedprice * l_discount', 6)} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: revenue-increase forecast — a pure scan-side query: "
+    "every predicate (date window, discount band, quantity cap) pushes to "
+    "the parquet scan, and the single exact-decimal aggregate runs "
+    "map-side with a 1-row exchange.  The canonical 'filters must reach "
+    "the scan' benchmark shape; at 100 TB it is I/O-bound by design and "
+    "row-group min/max stats prune most of the table.",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.expr(dsum("l_extendedprice * l_discount", 6)).alias("revenue")
+    )
+
+
+@register(
+    "q_volume_shipping",
+    priority=1,
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7: shipping volume between two nations by year — the "
+    "classic star-with-two-dim-roles query (nation joins TWICE, once "
+    "through supplier and once through customer).  Both nation dims and "
+    "supplier/customer broadcast; only lineitem-orders meet in a shuffled "
+    "join; the disjunctive nation-pair predicate prunes before grouping.",
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18")
+        & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19")
+        & (F.col("cust_nation") == "NATION_18")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_shipmode_priority",
+    priority=1,
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                THEN 'late'
+                WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                THEN 'slow' ELSE 'fast' END AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 adaptation: order-priority mix per shipping-delay class "
+    "(the driver schema has no shipmode/commitdate, so the grouping key is "
+    "an order-to-ship-days bucket — same join + dual conditional-count "
+    "shape).  One fact-fact join, counts as conditional sums; both counts "
+    "are exact integers, so parity is trivially bit-stable.",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    diff = F.datediff("l_shipdate", "o_orderdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.when(diff > 90, "late")
+            .when(diff > 30, "slow")
+            .otherwise("fast")
+            .alias("ship_class"),
+            high.cast("int").alias("_hi"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum("_hi").cast("bigint").alias("high_line_count"),
+            F.sum(1 - F.col("_hi")).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_parts_supplier_count",
+    priority=1,
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 adaptation: distinct-supplier counts per part "
+    "(brand, type, size) — the part-supplier relation comes from lineitem "
+    "pairs (driver schema has no partsupp), and the excluded-supplier "
+    "subquery (negative account balance standing in for complaints) runs "
+    "as a broadcast anti-join.  COUNT(DISTINCT) expands to the standard "
+    "two-level aggregate; the part dim broadcasts.",
+)
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(list(range(1, 16)))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_potential_promotion",
+    priority=1,
+    oracle=f"""
+    WITH agg AS (
+      SELECT l_suppkey,
+             {dsum("CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' THEN l_quantity ELSE 0.0 END")}
+               AS qty_window,
+             {dsum('l_quantity')} AS qty_all
+      FROM lineitem
+      WHERE l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           a.qty_window, a.qty_all
+    FROM agg a
+    JOIN supplier s ON s.s_suppkey = a.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE a.qty_window * 5.0 > a.qty_all
+    """,
+    doc="TPC-H Q20 adaptation: suppliers whose shipments of red-named "
+    "parts concentrate in one year (>20% of all-time volume in 1996; the "
+    "driver schema has no partsupp availqty, so the threshold compares "
+    "two shipped-quantity aggregates) — the nested semi-join chain shape: "
+    "part-name semi-join gates the fact scan, a conditional/total "
+    "exact-decimal aggregate pair feeds the threshold, survivors join "
+    "back to supplier + nation detail.  Both sums are exact, and the "
+    "5x-integer-scaled comparison is a single identically-rounded double "
+    "multiply in both engines, so the boundary is deterministic.",
+)
+def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red %")
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    qty_window = dsum(
+        "CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'"
+        " AND l_shipdate < TIMESTAMP '1997-01-01'"
+        " THEN l_quantity ELSE 0.0 END"
+    )
+    agg = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.expr(qty_window).alias("qty_window"),
+            F.expr(dsum("l_quantity")).alias("qty_all"),
+        )
+        .filter(F.col("qty_window") * 5.0 > F.col("qty_all"))
+    )
+    return (
+        agg.join(F.broadcast(s), agg.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "qty_window", "qty_all")
+    )

@@ -198,10 +198,14 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_pagerank        — the broadcast 1-row vertex-count scalar (per
 #                       iteration); the edge joins and contribution
 #                       aggregations stay hash-partitioned on src/dst.
+#   q_forecast_revenue — the single-row Q6 forecast itself; all predicates
+#                       push to the scan and the partial aggregation below
+#                       the final 1-row exchange stays fully parallel.
 _SINGLE_PARTITION_OK = {
     "q_pagerank",
     "q_global_share",
     "q_source_mix_weights",
+    "q_forecast_revenue",
     "q_interp_linear",
     "q_scalar_subquery",
     "q_funnel",
