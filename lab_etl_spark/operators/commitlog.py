@@ -1,0 +1,211 @@
+"""Minimal Delta-style JSON commit log for plain-parquet lake tables.
+
+The swap-based lake mutations in this repo (``sources/sink.py
+compact_table``, ``streaming/jobs.py upsert_latest``) commit by renaming
+directories — fine on one POSIX filesystem, but the rename pair is not a
+single atomic step and readers must list the live directory.  This module
+is the stand-in-free alternative: a table is a directory of immutable
+versioned data snapshots plus an append-only log of JSON manifests, and
+*readers resolve the latest manifest instead of listing data files* —
+exactly the core mechanism of Delta Lake / Iceberg (a transaction log of
+snapshot manifests; see the Delta Lake paper, Armbrust et al., VLDB 2020),
+reduced to what plain files can guarantee:
+
+    table_dir/
+      _log/00000000000000000001.json   {"version": 1, "data_dir": "v_...",
+                                        "op": "...", "ts_ms": ...}
+      _log/00000000000000000002.json
+      v_<uuid>/part-*.parquet          (immutable snapshot directories)
+
+Commit protocol (crash-safe by construction, no recovery dance):
+  1. write the new snapshot into a fresh ``v_<uuid>`` directory — invisible
+     to readers (nothing references it yet);
+  2. write the manifest JSON to a temp name, fsync, then ``os.link`` it to
+     the next version number — ``link`` is atomic and fails with EEXIST if
+     another committer claimed the version first (optimistic concurrency:
+     bump and retry; readers never observe a partial manifest).
+A crash before step 2 leaves an orphan snapshot directory that no manifest
+references — invisible, reclaimed by :meth:`LoggedTable.vacuum`.  A crash
+after step 2 is a completed commit.  There is no window where the table is
+missing or mixed.
+
+Scale note: manifests carry only {version, data_dir, op, row counts} — a
+few hundred bytes regardless of table size — and resolving the latest
+manifest is one directory listing of ``_log`` (O(versions), independent of
+data file count).  On an object store, ``os.link`` becomes the store's
+if-absent put; everything else is unchanged.
+
+Reference parity: lab-etl has no lake/mutation surface at all (SURVEY.md
+§2A — one parquet per instrument run); this is §2B lakehouse extension.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: subdirectory holding the manifest log
+LOG_DIR = "_log"
+
+#: zero-padded width of manifest filenames (lexicographic == numeric order)
+_W = 20
+
+
+class LoggedTable:
+    """A plain-parquet table with a Delta-style manifest log."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.log_dir = os.path.join(table_dir, LOG_DIR)
+
+    # -- log primitives ----------------------------------------------------
+
+    def versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            stem, ext = os.path.splitext(n)
+            if ext == ".json" and len(stem) == _W and stem.isdigit():
+                out.append(int(stem))
+        return sorted(out)
+
+    def manifest(self, version: int) -> dict:
+        with open(
+            os.path.join(self.log_dir, f"{version:0{_W}d}.json")
+        ) as f:
+            return json.load(f)
+
+    def latest(self) -> dict | None:
+        vs = self.versions()
+        return self.manifest(vs[-1]) if vs else None
+
+    # -- read / write ------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Resolve the latest manifest and scan ONLY its snapshot directory.
+
+        The returned plan is pinned to that snapshot: later commits write
+        new directories and never touch this one, so a lazy reader
+        collected mid-compaction still sees a consistent version (until
+        :meth:`vacuum` reclaims it).
+        """
+        m = self.latest()
+        if m is None:
+            raise FileNotFoundError(f"no commits in {self.log_dir}")
+        return spark.read.parquet(
+            os.path.join(self.table_dir, m["data_dir"])
+        )
+
+    def commit(
+        self,
+        write_fn: Callable[[str], None],
+        op: str = "overwrite",
+        meta: dict | None = None,
+    ) -> dict:
+        """Run ``write_fn(new_snapshot_dir)`` and atomically publish it.
+
+        ``write_fn`` receives an absolute path that does not exist yet and
+        must leave a readable parquet directory there (any writer works:
+        ``df.write.parquet``, ``operators/zorder.write_zordered``, a
+        compaction job, ...).  Returns the committed manifest.
+        """
+        data_rel = f"v_{uuid.uuid4().hex[:12]}"
+        write_fn(os.path.join(self.table_dir, data_rel))
+        os.makedirs(self.log_dir, exist_ok=True)
+        while True:
+            version = (self.versions() or [0])[-1] + 1
+            m = {
+                "version": version,
+                "data_dir": data_rel,
+                "op": op,
+                "ts_ms": int(time.time() * 1000),
+                **(meta or {}),
+            }
+            tmp = os.path.join(
+                self.log_dir, f".tmp.{uuid.uuid4().hex[:8]}.json"
+            )
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+                f.flush()
+                os.fsync(f.fileno())
+            final = os.path.join(self.log_dir, f"{version:0{_W}d}.json")
+            try:
+                os.link(tmp, final)  # atomic claim; EEXIST => lost the race
+                os.unlink(tmp)
+                return m
+            except FileExistsError:
+                os.unlink(tmp)  # another committer won this version: retry
+
+    # -- maintenance -------------------------------------------------------
+
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Drop snapshot dirs not referenced by the newest ``keep``
+        manifests (plus orphans from crashed commits), and their manifests.
+
+        ``keep >= 1``; keeping >1 version gives in-flight lazy readers a
+        grace window, the file-based analogue of Delta's retention period.
+        Returns the removed directory names.
+        """
+        vs = self.versions()
+        keep = max(keep, 1)
+        live = {self.manifest(v)["data_dir"] for v in vs[-keep:]}
+        removed = []
+        for name in os.listdir(self.table_dir):
+            if (
+                name.startswith("v_")
+                and name not in live
+                and os.path.isdir(os.path.join(self.table_dir, name))
+            ):
+                shutil.rmtree(
+                    os.path.join(self.table_dir, name), ignore_errors=True
+                )
+                removed.append(name)
+        for v in vs[:-keep] if len(vs) > keep else []:
+            try:
+                os.unlink(os.path.join(self.log_dir, f"{v:0{_W}d}.json"))
+            except OSError:
+                pass
+        return removed
+
+
+def compact_logged(
+    spark: SparkSession,
+    table: LoggedTable,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Compaction as a log commit: same single-shuffle salted rewrite as
+    ``sources/sink.py compact_table``, but published by manifest append —
+    readers of the previous version are undisturbed (no directory swap,
+    no rename window), which is what makes compaction safe to run behind
+    live queries at 100 TB."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = table.read(spark)
+    census = (
+        df.select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.file_size").alias("sz"),
+        )
+        .groupBy("fp")
+        .agg(F.first("sz").alias("sz"))
+        .collect()
+    )
+    total_bytes = sum(r["sz"] for r in census)
+    n_target = max(1, math.ceil(total_bytes / target_bytes))
+    m = table.commit(
+        lambda d: df.repartition(n_target).write.parquet(d),
+        op="compact",
+        meta={"files_before": len(census), "files_target": n_target},
+    )
+    return m

@@ -96,6 +96,7 @@ _WINDOW_FRONT = [
     "q_shipmode_priority",
     "q_parts_supplier_count",
     "q_potential_promotion",
+    "q_commitlog_roundtrip",
 ]
 
 # ROUND-5 ROTATION DUTY: every query registered through round 4 has a green

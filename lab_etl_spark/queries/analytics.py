@@ -930,3 +930,44 @@ def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", "n_name", "qty_window", "qty_all")
     )
+
+
+@register(
+    "q_commitlog_roundtrip",
+    priority=1,
+    bench=False,  # dominated by the snapshot writes' disk I/O
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           {dsum('n_chars', 0)} AS sum_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Commit-log lake table end-to-end (operators/commitlog.py): commit "
+    "documents as snapshot v1 of a LoggedTable, compact it into snapshot "
+    "v2 (manifest append, no directory swap), then aggregate from the "
+    "READ-BACK of the latest manifest.  Parity vs the oracle over the "
+    "original parquet proves the two commits and the manifest-resolved "
+    "read lost/duplicated nothing; the atomicity/race/orphan guarantees "
+    "are pinned by tests/test_commitlog.py.  At 100 TB this is the "
+    "Delta-style mechanism that lets compaction run behind live readers.",
+)
+def q_commitlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable, compact_logged
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = LoggedTable(scratch_dir("commitlog_docs", sf_dir))
+    table.commit(
+        lambda d: docs.repartition(8).write.parquet(d), op="create"
+    )
+    compact_logged(spark, table, target_bytes=1 << 30)
+    back = table.read(spark)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(dsum("n_chars", 0)).alias("sum_chars"),
+        )
+        .orderBy("source")
+    )

@@ -408,3 +408,40 @@ def upsert_latest(events: DataFrame, table_dir: str, checkpoint_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def upsert_latest_logged(
+    events: DataFrame, table_dir: str, checkpoint_dir: str
+):
+    """``upsert_latest`` committing through the manifest log
+    (operators/commitlog.py) instead of directory swaps.
+
+    Each micro-batch reads the previous snapshot via the latest manifest,
+    reduces, writes a NEW immutable snapshot directory, and publishes it
+    with one atomic manifest append — the entire crash-recovery dance of
+    the swap variant (backup rename / restore-at-entry) disappears: a
+    crash before the append leaves an orphan directory no reader sees, and
+    replaying the batch simply commits the next version.  Old snapshots
+    are vacuumed down to 2 after each commit, leaving in-flight lazy
+    readers a one-version grace window.
+    """
+    from ..operators.commitlog import LoggedTable
+
+    table = LoggedTable(table_dir)
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        out = latest_per_user(batch)
+        if table.latest() is not None:
+            out = latest_per_user(table.read(spark).unionByName(out))
+        table.commit(
+            lambda d: out.write.parquet(d), op="upsert"
+        )
+        table.vacuum(keep=2)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

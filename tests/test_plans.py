@@ -229,6 +229,7 @@ _SWEEP_SKIP = {
     "q_jsonl_roundtrip",
     "q_zorder_skipping",
     "q_schema_evolution",
+    "q_commitlog_roundtrip",
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
 }
