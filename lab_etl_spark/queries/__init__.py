@@ -97,6 +97,13 @@ _WINDOW_FRONT = [
     "q_parts_supplier_count",
     "q_potential_promotion",
     "q_commitlog_roundtrip",
+    # round-4 sketch/graph/time-series cohort
+    "q_heavy_hitters_cms",
+    "q_kmv_distinct",
+    "q_bloom_join_prune",
+    "q_triangle_count",
+    "q_ewma_batch",
+    "q_rolling_1h",
 ]
 
 # ROUND-5 ROTATION DUTY: every query registered through round 4 has a green
@@ -123,6 +130,7 @@ def load_all() -> dict[str, Query]:
         relational,
         scale,
         similarity,
+        sketches,
         text,
         timeseries,
     )

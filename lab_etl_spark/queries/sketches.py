@@ -1,0 +1,416 @@
+"""Mergeable-sketch and join-pruning query surface.
+
+At 100 TB the aggregations that matter are the ones whose partial states
+MERGE: a sketch built per-partition and OR'd/MIN'd/summed at the reducer
+costs one map-side pass plus a tiny shuffle, where the exact answer would
+shuffle the raw keys.  Spark's built-ins cover HLL (approx_count_distinct)
+and KLL-ish percentiles (approx_percentile) but neither is value-checkable
+across engines; the sketches here are built from md5-derived hashes (the
+portable-hash convention of operators/dedup.py) so the DuckDB oracle
+reproduces them bit-for-bit:
+
+  * Count-Min sketch      — heavy-hitter tokens; the sketch is a (depth ×
+                            width) grid of COUNTs, mergeable by cell-wise sum
+                            (partial aggregation does exactly that map-side).
+  * KMV (k-minimum-values) — per-group distinct-count sketch; mergeable by
+                            "k smallest of the union of k-smallest sets".
+  * Bloom-pruned join     — the explicit form of Spark's AQE runtime filter:
+                            build a bitset over the dim keys, broadcast it,
+                            drop fact rows before the shuffle, then exact-join
+                            the survivors (false positives die there, so the
+                            answer is exact and the oracle is the plain join).
+  * Triangle counting     — co-occurrence graph analytics: support-filtered
+                            edges, oriented a<b<c so each triangle is built
+                            exactly once (two joins, no explosion).
+
+The reference has no sketch/graph surface (SURVEY.md §2A is ETL-only);
+this extends §2B's scale mandate the same way q_skew_join_salted does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+from .exact import dsum
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+#: heavy-hitter threshold as a fraction of the total token stream
+CMS_PHI = 0.002
+
+
+def _cms_bucket_spark(d: int, col: str = "token") -> str:
+    """Row-d bucket for a token: first 8 md5 hex chars → int → mod width.
+
+    Identical value in DuckDB via _cms_bucket_duck (same md5, same slice,
+    same modulus) — the portable-hash convention of operators/dedup.py:444.
+    """
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('cms{d}:', {col})), 1, 8), 16, 10) "
+        f"AS BIGINT) % {CMS_WIDTH}"
+    )
+
+
+def _cms_bucket_duck(d: int, col: str = "token") -> str:
+    return (
+        f"CAST(('0x' || SUBSTRING(MD5('cms{d}:' || {col}), 1, 8)) AS BIGINT) "
+        f"% {CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+    FROM documents
+),
+total AS (SELECT COUNT(*) AS n_total FROM toks),
+cells AS (  -- the sketch: depth × width grid of counts (mergeable by sum)
+    SELECT d, bucket, COUNT(*) AS cnt
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT {d} AS d, {_cms_bucket_duck(d)} AS bucket FROM toks"
+            for d in range(CMS_DEPTH)
+        )}
+    )
+    GROUP BY d, bucket
+),
+exact AS (SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY token),
+est AS (
+    SELECT e.token, e.exact_cnt, MIN(c.cnt) AS cms_est
+    FROM exact e
+    JOIN cells c
+      ON c.cnt IS NOT NULL
+     AND ((c.d = 0 AND c.bucket = {_cms_bucket_duck(0, 'e.token')})
+       {" ".join(
+           f"OR (c.d = {d} AND c.bucket = {_cms_bucket_duck(d, 'e.token')})"
+           for d in range(1, CMS_DEPTH)
+       )})
+    GROUP BY e.token, e.exact_cnt
+)
+SELECT token, cms_est, exact_cnt, cms_est - exact_cnt AS overcount
+FROM est, total
+WHERE cms_est >= n_total * {CMS_PHI}
+ORDER BY token
+"""
+
+
+@register(
+    "q_heavy_hitters_cms",
+    oracle=_CMS_ORACLE,
+    doc="Count-Min-sketch heavy hitters over the document token stream. The "
+    "sketch is a 4×512 grid of counts built in ONE hash-aggregate whose "
+    "partial states merge by cell-wise sum (map-side combine shrinks every "
+    "partition to ≤2048 rows before the shuffle — the whole point at 100 TB, "
+    "where the raw token stream is petabyte-scale but the sketch is 16 KB). "
+    "Estimates (min over depths) are then read out for each candidate token "
+    "and thresholded at φ=0.2% of the stream; overcount shows the CMS "
+    "estimation error, which both engines reproduce exactly because the "
+    "bucket hashes are md5-derived (portable-hash convention).",
+    tags=["sketch"],
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("token")
+    )
+    # The sketch: one pass, one shuffle of ≤ depth×width cells.
+    cells = (
+        toks.select(
+            F.posexplode(
+                F.array(
+                    *[F.expr(_cms_bucket_spark(d)) for d in range(CMS_DEPTH)]
+                )
+            ).alias("d", "bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # Candidate read-out: distinct tokens with exact counts (the oracle-side
+    # ground truth the estimate is compared against).
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = exact.select(
+        "token",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[F.expr(_cms_bucket_spark(d)) for d in range(CMS_DEPTH)])
+        ).alias("d", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))  # 1-row scalar broadcast
+        .where(F.col("cms_est") >= F.col("n_total") * F.lit(CMS_PHI))
+        .select(
+            "token",
+            "cms_est",
+            "exact_cnt",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+#: 13 md5 hex chars = 52 uniform bits; /2^52 is an EXACT binary scaling, so
+#: the unit-interval double is bit-identical in both engines.
+_KMV_U_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('kmv:', CAST(user_id AS STRING))), 1, 13),"
+    " 16, 10) AS DOUBLE) / 4503599627370496"
+)
+_KMV_U_DUCK = (
+    "CAST(CAST(('0x' || SUBSTRING(MD5('kmv:' || CAST(user_id AS VARCHAR)), 1,"
+    " 13)) AS BIGINT) AS DOUBLE) / 4503599627370496"
+)
+
+_KMV_ORACLE = f"""
+WITH dv AS (
+    SELECT DISTINCT event_type, user_id FROM events
+),
+hashed AS (
+    SELECT event_type, user_id, {_KMV_U_DUCK} AS u,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY {_KMV_U_DUCK}, user_id) AS rn
+    FROM dv
+),
+sketch AS (  -- the k smallest hashes per group: THE mergeable state
+    SELECT event_type, COUNT(*) AS n_seen, MAX(u) AS kth
+    FROM hashed WHERE rn <= {KMV_K} GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events
+    GROUP BY event_type
+)
+SELECT s.event_type,
+       CASE WHEN s.n_seen < {KMV_K} THEN CAST(s.n_seen AS DOUBLE)
+            ELSE ({KMV_K} - 1) / s.kth END AS est_distinct,
+       e.exact_distinct
+FROM sketch s JOIN exact e ON s.event_type = e.event_type
+ORDER BY s.event_type
+"""
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=_KMV_ORACLE,
+    doc="K-minimum-values distinct-count sketch per event_type: hash each "
+    "key to a uniform unit double (md5-derived, exact /2^52 scaling), keep "
+    "the k=64 smallest per group, estimate |D| = (k-1)/h_(k). Mergeable at "
+    "scale: the k smallest of a union is computable from per-partition "
+    "k-smallest lists, so the shuffle carries ≤k values per group instead "
+    "of the key stream (Spark's own approx_count_distinct is the HLL "
+    "cousin; KMV is the one whose value an independent engine can "
+    "reproduce bit-for-bit). Exact distinct is joined in to exhibit the "
+    "estimation error; both engines agree on every bit of the estimate.",
+    tags=["sketch"],
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    dv = ev.select("event_type", "user_id").distinct()
+    hashed = dv.withColumn("u", F.expr(_KMV_U_SPARK))
+    w = Window.partitionBy("event_type").orderBy("u", "user_id")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_seen"), F.max("u").alias("kth"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.when(
+                F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")
+            )
+            .otherwise(F.lit(float(KMV_K - 1)) / F.col("kth"))
+            .alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned join
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 65536 bits = 1024 64-bit words
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(i: int, col: str) -> str:
+    """Bit position i for a key (Spark SQL; the oracle never needs it —
+    false positives are eliminated by the exact join, so the oracle is the
+    plain join)."""
+    return (
+        f"CAST(CONV(SUBSTRING(MD5(CONCAT('bloom{i}:', CAST({col} AS STRING))),"
+        f" 1, 8), 16, 10) AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "q_bloom_join_prune",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Explicit Bloom-filter join pruning — the hand-rolled form of "
+    "Spark's AQE runtime row-group filter, exhibited so the plan is "
+    "inspectable: (1) hash the BUILDING customers' keys into a 64 Ki-bit "
+    "bitset packed as a word→bits map (ONE aggregate, mergeable by OR); "
+    "(2) broadcast the ~8 KB map and drop fact rows whose 3 probe bits "
+    "aren't all set — BEFORE the join shuffle, which at 100 TB is the "
+    "difference between shuffling ~1/5 of orders and all of them; "
+    "(3) exact-join the survivors so false positives die and the result "
+    "equals the plain join (which is exactly what the oracle runs).",
+    tags=["scale"],
+)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    # Build: explode each key's k bit positions, OR them into 64-bit words.
+    words = (
+        cust.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(_bloom_pos(i, "c_custkey"))
+                        for i in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    bmap = words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(
+            "bmap"
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    probed = orders.crossJoin(F.broadcast(bmap))  # 1-row bitset broadcast
+    for i in range(BLOOM_HASHES):
+        pos = _bloom_pos(i, "o_custkey")
+        probed = probed.where(
+            F.expr(
+                f"(COALESCE(element_at(bmap, CAST(({pos}) DIV 64 AS BIGINT)),"
+                f" 0L) & shiftleft(1L, CAST(({pos}) % 64 AS INT))) != 0"
+            )
+        )
+    # Exact join of the pruned fact side kills Bloom false positives.
+    return (
+        probed.join(F.broadcast(cust), probed.o_custkey == cust.c_custkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(dsum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+TRIANGLE_MIN_SUPPORT = 2
+
+_TRIANGLE_ORACLE = f"""
+WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2
+    FROM pp a JOIN pp b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+),
+wedges AS (
+    SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+    FROM edges e1 JOIN edges e2 ON e1.p2 = e2.p1
+)
+SELECT w.a, w.b, w.c
+FROM wedges w JOIN edges e ON w.a = e.p1 AND w.c = e.p2
+ORDER BY w.a, w.b, w.c
+"""
+
+
+@register(
+    "q_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    doc="Triangle enumeration over the co-purchase graph: parts are linked "
+    "when they appear in ≥2 common orders (the support filter prunes "
+    "~115k random co-occurrences to ~3.4k real edges at sf0.01 — the same "
+    "move frequent-itemset mining uses, and what keeps the wedge join from "
+    "going quadratic at 100 TB). Edges are oriented a<b<c so each triangle "
+    "is produced exactly once by two equi-joins: wedge (a-b, b-c) then "
+    "close (a-c). Per-order pair fan-out is bounded by order size (≤7 "
+    "lines in TPC-H), so the edge build is linear in lineitem.",
+    tags=["graph"],
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = pp.alias("a"), pp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= TRIANGLE_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1")).select(
+        F.col("e1.p1").alias("a"),
+        F.col("e1.p2").alias("b"),
+        F.col("e2.p2").alias("c"),
+    )
+    return (
+        wedges.join(
+            e3, (F.col("a") == F.col("e3.p1")) & (F.col("c") == F.col("e3.p2"))
+        )
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
+    )

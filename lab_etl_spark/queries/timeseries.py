@@ -688,3 +688,120 @@ def q_stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "n_users", "n_events"
         )
     )
+
+
+EWMA_LAGS = 30
+
+#: denominator for the fixed-point read-out: weights are 2^(29-k) over a
+#: 2^30 base, values are micro-unit integers → /(2^30 · 1e6).  The constant
+#: is an integer < 2^53, so its double is exact and the single final IEEE
+#: division is identical in both engines.
+_EWMA_DENOM = float((1 << 30) * 1_000_000)
+
+_EWMA_ORACLE = f"""
+WITH seq AS (
+    SELECT event_id, user_id, value,
+           CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmicro,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+contrib AS (
+    SELECT a.event_id, a.user_id, a.value,
+           b.vmicro * (1 << (29 - (a.rn - b.rn))) AS c
+    FROM seq a JOIN seq b
+      ON a.user_id = b.user_id
+     AND b.rn BETWEEN a.rn - {EWMA_LAGS - 1} AND a.rn
+)
+SELECT event_id, user_id, value,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / {_EWMA_DENOM!r} AS ewma
+FROM contrib
+GROUP BY event_id, user_id, value
+ORDER BY event_id
+"""
+
+
+@register(
+    "q_ewma_batch",
+    oracle=_EWMA_ORACLE,
+    doc="Deterministic batch EWMA per user: s_i = Σ_k value_{i-k} · 2^-(k+1) "
+    "truncated at 30 lags. Exact fixed-point arithmetic makes it "
+    "bit-reproducible across engines: values quantize to integer "
+    "micro-units (one decimal cast, identical both sides), α=½ weights are "
+    "integers 2^(29-k), the weighted sum stays in int64 (< 2^60 — exact), "
+    "and ONE final double division reads it out. One window pass — an "
+    "array of 30 lags folded with a (sum, weight) struct accumulator, all "
+    "inside whole-stage codegen; no self-join, no Python. The untruncated "
+    "recurrence is the streaming operator (q_stream_stateful_ewma, O(1) "
+    "state); this is its oracle-checkable batch twin, the form a backfill "
+    "job would use at 100 TB because it shuffles each user's series "
+    "exactly once.",
+)
+def q_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "vmicro", F.expr("CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = F.array(*[F.lag("vmicro", k).over(w) for k in range(EWMA_LAGS)])
+    fold = f"""
+    CAST(aggregate(
+        lags,
+        named_struct('s', 0L, 'w', {1 << 29}L),
+        (acc, x) -> named_struct(
+            's', acc.s + coalesce(x, 0L) * acc.w,
+            'w', acc.w DIV 2L),
+        acc -> acc.s) AS DOUBLE) / {_EWMA_DENOM!r}
+    """
+    return (
+        ev.select("event_id", "user_id", "value", lags.alias("lags"))
+        .select(
+            "event_id", "user_id", "value", F.expr(fold).alias("ewma")
+        )
+        .orderBy("event_id")
+    )
+
+
+#: trailing-hour frame in event-time microseconds (inclusive of current row)
+_HOUR_US = 3_600_000_000 - 1
+
+
+@register(
+    "q_rolling_1h",
+    oracle=f"""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Trailing-1-hour per-user rolling count/sum via a RANGE window over "
+    "event-time microseconds — the frame is defined by VALUE distance, not "
+    "row count, so irregular event spacing is handled exactly (and ties "
+    "into the frame are peer-inclusive identically in both engines). Sums "
+    "accumulate in DECIMAL for order-free exactness. One shuffle on "
+    "user_id; at 100 TB this is the standard sort-window plan, with "
+    "range-frame evaluation O(n) per partition via two moving pointers.",
+)
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tus", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(-_HOUR_US, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("event_id")
+    )
