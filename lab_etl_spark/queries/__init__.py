@@ -104,6 +104,11 @@ _WINDOW_FRONT = [
     "q_triangle_count",
     "q_ewma_batch",
     "q_rolling_1h",
+    # round-4 lake-layout cohort
+    "q_bucketed_join",
+    "q_partition_pruning",
+    "q_incremental_agg",
+    "q_linreg_trend",
 ]
 
 # ROUND-5 ROTATION DUTY: every query registered through round 4 has a green
@@ -126,6 +131,7 @@ def load_all() -> dict[str, Query]:
         analytics,
         dedup,
         instruments,
+        lakeops,
         multimodal_q,
         relational,
         scale,

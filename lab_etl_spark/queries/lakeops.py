@@ -1,0 +1,227 @@
+"""Physical-layout and maintenance queries: the lake-side techniques that
+decide whether a 100 TB join/scan is feasible at all.
+
+  * bucketed co-located join — both sides pre-bucketed+sorted on the join
+    key at write time, so the join runs with ZERO exchanges: the shuffle
+    was paid ONCE when the table was written, not per query.  This is the
+    layout the orders⋈lineitem family would get on a real lake.
+  * partition pruning — directory-level data skipping: a filter on the
+    partition column never opens non-matching files (complements z-order
+    row-group skipping, queries/analytics.py q_zorder_skipping).
+  * incremental aggregate maintenance — merge a late delta batch into a
+    materialized aggregate using the mergeable-state algebra
+    (count/sum/min/max), instead of recomputing over the full history.
+    At 100 TB the recompute is hours; the merge is proportional to the
+    delta.  The oracle IS the full recompute, so the check proves
+    merge ≡ recompute.
+
+All three write eagerly at plan-build time (scratch lake layouts), so they
+sit in tests/test_plans.py _SWEEP_SKIP with dedicated plan assertions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, scratch_dir
+from . import register
+from .exact import dsum
+
+BUCKETS = 8
+
+
+def _bucketed_table(
+    spark: SparkSession, df: DataFrame, family: str, sf_dir: str, key: str
+) -> DataFrame:
+    """Write ``df`` as a bucketed+sorted external table under a unique
+    scratch path and return it re-read through the catalog (bucket metadata
+    only attaches via the table, not a bare parquet path).  Older
+    same-family tables from earlier invocations are dropped — same
+    per-invocation-uniqueness discipline as catalog.scratch_dir."""
+    # Unique name per invocation (same discipline as scratch_dir: an
+    # earlier invocation's returned DataFrame reads ITS table lazily, so
+    # never reuse or eagerly drop names; stale data dirs are TTL-pruned by
+    # scratch_dir, and the in-memory catalog entries die with the session).
+    path = scratch_dir(family, sf_dir)
+    name = os.path.basename(path)
+    # ONE file per bucket: Spark only trusts a bucket's sortBy order when
+    # the bucket is a single file (multiple files per bucket → per-task
+    # re-Sort under the join, losing half the layout's win).  Repartition
+    # on the bucket key with numPartitions == numBuckets uses the same
+    # Murmur3-pmod hash as the bucket spec, so each write task holds
+    # exactly one bucket's rows.
+    (
+        df.repartition(BUCKETS, F.col(key))
+        .write.bucketBy(BUCKETS, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+@register(
+    "q_bucketed_join",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_items,
+           {dsum('l_extendedprice')} AS sum_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Co-located large⋈large join over a bucketed lake layout: orders "
+    "and lineitem are written bucketBy(8, orderkey).sortBy(orderkey), so "
+    "the SortMergeJoin consumes both scans DIRECTLY — zero Exchange, zero "
+    "per-task Sort on the join key (asserted by "
+    "tests/test_plans.py::test_bucketed_join_query_plan). The shuffle is "
+    "paid once at write time; every subsequent join on the bucket key is "
+    "shuffle-free, which at 100 TB turns the nightly orders⋈lineitem "
+    "family from a network-bound job into a map-side merge.",
+    bench=False,  # dominated by the eager bucketed write, not the join
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        ),
+        "bucket_od",
+        sf_dir,
+        "o_orderkey",
+    )
+    li = _bucketed_table(
+        spark,
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "bucket_li",
+        sf_dir,
+        "l_orderkey",
+    )
+    return (
+        od.hint("MERGE")
+        .join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+#: the one partition the pruned scan reads (events span 2024-01-01 onward)
+PRUNE_DATE = "2024-01-02"
+
+
+@register(
+    "q_partition_pruning",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '{PRUNE_DATE}'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Directory-level partition pruning: events are laid out "
+    "partitionBy(event_date), and the day-filtered query's scan carries "
+    "the predicate as a PartitionFilter — non-matching directories are "
+    "never listed, never opened (asserted by tests/test_plans.py::"
+    "test_partition_pruning_in_plan). At 100 TB with daily partitions "
+    "this is the difference between scanning one day and scanning three "
+    "years. The oracle filters the unpartitioned table — identical rows "
+    "prove the pruned layout loses nothing.",
+    bench=False,  # dominated by the eager partitioned write
+)
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = scratch_dir("events_bydate", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(scratch)
+    back = spark.read.parquet(scratch)
+    return (
+        back.where(F.col("event_date") == F.lit(PRUNE_DATE).cast("date"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "q_incremental_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Incremental view maintenance via mergeable aggregate states: the "
+    "materialized per-type aggregate (history = 90% of events) absorbs a "
+    "late delta batch (the other 10%) by MERGING partial states — counts "
+    "and decimal sums add, min/max take least/greatest, with full-outer "
+    "null-completion for groups new to either side. The oracle recomputes "
+    "over the full table, proving merge ≡ recompute. At 100 TB this is "
+    "how a daily rollup absorbs late data in O(delta) instead of "
+    "re-scanning the history; the same algebra is why Spark's partial "
+    "aggregation works at all (map-side states merge the same way).",
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    # History vs late-arriving delta: a deterministic 90/10 split.
+    hist = agg_state(ev.where(F.col("event_id") % 10 != 0))
+    delta = agg_state(ev.where(F.col("event_id") % 10 == 0))
+    h, d = hist.alias("h"), delta.alias("d")
+    merged = h.join(
+        d, F.col("h.event_type") == F.col("d.event_type"), "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return (
+        merged.select(
+            F.coalesce("h.event_type", "d.event_type").alias("event_type"),
+            (
+                F.coalesce("h.n_events", F.lit(0))
+                + F.coalesce("d.n_events", F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce("h.sum_dec", zero) + F.coalesce("d.sum_dec", zero)
+            )
+            .cast("double")
+            .alias("sum_value"),
+            F.least(
+                F.coalesce("h.min_value", "d.min_value"),
+                F.coalesce("d.min_value", "h.min_value"),
+            ).alias("min_value"),
+            F.greatest(
+                F.coalesce("h.max_value", "d.max_value"),
+                F.coalesce("d.max_value", "h.max_value"),
+            ).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -494,3 +494,79 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") % 64).alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+#: shared regression read-out: identical double-arithmetic expression text
+#: evaluated by both engines over bit-identical (n, sx, sy, sxx, sxy, syy).
+_LINREG_READOUT = """
+       CAST(n AS DOUBLE) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS intercept,
+       ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+"""
+
+
+@register(
+    "q_linreg_trend",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 1000000 AS DOUBLE) AS x,
+               value AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(CAST(x AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS syy
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, {_LINREG_READOUT}
+    FROM sums ORDER BY event_type
+    """,
+    doc="Distributed least-squares trend (value vs event-time seconds) per "
+    "event_type via the sufficient-statistics decomposition: ONE pass "
+    "accumulates (n, Σx, Σy, Σx², Σxy, Σy²) — six mergeable sums, the "
+    "same partial-aggregate algebra Spark uses map-side — and slope/"
+    "intercept/r² are closed-form read-outs. Spark's own regr_slope "
+    "accumulates in doubles (order-dependent, irreproducible across "
+    "engines); here each product is one deterministic double rounding, the "
+    "sums are exact DECIMAL, and the decimal→double read-out goes through "
+    "the exact decimal STRING (strtod/parseDouble are correctly rounded; "
+    "a direct wide-decimal→double cast is not, in either engine), so both "
+    "engines agree on every output "
+    "bit. At 100 TB this shape is why regression-per-group is cheap: the "
+    "shuffle carries six numbers per group, never the points.",
+)
+def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000 AS DOUBLE)"
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.expr("CAST(CAST(SUM(CAST(x AS DECIMAL(38,4))) AS STRING) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) AS STRING) AS DOUBLE)").alias("sy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,2))) AS STRING) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS STRING) AS DOUBLE)"
+        ).alias("sxy"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    return sums.selectExpr("event_type", *[
+        e.strip() for e in _LINREG_READOUT.split(",\n")
+    ]).orderBy("event_type")

@@ -22,6 +22,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # AQE: runtime coalescing, skew-join splitting, broadcast demotion.
     "spark.sql.adaptive.enabled": "true",
+    # Bucketed+sorted lake tables (queries/lakeops.py) are written ONE file
+    # per bucket, so propagating their sort order is free and eliminates
+    # the per-task Sort under bucket-co-located SortMergeJoins.  Off by
+    # default upstream only because the required planning-time file listing
+    # is expensive for many-file buckets — ours are single-file by
+    # construction (bucketed writes repartition onto the bucket key first).
+    "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }

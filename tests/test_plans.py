@@ -201,7 +201,15 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_forecast_revenue — the single-row Q6 forecast itself; all predicates
 #                       push to the scan and the partial aggregation below
 #                       the final 1-row exchange stays fully parallel.
+#   q_bloom_join_prune — the 1-row word→bits bitset map built from the
+#                       ~1/5-of-customer dim keys and broadcast; the fact
+#                       probe and the exact join stay fully parallel.
+#   q_heavy_hitters_cms — the 1-row total-token-count scalar gating the φ
+#                       threshold; sketch build and read-out aggregates
+#                       stay hash-partitioned.
 _SINGLE_PARTITION_OK = {
+    "q_bloom_join_prune",
+    "q_heavy_hitters_cms",
     "q_pagerank",
     "q_global_share",
     "q_source_mix_weights",
@@ -230,6 +238,8 @@ _SWEEP_SKIP = {
     "q_zorder_skipping",
     "q_schema_evolution",
     "q_commitlog_roundtrip",
+    "q_bucketed_join",
+    "q_partition_pruning",
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
 }
@@ -294,3 +304,43 @@ def test_pii_redact_is_map_only(spark, sf_dir):
     p = _fmt(REGISTRY["q_pii_redact"].fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_bucketed_join_query_plan(spark, sf_dir):
+    # The registered bucketed-join query: the SortMergeJoin must consume
+    # both bucketed scans directly — no Exchange and no Sort below the
+    # join (the layout pre-paid both).  The only exchanges allowed are the
+    # post-join aggregate's and the final ORDER BY's.
+    import re
+
+    p = _fmt(REGISTRY["q_bucketed_join"].fn(spark, sf_dir))
+    assert "SortMergeJoin" in p, p
+    smj_prefix = p.split("SortMergeJoin")[0]
+    tree = smj_prefix[smj_prefix.rfind("(1) ") :] if "(1) " in smj_prefix else smj_prefix
+    join_inputs = [
+        line
+        for line in p.splitlines()
+        if "Scan parquet" in line or re.search(r"\(\d+\) Sort\b", line)
+    ]
+    # no Sort nodes anywhere below the join: the final orderBy is a
+    # TakeOrderedAndProject/Sort ABOVE the aggregate, so at most one Sort
+    # (for the ORDER BY) may appear in the whole plan.
+    assert len([l for l in join_inputs if "Sort" in l]) <= 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
+
+
+def test_partition_pruning_in_plan(spark, sf_dir):
+    p = _fmt(REGISTRY["q_partition_pruning"].fn(spark, sf_dir))
+    line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "event_date" in line, p
+    # the data filter must NOT degrade to a post-scan filter on ts date
+    assert "PartitionFilters: []" not in p, p
+
+
+def test_incremental_agg_merges_partials(spark, sf_dir):
+    # Merge plan: two aggregates + one full-outer join of ≤|event_types|
+    # rows each — never a re-scan-sized shuffle.  Both branch scans must
+    # push the modulo split's IsNotNull and keep partial aggregation.
+    p = _fmt(REGISTRY["q_incremental_agg"].fn(spark, sf_dir))
+    assert "partial_count" in p or "partial_sum" in p, p
+    assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p or "FullOuter" in p, p
