@@ -90,17 +90,25 @@ class LoggedTable:
 
     # -- read / write ------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Resolve the latest manifest and scan ONLY its snapshot directory.
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        """Scan ONLY the snapshot directory of one manifest — the latest by
+        default, or an explicit ``version`` (time travel: every manifest
+        still in the log resolves to an immutable snapshot, so historical
+        reads cost the same one-manifest lookup as current ones).
 
         The returned plan is pinned to that snapshot: later commits write
         new directories and never touch this one, so a lazy reader
         collected mid-compaction still sees a consistent version (until
         :meth:`vacuum` reclaims it).
         """
-        m = self.latest()
-        if m is None:
-            raise FileNotFoundError(f"no commits in {self.log_dir}")
+        if version is None:
+            m = self.latest()
+            if m is None:
+                raise FileNotFoundError(f"no commits in {self.log_dir}")
+        else:
+            m = self.manifest(version)
         return spark.read.parquet(
             os.path.join(self.table_dir, m["data_dir"])
         )

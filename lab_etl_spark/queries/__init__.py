@@ -109,6 +109,7 @@ _WINDOW_FRONT = [
     "q_partition_pruning",
     "q_incremental_agg",
     "q_linreg_trend",
+    "q_time_travel",
 ]
 
 # ROUND-5 ROTATION DUTY: every query registered through round 4 has a green

@@ -225,3 +225,67 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT event_type, COUNT(*) AS n, {dsum('value', 6)} AS sum_value
+        FROM events WHERE event_id % 4 != 0 GROUP BY event_type
+    ),
+    v2 AS (
+        SELECT event_type, COUNT(*) AS n, {dsum('value', 6)} AS sum_value
+        FROM events GROUP BY event_type
+    )
+    SELECT v2.event_type,
+           v1.n AS n_v1, v2.n AS n_v2,
+           v2.n - v1.n AS n_added,
+           v2.sum_value - v1.sum_value AS sum_added
+    FROM v2 JOIN v1 ON v2.event_type = v1.event_type
+    ORDER BY v2.event_type
+    """,
+    doc="Time travel over the commit log (operators/commitlog.py): commit "
+    "events snapshot v1 (3/4 of the stream), commit v2 (all of it), then "
+    "aggregate BOTH versions — v1 via an explicit version read, v2 via "
+    "the latest manifest — and diff them. Every manifest resolves to an "
+    "immutable snapshot directory, so reading history costs one manifest "
+    "lookup, same as reading HEAD; this is how a 100 TB pipeline audits "
+    "what a late batch changed without keeping a second copy of the "
+    "table. The oracle recomputes both versions from the source table; "
+    "the sum delta subtracts two exact-decimal doubles (deterministic "
+    "IEEE subtraction in both engines).",
+    bench=False,  # dominated by the two eager snapshot writes
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    table = LoggedTable(scratch_dir("timetravel_events", sf_dir))
+    m1 = table.commit(
+        lambda d: ev.where(F.col("event_id") % 4 != 0).write.parquet(d),
+        op="ingest",
+    )
+    table.commit(lambda d: ev.write.parquet(d), op="late-batch")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+
+    v1 = agg(table.read(spark, version=m1["version"])).alias("v1")
+    v2 = agg(table.read(spark)).alias("v2")
+    return (
+        v2.join(v1, F.col("v2.event_type") == F.col("v1.event_type"))
+        .select(
+            F.col("v2.event_type").alias("event_type"),
+            F.col("v1.n").alias("n_v1"),
+            F.col("v2.n").alias("n_v2"),
+            (F.col("v2.n") - F.col("v1.n")).alias("n_added"),
+            (F.col("v2.sum_value") - F.col("v1.sum_value")).alias(
+                "sum_added"
+            ),
+        )
+        .orderBy("event_type")
+    )

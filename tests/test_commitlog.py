@@ -119,3 +119,19 @@ def test_streaming_upsert_logged_matches_batch_twin(spark, sf_dir, tmp_path):
         1 for n in os.listdir(table_dir) if n.startswith("v_")
     )
     assert n_snap <= 2
+
+
+def test_time_travel_reads_pinned_versions(spark, tmp_path):
+    from lab_etl_spark.operators.commitlog import LoggedTable
+
+    t = LoggedTable(str(tmp_path / "tt"))
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    df2 = spark.range(0, 25).withColumnRenamed("id", "k")
+    m1 = t.commit(lambda d: df1.write.parquet(d))
+    m2 = t.commit(lambda d: df2.write.parquet(d))
+    assert t.read(spark, version=m1["version"]).count() == 10
+    assert t.read(spark, version=m2["version"]).count() == 25
+    assert t.read(spark).count() == 25
+    # vacuum keeping both versions leaves history readable
+    t.vacuum(keep=2)
+    assert t.read(spark, version=m1["version"]).count() == 10

@@ -240,6 +240,7 @@ _SWEEP_SKIP = {
     "q_commitlog_roundtrip",
     "q_bucketed_join",
     "q_partition_pruning",
+    "q_time_travel",
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
 }
