@@ -185,6 +185,40 @@ class LoggedTable:
         return removed
 
 
+def purge_logged(
+    spark: SparkSession,
+    table: LoggedTable,
+    predicate,
+) -> dict:
+    """Right-to-be-forgotten rewrite as a log commit: materialize a new
+    snapshot EXCLUDING rows matching ``predicate`` (a Column), publish it
+    by manifest append, and record how many rows were dropped.
+
+    Readers pinned to earlier versions still see the purged rows until
+    :meth:`LoggedTable.vacuum` reclaims those snapshots — which is the
+    actual deletion step for compliance purposes, exactly as in Delta's
+    DELETE + VACUUM two-phase story.  At 100 TB the rewrite is one
+    filtered scan-and-write (no shuffle), and with a partitioned/z-ordered
+    layout only files whose min/max overlap the predicate would need
+    rewriting."""
+    from pyspark.sql import functions as F
+
+    df = table.read(spark)
+    counts = df.groupBy().agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(predicate, 1)).alias("purged"),
+    ).collect()[0]
+    m = table.commit(
+        lambda d: df.where(~predicate).write.parquet(d),
+        op="purge",
+        meta={
+            "rows_before": counts["total"],
+            "rows_purged": counts["purged"],
+        },
+    )
+    return m
+
+
 def compact_logged(
     spark: SparkSession,
     table: LoggedTable,

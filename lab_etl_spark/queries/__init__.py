@@ -110,6 +110,9 @@ _WINDOW_FRONT = [
     "q_incremental_agg",
     "q_linreg_trend",
     "q_time_travel",
+    "q_user_purge",
+    "q_histogram",
+    "q_data_quality",
 ]
 
 # ROUND-5 ROTATION DUTY: every query registered through round 4 has a green

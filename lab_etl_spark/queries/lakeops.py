@@ -289,3 +289,176 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_user_purge",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum('value', 6)} AS sum_value
+    FROM events
+    WHERE user_id % 97 != 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Right-to-be-forgotten purge over the commit log "
+    "(operators/commitlog.py purge_logged): commit events as snapshot v1, "
+    "purge every user_id ≡ 0 (mod 97) into snapshot v2 (filtered rewrite "
+    "published by manifest append — no shuffle, earlier versions intact "
+    "until vacuum), then aggregate the purged table. The oracle filters "
+    "the source directly — identical results prove the rewrite dropped "
+    "exactly the targeted users and nothing else. Vacuum is the actual "
+    "compliance deletion (pinned in tests/test_commitlog.py); at 100 TB "
+    "a z-ordered layout limits the rewrite to files whose min/max "
+    "overlap the purged keys.",
+    bench=False,  # dominated by the two eager snapshot writes
+)
+def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable, purge_logged
+
+    ev = load_table(spark, sf_dir, "events")
+    table = LoggedTable(scratch_dir("purge_events", sf_dir))
+    table.commit(lambda d: ev.write.parquet(d), op="ingest")
+    purge_logged(spark, table, F.col("user_id") % 97 == 0)
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: histogram bin width over events.value (fixed so both engines bin alike)
+HIST_BIN_W = 100.0
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CAST(FLOOR(value / {HIST_BIN_W}) AS BIGINT) AS bin,
+           CAST(FLOOR(value / {HIST_BIN_W}) AS BIGINT) * {HIST_BIN_W}
+               AS bin_lo,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY event_type, bin
+    """,
+    doc="Equi-width histogram of value per event_type — the profiling "
+    "primitive behind range statistics, skew detection, and histogram-"
+    "equalized bucketing. One hash-aggregate on (type, bin): bin counts "
+    "are mergeable partial states, so at 100 TB the shuffle carries "
+    "|types|×|bins| rows regardless of input size. Binning is a single "
+    "IEEE divide + floor, identical in both engines.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / HIST_BIN_W).cast("long")
+    return (
+        ev.groupBy(
+            "event_type",
+            bin_.alias("bin"),
+            (bin_ * F.lit(HIST_BIN_W)).alias("bin_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+@register(
+    "q_data_quality",
+    oracle="""
+    SELECT 'orders_null_custkey' AS rule,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+               AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_domain',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 0.1)
+    ORDER BY rule
+    """,
+    doc="Declarative data-quality audit — the expectations layer every "
+    "ingest pipeline needs: null-key, referential-integrity (FK orphans "
+    "via anti join), duplicate-key, and domain-range rules, each returning (checked, violations) counts. Every rule is "
+    "an aggregate or anti-join the optimizer runs in parallel branches; "
+    "nothing is collected row-wise, so the audit scales with the "
+    "violation COUNT, not the table. The anti join broadcasts the "
+    "dimension side exactly like the production semi-join pattern.",
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name: str, checked: DataFrame, violations: DataFrame):
+        n_c = checked.groupBy().agg(F.count(F.lit(1)).alias("n_checked"))
+        n_v = violations.groupBy().agg(
+            F.count(F.lit(1)).alias("n_violations")
+        )
+        return n_c.crossJoin(n_v).select(
+            F.lit(name).alias("rule"), "n_checked", "n_violations"
+        )
+
+    dup = od.groupBy().agg(
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "n_violations"
+        ),
+        F.count(F.lit(1)).alias("n_checked"),
+    ).select(
+        F.lit("orders_dup_orderkey").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+    rules = [
+        rule(
+            "orders_null_custkey", od, od.where(F.col("o_custkey").isNull())
+        ),
+        rule(
+            "orders_orphan_custkey",
+            od,
+            od.join(
+                F.broadcast(cu.select("c_custkey")),
+                od.o_custkey == cu.c_custkey,
+                "left_anti",
+            ),
+        ),
+        dup,
+        rule(
+            "lineitem_nonpositive_qty",
+            li,
+            li.where(F.col("l_quantity") <= 0),
+        ),
+        rule(
+            "lineitem_discount_domain",
+            li,
+            li.where(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+            ),
+        ),
+    ]
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("rule")

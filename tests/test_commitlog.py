@@ -135,3 +135,22 @@ def test_time_travel_reads_pinned_versions(spark, tmp_path):
     # vacuum keeping both versions leaves history readable
     t.vacuum(keep=2)
     assert t.read(spark, version=m1["version"]).count() == 10
+
+
+def test_purge_rewrites_and_vacuum_deletes_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_logged
+
+    t = LoggedTable(str(tmp_path / "purge"))
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    t.commit(lambda d: df.write.parquet(d))
+    m = purge_logged(spark, t, F.col("k") % 10 == 0)
+    assert m["rows_before"] == 100 and m["rows_purged"] == 10
+    assert t.read(spark).count() == 90
+    # pre-purge snapshot still readable until vacuum...
+    assert t.read(spark, version=m["version"] - 1).count() == 100
+    # ...and vacuum(keep=1) is the compliance deletion
+    removed = t.vacuum(keep=1)
+    assert len(removed) == 1
+    assert t.read(spark).count() == 90

@@ -207,9 +207,13 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_heavy_hitters_cms — the 1-row total-token-count scalar gating the φ
 #                       threshold; sketch build and read-out aggregates
 #                       stay hash-partitioned.
+#   q_data_quality    — five 1-row (checked, violations) rule counters; the
+#                       underlying scans/anti-join stay fully parallel and
+#                       feed 1-row reduces.
 _SINGLE_PARTITION_OK = {
     "q_bloom_join_prune",
     "q_heavy_hitters_cms",
+    "q_data_quality",
     "q_pagerank",
     "q_global_share",
     "q_source_mix_weights",
@@ -241,6 +245,7 @@ _SWEEP_SKIP = {
     "q_bucketed_join",
     "q_partition_pruning",
     "q_time_travel",
+    "q_user_purge",
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
 }
