@@ -115,10 +115,12 @@ _WINDOW_FRONT = [
     "q_data_quality",
 ]
 
-# ROUND-5 ROTATION DUTY: every query registered through round 4 has a green
-# driver row once CORRECTNESS_r04 lands; front any round-4 additions that
-# missed this round's window, then resume cycling veterans by the age of
-# their last driver row.
+# ROUND-5 ROTATION DUTY: the front above holds 40 entries, so CORRECTNESS_r04
+# checks all of them plus 10 veterans; once it lands green, every query
+# registered through round 4 has a driver row.  Round 5: front any round-5
+# additions plus any round-4 front entry that came back red, then resume
+# cycling veterans by the age of their last driver-green row (r1-cohort
+# first — they have not been driver-checked since round 2's window).
 
 
 def load_all() -> dict[str, Query]:

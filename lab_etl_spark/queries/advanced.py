@@ -1151,6 +1151,9 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         src="pa",
         dst="pb",
         edges_distinct=True,
+        # ~220k-edge dup graph at sf0.1: iterate at edge-set size, not at
+        # the pair-producer's 64 partitions (see _symmetrize docstring)
+        working_partitions=8,
     ).withColumnRenamed("component", "entity_id")
     return (
         labeled.join(part, "p_partkey")
