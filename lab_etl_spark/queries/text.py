@@ -671,3 +671,120 @@ def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "ngram")
         .limit(25)
     )
+
+
+_CURATION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), ' +') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(ws) AS n_words,
+         CAST(len(array_to_string(ws, '')) AS DOUBLE) / len(ws) AS awl,
+         CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(len(text), 1) AS fa,
+         list_max(list_transform(ws, x -> len(x))) AS max_tok
+  FROM t
+),
+kept AS (  -- stage 1: quality gate (q_quality_filter's keep rules)
+  SELECT doc_id, text, n_words FROM m
+  WHERE n_words >= 5 AND awl BETWEEN 2 AND 12
+    AND fa >= 0.5 AND max_tok <= 25
+),
+deduped AS (  -- stage 2: exact dedup, deterministic keeper
+  SELECT doc_id, n_words FROM (
+    SELECT doc_id, n_words,
+           MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper
+    FROM kept
+  ) WHERE doc_id = keeper
+),
+packed AS (  -- stage 3: concat-and-chunk packing (q_seq_packing's shape)
+  SELECT doc_id, doc_id % 32 AS shard, n_words,
+         CAST(COALESCE(SUM(n_words) OVER (
+                PARTITION BY doc_id % 32 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) // 2048 AS seq_id
+  FROM deduped
+)
+SELECT shard, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_tokens
+FROM packed
+GROUP BY shard, seq_id
+ORDER BY shard, seq_id
+"""
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=_CURATION_ORACLE,
+    doc="The end-to-end training-data curation pipeline as ONE lazy DAG: "
+    "quality gate (map-only, q_quality_filter's rules) → exact dedup "
+    "(min-doc_id keeper per content fingerprint, one hash shuffle) → "
+    "concat-and-chunk sequence packing (one partitioned running sum) → "
+    "per-sequence manifest. This is the composition story the individual "
+    "queries exist for: Catalyst fuses the gate into the scan, the dedup "
+    "window and the packing window are the only two shuffles, and nothing "
+    "materializes between stages — at 100 TB the whole pipeline is two "
+    "exchanges over the surviving fraction of the corpus, not four jobs "
+    "with three intermediate copies.",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim("text"), " +")
+    m = docs.select(
+        "doc_id",
+        "text",
+        F.size(ws).alias("n_words"),
+        (
+            F.length(F.array_join(ws, "")).cast("double") / F.size(ws)
+        ).alias("awl"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast(
+                "double"
+            )
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("fa"),
+        F.array_max(F.transform(ws, F.length)).alias("max_tok"),
+    )
+    kept = m.where(
+        (F.col("n_words") >= 5)
+        & F.col("awl").between(2, 12)
+        & (F.col("fa") >= 0.5)
+        & (F.col("max_tok") <= 25)
+    )
+    fp_w = W.partitionBy(F.md5(F.lower(F.trim("text"))))
+    deduped = (
+        kept.withColumn("keeper", F.min("doc_id").over(fp_w))
+        .where(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "n_words")
+    )
+    shard = (F.col("doc_id") % 32).alias("shard")
+    pack_w = (
+        W.partitionBy(F.col("doc_id") % 32)
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = deduped.select(
+        "doc_id",
+        shard,
+        "n_words",
+        (
+            F.coalesce(F.sum("n_words").over(pack_w), F.lit(0)).cast(
+                "long"
+            )
+            / F.lit(2048)
+        )
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard", "seq_id")
+    )
