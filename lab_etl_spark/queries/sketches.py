@@ -120,21 +120,25 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), " +")).alias("token")
     )
-    # The sketch: one pass, one shuffle of ≤ depth×width cells.
+    # ONE corpus scan: per-token exact counts first; the sketch, the probe
+    # set, and the stream total all derive from that (vocabulary-sized)
+    # aggregate.  Summing exact_cnt into (d, bucket) cells is identical to
+    # counting the raw stream per cell — CMS cells are count-weighted token
+    # sums — so at 100 TB the petabyte text is read once and everything
+    # downstream reshuffles only |vocab| rows.
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
     cells = (
-        toks.select(
+        exact.select(
+            "exact_cnt",
             F.posexplode(
                 F.array(
                     *[F.expr(_cms_bucket_spark(d)) for d in range(CMS_DEPTH)]
                 )
-            ).alias("d", "bucket")
+            ).alias("d", "bucket"),
         )
         .groupBy("d", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("exact_cnt").alias("cnt"))
     )
-    # Candidate read-out: distinct tokens with exact counts (the oracle-side
-    # ground truth the estimate is compared against).
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
     probes = exact.select(
         "token",
         "exact_cnt",
@@ -147,7 +151,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "exact_cnt")
         .agg(F.min("cnt").alias("cms_est"))
     )
-    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    total = exact.groupBy().agg(F.sum("exact_cnt").alias("n_total"))
     return (
         est.crossJoin(F.broadcast(total))  # 1-row scalar broadcast
         .where(F.col("cms_est") >= F.col("n_total") * F.lit(CMS_PHI))
