@@ -418,3 +418,51 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b", "c")
         .orderBy("a", "b", "c")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketch maintenance
+# ---------------------------------------------------------------------------
+
+_STREAM_CMS_ORACLE = f"""
+SELECT d, bucket, COUNT(*) AS cnt FROM (
+    {" UNION ALL ".join(
+        f"SELECT {d} AS d,"
+        f" {_cms_bucket_duck(d, 'CAST(user_id AS VARCHAR)')} AS bucket"
+        " FROM events"
+        for d in range(CMS_DEPTH)
+    )}
+)
+GROUP BY d, bucket
+ORDER BY d, bucket
+"""
+
+
+@register(
+    "q_stream_cms_merge",
+    oracle=_STREAM_CMS_ORACLE,
+    bench=False,  # drains a streaming query; not a plan-timing benchmark
+    doc="Count-Min sketch maintained BY A STREAM: the (depth × bucket) "
+    "count grid is the streaming aggregation state — bounded at "
+    "depth×width rows forever — and because cells merge by sum, the "
+    "drained sketch is bit-identical no matter how the stream was "
+    "micro-batched (pinned against a 5-batch replay in "
+    "tests/test_streaming_multimodal.py). That mergeability gives this "
+    "stateful streaming job a full value-level SQL oracle over the same "
+    "events, which rows-only streaming checks can't have. At 100 TB/day "
+    "this is how a live heavy-hitters dashboard runs: kilobytes of "
+    "state, one update per cell per trigger.",
+)
+def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import (
+        cms_cell_counts,
+        run_available_now,
+        stream_events,
+    )
+
+    cells = run_available_now(
+        cms_cell_counts(stream_events(spark, sf_dir)),
+        "q_stream_cms_mem",
+        output_mode="complete",
+    )
+    return cells.orderBy("d", "bucket")

@@ -445,3 +445,26 @@ def upsert_latest_logged(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_cell_counts(events: DataFrame) -> DataFrame:
+    """Streaming Count-Min sketch maintenance: hash each event's user onto
+    CMS_DEPTH buckets and keep a running (d, bucket) count — the sketch IS
+    the aggregation state (≤ depth×width rows, bounded forever), and
+    because cell counts merge by sum, the final sketch is identical no
+    matter how the stream was micro-batched.  That makes this the rare
+    stateful streaming job with a full value-level batch oracle
+    (q_stream_cms_merge), not just a rows-only check."""
+    from ..queries.sketches import CMS_DEPTH, _cms_bucket_spark
+
+    buckets = F.array(
+        *[
+            F.expr(_cms_bucket_spark(d, "CAST(user_id AS STRING)"))
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        events.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

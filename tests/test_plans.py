@@ -234,6 +234,7 @@ _SINGLE_PARTITION_OK = {
 # dedicated tests.
 _SWEEP_SKIP = {
     "q_stream_stateful_ewma",
+    "q_stream_cms_merge",  # drains a streaming query at build time
     "q_dedup_clusters",
     "q_entity_resolution",  # same eager CC loop as q_dedup_clusters
     # disk-round-trip queries: fn() eagerly writes a scratch lake at

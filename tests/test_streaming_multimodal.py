@@ -246,3 +246,33 @@ def test_instrument_ingest_streaming_matches_batch(spark, tmp_path):
     assert (
         got2.filter(got2.source_file.contains(cond)).count() == want.count()
     )
+
+
+def test_stream_cms_merge_invariant_to_batching(spark, sf_dir, tmp_path):
+    """The streaming CMS must produce the SAME cells whether the stream
+    arrives as one file or as five micro-batches (cell sums are mergeable,
+    so batching cannot matter) — the property that earns this stateful
+    job a full value oracle."""
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.streaming.jobs import (
+        cms_cell_counts,
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # lay the same events out as 5 files and stream one file per trigger
+    src = str(tmp_path / "ev5")
+    ev.repartition(5).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = run_available_now(
+        cms_cell_counts(stream), "t_cms_5batch", output_mode="complete"
+    )
+    want = cms_cell_counts(ev)
+    a = {(r.d, r.bucket, r.cnt) for r in got.collect()}
+    b = {(r.d, r.bucket, r.cnt) for r in want.collect()}
+    assert a == b and len(a) > 50
