@@ -13,6 +13,7 @@ and is highly variable for wide results.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -54,8 +55,11 @@ def main() -> None:
     # min-of-N trials: this host shows sporadic multi-second stalls (CPU
     # steal / JVM code-cache flushes) that hit random queries; a stall must
     # strike every trial to corrupt the recorded number.  Honest per-query
-    # compute at sf0.1 is ~0.3-5 s, so extra trials are cheap.
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
+    # compute at sf0.1 is ~0.3-5 s, so extra trials are cheap.  3 trials
+    # (was 2): with 120+ benched queries the suite runs long enough that a
+    # single steal burst can cover two consecutive trials of a short query
+    # (observed: 0.17 s q_semi_join recorded at 0.77 s).
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
     for name, q in sorted(bench_set.items()):
         best = float("inf")
@@ -66,6 +70,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # Release dead references NOW so Spark's ContextCleaner unpersists
+        # the finished query's localCheckpoint/persist blocks before the
+        # next query is timed — otherwise blocks from the iterative queries
+        # (connected components, PageRank) linger until a Python GC happens
+        # to run, taxing later queries' JVM memory.
+        del df
+        gc.collect()
 
     # Host-variance floor: a fixed map-only plan (scan + project + noop)
     # whose cost is dominated by per-job overhead, not query compute.  This
