@@ -59,24 +59,34 @@ def main() -> None:
     # (was 2): with 120+ benched queries the suite runs long enough that a
     # single steal burst can cover two consecutive trials of a short query
     # (observed: 0.17 s q_semi_join recorded at 0.77 s).
+    # Trials are INTERLEAVED (full pass over all queries, repeated), not
+    # back-to-back per query: the host's steal storms last tens of seconds,
+    # long enough to cover every consecutive trial of one short query
+    # (observed: 0.5 s q_map_fns recorded at 6.5 s min-of-3).  With
+    # round-robin passes a storm inflates one pass of MANY queries, and the
+    # min over passes discards it for all of them.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
-    timings: dict[str, float] = {}
-    for name, q in sorted(bench_set.items()):
-        best = float("inf")
-        for _ in range(trials):
+    timings: dict[str, float] = {name: float("inf") for name in bench_set}
+    for t in range(trials):
+        for name, q in sorted(bench_set.items()):
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
-        # Release dead references NOW so Spark's ContextCleaner unpersists
-        # the finished query's localCheckpoint/persist blocks before the
-        # next query is timed — otherwise blocks from the iterative queries
-        # (connected components, PageRank) linger until a Python GC happens
-        # to run, taxing later queries' JVM memory.
-        del df
-        gc.collect()
+            timings[name] = min(
+                timings[name], time.perf_counter() - t0
+            )
+            # Release dead references NOW so Spark's ContextCleaner
+            # unpersists the finished query's localCheckpoint/persist
+            # blocks before the next query is timed — otherwise blocks
+            # from the iterative queries (connected components, PageRank)
+            # linger until a Python GC happens to run, taxing later
+            # queries' JVM memory.
+            del df
+            gc.collect()
+        print(f"# pass {t + 1}/{trials} done", file=sys.stderr)
+    timings = {n: round(v, 4) for n, v in sorted(timings.items())}
+    for name, v in timings.items():
+        print(f"# {name}: {v:.3f}s", file=sys.stderr)
 
     # Host-variance floor: a fixed map-only plan (scan + project + noop)
     # whose cost is dominated by per-job overhead, not query compute.  This
