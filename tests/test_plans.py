@@ -245,6 +245,7 @@ _SWEEP_SKIP = {
     "q_commitlog_roundtrip",
     "q_bucketed_join",
     "q_partition_pruning",
+    "q_orc_roundtrip",
     "q_time_travel",
     "q_user_purge",
     # eager localCheckpoint materialization (unpersist discipline)
