@@ -45,3 +45,38 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+@register(
+    "q_video_frames",
+    oracle=None,  # binary mapInPandas frame explode: not SQL-expressible
+    priority=1,
+    bench=False,  # synthetic in-memory table, not an sf-scaled scan
+    doc="Video frame sampling: MP4 payloads explode to one row per sampled "
+    "frame via the resolved stts/stsc/stsz/stco sample table — REAL "
+    "per-frame timestamps and byte ranges, features from each frame's "
+    "actual mdat bytes, thinned to ~10 frames/second (cap 64; the "
+    "synthetic fixtures run sub-second, so 1 fps would keep only the "
+    "first frame). The "
+    "mapInPandas kernel turns N assets into ~N·fps rows without the "
+    "payloads ever leaving the executors — the canonical shape for frame "
+    "extraction over a 100 TB video corpus. Frame-level values are "
+    "pinned by tests/test_multimodal_decode.py.",
+)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import sample_frames
+
+    assets = make_asset_table(spark, n=96)
+    frames = sample_frames(assets, every_s=0.1)
+    return (
+        frames.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.round(F.min("frame_ts_s"), 3).alias("first_ts_s"),
+            F.round(F.max("frame_ts_s"), 3).alias("last_ts_s"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias(
+                "avg_feature0"
+            ),
+        )
+        .orderBy("asset_id")
+    )
