@@ -691,3 +691,42 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("value", 1).over(w).alias("next_value"),
         (F.col("value") - prev).alias("delta_prev"),
     )
+
+
+@register(
+    "q_sql_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dsum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="User-extensible SQL function surface: a scalar function declared "
+    "with CREATE FUNCTION ... RETURN <expr> and used inside an aggregate. "
+    "Catalyst INLINES the body into the plan — the aggregation stays in "
+    "whole-stage codegen with map-side partial aggregation, unlike a "
+    "Python UDF which would drop the hot path out of the JVM. This is the "
+    "extension mechanism the reference lacks entirely (SURVEY.md §2: 'no "
+    "user-extensible function API'); at 100 TB it is the ONLY acceptable "
+    "kind of user function on a per-row path. The oracle inlines the same "
+    "expression by hand — identical results prove the inlining is "
+    "semantics-preserving.",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)"
+        " RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(f"""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               {dsum('disc_price(l_extendedprice, l_discount)')} AS revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
