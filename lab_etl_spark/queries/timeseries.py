@@ -309,12 +309,27 @@ def q_interp_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stream_stateful_ewma",
-    oracle=None,  # arbitrary stateful streaming: not SQL-expressible
+    # The stateful fold IS SQL-expressible as an order-identical
+    # list_reduce: the operator computes `0.3*x + (1.0-0.3)*acc` per event
+    # in ts order (first value seeds the accumulator — list_reduce's
+    # no-initial semantics), and both engines constant-fold (1.0-0.3) to
+    # the same double, so every intermediate is bit-identical.  Valid
+    # because the driver's events table is ONE file → one micro-batch →
+    # a single globally-ts-sorted fold; cross-batch state carry-over is
+    # separately pinned by tests/test_streaming_multimodal.py.
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           list_reduce(list(value ORDER BY ts),
+                       (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma
+    FROM events GROUP BY user_id
+    """,
     bench=False,  # drains a streaming query; not a plan-timing benchmark
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "per-user EWMA of value with O(1) state per key carried across "
-    "micro-batches, drained via availableNow. Equivalence to a sequential "
-    "pandas oracle is pinned by tests/test_streaming_multimodal.py.",
+    "micro-batches, drained via availableNow. Value-checked against a "
+    "sequential list_reduce oracle (identical fold order and float "
+    "arithmetic), not just rows-only; multi-batch state carry-over is "
+    "pinned by tests/test_streaming_multimodal.py.",
 )
 def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import (
