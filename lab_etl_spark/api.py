@@ -112,3 +112,14 @@ def etl_file(
     target = os.path.join(out_dir or os.path.dirname(path), f"{stem}.parquet")
     write_parquet(df, target, mode="overwrite")
     return target
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run ANSI SQL over the analytic lake tables (region, nation,
+    customer, supplier, part, orders, lineitem, events, documents,
+    embeddings) — registers them as temp views via the catalog (with its
+    type normalization) and returns the lazy result."""
+    from .catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(query)

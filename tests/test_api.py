@@ -53,3 +53,15 @@ def test_etl_file_writes_parquet_roundtrip(spark, tmp_path):
     orig = api.load_mcc_data(spark, src)
     assert back.count() == orig.count()
     assert set(back.columns) == set(orig.columns)
+
+
+def test_sql_over_lake_tables(spark, sf_dir):
+    from lab_etl_spark import api
+
+    out = api.sql(
+        spark,
+        sf_dir,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders"
+        " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    ).collect()
+    assert len(out) >= 2 and all(r.n > 0 for r in out)
