@@ -820,3 +820,58 @@ def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_scd2_lookup",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id, ts, event_type AS state FROM events
+        WHERE event_type != 'purchase'
+    ),
+    facts AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT f.value, d.state
+        FROM facts f ASOF LEFT JOIN dim d
+          ON f.user_id = d.user_id AND f.ts >= d.ts
+    )
+    SELECT COALESCE(state, 'none') AS state,
+           COUNT(*) AS n_purchases,
+           {dsum('value', 6)} AS sum_value
+    FROM matched GROUP BY 1 ORDER BY 1
+    """,
+    doc="Point-in-time dimension lookup — the read side of SCD2: every "
+    "purchase is joined to the user's state AS OF the purchase instant "
+    "(most recent non-purchase event at or before it; purchases before "
+    "any state map to 'none'). Composed from the as-of operator "
+    "(operators/asof.py): union + ONE key-partitioned window forward-"
+    "fill — O(n+m) rows, no (fact × earlier-dim) pair blow-up, which is "
+    "what makes point-in-time joins feasible when both sides are 100 TB "
+    "fact/dimension histories. The oracle uses DuckDB's native ASOF "
+    "JOIN, so two independent as-of implementations must agree exactly.",
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("state")
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join_backward(
+        facts, dim, by=["user_id"], ts="ts", r_cols=["state"]
+    )
+    return (
+        joined.groupBy(
+            F.coalesce("asof_state", F.lit("none")).alias("state")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("state")
+    )
