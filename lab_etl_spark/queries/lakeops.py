@@ -500,3 +500,58 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_date")
     )
+
+
+@register(
+    "q_dynamic_partition_pruning",
+    oracle=f"""
+    WITH day_dim AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS event_date,
+               CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
+        FROM events
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           {dsum('e.value', 6)} AS sum_value
+    FROM events e
+    JOIN day_dim d ON CAST(e.ts AS DATE) = d.event_date
+    WHERE d.dow = 1  -- Mondays (DuckDB dayofweek: Sunday=0; Spark: Sunday=1)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    doc="Dynamic partition pruning: the fact side is laid out "
+    "partitionBy(event_date) and joined to a day dimension filtered at "
+    "RUNTIME (dow = Monday) — the partition filter cannot be written "
+    "statically because the matching dates come from the dim scan, so "
+    "Catalyst injects a dynamicpruning subquery into the fact scan "
+    "(asserted by tests/test_plans.py::test_dynamic_partition_pruning_"
+    "in_plan) and only Monday directories are read. At 100 TB this is "
+    "the star-schema workhorse: dim predicates prune fact partitions "
+    "without materializing the dim filter into the query text. The "
+    "oracle joins the unpartitioned table — identical results prove "
+    "pruning loses nothing.",
+    bench=False,  # dominated by the eager partitioned write
+)
+def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = scratch_dir("events_bydate_dpp", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.withColumn("event_date", F.to_date("ts")).write.partitionBy(
+        "event_date"
+    ).mode("overwrite").parquet(scratch)
+    fact = spark.read.parquet(scratch)
+    day_dim = (
+        ev.select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .withColumn("dow", F.dayofweek("event_date").cast("long"))
+    )
+    return (
+        fact.join(
+            F.broadcast(day_dim.where(F.col("dow") == 2)), "event_date"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -246,6 +246,7 @@ _SWEEP_SKIP = {
     "q_bucketed_join",
     "q_partition_pruning",
     "q_orc_roundtrip",
+    "q_dynamic_partition_pruning",
     "q_time_travel",
     "q_user_purge",
     # eager localCheckpoint materialization (unpersist discipline)
@@ -352,3 +353,11 @@ def test_incremental_agg_merges_partials(spark, sf_dir):
     p = _fmt(REGISTRY["q_incremental_agg"].fn(spark, sf_dir))
     assert "partial_count" in p or "partial_sum" in p, p
     assert "SortMergeJoin FullOuter" in p or "ShuffledHashJoin FullOuter" in p or "FullOuter" in p, p
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    # The fact scan must carry a runtime dynamicpruning subquery on the
+    # partition column — the dim's Monday filter prunes fact directories
+    # at execution time, not via a static predicate.
+    p = _fmt(REGISTRY["q_dynamic_partition_pruning"].fn(spark, sf_dir))
+    assert "dynamicpruning" in p.lower(), p
