@@ -386,24 +386,22 @@ ORDER BY w.a, w.b, w.c
     tags=["graph"],
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pp = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    from ..operators.dedup import _pair_common_counts, _shingle_postings
+
+    # Edge build reuses the dedup package's posting-list kernel: group the
+    # basket (order → sorted part array, ONE shuffle), then emit each
+    # basket's k·(k-1)/2 ordered pairs inside whole-stage codegen and count
+    # them — no orderkey self-join materializing every pair twice.  The
+    # per-basket fan-out is bounded by order size (≤7 lines in TPC-H).
+    pp = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("shingle"),
+        F.col("l_partkey").alias("doc_id"),
     )
-    a, b = pp.alias("a"), pp.alias("b")
+    postings = _shingle_postings(pp.distinct(), None)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .where(F.col("sup") >= TRIANGLE_MIN_SUPPORT)
-        .select("p1", "p2")
+        _pair_common_counts(postings)
+        .where(F.col("n_common") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.col("doc_a").alias("p1"), F.col("doc_b").alias("p2"))
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1")).select(
