@@ -971,3 +971,65 @@ def q_commitlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_date_spine_fill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS d0, MAX(o_orderdate) AS d1 FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT o_orderdate AS day,
+               COUNT(*) AS n_orders,
+               {dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue,
+           CAST(CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
+    """,
+    doc="Calendar-spine densification: generate every day between the first "
+    "and last order date (a 1-row bounds aggregate exploded into the "
+    "spine — no calendar table needed), left-join the daily revenue "
+    "aggregate, and zero-fill the gaps with an is_gap audit flag. The "
+    "spine side is |days| rows regardless of data size, so it BROADCASTS "
+    "and the fact aggregate never reshuffles — gap-filling a 100 TB fact "
+    "table costs one aggregation. This is the densification step every "
+    "time-series dashboard and forecasting feature pipeline needs before "
+    "windowed models (gaps read as zeros, not missing rows).",
+)
+def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    bounds = od.groupBy().agg(
+        F.min("o_orderdate").alias("d0"), F.max("o_orderdate").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(dsum("o_totalprice")).alias("revenue"),
+    )
+    s, d = spine.alias("s"), daily.alias("d")
+    return (
+        s.join(d, F.col("s.day") == F.col("d.day"), "left")
+        .select(
+            F.date_format("s.day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("d.n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("d.revenue", F.lit(0.0)).alias("revenue"),
+            F.when(F.col("d.day").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_gap"),
+        )
+        .orderBy("s.day")
+    )
