@@ -65,3 +65,17 @@ def test_sql_over_lake_tables(spark, sf_dir):
         " GROUP BY o_orderstatus ORDER BY o_orderstatus",
     ).collect()
     assert len(out) >= 2 and all(r.n > 0 for r in out)
+
+
+def test_remaining_loaders_smoke(spark):
+    from lab_etl_spark import api
+
+    cases = [
+        (api.load_sta_data,
+         f"{FIX}/STA/DF_FILED_VAL_STA_N2_10K_240211_R1.csv"),
+        (api.load_cone_data,
+         f"{FIX}/Cone/Asphalt_Shingle_Cone_HF25_220415_R1.XLSM"),
+        (api.load_ftir_data, f"{FIX}/FTIR/Upper_Fiber_Cement_Board_3.0"),
+    ]
+    for fn, path in cases:
+        assert fn(spark, path).count() > 0, path
