@@ -207,6 +207,10 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_heavy_hitters_cms — the 1-row total-token-count scalar gating the φ
 #                       threshold; sketch build and read-out aggregates
 #                       stay hash-partitioned.
+#   q_date_spine_fill — the 1-row (min, max) date-bounds aggregate the
+#                       calendar spine explodes from; the daily revenue
+#                       aggregate stays hash-partitioned and the ≤|days|-row
+#                       spine broadcasts into the fill join.
 #   q_data_quality    — five 1-row (checked, violations) rule counters; the
 #                       underlying scans/anti-join stay fully parallel and
 #                       feed 1-row reduces.
@@ -214,6 +218,7 @@ _SINGLE_PARTITION_OK = {
     "q_bloom_join_prune",
     "q_heavy_hitters_cms",
     "q_data_quality",
+    "q_date_spine_fill",
     "q_pagerank",
     "q_global_share",
     "q_source_mix_weights",
