@@ -123,8 +123,8 @@ _WINDOW_FRONT = [
     "q_date_spine_fill",
 ]
 
-# ROUND-5 ROTATION DUTY: the front above holds 48 entries, so CORRECTNESS_r04
-# checks all of them plus 2 veterans; once it lands green, every query
+# ROUND-5 ROTATION DUTY: the front above holds 45 entries, so CORRECTNESS_r04
+# checks all of them plus 5 veterans; once it lands green, every query
 # registered through round 4 has a driver row.  Round 5: front any round-5
 # additions plus any round-4 front entry that came back red, then resume
 # cycling veterans by the age of their last driver-green row (r1-cohort
