@@ -55,8 +55,6 @@ def q_instrument_peak_hrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: deterministic pipeline; rebuild + re-commit if the HFM parser changes)
 _LAKE_ORACLE_DIR = "/root/repo/lake/hfm"
 
-#: scratch lake the query writes at runtime (gitignored)
-_LAKE_SCRATCH = "/root/repo/spark-warehouse/hfm_lake"
 
 _LAKE_COLS = [
     "source_file",
@@ -88,6 +86,7 @@ _LAKE_COLS = [
     "hive partition column, not just the in-memory frame.",
 )
 def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import scratch_dir
     from ..sources import scan_hfm
     from ..sources.sink import write_parquet
 
@@ -100,10 +99,13 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lower_thermal_conductivity double, sample_id string",
         )
     df = scan_hfm(spark, f"{_FIX}/HFM/*.tst")
-    write_parquet(
-        df, _LAKE_SCRATCH, mode="overwrite", partition_by=["run_mode"]
-    )
-    back = spark.read.parquet(_LAKE_SCRATCH).filter(
+    # per-invocation-unique scratch (catalog.scratch_dir): a FIXED path
+    # here was the last survivor of the round-3 q_jsonl_roundtrip failure
+    # class — a later invocation's overwrite breaks or silently changes an
+    # earlier result's lazy read-back (caught by tests/test_reinvocation.py)
+    lake = scratch_dir("hfm_lake", sf_dir)
+    write_parquet(df, lake, mode="overwrite", partition_by=["run_mode"])
+    back = spark.read.parquet(lake).filter(
         F.col("run_mode") == "conductivity"
     )
     return back.select(*_LAKE_COLS)

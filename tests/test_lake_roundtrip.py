@@ -89,12 +89,7 @@ def test_roundtrip_query_returns_written_rows(spark):
 def test_roundtrip_scan_is_partition_pruned(spark):
     # The read-back filter must reach the file source as a PartitionFilter —
     # at lake scale only the run_mode=conductivity directory may be listed.
-    q_lake_roundtrip(spark, "unused")  # ensure the scratch lake exists
-    from lab_etl_spark.queries.instruments import _LAKE_SCRATCH
-
-    back = spark.read.parquet(_LAKE_SCRATCH).filter(
-        F.col("run_mode") == "conductivity"
-    )
+    back = q_lake_roundtrip(spark, "unused")
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "run_mode" in plan.split("PartitionFilters")[1].split("]")[0]
