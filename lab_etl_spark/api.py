@@ -29,7 +29,12 @@ from .sources.ftir import load_ftir, scan_ftir
 from .sources.hfm import load_hfm, scan_hfm
 from .sources.ngb import load_ngb, scan_ngb
 from .sources.sink import write_parquet
-from .sources.text_formats import load_mcc, load_sta_csv
+from .sources.text_formats import (
+    load_mcc,
+    load_sta_csv,
+    scan_mcc,
+    scan_sta_csv,
+)
 
 
 def load_mcc_data(spark: SparkSession, path: str) -> DataFrame:
@@ -71,8 +76,8 @@ def load_ftir_data(spark: SparkSession, path: str) -> DataFrame:
 #: .txt/.csv shapes; MCC is the .txt default (the reference ships MCC as
 #: .txt and STA as .csv exports).
 _DISPATCH: dict[str, tuple] = {
-    ".txt": (load_mcc, None),
-    ".csv": (load_sta_csv, None),
+    ".txt": (load_mcc, scan_mcc),
+    ".csv": (load_sta_csv, scan_sta_csv),
     ".ngb-ss3": (load_ngb, scan_ngb),
     ".xlsm": (load_cone, scan_cone),
     ".xlsx": (load_cone, scan_cone),

@@ -146,6 +146,12 @@ def detect_encoding(path: str, sample_bytes: int = 1 << 16) -> str:
     """
     with open(path, "rb") as f:
         head = f.read(sample_bytes)
+    return detect_encoding_bytes(head)
+
+
+def detect_encoding_bytes(head: bytes) -> str:
+    """Byte-buffer form of :func:`detect_encoding` for executor-side kernels
+    that already hold the file content (binaryFile scans)."""
     if head.startswith(b"\xff\xfe"):
         return "utf-16le"
     if head.startswith(b"\xfe\xff"):

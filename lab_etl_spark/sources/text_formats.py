@@ -22,7 +22,13 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..meta import attach_provenance, detect_encoding, file_blake2b, with_units
 
@@ -327,3 +333,108 @@ def load_sta_csv(spark: SparkSession, path: str) -> DataFrame:
         df = df.withColumn("segment", df["segment"].cast("long"))
         df = with_units(df, {k: v for k, v in units.items() if v})
     return attach_provenance(df, "STA", path, file_blake2b(path), meta)
+
+
+# ---------------------------------------------------------------------------
+# Distributed multi-file scans (binaryFile + mapInPandas, like the other
+# four formats' scan_* siblings)
+# ---------------------------------------------------------------------------
+
+#: long-format lake schema for heterogeneous CSV-family instrument runs:
+#: different exports carry different channel sets, so the scan emits one
+#: row per (file, row, channel) instead of forcing a superset-wide schema —
+#: the tidy form a multi-instrument lake can union across families and
+#: pivot per analysis.
+_TEXT_SCAN_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("instrument_type", StringType()),
+        StructField("file_hash", StringType()),
+        StructField("row_idx", LongType()),
+        StructField("channel", StringType()),
+        StructField("unit", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _text_scan_kernel(fmt: str):
+    """Per-file parse kernel: decode bytes, find the format's header, parse
+    the numeric body, melt to long form.  One Python call per Arrow batch
+    of whole files — never per row."""
+    import hashlib as _hl
+    import os as _os
+
+    from ..meta import detect_encoding_bytes
+
+    find_header = find_mcc_header if fmt == "MCC" else find_sta_header
+
+    def kernel(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            frames = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                raw = bytes(content)
+                text = raw.decode(
+                    detect_encoding_bytes(raw[: 1 << 16]), errors="replace"
+                ).lstrip("﻿")
+                lines = re.split(r"\r\n|\r|\n", text)
+                data_start, header, delim = find_header(lines)
+                names_units = [
+                    (_standardize(n), u)
+                    for n, u in (split_header_token(t) for t in header)
+                ]
+                body = [
+                    ln.split(delim)
+                    for ln in lines[data_start:]
+                    if ln.strip() and not ln.startswith("#")
+                ]
+                fh = _hl.blake2b(raw, digest_size=64).hexdigest()
+                src = _os.path.basename(path)
+                recs = []
+                for i, cells in enumerate(body):
+                    for (name, unit), cell in zip(names_units, cells):
+                        try:
+                            v = float(cell)
+                        except ValueError:
+                            v = None
+                        recs.append(
+                            (src, fmt, fh, i, name, unit, v)
+                        )
+                frames.append(
+                    _pd.DataFrame(
+                        recs,
+                        columns=[f.name for f in _TEXT_SCAN_SCHEMA.fields],
+                    )
+                )
+            yield (
+                _pd.concat(frames, ignore_index=True)
+                if frames
+                else _pd.DataFrame(
+                    columns=[f.name for f in _TEXT_SCAN_SCHEMA.fields]
+                )
+            )
+
+    return kernel
+
+
+def _scan_text_family(
+    spark: SparkSession, path_glob: str, fmt: str
+) -> DataFrame:
+    binary = spark.read.format("binaryFile").load(path_glob)
+    return binary.select("path", "content").mapInPandas(
+        _text_scan_kernel(fmt), _TEXT_SCAN_SCHEMA
+    )
+
+
+def scan_mcc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed MCC directory scan → long-format lake rows (one per
+    file/row/channel).  Pivot back to wide per analysis; the long form is
+    what lets runs with different channel sets share one lake table."""
+    return _scan_text_family(spark, path_glob, "MCC")
+
+
+def scan_sta_csv(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Distributed STA-CSV directory scan → long-format lake rows."""
+    return _scan_text_family(spark, path_glob, "STA")

@@ -289,3 +289,36 @@ def test_load_ngb_empty_container_explicit_schema(spark, tmp_path):
     assert df.count() == 0
     for c in COLUMN_MAP.values():
         assert c in df.columns
+
+
+def test_scan_mcc_long_matches_wide_loader(spark):
+    from lab_etl_spark.sources.text_formats import load_mcc, scan_mcc
+
+    long_df = scan_mcc(spark, f"{FIX}/MCC/*.txt")
+    wide = load_mcc(spark, MCC_FILE)
+    hrr_wide = sorted(r[0] for r in wide.select("hrr").collect())
+    hrr_long = sorted(
+        r[0]
+        for r in long_df.where(
+            "channel = 'hrr' AND source_file like 'Hemp%'"
+        )
+        .select("value")
+        .collect()
+    )
+    assert hrr_wide == hrr_long and len(hrr_wide) == 2584
+    # unit metadata rides as a column in the long form
+    units = dict(
+        (r.channel, r.unit)
+        for r in long_df.select("channel", "unit").distinct().collect()
+    )
+    assert units["hrr"] == "W/g"
+    assert units["temperature"] == "°C"
+
+
+def test_scan_sta_csv_long_format(spark):
+    from lab_etl_spark.sources.text_formats import scan_sta_csv
+
+    long_df = scan_sta_csv(spark, f"{FIX}/STA/*.csv")
+    rows = long_df.where("channel = 'temperature'").count()
+    assert rows >= 1094  # at least the golden file's row count
+    assert long_df.where("value IS NOT NULL").count() > 0
