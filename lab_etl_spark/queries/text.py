@@ -723,11 +723,12 @@ ORDER BY shard, seq_id
     "(min-doc_id keeper per content fingerprint, one hash shuffle) → "
     "concat-and-chunk sequence packing (one partitioned running sum) → "
     "per-sequence manifest. This is the composition story the individual "
-    "queries exist for: Catalyst fuses the gate into the scan, the dedup "
-    "window and the packing window are the only two shuffles, and nothing "
-    "materializes between stages — at 100 TB the whole pipeline is two "
-    "exchanges over the surviving fraction of the corpus, not four jobs "
-    "with three intermediate copies.",
+    "queries exist for: Catalyst fuses the gate into the scan, the only "
+    "DATA-SIZED shuffles are the dedup window and the packing window "
+    "(the closing manifest aggregate and sort exchange |shards|x|seqs| "
+    "rows, not corpus rows), and nothing materializes between stages — "
+    "at 100 TB the whole pipeline is two corpus-sized exchanges, not "
+    "four jobs with three intermediate copies.",
 )
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
