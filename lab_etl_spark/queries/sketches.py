@@ -213,13 +213,15 @@ ORDER BY s.event_type
     oracle=_KMV_ORACLE,
     doc="K-minimum-values distinct-count sketch per event_type: hash each "
     "key to a uniform unit double (md5-derived, exact /2^52 scaling), keep "
-    "the k=64 smallest per group, estimate |D| = (k-1)/h_(k). Mergeable at "
-    "scale: the k smallest of a union is computable from per-partition "
-    "k-smallest lists, so the shuffle carries ≤k values per group instead "
-    "of the key stream (Spark's own approx_count_distinct is the HLL "
-    "cousin; KMV is the one whose value an independent engine can "
-    "reproduce bit-for-bit). Exact distinct is joined in to exhibit the "
-    "estimation error; both engines agree on every bit of the estimate.",
+    "the k=64 smallest per group, estimate |D| = (k-1)/h_(k). The "
+    "mergeable property is exercised FOR REAL: phase 1 keeps each hash "
+    "bucket's k smallest, phase 2 merges the ≤64·k survivors — the k "
+    "smallest of a union are computable from per-part k-smallest lists, "
+    "so no reducer ever sees a whole group's key stream (Spark's own "
+    "approx_count_distinct is the HLL cousin; KMV is the one whose value "
+    "an independent engine reproduces bit-for-bit, and the result is "
+    "provably independent of the bucketing). Exact distinct is joined in "
+    "to exhibit the estimation error.",
     tags=["sketch"],
 )
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,9 +230,31 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dv = ev.select("event_type", "user_id").distinct()
     hashed = dv.withColumn("u", F.expr(_KMV_U_SPARK))
+    # Two-phase merge — the actual mergeable-sketch shape: each of 64
+    # hash buckets keeps ITS k smallest (phase 1), and the global k
+    # smallest are selected from the ≤64·k survivors (phase 2).  The
+    # union of per-bucket k-smallest always contains the global
+    # k-smallest, so the result is independent of the bucketing; what it
+    # buys at 100 TB is that no single reducer ever sees a whole group's
+    # key stream — phase 1 spreads each group over 64 cells and phase 2
+    # shuffles ≤64·k rows per group instead of |distinct keys|.
+    phase1 = (
+        hashed.groupBy(
+            "event_type",
+            F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("_bucket"),
+        )
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_list(struct(u, user_id))),"
+                f" 1, {KMV_K})"
+            ).alias("tops")
+        )
+        .select("event_type", F.explode("tops").alias("t"))
+        .select("event_type", "t.u", "t.user_id")
+    )
     w = Window.partitionBy("event_type").orderBy("u", "user_id")
     sketch = (
-        hashed.withColumn("rn", F.row_number().over(w))
+        phase1.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= KMV_K)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_seen"), F.max("u").alias("kth"))
