@@ -43,6 +43,10 @@ _TEXT_QUERIES = [
     "q_dedup_simhash",
     "q_doc_chunking",
     "q_vocab_oov",
+    # round-4 additions reading only {documents}
+    "q_dedup_clusters",
+    "q_curation_pipeline",
+    "q_heavy_hitters_cms",
 ]
 
 _NASTY_DOCS = [
@@ -54,6 +58,15 @@ _NASTY_DOCS = [
     "ünïcode tokens and more UNICODE tokens  ",
     # a single very spacey doc: empty-ish splits must not diverge
     " \t \r\n two\t\twords \r\n ",
+] + [
+    # boilerplate flood: ten documents sharing one long hot prefix (every
+    # 3-shingle of it appears 10x) with unique tails — stresses the
+    # posting-list caps, LSH bucket fan-out, and cluster formation that a
+    # well-behaved corpus never exercises
+    "terms of service apply to all content on this page all rights "
+    "reserved contact the webmaster for details "
+    f"unique tail marker {i} closes document {i}"
+    for i in range(10)
 ]
 
 
