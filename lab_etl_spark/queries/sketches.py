@@ -350,13 +350,22 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderpriority", "o_totalprice"
     )
-    probed = orders.crossJoin(F.broadcast(bmap))  # 1-row bitset broadcast
+    # Each bit position is computed ONCE into a column (a md5 per hash per
+    # row), then the k bit tests share those columns — writing the test as
+    # k chained filters would re-evaluate every md5 in both the word and
+    # the bit subexpression.
+    probed = orders.crossJoin(F.broadcast(bmap)).select(
+        "*",
+        *[
+            F.expr(_bloom_pos(i, "o_custkey")).alias(f"_p{i}")
+            for i in range(BLOOM_HASHES)
+        ],
+    )
     for i in range(BLOOM_HASHES):
-        pos = _bloom_pos(i, "o_custkey")
         probed = probed.where(
             F.expr(
-                f"(COALESCE(element_at(bmap, CAST(({pos}) DIV 64 AS BIGINT)),"
-                f" 0L) & shiftleft(1L, CAST(({pos}) % 64 AS INT))) != 0"
+                f"(COALESCE(element_at(bmap, CAST(_p{i} DIV 64 AS BIGINT)),"
+                f" 0L) & shiftleft(1L, CAST(_p{i} % 64 AS INT))) != 0"
             )
         )
     # Exact join of the pruned fact side kills Bloom false positives.
