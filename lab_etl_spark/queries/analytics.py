@@ -255,21 +255,31 @@ def q_region_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_functions",
     priority=1,
     oracle="""
+    WITH parsed AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS min_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS max_k
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM parsed
     GROUP BY event_type
     """,
     doc="Semi-structured JSON column processing: get_json_object path "
     "extraction (json_extract_string in the oracle) with typed casts and "
     "integer aggregation per event type — JSON parse stays in codegen, "
-    "one hash aggregate, no Python.",
+    "one hash aggregate, no Python.  Semantics are PERMISSIVE on "
+    "malformed JSON (a row with broken props contributes NULL, never "
+    "fails the job — Spark's get_json_object behavior, the only "
+    "acceptable contract at 100 TB where some producer always emits one "
+    "bad record); the oracle guards with json_valid because DuckDB's "
+    "extractor raises instead, pinned by "
+    "tests/test_adversarial_corpus.py::test_json_functions_permissive_on_malformed.",
 )
 def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

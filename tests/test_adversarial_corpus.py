@@ -110,3 +110,27 @@ def test_text_query_parity_on_adversarial_corpus(spark, nasty_sf_dir, name):
         )
     finally:
         con.close()
+
+
+def test_json_functions_permissive_on_malformed(spark, sf_dir, tmp_path):
+    """Malformed props rows must contribute NULL, not fail the job, and the
+    (json_valid-guarded) oracle must agree value-for-value."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_spark.catalog import load_table
+
+    dst = tmp_path / "badjson"
+    dst.mkdir()
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "events":
+            df = df.withColumn(
+                "props",
+                F.when(F.col("event_id") % 7 == 0, F.lit("{broken"))
+                .when(F.col("event_id") % 11 == 0, F.lit(""))
+                .otherwise(F.col("props")),
+            )
+        df.toPandas().to_parquet(str(dst / f"{t}.parquet"), index=False)
+    q = REGISTRY["q_json_functions"]
+    con = duck_con(str(dst))
+    compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), "json_bad")
