@@ -20,6 +20,14 @@ def dsum(expr: str, scale: int = 4) -> str:
     """Exact SUM of a double expression, returned as DOUBLE.
 
     Same SQL text is valid in Spark SQL and DuckDB.
+
+    Non-finite inputs: Spark's double→DECIMAL cast yields NULL for
+    NaN/Infinity, so on the ENGINE side a non-finite row is skipped (the
+    permissive contract a 100 TB job needs — pinned by
+    tests/test_functions.py::test_dsum_tolerates_non_finite).  DuckDB's
+    cast raises instead, so the ORACLE text requires finite inputs — which
+    the driver corpus guarantees; guard with isnan/isinf CASE if reusing
+    these oracles on wild data.
     """
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
 

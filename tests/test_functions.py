@@ -179,3 +179,14 @@ def test_unit_consistency_gate(spark):
         require_same_unit(df, "upper_temperature", "unitless")
     with _pytest.raises(UnitMismatchError, match="not in DataFrame"):
         require_same_unit(df, "upper_temperatur", "lower_temperature")
+
+
+def test_dsum_tolerates_non_finite(spark):
+    from lab_etl_spark.queries.exact import dsum
+
+    row = spark.sql(
+        f"SELECT {dsum('v')} AS s FROM VALUES (1.5), (CAST('NaN' AS DOUBLE)),"
+        " (CAST('Infinity' AS DOUBLE)), (2.5) AS t(v)"
+    ).collect()[0]
+    # NaN/Inf rows skip (decimal cast -> NULL); the job never fails
+    assert row.s == 4.0
