@@ -134,3 +134,35 @@ def test_json_functions_permissive_on_malformed(spark, sf_dir, tmp_path):
     q = REGISTRY["q_json_functions"]
     con = duck_con(str(dst))
     compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), "json_bad")
+
+
+def test_text_queries_handle_null_text(spark, sf_dir, tmp_path):
+    """Documents with NULL text must flow through (not crash, not diverge):
+    both engines treat NULL rows identically across the tokenize/dedup/
+    sketch/composed pipelines."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_spark.catalog import load_table
+
+    dst = tmp_path / "nulltext"
+    dst.mkdir()
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 97 == 0, F.lit(None)).otherwise(
+                    F.col("text")
+                ),
+            )
+        df.toPandas().to_parquet(str(dst / f"{t}.parquet"), index=False)
+    con = duck_con(str(dst))
+    for name in [
+        "q_text_stats",
+        "q_quality_filter",
+        "q_dedup_exact",
+        "q_curation_pipeline",
+        "q_heavy_hitters_cms",
+    ]:
+        q = REGISTRY[name]
+        compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), name)
