@@ -722,8 +722,11 @@ WITH seq AS (
     FROM events
 ),
 contrib AS (
+    -- NULL values contribute zero weight (COALESCE matches the Spark
+    -- fold's coalesce(x, 0L)): a missing measurement decays the average
+    -- instead of poisoning it or silently carrying the previous value
     SELECT a.event_id, a.user_id, a.value,
-           b.vmicro * (1 << (29 - (a.rn - b.rn))) AS c
+           COALESCE(b.vmicro, 0) * (1 << (29 - (a.rn - b.rn))) AS c
     FROM seq a JOIN seq b
       ON a.user_id = b.user_id
      AND b.rn BETWEEN a.rn - {EWMA_LAGS - 1} AND a.rn
@@ -750,7 +753,9 @@ ORDER BY event_id
     "recurrence is the streaming operator (q_stream_stateful_ewma, O(1) "
     "state); this is its oracle-checkable batch twin, the form a backfill "
     "job would use at 100 TB because it shuffles each user's series "
-    "exactly once.",
+    "exactly once. NULL measurements contribute zero weight in both "
+    "engines (pinned on a null-riddled corpus by "
+    "tests/test_adversarial_corpus.py).",
 )
 def q_ewma_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(

@@ -166,3 +166,35 @@ def test_text_queries_handle_null_text(spark, sf_dir, tmp_path):
     ]:
         q = REGISTRY[name]
         compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), name)
+
+
+def test_event_queries_handle_null_values(spark, sf_dir, tmp_path):
+    """Events with NULL value must flow through the window folds, range
+    windows, regression sums, and merge algebra without divergence."""
+    from pyspark.sql import functions as F
+
+    from lab_etl_spark.catalog import load_table
+
+    dst = tmp_path / "nullval"
+    dst.mkdir()
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "events":
+            df = df.withColumn(
+                "value",
+                F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+                    F.col("value")
+                ),
+            )
+        df.toPandas().to_parquet(str(dst / f"{t}.parquet"), index=False)
+    con = duck_con(str(dst))
+    for name in [
+        "q_ewma_batch",
+        "q_rolling_1h",
+        "q_linreg_trend",
+        "q_incremental_agg",
+        "q_stream_tumbling",
+        "q_scd2_lookup",
+    ]:
+        q = REGISTRY[name]
+        compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), name)
