@@ -881,8 +881,12 @@ def _blocked_name_pairs(part: DataFrame, max_dist: int = 2) -> DataFrame:
     "candidate pairs blocked on (brand, name-length bucket) with "
     "adjacent-bucket probes (_blocked_name_pairs) so the length bound is "
     "part of the join key and no hot brand ever goes quadratic; the key "
-    "inequality halves the pair space.  Both engines' Levenshtein are the "
-    "same integer DP, so results are exact.",
+    "inequality halves the pair space.  Engine semantics are CHARACTER-"
+    "based edit distance (the right contract for entity names — pinned by "
+    "tests/test_functions.py::test_levenshtein_counts_characters); the "
+    "DuckDB oracle's levenshtein counts BYTES, so oracle parity holds on "
+    "this corpus's single-byte names and any unicode corpus would need a "
+    "byte-normalized oracle, not a different engine implementation.",
 )
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")

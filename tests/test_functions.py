@@ -190,3 +190,14 @@ def test_dsum_tolerates_non_finite(spark):
     ).collect()[0]
     # NaN/Inf rows skip (decimal cast -> NULL); the job never fails
     assert row.s == 4.0
+
+
+def test_levenshtein_counts_characters(spark):
+    # The engine contract for fuzzy entity matching is CHARACTER edit
+    # distance: one accented-character substitution is distance 1, never
+    # the UTF-8 byte count (DuckDB's levenshtein counts bytes — the
+    # fuzzy-match oracles are valid because part names are single-byte).
+    rows = spark.sql(
+        "SELECT levenshtein('café', 'cafe') a, levenshtein('αβγδ', 'αβγx') b"
+    ).collect()[0]
+    assert rows.a == 1 and rows.b == 1
