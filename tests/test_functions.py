@@ -201,3 +201,18 @@ def test_levenshtein_counts_characters(spark):
         "SELECT levenshtein('café', 'cafe') a, levenshtein('αβγδ', 'αβγx') b"
     ).collect()[0]
     assert rows.a == 1 and rows.b == 1
+
+
+def test_lower_uses_full_unicode_case_mapping(spark):
+    # Engine contract: Unicode-correct full case mapping — 'İ' lowers to
+    # i + COMBINING DOT ABOVE and final sigma gets the context-sensitive
+    # form.  DuckDB's lower() drops the combining dot and never emits
+    # final sigma, so text-query oracle parity is scoped to corpora
+    # without Turkish dotted-I / Greek final-sigma contexts (the driver
+    # corpus qualifies; the adversarial suite's unicode docs avoid these
+    # two known-divergent mappings deliberately).
+    rows = spark.sql(
+        "SELECT lower('İstanbul') a, lower('ΣΙΣΥΦΟΣ') b"
+    ).collect()[0]
+    assert rows.a == "i̇stanbul"
+    assert rows.b == "σισυφος" and rows.b.endswith("ς")
