@@ -198,3 +198,44 @@ def test_event_queries_handle_null_values(spark, sf_dir, tmp_path):
     ]:
         q = REGISTRY[name]
         compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), name)
+
+
+def test_regex_queries_handle_metacharacter_text(spark, sf_dir, tmp_path):
+    """Documents full of regex metacharacters, backslashes, unicode emails,
+    and out-of-range IPs must not diverge between Java regex (Spark) and
+    RE2 (DuckDB) on the redaction/quality/tokenizer/contamination paths."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lab_etl_spark.catalog import load_table
+
+    nasty = [
+        r"contact a\b.c@ex-ample.co.uk or 10.0.0.1 via C:\path\to$file"
+        r" (50%) [test]",
+        "email: ΑΒΓ@δομή.gr and ip 999.999.999.999 plus a+b=c?d*e",
+        "regex specials .*+?()[]{}|^$ and email x.y+tag@sub.domain.io at"
+        " 192.168.1.255",
+    ]
+    dst = tmp_path / "regex"
+    dst.mkdir()
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "documents":
+            base = df.count()
+            extra = spark.createDataFrame(
+                [
+                    (base + i, tx, "en", "src_rx", len(tx))
+                    for i, tx in enumerate(nasty)
+                ],
+                df.schema,
+            )
+            df = df.unionByName(extra)
+        df.toPandas().to_parquet(str(dst / f"{t}.parquet"), index=False)
+    con = duck_con(str(dst))
+    for name in [
+        "q_pii_redact",
+        "q_quality_filter",
+        "q_text_tokens_bpe",
+        "q_contamination",
+    ]:
+        q = REGISTRY[name]
+        compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), name)
