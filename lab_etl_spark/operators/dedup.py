@@ -640,3 +640,95 @@ def minhash_lsh_candidates(
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def setsim_prefix_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (SSJoin family;
+    Chaudhuri et al. ICDE'06 / Xiao et al. PPJoin): all document pairs with
+    shingle-set Jaccard >= t_num/t_den, columns (doc_a, doc_b, jaccard).
+
+    The third exact near-dup strategy next to the full inverted index
+    (shingle_jaccard_pairs) and MinHash+LSH (probabilistic candidates):
+    deterministic like the former, but candidate generation only touches
+    each document's PREFIX — its rarest p = |s| - ceil(t·|s|) + 1 shingles
+    in a global (doc-frequency ASC, shingle ASC) canonical order.  Prefix
+    lemma: two sets with overlap >= ceil(t·|s|) (implied by J >= t) must
+    collide on at least one prefix element, so recall is total — no false
+    negatives, unlike LSH.  Posting lists on prefix shingles are the SHORT
+    lists by construction (rare shingles first), so the candidate join's
+    fan-out stays bounded where the full inverted index needs a
+    stop-shingle cap: at 100 TB the hot head of the shingle distribution
+    never enters the join.
+
+    All threshold arithmetic is integer (ceil(t·n) = (t_num·n + t_den - 1)
+    div t_den; the verify is t_den·|A∩B| >= t_num·|A∪B|), so the boundary
+    is bit-identical in any engine — no float threshold ambiguity.
+
+    Shuffles: shingle doc-frequency agg (+ reused-exchange join back),
+    per-doc sorted-prefix agg, candidate join on prefix shingles, and the
+    two doc-keyed verify joins against per-doc shingle arrays (intersection
+    via sorted-array ``array_intersect`` in whole-stage codegen).
+    """
+    p_len = f"(size(_sh) - ({t_num} * size(_sh) + {t_den} - 1) div {t_den} + 1)"
+    sh = word_shingles(docs, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(_df, shingle))),"
+                " x -> x.shingle)"
+            ).alias("_sh")
+        )
+        .select("doc_id", "_sh", F.size("_sh").alias("n_sh"))
+    )
+    pref = per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.expr(f"slice(_sh, 1, {p_len})")).alias("shingle"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # necessary size condition: J >= t  =>  (t_num+t_den)·min >= t_num·(|A|+|B|)
+            & (
+                (t_num + t_den) * F.least("a.n_sh", "b.n_sh")
+                >= t_num * (F.col("a.n_sh") + F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    arr_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_sh").alias("_sha"),
+        F.col("n_sh").alias("n_a"),
+    )
+    arr_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_sh").alias("_shb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.col("n_a") + F.col("n_b") - inter
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(t_den * inter >= t_num * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )

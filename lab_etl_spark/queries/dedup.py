@@ -394,3 +394,129 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keeper_id"),
         )
     )
+
+
+@register(
+    "q_setsim_join",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
+      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    rawpairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM rawpairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 5 * n_common >= 4 * (sa.n_sh + sb.n_sh - n_common)
+    """,
+    doc="Exact Jaccard >= 4/5 pairs via PREFIX FILTERING (SSJoin/PPJoin "
+    "family, operators/dedup.py setsim_prefix_pairs): candidates only from "
+    "each doc's rarest |s|-ceil(t|s|)+1 shingles in a global df-ascending "
+    "order — total recall by the prefix lemma, integer-exact threshold "
+    "arithmetic, and the candidate join never touches hot shingles (the "
+    "rare-prefix posting lists are short by construction).  The oracle is "
+    "the BRUTE-FORCE inverted-index join with the same integer threshold, "
+    "so the driver check proves the filter loses no pairs.",
+)
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import setsim_prefix_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim_prefix_pairs(docs, n=3, t_num=4, t_den=5)
+
+
+#: passage granularity for block-level dedup (words per block)
+_PASSAGE_WORDS = 10
+
+
+@register(
+    "q_dedup_passages",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
+      FROM documents
+      WHERE length(trim({_NORM_DUCK})) > 0
+    ),
+    blocks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               ws[b * {_PASSAGE_WORDS} + 1 : (b + 1) * {_PASSAGE_WORDS}],
+               ' ')) AS fp,
+             LEAST({_PASSAGE_WORDS},
+                   len(ws) - b * {_PASSAGE_WORDS}) AS n_words
+      FROM words,
+           UNNEST(generate_series(
+             0, (len(ws) + {_PASSAGE_WORDS} - 1) // {_PASSAGE_WORDS} - 1
+           )) AS t(b)
+    ),
+    freq AS (SELECT fp, COUNT(*) AS n_occ FROM blocks GROUP BY fp)
+    SELECT b.doc_id,
+           COUNT(*) AS n_passages,
+           COUNT(*) FILTER (f.n_occ > 1) AS n_dup_passages,
+           ROUND(CAST(SUM(CASE WHEN f.n_occ > 1 THEN b.n_words ELSE 0 END)
+                      AS DOUBLE) / SUM(b.n_words), 6) AS dup_word_frac
+    FROM blocks b JOIN freq f USING (fp)
+    GROUP BY b.doc_id
+    """,
+    doc="Passage-level exact dedup (C4/RefinedWeb-style repeated-span "
+    f"removal at fixed {_PASSAGE_WORDS}-word blocks): every document is cut "
+    "into consecutive word blocks, blocks are md5-fingerprinted, and a "
+    "block whose fingerprint occurs more than once ANYWHERE in the corpus "
+    "is flagged as duplicated boilerplate.  Output per doc: block count, "
+    "duplicated-block count, and the fraction of the doc's words inside "
+    "duplicated blocks — the removal mask a curation rewrite would apply.  "
+    "One codegen block explode + one fingerprint-frequency shuffle (reused "
+    "by the join back) + one doc-keyed agg; linear at any corpus size.",
+)
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    B = _PASSAGE_WORDS
+    norm = f"trim({_NORM_SPARK})"
+    blocks = (
+        fan_out(docs)
+        .select("doc_id", F.split(F.expr(norm), " ").alias("_w"))
+        .filter(F.expr(f"length({norm}) > 0"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(_w) + {B - 1}) div {B} - 1),"
+                    f" b -> struct("
+                    f"   md5(concat_ws(' ', slice(_w, b * {B} + 1, {B}))) AS fp,"
+                    f"   least({B}, size(_w) - b * {B}) AS n_words))"
+                )
+            ).alias("_b"),
+        )
+        .select("doc_id", "_b.fp", "_b.n_words")
+    )
+    freq = blocks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup_words = F.sum(
+        F.when(F.col("n_occ") > 1, F.col("n_words")).otherwise(F.lit(0))
+    )
+    return (
+        blocks.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.count_if(F.col("n_occ") > 1).alias("n_dup_passages"),
+            F.round(
+                dup_words.cast("double") / F.sum("n_words"), 6
+            ).alias("dup_word_frac"),
+        )
+    )

@@ -146,3 +146,53 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
         ).collect()
     )
     assert auto == base
+
+
+def _random_corpus(spark, seed, n_docs=30, vocab=12, doc_len=18):
+    # Small vocab => many shared shingles => Jaccard mass near the 4/5
+    # threshold, stressing both the prefix lemma and the integer boundary.
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = []
+    for i in range(n_docs):
+        base = [rng.choice(words) for _ in range(doc_len)]
+        rows.append((2 * i, " ".join(base)))
+        # a mutated twin so high-Jaccard pairs actually exist
+        twin = list(base)
+        for _ in range(rng.randrange(0, 3)):
+            twin[rng.randrange(len(twin))] = rng.choice(words)
+        rows.append((2 * i + 1, " ".join(twin)))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_setsim_prefix_filter_equals_brute_force(spark, seed):
+    # The prefix lemma promises TOTAL recall: the prefix-filtered join must
+    # return exactly the pairs the uncapped brute-force inverted index finds
+    # at the same threshold.  (Precision is trivially equal — both paths end
+    # in the same exact-Jaccard verify.)
+    from lab_etl_spark.operators.dedup import setsim_prefix_pairs
+
+    docs = _random_corpus(spark, seed)
+    fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in setsim_prefix_pairs(docs, n=3, t_num=4, t_den=5).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in shingle_jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert fast == brute
+    assert brute, "vacuous corpus: no pairs above threshold"
+
+
+def test_setsim_prefix_is_shorter_than_full_set(spark):
+    # Scale guard: the candidate stage must explode only ~(1-t)·|s|+1
+    # shingles per doc, not the full set — that is the whole point of the
+    # algorithm.  Pin the arithmetic at a few sizes.
+    for n_sh in (5, 10, 45, 100):
+        p = n_sh - (4 * n_sh + 4) // 5 + 1
+        assert p == n_sh - -((-4 * n_sh) // 5) + 1  # matches ceil(4n/5)
+        assert p <= n_sh // 5 + 2
