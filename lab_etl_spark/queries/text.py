@@ -789,3 +789,163 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+#: fixed retrieval query for the BM25 scorer — three corpus terms
+_BM25_TERMS = ["spark", "join", "query"]
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_term(t: str) -> str:
+    """One term's BM25 contribution; IDENTICAL SQL text on both engines so
+    every double op runs in the same written order (ln/× /÷ are then
+    bit-reproducible — same discipline as q_tfidf's idf)."""
+    return (
+        f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * (tf_{t} * ({_BM25_K1} + 1.0))"
+        f" / (tf_{t} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl,
+             {", ".join(f"COUNT(*) FILTER (token = '{t}') AS tf_{t}" for t in _BM25_TERMS)}
+      FROM tokens GROUP BY doc_id
+    ),
+    g AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {", ".join(f"COUNT(*) FILTER (tf_{t} > 0) AS df_{t}" for t in _BM25_TERMS)}
+      FROM per_doc
+    )
+    SELECT doc_id,
+           ROUND({" + ".join(f"({_bm25_term(t)})" for t in _BM25_TERMS)}, 6)
+             AS bm25
+    FROM per_doc CROSS JOIN g
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    """,
+    doc=f"BM25 relevance scoring (k1={_BM25_K1}, b={_BM25_B}) of every "
+    f"document against the fixed query {_BM25_TERMS} — the standard "
+    "retrieval/quality ranking primitive for RAG corpus curation.  One "
+    "doc-keyed aggregate computes doc length + per-term tf; corpus stats "
+    "(N, avgdl, per-term df) reduce to ONE broadcast row, so scoring is a "
+    "map-only pass at any corpus size.  The per-term contributions are "
+    "summed in fixed written order and every double op appears in "
+    "identical SQL text on both engines, making the score bit-stable "
+    "without decimal detours.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("token")
+    )
+    per_doc = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count_if(F.col("token") == t).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = " + ".join(f"({_bm25_term(t)})" for t in _BM25_TERMS)
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return (
+        per_doc.crossJoin(F.broadcast(g))
+        .filter(F.expr(f"{any_tf} > 0"))
+        .select("doc_id", F.round(F.expr(score), 6).alias("bm25"))
+    )
+
+
+@register(
+    "q_cooccurrence_pmi",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM pres),
+    ct AS (SELECT token, COUNT(*) AS c FROM pres GROUP BY token),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_both
+      FROM pres a JOIN pres b
+        ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, n_both,
+           ROUND(ln((CAST(n_both AS DOUBLE) * n_docs)
+                    / (CAST(ca.c AS DOUBLE) * cb.c)), 6) AS pmi
+    FROM pairs
+    JOIN ct ca ON ca.token = tok_a
+    JOIN ct cb ON cb.token = tok_b
+    CROSS JOIN n
+    WHERE n_both >= 5
+    """,
+    doc="Pointwise mutual information over token co-occurrence (document-"
+    "level presence): pmi = ln(N·c_ab / (c_a·c_b)) for pairs co-occurring "
+    "in >= 5 docs — the collocation/phrase-mining primitive behind "
+    "word2vec-era preprocessing and vocabulary induction.  Per-doc pair "
+    "generation runs in whole-stage codegen over the sorted distinct-token "
+    "array (no token self-join; O(v²) per doc with v bounded by doc "
+    "length), one shuffle counts pairs, and the vocabulary-sized marginals "
+    "join back via broadcast.",
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.expr(
+            "array_sort(array_distinct(split(trim(text), ' +')))"
+        ).alias("_t"),
+    )
+    pair_structs = F.expr(
+        "flatten(transform(_t, (x, i) ->"
+        " transform(slice(_t, i + 2, size(_t)),"
+        " y -> struct(x AS tok_a, y AS tok_b))))"
+    )
+    pairs = (
+        toks.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.tok_a", "_p.tok_b")
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    pres = toks.select("doc_id", F.explode("_t").alias("token"))
+    ct = pres.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = pres.agg(F.count_distinct("doc_id").alias("n_docs"))
+    ca = ct.select(F.col("token").alias("tok_a"), F.col("c").alias("ca"))
+    cb = ct.select(F.col("token").alias("tok_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_both",
+            F.round(
+                F.expr(
+                    "ln((CAST(n_both AS DOUBLE) * n_docs)"
+                    " / (CAST(ca AS DOUBLE) * cb))"
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
