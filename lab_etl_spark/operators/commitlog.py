@@ -113,11 +113,62 @@ class LoggedTable:
             os.path.join(self.table_dir, m["data_dir"])
         )
 
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        intervals: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Scan only the snapshot files whose manifest stats ranges overlap
+        every ``{col: (lo, hi)}`` interval (inclusive bounds; pass None for
+        an open end).  Falls back to the full snapshot when the manifest
+        carries no stats.
+
+        This is file-level data skipping resolved from the MANIFEST — no
+        directory listing, no parquet footer reads for skipped files — the
+        read-side half of Delta/Iceberg stats pruning.  Callers must still
+        apply the exact row-level predicate on the returned frame: stats
+        only bound which files may contain matches (min/max overlap is
+        necessary, not sufficient).  Bounds compare with the same ordering
+        the stats were stored in (numerics natively; temporal types as ISO
+        strings, whose lexicographic order is chronological).
+        """
+        m = (
+            self.latest() if version is None else self.manifest(version)
+        )
+        if m is None:
+            raise FileNotFoundError(f"no commits in {self.log_dir}")
+        files = m.get("files")
+        base = os.path.join(self.table_dir, m["data_dir"])
+        if not files:
+            return spark.read.parquet(base)
+        keep = []
+        for f in files:
+            ok = True
+            for col, (lo, hi) in intervals.items():
+                fmin = f["min"].get(col)
+                fmax = f["max"].get(col)
+                if fmin is None or fmax is None:
+                    continue  # no stats for this column: cannot skip
+                if (hi is not None and fmin > hi) or (
+                    lo is not None and fmax < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(os.path.join(base, f["path"]))
+        if not keep:
+            # schema-stable empty frame: footer-only scan of the snapshot
+            return spark.read.parquet(base).filter("1 = 0")
+        return spark.read.parquet(*keep)
+
     def commit(
         self,
         write_fn: Callable[[str], None],
         op: str = "overwrite",
         meta: dict | None = None,
+        spark: SparkSession | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Run ``write_fn(new_snapshot_dir)`` and atomically publish it.
 
@@ -125,9 +176,23 @@ class LoggedTable:
         must leave a readable parquet directory there (any writer works:
         ``df.write.parquet``, ``operators/zorder.write_zordered``, a
         compaction job, ...).  Returns the committed manifest.
+
+        With ``spark`` + ``stats_cols``, the manifest additionally records
+        per-file MIN/MAX for those columns (Delta-style data-skipping
+        stats): one footer-cheap aggregate over ``_metadata.file_path``
+        after the write, a few hundred bytes per file in the manifest.
+        Readers then call :meth:`read_pruned` to skip whole files whose
+        stats range cannot satisfy an interval predicate — skipping
+        happens at MANIFEST level, before any parquet footer is opened.
         """
         data_rel = f"v_{uuid.uuid4().hex[:12]}"
-        write_fn(os.path.join(self.table_dir, data_rel))
+        abs_dir = os.path.join(self.table_dir, data_rel)
+        write_fn(abs_dir)
+        if spark is not None and stats_cols:
+            meta = {
+                **(meta or {}),
+                "files": _file_stats(spark, abs_dir, stats_cols),
+            }
         os.makedirs(self.log_dir, exist_ok=True)
         while True:
             version = (self.versions() or [0])[-1] + 1
@@ -251,3 +316,41 @@ def compact_logged(
         meta={"files_before": len(census), "files_target": n_target},
     )
     return m
+
+
+def _file_stats(
+    spark: SparkSession, snapshot_dir: str, stats_cols: list[str]
+) -> list[dict]:
+    """Per-file MIN/MAX/row-count for ``stats_cols`` over a just-written
+    snapshot, keyed by the hidden ``_metadata.file_path`` column — one
+    aggregate shuffle whose cardinality is the FILE count, not the row
+    count.  Values are JSON-encoded natively when numeric/string and as
+    ``str(value)`` otherwise (timestamps/dates serialize to ISO strings,
+    whose lexicographic order matches their chronological order, so
+    interval pruning keeps working without type round-trips)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    rows = (
+        spark.read.parquet(snapshot_dir)
+        .groupBy(F.col("_metadata.file_path").alias("_fp"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def enc(v):
+        return v if isinstance(v, (int, float, str, type(None))) else str(v)
+
+    out = []
+    for r in rows:
+        out.append(
+            {
+                "path": os.path.basename(r["_fp"]),
+                "rows": r["_rows"],
+                "min": {c: enc(r[f"_min_{c}"]) for c in stats_cols},
+                "max": {c: enc(r[f"_max_{c}"]) for c in stats_cols},
+            }
+        )
+    return sorted(out, key=lambda f: f["path"])

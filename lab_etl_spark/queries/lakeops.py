@@ -555,3 +555,60 @@ def q_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stats_pruning",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dsum('l_extendedprice', 2)} AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-04-01'
+    GROUP BY l_returnflag
+    """,
+    doc="Manifest-level data skipping (operators/commitlog.py): lineitem "
+    "is committed range-partitioned on l_shipdate with per-file MIN/MAX "
+    "stats recorded in the commit manifest, and the reader resolves WHICH "
+    "files can hold Q1-1995 rows from the manifest alone — no directory "
+    "listing, no footer reads for skipped files — then applies the exact "
+    "row predicate on the survivors.  This is the Delta/Iceberg stats-"
+    "pruning mechanism the z-order writer relies on, now carried by the "
+    "table format itself; at 100 TB a 3-month scan touches ~1/28 of the "
+    "files instead of all of them.  The oracle is the plain full-scan "
+    "filter, so the driver check proves skipping loses no rows.  "
+    "Effectiveness (files actually skipped) is pinned by "
+    "tests/test_commitlog.py::test_stats_pruning_skips_files.",
+    bench=False,  # dominated by the eager snapshot write
+)
+def q_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    table = LoggedTable(scratch_dir("statsprune_li", sf_dir))
+    table.commit(
+        lambda d: li.repartitionByRange(BUCKETS, "l_shipdate").write.parquet(
+            d
+        ),
+        op="ingest",
+        spark=spark,
+        stats_cols=["l_shipdate"],
+    )
+    pruned = table.read_pruned(
+        spark,
+        {"l_shipdate": ("1995-01-01 00:00:00", "1995-04-01 00:00:00")},
+    )
+    return (
+        pruned.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1995-04-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum("l_extendedprice", 2)).alias("sum_price"),
+        )
+    )

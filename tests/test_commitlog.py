@@ -154,3 +154,47 @@ def test_purge_rewrites_and_vacuum_deletes_history(spark, tmp_path):
     removed = t.vacuum(keep=1)
     assert len(removed) == 1
     assert t.read(spark).count() == 90
+
+
+def test_stats_pruning_skips_files(spark, tmp_path):
+    # Range-partitioned id column => disjoint per-file [min,max]; a narrow
+    # interval must resolve to a strict file subset from the MANIFEST, and
+    # the pruned scan + exact filter must equal the full-scan answer.
+    t = LoggedTable(str(tmp_path / "table"))
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    m = t.commit(
+        lambda d: df.repartitionByRange(8, "id").write.parquet(d),
+        op="create",
+        spark=spark,
+        stats_cols=["id"],
+    )
+    assert len(m["files"]) == 8
+    assert all(f["min"]["id"] <= f["max"]["id"] for f in m["files"])
+    pruned = t.read_pruned(spark, {"id": (100, 220)})
+    n_scanned = pruned.select("_metadata.file_path").distinct().count()
+    assert n_scanned < 8, "no files were skipped"
+    got = pruned.filter("id BETWEEN 100 AND 220").count()
+    assert got == t.read(spark).filter("id BETWEEN 100 AND 220").count() == 121
+
+
+def test_stats_pruning_open_and_empty_intervals(spark, tmp_path):
+    t = LoggedTable(str(tmp_path / "table"))
+    df = spark.range(100).select(F.col("id"))
+    t.commit(
+        lambda d: df.repartitionByRange(4, "id").write.parquet(d),
+        op="create",
+        spark=spark,
+        stats_cols=["id"],
+    )
+    # open upper end: every file from 50 up survives
+    assert t.read_pruned(spark, {"id": (50, None)}).filter(
+        "id >= 50"
+    ).count() == 50
+    # disjoint interval: zero files, but the frame keeps its schema
+    empty = t.read_pruned(spark, {"id": (5000, 6000)})
+    assert empty.columns == ["id"] and empty.count() == 0
+
+
+def test_stats_pruning_without_stats_falls_back_to_full_scan(spark, tmp_path):
+    t = _mk(spark, tmp_path)  # committed WITHOUT stats_cols
+    assert t.read_pruned(spark, {"id": (0, 1)}).count() == 100

@@ -251,6 +251,7 @@ _SWEEP_SKIP = {
     "q_bucketed_join",
     "q_partition_pruning",
     "q_orc_roundtrip",
+    "q_stats_pruning",
     "q_dynamic_partition_pruning",
     "q_time_travel",
     "q_user_purge",
