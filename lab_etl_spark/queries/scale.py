@@ -570,3 +570,63 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.selectExpr("event_type", *[
         e.strip() for e in _LINREG_READOUT.split(",\n")
     ]).orderBy("event_type")
+
+
+#: 52 exact uniform bits for the weighted-sample key (same scaling trick as
+#: the KMV sketch: /2^52 is a pure exponent shift, bit-identical anywhere)
+_WS_U_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('wsamp:', CAST(doc_id AS STRING))), 1,"
+    " 13), 16, 10) AS DOUBLE) / 4503599627370496"
+)
+_WS_U_DUCK = (
+    "CAST(CAST(('0x' || SUBSTRING(MD5('wsamp:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496"
+)
+_WS_K = 10
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             POW({_WS_U_DUCK}, 1.0 / n_chars) AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT lang, rk, doc_id, n_chars
+    FROM ranked WHERE rk <= {_WS_K}
+    """,
+    doc=f"Deterministic WEIGHTED sampling without replacement (Efraimidis-"
+    f"Spiliotopoulos A-ES): per-document key u^(1/w) with w = n_chars and "
+    "u a 52-bit md5 uniform; the top-k keys per language are a exact "
+    "weighted sample — inclusion probability proportional to weight — "
+    "computed as one window over independently-keyed rows.  Reproducible "
+    "across engines, reruns, and cluster sizes (RAND()-based weighted "
+    "sampling is none of these), and mergeable: the top-k of a union is "
+    "the top-k of per-part top-ks, so at 100 TB this runs as a "
+    "TakeOrdered-style partial aggregation with no global sort.  The "
+    "size-biased sample is the standard curation primitive for building "
+    "length-balanced training mixes.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.expr(f"POW({_WS_U_SPARK}, 1.0 / n_chars)").alias("k"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _WS_K)
+        .select("lang", "rk", "doc_id", "n_chars")
+    )

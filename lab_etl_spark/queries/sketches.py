@@ -405,6 +405,29 @@ ORDER BY w.a, w.b, w.c
 """
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p1, p2) support-filtered co-purchase part edges, p1 < p2.
+
+    Reuses the dedup package's posting-list kernel: group the basket
+    (order → sorted part array, ONE shuffle), then emit each basket's
+    k·(k-1)/2 ordered pairs inside whole-stage codegen and count them —
+    no orderkey self-join materializing every pair twice.  The per-basket
+    fan-out is bounded by order size (≤7 lines in TPC-H).
+    """
+    from ..operators.dedup import _pair_common_counts, _shingle_postings
+
+    pp = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("shingle"),
+        F.col("l_partkey").alias("doc_id"),
+    )
+    postings = _shingle_postings(pp.distinct(), None)
+    return (
+        _pair_common_counts(postings)
+        .where(F.col("n_common") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.col("doc_a").alias("p1"), F.col("doc_b").alias("p2"))
+    )
+
+
 @register(
     "q_triangle_count",
     oracle=_TRIANGLE_ORACLE,
@@ -419,23 +442,7 @@ ORDER BY w.a, w.b, w.c
     tags=["graph"],
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import _pair_common_counts, _shingle_postings
-
-    # Edge build reuses the dedup package's posting-list kernel: group the
-    # basket (order → sorted part array, ONE shuffle), then emit each
-    # basket's k·(k-1)/2 ordered pairs inside whole-stage codegen and count
-    # them — no orderkey self-join materializing every pair twice.  The
-    # per-basket fan-out is bounded by order size (≤7 lines in TPC-H).
-    pp = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("shingle"),
-        F.col("l_partkey").alias("doc_id"),
-    )
-    postings = _shingle_postings(pp.distinct(), None)
-    edges = (
-        _pair_common_counts(postings)
-        .where(F.col("n_common") >= TRIANGLE_MIN_SUPPORT)
-        .select(F.col("doc_a").alias("p1"), F.col("doc_b").alias("p2"))
-    )
+    edges = copurchase_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.p2") == F.col("e2.p1")).select(
         F.col("e1.p1").alias("a"),
@@ -497,3 +504,195 @@ def q_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return cells.orderBy("d", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (theta-sketch-style intersection estimate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kmv_intersect",
+    oracle=f"""
+    WITH dv AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (SELECT DISTINCT event_type, {_KMV_U_DUCK} AS u FROM dv),
+    sk AS (
+        SELECT event_type,
+               list_sort(list(u ORDER BY u))[1:{KMV_K}] AS us
+        FROM hashed GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               list_sort(list_distinct(list_concat(a.us, b.us)))[1:{KMV_K}]
+                 AS merged,
+               a.us AS us_a, b.us AS us_b
+        FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    est AS (
+        SELECT type_a, type_b,
+               len(merged) AS n_m,
+               merged[len(merged)] AS theta,
+               len(list_intersect(list_intersect(merged, us_a), us_b))
+                 AS n_both
+        FROM pairs
+    ),
+    exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS exact_intersect
+        FROM dv a JOIN dv b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b,
+           ROUND(CASE WHEN e.n_m < {KMV_K} THEN CAST(e.n_m AS DOUBLE)
+                      ELSE ({KMV_K} - 1) / e.theta END
+                 * e.n_both / e.n_m, 2) AS est_intersect,
+           x.exact_intersect
+    FROM est e JOIN exact x
+      ON x.type_a = e.type_a AND x.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b
+    """,
+    doc="Theta-sketch-style SET INTERSECTION estimation from KMV sketches: "
+    "for every event-type pair, merge the two k-minimum-value sketches "
+    "(k smallest of the union — the same mergeable algebra as "
+    "q_kmv_distinct), estimate |A∪B| = (k-1)/θ from the merged kth value, "
+    "and scale it by the fraction of merged-sketch members present in "
+    "BOTH input sketches.  This is how audience-overlap queries run at "
+    "100 TB: each set reduces to a kilobyte sketch once, and any of the "
+    "n² pairwise overlaps is then computable from sketches alone — no "
+    "re-scan, no pairwise key-stream joins.  Exact intersection is joined "
+    "in to exhibit the estimation error; md5-derived hashing makes every "
+    "estimate bit-reproducible in the DuckDB oracle.",
+    tags=["sketch"],
+)
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dv = ev.select("event_type", "user_id").distinct()
+    hashed = dv.select(
+        "event_type", F.expr(_KMV_U_SPARK).alias("u")
+    ).distinct()
+    sk = hashed.groupBy("event_type").agg(
+        F.expr(f"slice(array_sort(collect_list(u)), 1, {KMV_K})").alias("us")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.expr(
+            f"slice(array_sort(array_distinct(concat(a.us, b.us))),"
+            f" 1, {KMV_K})"
+        ).alias("merged"),
+        F.col("a.us").alias("us_a"),
+        F.col("b.us").alias("us_b"),
+    )
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        F.size("merged").alias("n_m"),
+        F.element_at("merged", F.size("merged")).alias("theta"),
+        F.size(
+            F.array_intersect(F.array_intersect("merged", "us_a"), "us_b")
+        ).alias("n_both"),
+    )
+    exact = (
+        dv.alias("x")
+        .join(
+            dv.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    union_est = F.when(
+        F.col("n_m") < KMV_K, F.col("n_m").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) / F.col("theta"))
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.round(
+                union_est * F.col("n_both") / F.col("n_m"), 2
+            ).alias("est_intersect"),
+            "exact_intersect",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS shortest paths
+# ---------------------------------------------------------------------------
+
+BFS_MAX_HOPS = 3
+
+
+@register(
+    "q_shortest_path",
+    oracle=f"""
+    WITH RECURSIVE pp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges0 AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM pp a JOIN pp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    ),
+    edges AS (
+        SELECT p1 AS src, p2 AS dst FROM edges0
+        UNION ALL SELECT p2, p1 FROM edges0
+    ),
+    seed AS (SELECT MIN(src) AS node FROM edges),
+    walk(node, dist) AS (
+        SELECT node, 0 FROM seed
+        UNION
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < {BFS_MAX_HOPS}
+    )
+    SELECT node AS part_id, MIN(dist) AS dist
+    FROM walk GROUP BY node
+    """,
+    doc=f"Bounded breadth-first shortest paths ({BFS_MAX_HOPS} hops) from "
+    "the smallest node of the co-purchase part graph (same support-"
+    "filtered edges as q_triangle_count, built once by the posting-list "
+    "kernel).  Synchronous frontier expansion: each hop is one join of "
+    "the previous level against the symmetrized edge list, and the final "
+    "min-dist aggregate collapses re-reached nodes — the Pregel iteration "
+    "pattern expressed as joins, like q_pagerank but with integer "
+    "distances (bit-exact in any engine, no decimal machinery needed).  "
+    "Hop count is fixed, so the lineage is a bounded 3-join plan; the "
+    "DuckDB oracle walks the same graph with a bounded recursive CTE.",
+    tags=["graph"],
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = copurchase_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    dist = (
+        sym.agg(F.min("src").alias("node"))
+        .select("node", F.lit(0).alias("dist"))
+    )
+    frontier = dist
+    for h in range(1, BFS_MAX_HOPS + 1):
+        frontier = (
+            frontier.select(F.col("node").alias("src"))
+            .join(sym, "src")
+            .select(F.col("dst").alias("node"), F.lit(h).alias("dist"))
+            .distinct()  # collapse the frontier before the next expansion
+        )
+        dist = dist.unionAll(frontier)
+    return dist.groupBy(F.col("node").alias("part_id")).agg(
+        F.min("dist").alias("dist")
+    )

@@ -232,6 +232,12 @@ _SINGLE_PARTITION_OK = {
     "q_small_qty_revenue",
     "q_disjunctive_join",
     "q_idle_customers",
+    # 1-row broadcast of corpus stats (N, avgdl, per-term df)
+    "q_bm25",
+    # 1-row broadcast of the doc count N for the pmi denominator
+    "q_cooccurrence_pmi",
+    # 1-row BFS seed (MIN over the edge list)
+    "q_shortest_path",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
