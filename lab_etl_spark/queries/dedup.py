@@ -520,3 +520,57 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_word_frac"),
         )
     )
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_CAPPED_SHINGLE_CTES}
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b,
+           ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a
+    FROM rawpairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE 10 * n_common >= 9 * LEAST(sa.n_sh, sb.n_sh)
+    """,
+    doc="Directional CONTAINMENT scoring (|A∩B|/|A| and |A∩B|/|B|) for "
+    "pairs where the smaller document's shingle set is >= 90% inside the "
+    "larger — the partial-copy/quotation detector symmetric Jaccard "
+    "misses: a paragraph pasted into a much longer page scores near-zero "
+    "Jaccard but containment ~1.  Same capped inverted-index shape as "
+    "q_dedup_ngram_jaccard (posting lists -> codegen pair explosion), "
+    "integer threshold arithmetic (10·common >= 9·min) so the boundary "
+    "is engine-exact.",
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _pair_common_counts, _shingle_postings, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, 3)
+    postings = _shingle_postings(sh, MAX_SHINGLE_FREQ)
+    sizes = (
+        postings.select(F.explode("_ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pairs = _pair_common_counts(postings)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            10 * F.col("n_common") >= 9 * F.least("n_a", "n_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common").cast("double") / F.col("n_a"), 6).alias(
+                "cont_a_in_b"
+            ),
+            F.round(F.col("n_common").cast("double") / F.col("n_b"), 6).alias(
+                "cont_b_in_a"
+            ),
+        )
+    )

@@ -730,3 +730,72 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """)
+
+
+@register(
+    "q_udtf_token_offsets",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g'))), ' ') AS ws
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, ws[i] AS token
+      FROM words, UNNEST(generate_series(1, len(ws))) AS t(i)
+    )
+    SELECT doc_id, pos, token,
+           CAST(COALESCE(SUM(length(token) + 1) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS INTEGER) AS start_off,
+           CAST(COALESCE(SUM(length(token) + 1) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + length(token) AS INTEGER) AS end_off
+    FROM tok
+    """,
+    bench=False,  # Python table-function demo, not a hot-path benchmark
+    doc="Python USER-DEFINED TABLE FUNCTION surface (PySpark 4 @udtf + "
+    "LATERAL): a table function that expands each document into one row "
+    "per token with character offsets into the normalized text — the "
+    "arbitrary-fan-out extension point q_sql_udf's scalar CREATE FUNCTION "
+    "cannot express (a UDTF yields any number of rows per input, with "
+    "per-call state).  The normalization runs JVM-side BEFORE the UDTF so "
+    "Python only does locale-free splitting and integer arithmetic; the "
+    "oracle rebuilds the identical offsets from a window sum over token "
+    "lengths.  Deliberately OFF the hot path elsewhere (the row-path "
+    "Python ban in tests/test_plans.py still holds for every other "
+    "query): this registers the mechanism a user would reach for when an "
+    "expansion truly cannot be expressed in codegen.",
+)
+def q_udtf_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, pos int, token string,"
+        " start_off int, end_off int"
+    )
+    class TokenOffsets:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            off = 0
+            for i, tok in enumerate(text.split(" ")):
+                yield (doc_id, i, tok, off, off + len(tok))
+                off += len(tok) + 1
+
+    spark.udtf.register("token_offsets", TokenOffsets)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr(
+            "trim(lower(regexp_replace(trim(text), '\\\\s+', ' ')))"
+        ).alias("ntext"),
+    ).createOrReplaceTempView("_udtf_docs_norm")
+    return spark.sql(
+        "SELECT t.* FROM _udtf_docs_norm,"
+        " LATERAL token_offsets(doc_id, ntext) AS t"
+    )
