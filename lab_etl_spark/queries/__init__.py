@@ -125,10 +125,16 @@ _WINDOW_FRONT = [
 
 # ROUND-5 ROTATION DUTY: the front above holds 45 entries, so CORRECTNESS_r04
 # checks all of them plus 5 veterans; once it lands green, every query
-# registered through round 4 has a driver row.  Round 5: front any round-5
-# additions plus any round-4 front entry that came back red, then resume
-# cycling veterans by the age of their last driver-green row (r1-cohort
-# first — they have not been driver-checked since round 2's window).
+# registered through EARLY round 4 has a driver row.  The LATE-round-4
+# additions are outside this round's window (fronting them would push
+# never-checked early-round-4 entries out) and are therefore round 5's
+# first fronting duty, all local-twin-green at sf0.001/sf0.01:
+#   q_setsim_join, q_dedup_passages, q_dedup_containment, q_bm25,
+#   q_cooccurrence_pmi, q_stats_pruning, q_kmv_intersect, q_shortest_path,
+#   q_weighted_sample, q_udtf_token_offsets
+# Round 5: front those ten plus any round-4 front entry that came back
+# red, then resume cycling veterans by the age of their last driver-green
+# row (r1-cohort first — not driver-checked since round 2's window).
 
 
 def load_all() -> dict[str, Query]:
