@@ -949,3 +949,80 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "q_bigram_novelty",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                    'g'))), ' ') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, concat_ws(' ', ws[i], ws[i + 1]) AS bg
+      FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    freq AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(f.c AS DECIMAL(30,0))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_bigram_freq,
+           MIN(f.c) AS min_bigram_freq,
+           ROUND(CAST(COUNT(*) FILTER (f.c <= 2) AS DOUBLE)
+                 / COUNT(*), 6) AS rare_rate
+    FROM bigrams b JOIN freq f USING (bg)
+    GROUP BY b.doc_id
+    """,
+    doc="Bigram-novelty quality scoring — the exact-arithmetic stand-in for "
+    "KenLM perplexity filtering: per document, the corpus-wide frequency "
+    "profile of its bigram stream (mean/min frequency and the share of "
+    "bigrams seen <= 2 times corpus-wide).  Low mean + high rare_rate "
+    "flags gibberish/OCR noise; implausibly high mean flags boilerplate — "
+    "the two tails a perplexity gate cuts.  One bigram explode (codegen), "
+    "one frequency shuffle reused by the join back, one doc-keyed agg; "
+    "all counts integer and the two ratios deterministic single "
+    "divisions, so the score needs no log-prob machinery to be engine-"
+    "exact.",
+)
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = "trim(lower(regexp_replace(trim(text), '\\\\s+', ' ')))"
+    bigrams = (
+        fan_out(docs)
+        .select("doc_id", F.split(F.expr(norm), " ").alias("_w"))
+        .filter(F.size("_w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1),"
+                    " i -> concat_ws(' ', _w[i - 1], _w[i]))"
+                )
+            ).alias("bg"),
+        )
+    )
+    freq = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        bigrams.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.expr(
+                    "CAST(SUM(CAST(c AS DECIMAL(30,0))) AS DOUBLE)"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_bigram_freq"),
+            F.min("c").alias("min_bigram_freq"),
+            F.round(
+                F.count_if(F.col("c") <= 2).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_rate"),
+        )
+    )
