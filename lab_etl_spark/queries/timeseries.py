@@ -880,3 +880,196 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+#: minimum segment length on each side of a candidate changepoint
+_CPT_MIN_SEG = 5
+
+#: shared changepoint cost read-out — identical double-expression text on
+#: both engines over exact-decimal prefix sums read out through their
+#: string form (the q_linreg_trend discipline).  Cost of splitting after
+#: row i = SSE(left) + SSE(right) with SSE = Σv² - (Σv)²/n.
+_CPT_COST = (
+    "(qd - sd * sd / i)"
+    " + ((qtotd - qd) - (stotd - sd) * (stotd - sd) / (n - i))"
+)
+
+
+@register(
+    "q_changepoint",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT event_type, ts, event_id, value,
+             ROW_NUMBER() OVER w AS i,
+             SUM(CAST(value AS DECIMAL(38,6))) OVER w AS scum,
+             SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS qcum,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(CAST(value AS DECIMAL(38,6)))
+               OVER (PARTITION BY event_type) AS stot,
+             SUM(CAST(value * value AS DECIMAL(38,6)))
+               OVER (PARTITION BY event_type) AS qtot
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    costs AS (
+      SELECT event_type, ts, i0,
+             {_CPT_COST} AS cost
+      FROM (
+        SELECT event_type, ts, i AS i0,
+               CAST(CAST(scum AS VARCHAR) AS DOUBLE) AS sd,
+               CAST(CAST(qcum AS VARCHAR) AS DOUBLE) AS qd,
+               CAST(CAST(stot AS VARCHAR) AS DOUBLE) AS stotd,
+               CAST(CAST(qtot AS VARCHAR) AS DOUBLE) AS qtotd,
+               CAST(i AS DOUBLE) AS i,
+               CAST(n AS DOUBLE) AS n
+        FROM ordered
+        WHERE i >= {_CPT_MIN_SEG} AND i <= n - {_CPT_MIN_SEG}
+      )
+    ),
+    ranked AS (
+      SELECT event_type, ts, i0 AS k, cost,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cost, i0) AS rk
+      FROM costs
+    )
+    SELECT event_type, k, ts AS change_ts, ROUND(cost, 6) AS sse_cost
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type
+    """,
+    doc="Optimal single CHANGEPOINT per event_type series: the split index "
+    "k minimizing SSE(left)+SSE(right), found from exact-decimal prefix "
+    "sums (Σv, Σv²) in ONE window pass — the dynamic program reduced to "
+    "prefix sums, entirely in whole-stage codegen, no per-group Python "
+    "and no quadratic split scan (each candidate's cost is O(1) from the "
+    "cumulative sums).  Segment-length floor of "
+    f"{_CPT_MIN_SEG} on both sides; deterministic (cost, k) tie-break.  "
+    "Decimal sums are read out through their string form and the cost "
+    "expression text is identical on both engines, so the argmin is "
+    "bit-stable.  The sensor-drift / regime-shift detector of every "
+    "instrument QA pipeline, at 100 TB cost = one partitioned window "
+    "plus a per-group top-1.",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wc = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wp = W.partitionBy("event_type")
+    dec = "CAST(value AS DECIMAL(38,6))"
+    dec2 = "CAST(value * value AS DECIMAL(38,6))"
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("ts", "event_id")
+        ).alias("i0"),
+        F.sum(F.expr(dec)).over(wc).alias("scum"),
+        F.sum(F.expr(dec2)).over(wc).alias("qcum"),
+        F.count(F.lit(1)).over(wp).alias("n0"),
+        F.sum(F.expr(dec)).over(wp).alias("stot"),
+        F.sum(F.expr(dec2)).over(wp).alias("qtot"),
+    )
+    costs = (
+        ordered.filter(
+            (F.col("i0") >= _CPT_MIN_SEG)
+            & (F.col("i0") <= F.col("n0") - _CPT_MIN_SEG)
+        )
+        .select(
+            "event_type",
+            "ts",
+            "i0",
+            F.expr("CAST(CAST(scum AS STRING) AS DOUBLE)").alias("sd"),
+            F.expr("CAST(CAST(qcum AS STRING) AS DOUBLE)").alias("qd"),
+            F.expr("CAST(CAST(stot AS STRING) AS DOUBLE)").alias("stotd"),
+            F.expr("CAST(CAST(qtot AS STRING) AS DOUBLE)").alias("qtotd"),
+            F.col("i0").cast("double").alias("i"),
+            F.col("n0").cast("double").alias("n"),
+        )
+        .select(
+            "event_type", "ts", "i0", F.expr(_CPT_COST).alias("cost")
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("cost", "i0")
+    return (
+        costs.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("i0").alias("k"),
+            F.col("ts").alias("change_ts"),
+            F.round("cost", 6).alias("sse_cost"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_dtw_distance",
+    oracle=None,  # O(n·m) dynamic program — not SQL-expressible; the DP
+    # kernel is pinned against a brute-force reference in
+    # tests/test_advanced.py::test_dtw_matches_bruteforce
+    bench=False,
+    doc="Dynamic Time Warping distance from each event_type's daily-mean "
+    "series to the 'view' reference series — the grouped-map "
+    "``applyInPandas`` surface on its ONE legitimate use: a per-group "
+    "O(n·m) dynamic program (optimal monotone alignment) that no "
+    "composition of DataFrame operators expresses.  Everything around "
+    "the DP stays JVM-side: daily means reduce exact-decimal in codegen, "
+    "the constant-size reference series is replicated per group by a "
+    "broadcast-style tiny cross join, and Python receives one Arrow "
+    "batch per group containing two short aligned series.  At 100 TB "
+    "the group count (series count) is the parallelism and the per-group "
+    "payload stays bounded by the series length, not the corpus.",
+)
+def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr(
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING)"
+            " AS DOUBLE) / COUNT(*)"
+        ).alias("v")
+    )
+    x = daily.select("event_type", F.lit("x").alias("role"), "day", "v")
+    ref_series = daily.filter(F.col("event_type") == "view").select(
+        F.lit("ref").alias("role"), "day", "v"
+    )
+    types = daily.select("event_type").distinct()
+    ref = types.crossJoin(F.broadcast(ref_series)).select(
+        "event_type", "role", "day", "v"
+    )
+    both = x.unionAll(ref)
+
+    def dtw(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        xs = pdf[pdf.role == "x"].sort_values("day").v.to_numpy()
+        rs = pdf[pdf.role == "ref"].sort_values("day").v.to_numpy()
+        n, m = len(xs), len(rs)
+        dp = np.full((n + 1, m + 1), np.inf)
+        dp[0, 0] = 0.0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                c = abs(xs[i - 1] - rs[j - 1])
+                dp[i, j] = c + min(dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf.event_type.iloc[0]],
+                "n_x": [n],
+                "n_ref": [m],
+                "dtw": [round(float(dp[n, m]), 6)],
+            }
+        )
+
+    return (
+        both.groupBy("event_type")
+        .applyInPandas(
+            dtw, "event_type string, n_x long, n_ref long, dtw double"
+        )
+        .orderBy("event_type")
+    )

@@ -146,3 +146,54 @@ def test_event_pattern_counts_vs_python(spark, sf_dir):
         for r in REGISTRY["q_event_pattern"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dtw_matches_bruteforce(spark, sf_dir):
+    # The applyInPandas DP must equal an independent exponential-recursion
+    # reference (memoized) on the same collected series — pinning the DP
+    # transition (match/insert/delete with |a-b| cost) rather than trusting
+    # two copies of the same loop.
+    import functools
+
+    from lab_etl_spark.queries import load_all
+
+    out = {
+        r.event_type: r
+        for r in load_all()["q_dtw_distance"].fn(spark, sf_dir).collect()
+    }
+    assert out["view"].dtw == 0.0  # self-alignment is free
+
+    from pyspark.sql import functions as F
+
+    from lab_etl_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING)"
+                " AS DOUBLE) / COUNT(*)"
+            ).alias("v")
+        )
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.v))
+    ref = tuple(v for _, v in sorted(series["view"]))
+
+    for etype, rows in series.items():
+        xs = tuple(v for _, v in sorted(rows))
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j, xs=xs):
+            if i == 0 and j == 0:
+                return 0.0
+            if i == 0 or j == 0:
+                return float("inf")
+            return abs(xs[i - 1] - ref[j - 1]) + min(
+                d(i - 1, j), d(i, j - 1), d(i - 1, j - 1)
+            )
+
+        assert out[etype].dtw == round(d(len(xs), len(ref)), 6), etype
