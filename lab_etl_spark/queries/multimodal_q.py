@@ -80,3 +80,29 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+@register(
+    "q_phash_dedup",
+    oracle=None,  # binary pixel decode + DCT: not SQL-expressible
+    priority=1,
+    bench=False,  # synthetic in-memory table, not an sf-scaled scan
+    doc="Perceptual-hash image dedup: every decodable image payload -> "
+    "64-bit pHash (32×32 luminance DCT, low-frequency signs) in one "
+    "mapInPandas pass, then 8-band×8-bit LSH candidates and an exact "
+    "bit_count(xor) verify at Hamming <= 6 (pigeonhole: recall is total "
+    "for <= 7).  Run over a corpus with planted CROSS-FORMAT "
+    "near-duplicates — the same picture as gray PNG and as ±3-noise "
+    "24-bit BMP — the transcoded-copy case byte/exact dedup can never "
+    "catch.  Value pins (every planted pair found, zero false pairs, "
+    "known hash bits) live in tests/test_multimodal_decode.py.",
+)
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import (
+        make_near_dup_assets,
+        phash_assets,
+        phash_near_pairs,
+    )
+
+    assets = make_near_dup_assets(spark, n_pairs=24)
+    return phash_near_pairs(phash_assets(assets)).orderBy("id_a", "id_b")

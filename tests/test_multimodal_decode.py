@@ -843,3 +843,38 @@ def test_sample_frames_thins_real_mp4_frames(spark):
     for r, j in zip(rows, (0, 2, 4)):
         want = byte_feature(np.frombuffer(frames[j], np.uint8))
         assert list(r["feature"]) == want
+
+
+def test_phash_finds_all_cross_format_pairs_and_nothing_else(spark):
+    # Every planted (PNG, noisy BMP) pair must surface at Hamming <= 6 and
+    # no unrelated pair may: total recall from the 8-band pigeonhole plus
+    # the exact xor verify's precision.
+    from lab_etl_spark.multimodal.columns import (
+        make_near_dup_assets,
+        phash_assets,
+        phash_near_pairs,
+    )
+
+    assets = make_near_dup_assets(spark, n_pairs=16)
+    pairs = phash_near_pairs(phash_assets(assets)).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(2 * i, 2 * i + 1) for i in range(16)}
+    assert all(r.hamming <= 6 for r in pairs)
+    assert all(
+        (r.mime_a, r.mime_b) == ("image/png", "image/bmp") for r in pairs
+    )
+
+
+def test_phash64_deterministic_and_separating():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import phash64
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 256, (20, 30)).astype(np.float64)
+    noisy = np.clip(base + rng.randint(-3, 4, (20, 30)), 0, 255)
+    other = rng.randint(0, 256, (20, 30)).astype(np.float64)
+    h = phash64(base)
+    assert h == phash64(base)  # deterministic
+    assert bin(h ^ phash64(noisy)).count("1") <= 6
+    assert bin(h ^ phash64(other)).count("1") >= 16
