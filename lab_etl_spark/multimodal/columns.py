@@ -1443,3 +1443,135 @@ def make_near_dup_assets(spark, n_pairs: int = 24) -> DataFrame:
              "{}")
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8, "asset_id")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (constellation tokens, Shazam-style)
+# ---------------------------------------------------------------------------
+
+#: FFT frame/hop and the four spectral bands (rfft bins at frame=256)
+_FP_FRAME, _FP_HOP = 256, 128
+_FP_BANDS = [(4, 24), (24, 56), (56, 92), (92, 129)]
+#: token-set Jaccard threshold for a near-dup verdict (integer 3/5)
+AUDIO_FP_T_NUM, AUDIO_FP_T_DEN = 3, 5
+
+
+def audio_fingerprint_tokens(samples: np.ndarray) -> list[int]:
+    """Spectral-peak constellation fingerprint of a PCM clip: Hann-windowed
+    FFT frames, the strongest bin per band (amplitude-gated at 20% of the
+    frame max so silent bands emit nothing), and (band, peak_i, peak_j,
+    Δframe) pairs over 1-2 frame gaps packed into integers — the
+    Shazam-style landmark scheme reduced to pure numpy.  Noise moves no
+    token on the synthetic corpus while unrelated clips share ~none
+    (pinned in tests/test_multimodal_decode.py).  Deterministic
+    everywhere: FFT of float64 + integer packing."""
+    if samples.ndim == 2:
+        samples = samples.mean(axis=1)
+    seq = []
+    for s in range(0, len(samples) - _FP_FRAME + 1, _FP_HOP):
+        w = samples[s : s + _FP_FRAME] * np.hanning(_FP_FRAME)
+        mag = np.abs(np.fft.rfft(w))
+        gate = 0.2 * mag[4:].max() if mag[4:].size else 0.0
+        peaks = []
+        for lo, hi in _FP_BANDS:
+            k = int(np.argmax(mag[lo:hi])) + lo
+            peaks.append(k if mag[k] >= gate else -1)
+        seq.append(peaks)
+    toks = set()
+    for i in range(len(seq) - 2):
+        for b in range(len(_FP_BANDS)):
+            for dj in (1, 2):
+                a, c = seq[i][b], seq[i + dj][b]
+                if a >= 0 and c >= 0:
+                    toks.add((b << 24) | (a << 16) | (c << 8) | dj)
+    return sorted(toks)
+
+
+def fingerprint_audio(assets: DataFrame) -> DataFrame:
+    """(asset_id, token) rows for every decodable PCM payload — tokens
+    extracted in one Arrow-batched pass, then everything downstream
+    (posting lists, pair generation, Jaccard) runs JVM-side in the same
+    inverted-index algebra as text dedup."""
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("token", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                x = _wav_samples(bytes(content))
+                if x is None or not len(x):
+                    continue
+                for t in audio_fingerprint_tokens(x):
+                    rows.append({"asset_id": aid, "token": t})
+            yield pd.DataFrame(rows, columns=["asset_id", "token"])
+
+    return assets.select("asset_id", "content").mapInPandas(kernel, schema)
+
+
+def audio_near_pairs(fingerprints: DataFrame) -> DataFrame:
+    """Near-duplicate audio pairs at token-set Jaccard >= 3/5 — the text
+    package's posting-list kernel verbatim (one shuffle on the token,
+    codegen pair explosion, integer threshold), fed by spectral landmarks
+    instead of shingles."""
+    from ..operators.dedup import _pair_common_counts, _shingle_postings
+
+    sh = fingerprints.select(
+        F.col("asset_id").alias("doc_id"), F.col("token").alias("shingle")
+    )
+    postings = _shingle_postings(sh, None)
+    sizes = (
+        postings.select(F.explode("_ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    pairs = _pair_common_counts(postings)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(AUDIO_FP_T_DEN * F.col("n_common") >= AUDIO_FP_T_NUM * union)
+        .select(
+            F.col("doc_a").alias("id_a"),
+            F.col("doc_b").alias("id_b"),
+            "n_common",
+            F.round(F.col("n_common").cast("double") / union, 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def make_near_dup_audio(spark, n_pairs: int = 16) -> DataFrame:
+    """Synthetic WAV table with planted near-duplicates: clip 2i is a
+    3-tone mixture with blake2b-seeded frequencies across the full band,
+    clip 2i+1 the same mixture plus σ=0.05 deterministic noise — the
+    re-encoded/re-recorded copy case."""
+    rows = []
+    for i in range(n_pairs):
+        seed = int.from_bytes(
+            hashlib.blake2b(f"audio{i}".encode(), digest_size=8).digest(),
+            "big",
+        )
+        rng = np.random.RandomState(seed % (2**31))
+        n = 1500 + 200 * (i % 4)
+        t = np.arange(n)
+        x = np.zeros(n)
+        for _ in range(3):
+            w = rng.uniform(0.1, 2.8)
+            a = rng.uniform(0.3, 1.0)
+            x += a * np.sin(w * t + rng.uniform(0, 2 * np.pi))
+        noisy = x + np.random.RandomState(i).normal(0, 0.05, n)
+        for j, sig in ((0, x), (1, noisy)):
+            pcm = np.clip(sig * 8000, -32768, 32767).astype(np.int16)
+            rows.append(
+                (2 * i + j, "audio", "audio/wav",
+                 bytearray(_write_wav_pcm16(pcm)), "{}")
+            )
+    return spark.createDataFrame(rows, ASSET_SCHEMA).repartition(8, "asset_id")

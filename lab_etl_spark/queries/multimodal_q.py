@@ -106,3 +106,30 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = make_near_dup_assets(spark, n_pairs=24)
     return phash_near_pairs(phash_assets(assets)).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_audio_fingerprint",
+    oracle=None,  # FFT landmark extraction: not SQL-expressible
+    priority=1,
+    bench=False,  # synthetic in-memory table, not an sf-scaled scan
+    doc="Audio near-dup dedup by spectral-landmark fingerprinting "
+    "(Shazam-style constellation): every decodable PCM payload -> "
+    "amplitude-gated per-band FFT peak-pair tokens in one mapInPandas "
+    "pass, then the TEXT dedup package's inverted-index algebra verbatim "
+    "(posting lists, codegen pair explosion, integer 3/5-Jaccard "
+    "threshold) finds re-recorded/noisy copies.  Run over planted "
+    "clean/noisy 3-tone pairs; every planted pair recovered with zero "
+    "false pairs (pinned in tests/test_multimodal_decode.py).  The "
+    "composition is the point: modality-specific extraction feeds the "
+    "same scale-safe dedup kernel text uses.",
+)
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import (
+        audio_near_pairs,
+        fingerprint_audio,
+        make_near_dup_audio,
+    )
+
+    assets = make_near_dup_audio(spark, n_pairs=16)
+    return audio_near_pairs(fingerprint_audio(assets)).orderBy("id_a", "id_b")

@@ -1073,3 +1073,75 @@ def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+    WITH touched AS (
+      SELECT event_type, value,
+             COALESCE(LAST_VALUE(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w, 'none') AS last_touch,
+             COALESCE(FIRST_VALUE(
+               CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w, 'none') AS first_touch
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (SELECT * FROM touched WHERE event_type = 'purchase')
+    SELECT model, touch, COUNT(*) AS n_purchases,
+           {dsum('value', 6)} AS revenue
+    FROM (
+      SELECT 'last_touch' AS model, last_touch AS touch, value
+      FROM purchases
+      UNION ALL
+      SELECT 'first_touch', first_touch, value FROM purchases
+    )
+    GROUP BY model, touch
+    ORDER BY model, touch
+    """,
+    doc="First-touch / last-touch revenue attribution: each purchase "
+    "credits its value to the user's earliest and most recent prior "
+    "non-purchase event type.  BOTH touch columns come from the SAME "
+    "user-partitioned window pass (first_value / last_value IGNORE NULLS "
+    "over the strictly-prior frame — the as-of alignment primitive of "
+    "q_asof_align doing marketing analytics), so the whole model "
+    "comparison costs one shuffle on user_id plus a tiny rollup.  Users "
+    "whose purchase has no prior event land in the 'none' bucket rather "
+    "than being dropped.",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.last(non_purchase, ignorenulls=True).over(w), F.lit("none")
+        ).alias("last_touch"),
+        F.coalesce(
+            F.first(non_purchase, ignorenulls=True).over(w), F.lit("none")
+        ).alias("first_touch"),
+    ).filter(F.col("event_type") == "purchase")
+    stacked = touched.selectExpr(
+        "stack(2, 'last_touch', last_touch, 'first_touch', first_touch)"
+        " AS (model, touch)",
+        "value",
+    )
+    return (
+        stacked.groupBy("model", "touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.expr(dsum("value", 6)).alias("revenue"),
+        )
+        .orderBy("model", "touch")
+    )

@@ -878,3 +878,35 @@ def test_phash64_deterministic_and_separating():
     assert h == phash64(base)  # deterministic
     assert bin(h ^ phash64(noisy)).count("1") <= 6
     assert bin(h ^ phash64(other)).count("1") >= 16
+
+
+def test_audio_fingerprint_finds_all_planted_pairs(spark):
+    from lab_etl_spark.multimodal.columns import (
+        audio_near_pairs,
+        fingerprint_audio,
+        make_near_dup_audio,
+    )
+
+    assets = make_near_dup_audio(spark, n_pairs=12)
+    pairs = audio_near_pairs(fingerprint_audio(assets)).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(2 * i, 2 * i + 1) for i in range(12)}
+    assert all(r.jaccard >= 0.6 for r in pairs)
+
+
+def test_audio_fingerprint_tokens_deterministic_and_noise_stable():
+    import numpy as np
+
+    from lab_etl_spark.multimodal.columns import audio_fingerprint_tokens
+
+    t = np.arange(2000)
+    x = np.sin(0.7 * t) + 0.5 * np.sin(1.9 * t)
+    noisy = x + np.random.RandomState(0).normal(0, 0.05, len(t))
+    other = np.sin(0.3 * t) + 0.5 * np.sin(2.5 * t)
+    a = audio_fingerprint_tokens(x)
+    assert a == audio_fingerprint_tokens(x)  # deterministic
+    b = set(audio_fingerprint_tokens(noisy))
+    c = set(audio_fingerprint_tokens(other))
+    sa = set(a)
+    assert len(sa & b) / len(sa | b) >= 0.6
+    assert len(sa & c) / max(1, len(sa | c)) <= 0.2
