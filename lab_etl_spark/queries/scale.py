@@ -651,27 +651,50 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
-def _corr_sums(cast_str: str) -> list[str]:
+def _corr_sums(engine: str) -> list[str]:
     """The mergeable sufficient statistics for all pairwise correlations:
-    n, Σc and Σc² per column, Σab per pair — every sum exact DECIMAL read
-    out through its decimal STRING (the q_linreg_trend discipline: direct
-    wide-decimal→double casts round differently per engine; strtod is
-    correctly rounded everywhere)."""
+    n, Σc and Σc² per column, Σab per pair — each accumulated as an exact
+    HI/LO BIGINT FIXED-POINT pair instead of a wide DECIMAL sum.
 
-    def dsum38(expr: str, alias: str) -> str:
+    Why: Spark's SUM(DECIMAL(38,_)) leaves the codegen fast path
+    (measured 0.3 s PER SUM over 600 k rows — 15 sums cost 3.7 s at
+    sf0.1), while pure 64-bit integer pipelines run at double-sum speed
+    (0.4 s for all 15, a 10× win).  Each addend x becomes
+    p = trunc(x·10⁶) — one deterministic double multiply then integer
+    truncation, identical in both engines for the NON-NEGATIVE measures
+    here (Spark's double→BIGINT cast truncates; DuckDB's rounds, so its
+    text goes through trunc() first; every p ≤ 1.44e16 < 2^54 is exactly
+    representable, so both engines truncate the same double).  p splits
+    as hi = p div 10⁹, lo = p % 10⁹ — integer ops — so both running SUMs
+    fit signed 64-bit out to ~10¹¹ rows per group.  The exact total
+    hi·10⁹ + lo is recombined ONCE per group in DECIMAL(38,0), read out
+    through its decimal string (strtod is correctly rounded everywhere;
+    a direct wide-decimal→double cast is not), and unscaled by /10⁶.
+    The statistic is thus "sum of inputs truncated at 6 decimal places"
+    — deterministic, mergeable, bit-identical in both engines."""
+    cast_str, intdiv = (
+        ("STRING", "div") if engine == "spark" else ("VARCHAR", "//")
+    )
+
+    def fxsum(expr: str, alias: str) -> str:
+        if engine == "spark":
+            p = f"CAST(({expr}) * 1000000.0 AS BIGINT)"
+        else:
+            p = f"CAST(trunc(({expr}) * 1000000.0) AS BIGINT)"
         return (
-            f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(38,6)))"
-            f" AS {cast_str}) AS DOUBLE) AS {alias}"
+            f"CAST(CAST(CAST(SUM({p} {intdiv} 1000000000) AS DECIMAL(38,0))"
+            f" * 1000000000 + SUM({p} % 1000000000)"
+            f" AS {cast_str}) AS DOUBLE) / 1000000.0 AS {alias}"
         )
 
     out = ["CAST(COUNT(*) AS DOUBLE) AS n"]
     for i, c in enumerate(_CORR_COLS):
-        out.append(dsum38(c, f"s_{i}"))
-        out.append(dsum38(f"{c} * {c}", f"ss_{i}"))
+        out.append(fxsum(c, f"s_{i}"))
+        out.append(fxsum(f"{c} * {c}", f"ss_{i}"))
     for i in range(len(_CORR_COLS)):
         for j in range(i + 1, len(_CORR_COLS)):
             out.append(
-                dsum38(f"{_CORR_COLS[i]} * {_CORR_COLS[j]}", f"sp_{i}_{j}")
+                fxsum(f"{_CORR_COLS[i]} * {_CORR_COLS[j]}", f"sp_{i}_{j}")
             )
     return out
 
@@ -690,7 +713,7 @@ def _corr_readout(i: int, j: int) -> str:
     "q_corr_matrix",
     oracle=f"""
     WITH sums AS (
-        SELECT {", ".join(_corr_sums("VARCHAR"))} FROM lineitem
+        SELECT {", ".join(_corr_sums("duck"))} FROM lineitem
     )
     {" UNION ALL ".join(
         f"SELECT '{_CORR_COLS[i]}' AS col_a, '{_CORR_COLS[j]}' AS col_b,"
@@ -714,7 +737,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sums = li.selectExpr(*_CORR_COLS).agg(
         *[F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
-          for e in _corr_sums("STRING")]
+          for e in _corr_sums("spark")]
     )
     pairs = F.array(
         *[
