@@ -236,8 +236,6 @@ _SINGLE_PARTITION_OK = {
     "q_bm25",
     # 1-row broadcast of the doc count N for the pmi denominator
     "q_cooccurrence_pmi",
-    # 1-row BFS seed (MIN over the edge list)
-    "q_shortest_path",
     # the sufficient-stats aggregate IS one global row (15 numbers); the
     # data-sized partial aggregation below it stays fully parallel
     "q_corr_matrix",
@@ -267,6 +265,7 @@ _SWEEP_SKIP = {
     "q_user_purge",
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
+    "q_shortest_path",
 }
 
 

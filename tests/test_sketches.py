@@ -154,3 +154,18 @@ def test_ewma_batch_matches_recurrence_within_truncation(spark, sf_dir):
             got[eid],
             s,
         )
+
+
+def test_shortest_path_releases_persisted_edges(spark, sf_dir):
+    from lab_etl_spark.queries import load_all
+
+    jcache = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = jcache.isEmpty()
+    rows = load_all()["q_shortest_path"].fn(spark, sf_dir).collect()
+    assert rows and all(0 <= r.dist <= 3 for r in rows)
+    # source node carries distance 0
+    assert min(r.dist for r in rows) == 0
+    # unpersist discipline (same contract as pagerank): the symmetrized
+    # edge cache must be released before the frame is returned
+    if was_empty:
+        assert jcache.isEmpty(), "shortest_path left persisted blocks cached"
