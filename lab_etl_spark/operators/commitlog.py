@@ -169,6 +169,7 @@ class LoggedTable:
         meta: dict | None = None,
         spark: SparkSession | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> dict:
         """Run ``write_fn(new_snapshot_dir)`` and atomically publish it.
 
@@ -188,11 +189,13 @@ class LoggedTable:
         data_rel = f"v_{uuid.uuid4().hex[:12]}"
         abs_dir = os.path.join(self.table_dir, data_rel)
         write_fn(abs_dir)
-        if spark is not None and stats_cols:
-            meta = {
-                **(meta or {}),
-                "files": _file_stats(spark, abs_dir, stats_cols),
-            }
+        if spark is not None and (stats_cols or bloom_cols):
+            files = _file_stats(spark, abs_dir, stats_cols or [])
+            if bloom_cols:
+                blooms = _file_blooms(spark, abs_dir, bloom_cols)
+                for f in files:
+                    f["bloom"] = blooms.get(f["path"], {})
+            meta = {**(meta or {}), "files": files}
         os.makedirs(self.log_dir, exist_ok=True)
         while True:
             version = (self.versions() or [0])[-1] + 1
@@ -354,3 +357,113 @@ def _file_stats(
             }
         )
     return sorted(out, key=lambda f: f["path"])
+
+
+#: per-file membership bloom recorded in manifests: 8192 bits (128 64-bit
+#: words, 2 KB hex per file per column), 3 md5-derived probe positions —
+#: at ~600 distinct keys per file the false-positive rate is ~0.8%, so a
+#: point lookup over a HASH-distributed layout (where MIN/MAX stats can
+#: never prune) reads ~1 file instead of all of them.
+_FBLOOM_BITS = 8192
+_FBLOOM_WORDS = _FBLOOM_BITS // 64
+_FBLOOM_K = 3
+
+
+def _fbloom_positions(value) -> list[int]:
+    """Python twin of the Spark-side probe-position expression — same md5,
+    same slice, same modulus, applied to the value's string form (matching
+    Spark's CAST(col AS STRING) for integer keys)."""
+    import hashlib as _hl
+
+    return [
+        int(
+            _hl.md5(f"fbloom{i}:{value}".encode()).hexdigest()[:8], 16
+        ) % _FBLOOM_BITS
+        for i in range(_FBLOOM_K)
+    ]
+
+
+def _file_blooms(
+    spark: SparkSession, snapshot_dir: str, bloom_cols: list[str]
+) -> dict[str, dict[str, str]]:
+    """{file -> {col -> 2048-char hex bitset}}: one aggregate per column
+    whose output cardinality is files × occupied words (≤ 128), built with
+    the same explode + bit_or shape as the Bloom-join sketch."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(snapshot_dir)
+    out: dict[str, dict[str, str]] = {}
+    for col in bloom_cols:
+        pos_exprs = [
+            f"CAST(CONV(SUBSTRING(MD5(CONCAT('fbloom{i}:',"
+            f" CAST({col} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {_FBLOOM_BITS}"
+            for i in range(_FBLOOM_K)
+        ]
+        rows = (
+            df.select(
+                F.col("_metadata.file_path").alias("_fp"),
+                F.explode(
+                    F.array(*[F.expr(p) for p in pos_exprs])
+                ).alias("_pos"),
+            )
+            .groupBy(
+                "_fp", (F.col("_pos") / 64).cast("long").alias("_word")
+            )
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(_pos % 64 AS INT)))"
+                ).alias("_bits")
+            )
+            .collect()
+        )
+        words: dict[str, list[int]] = {}
+        for r in rows:
+            f = os.path.basename(r["_fp"])
+            words.setdefault(f, [0] * _FBLOOM_WORDS)[r["_word"]] = r["_bits"]
+        for f, ws in words.items():
+            out.setdefault(f, {})[col] = "".join(
+                f"{w & 0xFFFFFFFFFFFFFFFF:016x}" for w in ws
+            )
+    return out
+
+
+def read_point_pruned(
+    spark: SparkSession,
+    table: "LoggedTable",
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point-lookup file skipping from manifest blooms: keep only snapshot
+    files whose bloom has ALL probe bits set for ``value`` — the
+    hash-layout complement of :meth:`LoggedTable.read_pruned` (min/max
+    intervals cannot prune a hash-distributed file set; membership blooms
+    can).  False positives only cost an extra file scan; the caller's
+    exact row predicate keeps the answer precise.  Falls back to the full
+    snapshot when blooms are absent."""
+    m = table.latest() if version is None else table.manifest(version)
+    if m is None:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    base = os.path.join(table.table_dir, m["data_dir"])
+    files = m.get("files")
+    if not files or not any(f.get("bloom", {}).get(col) for f in files):
+        return spark.read.parquet(base)
+    pos = _fbloom_positions(value)
+    keep = []
+    for f in files:
+        hexmap = f.get("bloom", {}).get(col)
+        if hexmap is None:
+            keep.append(f["path"])  # no bloom for this file: cannot skip
+            continue
+        ok = True
+        for p in pos:
+            w = int(hexmap[(p // 64) * 16 : (p // 64) * 16 + 16], 16)
+            if not (w >> (p % 64)) & 1:
+                ok = False
+                break
+        if ok:
+            keep.append(f["path"])
+    if not keep:
+        return spark.read.parquet(base).filter("1 = 0")
+    return spark.read.parquet(*[os.path.join(base, p) for p in keep])

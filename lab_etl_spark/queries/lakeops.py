@@ -664,3 +664,53 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_date")
     )
+
+
+@register(
+    "q_point_lookup_bloom",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum('o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_custkey = 1
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Point-lookup file skipping from per-file MEMBERSHIP BLOOMS in the "
+    "commit manifest: orders are committed HASH-distributed on o_custkey "
+    "— the layout real ingest produces, where per-file MIN/MAX spans the "
+    "whole key range and interval stats can never skip anything — and "
+    "each file carries an 8192-bit md5-keyed bloom (2 KB of manifest).  "
+    "The reader resolves which files can contain custkey 1 from the "
+    "manifest alone (~1 of 16 at sf0.01; false positives only cost an "
+    "extra file), then applies the exact predicate.  Complements "
+    "q_stats_pruning: intervals prune range layouts, blooms prune hash "
+    "layouts — together they are the manifest half of Delta-style data "
+    "skipping.  Oracle is the plain full-scan filter; skipping "
+    "effectiveness pinned in tests/test_commitlog.py.",
+    bench=False,  # dominated by the eager snapshot write
+)
+def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable, read_point_pruned
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    table = LoggedTable(scratch_dir("bloomlookup_od", sf_dir))
+    table.commit(
+        lambda d: od.repartition(16, "o_custkey").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        bloom_cols=["o_custkey"],
+    )
+    pruned = read_point_pruned(spark, table, "o_custkey", 1)
+    return (
+        pruned.filter(F.col("o_custkey") == 1)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(dsum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -198,3 +198,34 @@ def test_stats_pruning_open_and_empty_intervals(spark, tmp_path):
 def test_stats_pruning_without_stats_falls_back_to_full_scan(spark, tmp_path):
     t = _mk(spark, tmp_path)  # committed WITHOUT stats_cols
     assert t.read_pruned(spark, {"id": (0, 1)}).count() == 100
+
+
+def test_bloom_point_pruning_skips_files_on_hash_layout(spark, tmp_path):
+    # Hash-distributed layout: every file spans the full key range, so
+    # interval stats can never skip — membership blooms must.
+    from lab_etl_spark.operators.commitlog import read_point_pruned
+
+    t = LoggedTable(str(tmp_path / "table"))
+    df = spark.range(5000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    m = t.commit(
+        lambda d: df.repartition(16, "id").write.parquet(d),
+        op="create",
+        spark=spark,
+        bloom_cols=["id"],
+    )
+    assert len(m["files"]) == 16
+    assert all(len(f["bloom"]["id"]) == 2048 for f in m["files"])
+    pruned = read_point_pruned(spark, t, "id", 1234)
+    n_scanned = pruned.select("_metadata.file_path").distinct().count()
+    assert n_scanned <= 3, f"bloom pruned only to {n_scanned}/16 files"
+    assert pruned.filter("id = 1234").count() == 1
+    # a key that was never written prunes to zero files, schema intact
+    missing = read_point_pruned(spark, t, "id", 10**9)
+    assert missing.columns == ["id", "k"] and missing.count() == 0
+
+
+def test_bloom_pruning_without_blooms_falls_back(spark, tmp_path):
+    from lab_etl_spark.operators.commitlog import read_point_pruned
+
+    t = _mk(spark, tmp_path)
+    assert read_point_pruned(spark, t, "id", 5).count() == 100
