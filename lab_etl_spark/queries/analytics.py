@@ -1043,3 +1043,59 @@ def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s.day")
     )
+
+
+@register(
+    "q_corrupt_records",
+    priority=1,
+    bench=False,  # dominated by the export's disk I/O, not query compute
+    oracle="""
+    SELECT CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END AS lang,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (doc_id % 37 = 0) AS n_corrupt,
+           SUM(CASE WHEN doc_id % 37 <> 0 THEN n_chars END) AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Malformed-input robustness (the schema-enforcement story of the "
+    "reference, exercised on the ingest boundary): a JSONL export with "
+    "every 37th record TRUNCATED mid-object is read back in PERMISSIVE "
+    "mode with an explicit schema + _corrupt_record column — corrupt "
+    "lines land as all-NULL rows carrying their raw text instead of "
+    "failing the job or being silently dropped, and the audit aggregate "
+    "counts them per group.  This is the posture a 100 TB ingest needs: "
+    "FAILFAST dies on one bad record among billions, DROPMALFORMED "
+    "silently loses data; PERMISSIVE + corrupt-column quarantines.  The "
+    "oracle reproduces the planted corruption rule on the source table, "
+    "proving nothing is lost or double-counted across the round-trip.",
+)
+def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    line = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(
+            F.lit('{"doc_id": '),
+            F.col("doc_id").cast("string"),
+            F.lit(', "lang": '),
+        ),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "source", "n_chars")))
+    scratch = scratch_dir("docs_jsonl_corrupt", sf_dir)
+    docs.select(line.alias("value")).write.mode("overwrite").text(scratch)
+    back = (
+        spark.read.schema(
+            "doc_id bigint, lang string, source string, n_chars bigint,"
+            " _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(scratch)
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+        ).alias("sum_chars"),
+    )

@@ -252,6 +252,7 @@ _SWEEP_SKIP = {
     # disk-round-trip queries: fn() eagerly writes a scratch lake at
     # build time (each has dedicated tests + oracle parity coverage)
     "q_jsonl_roundtrip",
+    "q_corrupt_records",
     "q_zorder_skipping",
     "q_schema_evolution",
     "q_commitlog_roundtrip",
