@@ -1,0 +1,99 @@
+"""Scale-growth pins: double the corpus, candidate work must ~double.
+
+The dedup/similarity family's 100 TB claim rests on candidate generation
+being LINEAR in the corpus (inverted-index/LSH/prefix blocking), never the
+all-pairs square.  These tests measure the actual growth exponent on
+deterministic synthetic corpora where a quadratic regression would show as
+a ~4× jump when n doubles.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _corpus(spark, n):
+    # Near-dup pairs (i, i+1) built from PER-DOC-UNIQUE vocabularies, so
+    # the ground-truth pair count is exactly n — linear by construction —
+    # while a shared boilerplate prefix in every document stresses the
+    # hot-shingle path (it must be capped/deprioritized, never joined).
+    boiler = "the quick brown fox jumps over lazy dogs again and"
+    rows = []
+    for i in range(n):
+        base = boiler + " " + " ".join(f"u{i}w{k}" for k in range(16))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + f" tail{i}"))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _growth(f, spark, n=60):
+    small = f(_corpus(spark, n))
+    large = f(_corpus(spark, 2 * n))
+    assert small > 0, "vacuous corpus"
+    return large / small
+
+
+def test_setsim_candidates_grow_linearly(spark):
+    from lab_etl_spark.operators.dedup import setsim_prefix_pairs
+
+    g = _growth(
+        lambda docs: setsim_prefix_pairs(docs, n=3, t_num=4, t_den=5).count(),
+        spark,
+    )
+    assert g <= 2.6, f"setsim pair output grew {g:.2f}x for 2x docs"
+
+
+def test_minhash_lsh_candidates_grow_linearly(spark):
+    from lab_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    g = _growth(
+        lambda docs: minhash_lsh_candidates(
+            docs, n=3, num_hashes=16, bands=4, threshold=0.5
+        ).count(),
+        spark,
+    )
+    assert g <= 2.6, f"LSH verified-pair output grew {g:.2f}x for 2x docs"
+
+
+def test_capped_inverted_index_pairs_grow_linearly(spark):
+    from lab_etl_spark.operators.dedup import shingle_jaccard_pairs
+
+    g = _growth(
+        lambda docs: shingle_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_freq=100
+        ).count(),
+        spark,
+    )
+    assert g <= 2.6, f"inverted-index pair output grew {g:.2f}x for 2x docs"
+
+
+@pytest.mark.parametrize("n", [60])
+def test_connected_components_rounds_scale_with_diameter_not_size(spark, n):
+    # Doubling the corpus doubles the number of 2-doc clusters but leaves
+    # the component diameter at 1 — cluster count must double exactly and
+    # every cluster must stay a planted pair (no accidental merging).
+    from lab_etl_spark.operators.dedup import (
+        connected_components_auto,
+        shingle_jaccard_pairs,
+    )
+
+    def clusters(docs):
+        pairs = shingle_jaccard_pairs(
+            docs, n=3, threshold=0.5, max_shingle_freq=100
+        )
+        cc = connected_components_auto(
+            docs.select("doc_id"),
+            pairs.select("doc_a", "doc_b"),
+            id_col="doc_id",
+            src="doc_a",
+            dst="doc_b",
+            edges_distinct=True,
+            working_partitions=4,
+        )
+        return (
+            cc.groupBy("component").count().filter("count >= 2").count()
+        )
+
+    c1 = clusters(_corpus(spark, n))
+    c2 = clusters(_corpus(spark, 2 * n))
+    assert c1 > 0 and c2 >= 2 * c1 * 0.9
