@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.interpolation import interpolate_to_grid
 from . import register
-from .exact import dsum
+from .exact import davg, dsum
 
 
 @register(
@@ -1144,4 +1144,67 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum("value", 6)).alias("revenue"),
         )
         .orderBy("model", "touch")
+    )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {davg('value', 6)} AS hv
+      FROM events
+      GROUP BY 1, 2
+    ),
+    seasonal AS (
+      SELECT event_type, hour(h) AS hour_of_day,
+             COUNT(*) AS n_buckets,
+             {davg('hv', 6)} AS seasonal_mean
+      FROM hourly GROUP BY 1, 2
+    ),
+    overall AS (
+      SELECT event_type, {davg('hv', 6)} AS type_mean FROM hourly GROUP BY 1
+    )
+    SELECT s.event_type, s.hour_of_day, s.n_buckets,
+           ROUND(s.seasonal_mean, 6) AS seasonal_mean,
+           ROUND(s.seasonal_mean - o.type_mean, 6) AS seasonal_index
+    FROM seasonal s JOIN overall o ON o.event_type = s.event_type
+    ORDER BY s.event_type, s.hour_of_day
+    """,
+    doc="Additive seasonal decomposition of the event-value series: hourly "
+    "bucket means, a per-(type, hour-of-day) seasonal profile over them, "
+    "and the seasonal index as deviation from the type-level mean — the "
+    "classic pre-forecasting decomposition (and the input q_date_spine_"
+    "fill's gap handling feeds).  Two exact-decimal aggregation levels "
+    "(bucket means are deterministic doubles, the second level re-"
+    "accumulates them in DECIMAL), so both engines agree bit-for-bit; "
+    "shuffles carry (type, hour) cardinality, never raw events, at any "
+    "scale.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr(davg("value", 6)).alias("hv"))
+    seasonal = hourly.groupBy(
+        "event_type", F.hour("h").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.expr(davg("hv", 6)).alias("seasonal_mean"),
+    )
+    overall = hourly.groupBy("event_type").agg(
+        F.expr(davg("hv", 6)).alias("type_mean")
+    )
+    return (
+        seasonal.join(overall, "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n_buckets",
+            F.round("seasonal_mean", 6).alias("seasonal_mean"),
+            F.round(
+                F.col("seasonal_mean") - F.col("type_mean"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "hour_of_day")
     )
