@@ -755,3 +755,101 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_p.col_a", "_p.col_b", "_p.corr")
         .orderBy("col_a", "col_b")
     )
+
+
+#: negative-sampling fan-out: attempts per user and negatives kept
+_NEG_ATTEMPTS = 8
+_NEG_KEEP = 3
+_NEG_H_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('neg:', CAST(user_id AS STRING), ':',"
+    " CAST(attempt AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+)
+_NEG_H_DUCK = (
+    "CAST(CAST(('0x' || SUBSTRING(MD5('neg:' || CAST(user_id AS VARCHAR)"
+    " || ':' || CAST(attempt AS VARCHAR)), 1, 13)) AS BIGINT) AS BIGINT)"
+)
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH positives AS (
+      SELECT DISTINCT o_custkey AS user_id, l_partkey AS item
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    np AS (SELECT COUNT(*) AS n_parts FROM part),
+    attempts AS (
+      SELECT p.user_id, t.attempt,
+             {_NEG_H_DUCK} % np.n_parts + 1 AS item
+      FROM (SELECT DISTINCT user_id FROM positives) p
+      CROSS JOIN np
+      CROSS JOIN (SELECT unnest(generate_series(0, {_NEG_ATTEMPTS - 1}))
+                  AS attempt) t
+    ),
+    negs AS (
+      SELECT a.user_id, a.attempt, a.item
+      FROM attempts a
+      LEFT JOIN positives pos
+        ON pos.user_id = a.user_id AND pos.item = a.item
+      WHERE pos.item IS NULL
+    )
+    SELECT user_id, rank, neg_item FROM (
+      SELECT user_id, item AS neg_item,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY attempt) AS rank
+      FROM negs
+    ) WHERE rank <= {_NEG_KEEP}
+    """,
+    doc="Deterministic NEGATIVE SAMPLING for recommender/contrastive "
+    f"training pairs: for every user with purchases, {_NEG_ATTEMPTS} "
+    "md5-derived candidate items are drawn, the user's true positives "
+    "are removed by an anti join, and the first "
+    f"{_NEG_KEEP} surviving attempts become the negatives — reproducible "
+    "across engines, reruns, and cluster sizes (RAND() sampling is "
+    "none of those), with collision handling that keeps the per-user "
+    "negative count stable instead of silently shrinking.  Shuffles: "
+    "one distinct over positives (reused by the anti join) and the "
+    "per-user window; candidate generation is a codegen explode.",
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    positives = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item"),
+        )
+        .distinct()
+    )
+    np_row = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    attempts = (
+        positives.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(np_row))
+        .select(
+            "user_id",
+            "n_parts",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_ATTEMPTS - 1))
+            ).alias("attempt"),
+        )
+        .select(
+            "user_id",
+            "attempt",
+            (F.expr(_NEG_H_SPARK) % F.col("n_parts") + 1).alias("item"),
+        )
+    )
+    negs = attempts.join(positives, ["user_id", "item"], "left_anti")
+    w = W.partitionBy("user_id").orderBy("attempt")
+    return (
+        negs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _NEG_KEEP)
+        .select("user_id", "rank", F.col("item").alias("neg_item"))
+    )

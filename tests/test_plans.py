@@ -239,6 +239,8 @@ _SINGLE_PARTITION_OK = {
     # the sufficient-stats aggregate IS one global row (15 numbers); the
     # data-sized partial aggregation below it stays fully parallel
     "q_corr_matrix",
+    # 1-row broadcast of the part count for the candidate modulus
+    "q_negative_sampling",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
