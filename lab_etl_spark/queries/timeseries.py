@@ -1208,3 +1208,63 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_of_day")
     )
+
+
+@register(
+    "q_anomaly_seasonal",
+    oracle=f"""
+    WITH seasonal AS (
+      SELECT event_type, hour(ts) AS hour_of_day,
+             {davg('value', 6)} AS s_mean,
+             stddev_pop(value) AS s_sigma,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.event_type, hour(e.ts) AS hour_of_day, e.value,
+           ROUND((e.value - s.s_mean) / s.s_sigma, 4) AS seasonal_z
+    FROM events e
+    JOIN seasonal s
+      ON s.event_type = e.event_type AND s.hour_of_day = hour(e.ts)
+    WHERE s.n >= 30 AND s.s_sigma > 0
+      AND abs((e.value - s.s_mean) / s.s_sigma) > 3.0
+    ORDER BY e.event_id
+    """,
+    doc="Seasonally-adjusted anomaly gate: each event is scored against "
+    "the mean/sigma of ITS OWN (type, hour-of-day) stratum, so a value "
+    "that is normal at the daily peak no longer false-alarms and a "
+    "quiet-hour spike no longer hides in the global variance — the "
+    "composition of q_seasonal_decompose's profile with q_zscore_"
+    "anomaly's 3-sigma gate.  The stratum stats table is (types × 24) "
+    "rows — broadcast-joined back, one aggregation shuffle total; "
+    "strata with <30 points are excluded rather than scored against "
+    "noise.  stddev_pop matches across engines because the stratum "
+    "means are exact-decimal and the variance read-out is the same "
+    "two-pass form both engines use (round 4 absorbs the last-bit "
+    "difference, the q_zscore_anomaly precedent).",
+)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seasonal = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    ).agg(
+        F.expr(davg("value", 6)).alias("s_mean"),
+        F.stddev_pop("value").alias("s_sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = (F.col("value") - F.col("s_mean")) / F.col("s_sigma")
+    return (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .join(F.broadcast(seasonal), ["event_type", "hour_of_day"])
+        .filter(
+            (F.col("n") >= 30) & (F.col("s_sigma") > 0) & (F.abs(z) > 3.0)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "hour_of_day",
+            "value",
+            F.round(z, 4).alias("seasonal_z"),
+        )
+        .orderBy("event_id")
+    )
