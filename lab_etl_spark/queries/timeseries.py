@@ -1268,3 +1268,28 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (event_type = 'purchase') AS n_purchases
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+    """,
+    doc="Stream-static enrichment rollup (batch form of streaming/jobs.py "
+    "enrich_stream, which is test-pinned equal under availableNow "
+    "replay): every event picks up its user's market segment from a "
+    "static broadcast dimension and rolls up per segment.  In streaming "
+    "mode the join is STATELESS — the dim is re-planned per micro-batch, "
+    "no state store, no watermark — the lookup shape every event "
+    "pipeline needs before stream-stream machinery is warranted.",
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import enrich_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    return enrich_stream(ev, cu)

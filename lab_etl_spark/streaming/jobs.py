@@ -468,3 +468,32 @@ def cms_cell_counts(events: DataFrame) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join + per-segment rollup: each streaming
+    event picks up its user's market segment from a static dimension.
+
+    Stream-static joins are STATELESS on the stream side — Spark re-plans
+    the static relation per micro-batch and (for a dimension this size)
+    broadcasts it, so there is no state store, no watermark requirement,
+    and the enrichment survives any micro-batching.  This is the lookup
+    shape every event pipeline needs before the stream-stream machinery
+    of :func:`purchase_after_click` is warranted.  The identical
+    expression runs in batch for the equivalence pin
+    (tests/test_streaming_multimodal.py).
+    """
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return (
+        events.join(d, "user_id")  # stream-static: dim re-read per batch
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase").alias(
+                "n_purchases"
+            ),
+        )
+    )

@@ -276,3 +276,21 @@ def test_stream_cms_merge_invariant_to_batching(spark, sf_dir, tmp_path):
     a = {(r.d, r.bucket, r.cnt) for r in got.collect()}
     b = {(r.d, r.bucket, r.cnt) for r in want.collect()}
     assert a == b and len(a) > 50
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.streaming.jobs import (
+        enrich_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    dim = load_table(spark, sf_dir, "customer")
+    stream_result = run_available_now(
+        enrich_stream(stream_events(spark, sf_dir), dim), "t_enrich"
+    )
+    batch_result = enrich_stream(load_table(spark, sf_dir, "events"), dim)
+    got = {tuple(r) for r in stream_result.collect()}
+    want = {tuple(r) for r in batch_result.collect()}
+    assert got == want and len(want) > 0
