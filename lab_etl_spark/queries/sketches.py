@@ -708,3 +708,94 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         sym.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market-basket mining)
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 3
+
+
+@register(
+    "q_market_basket",
+    oracle=f"""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    item AS (SELECT l_partkey, COUNT(*) AS c FROM pp GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM pp),
+    pairs AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+               COUNT(*) AS support
+        FROM pp a JOIN pp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.item_a, p.item_b, p.support,
+           ROUND(CAST(p.support AS DOUBLE) / ca.c, 6) AS conf_a_b,
+           ROUND(CAST(p.support AS DOUBLE) / cb.c, 6) AS conf_b_a,
+           ROUND(CAST(p.support AS DOUBLE) * n.n_baskets
+                 / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+    FROM pairs p
+    JOIN item ca ON ca.l_partkey = p.item_a
+    JOIN item cb ON cb.l_partkey = p.item_b
+    CROSS JOIN n
+    ORDER BY p.item_a, p.item_b
+    """,
+    doc="Association-rule mining (Apriori's pair stage) over order "
+    f"baskets: co-purchase pairs at support >= {BASKET_MIN_SUPPORT} with "
+    "confidence in both directions and lift.  Pair generation reuses the "
+    "posting-list kernel (basket → sorted item array, codegen pair "
+    "explosion — per-basket fan-out bounded by order size, never a "
+    "lineitem self-join), the support filter prunes before the marginals "
+    "join, and the item counts + basket total join back broadcast-sized. "
+    " The recommender/cross-sell primitive; at 100 TB the only data-"
+    "sized shuffles are the basket group and the pair count.",
+    tags=["graph"],
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _pair_common_counts, _shingle_postings
+
+    pp = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("shingle"),
+        F.col("l_partkey").alias("doc_id"),
+    ).distinct()
+    postings = _shingle_postings(pp, None)
+    pairs = (
+        _pair_common_counts(postings)
+        .where(F.col("n_common") >= BASKET_MIN_SUPPORT)
+        .select(
+            F.col("doc_a").alias("item_a"),
+            F.col("doc_b").alias("item_b"),
+            F.col("n_common").alias("support"),
+        )
+    )
+    item = pp.groupBy(F.col("doc_id").alias("item")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = pp.agg(F.count_distinct("shingle").alias("n_baskets"))
+    ca = item.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    cb = item.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    return (
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(F.col("support").cast("double") / F.col("ca"), 6).alias(
+                "conf_a_b"
+            ),
+            F.round(F.col("support").cast("double") / F.col("cb"), 6).alias(
+                "conf_b_a"
+            ),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_baskets")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
+    )

@@ -241,6 +241,8 @@ _SINGLE_PARTITION_OK = {
     "q_corr_matrix",
     # 1-row broadcast of the part count for the candidate modulus
     "q_negative_sampling",
+    # 1-row broadcast of the basket total for the lift denominator
+    "q_market_basket",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
