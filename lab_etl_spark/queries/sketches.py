@@ -799,3 +799,58 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+#: ONE SQL text, two engines: Spark 4's recursive CTE support (UNION ALL
+#: form) lets the bounded BFS run verbatim in both — the declarative twin
+#: of q_shortest_path's frontier joins, each cross-checking the other.
+_RCTE_SQL = f"""
+    WITH RECURSIVE pp AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges0 AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM pp a JOIN pp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    ),
+    edges AS (
+        SELECT p1 AS src, p2 AS dst FROM edges0
+        UNION ALL SELECT p2, p1 FROM edges0
+    ),
+    seed AS (SELECT MIN(src) AS node FROM edges),
+    walk(node, dist) AS (
+        SELECT node, 0 FROM seed
+        UNION ALL
+        SELECT e.dst, w.dist + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.dist < {BFS_MAX_HOPS}
+    )
+    SELECT node AS part_id, MIN(dist) AS dist
+    FROM walk GROUP BY node
+"""
+
+
+@register(
+    "q_recursive_cte",
+    oracle=_RCTE_SQL,
+    bench=False,  # path-enumeration recursion: q_shortest_path is the
+    # bench'd frontier-join form of the same computation
+    doc="RECURSIVE CTE surface (Spark 4 WITH RECURSIVE): the bounded BFS "
+    "expressed declaratively, and the SAME SQL TEXT runs on both engines "
+    "— the Spark side executes the oracle string verbatim, so the parity "
+    "check proves Spark's recursion semantics (UNION ALL expansion, "
+    "bounded by the dist predicate) against an independent "
+    "implementation.  Complements q_shortest_path: same answer from the "
+    "imperative frontier-join form, each cross-checking the other.  The "
+    "UNION ALL recursion enumerates paths, so the hop bound is the "
+    "termination guarantee; the min-dist rollup collapses re-reached "
+    "nodes exactly as the frontier form's final aggregate does.",
+    tags=["graph"],
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_RCTE_SQL)
