@@ -1293,3 +1293,67 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     cu = load_table(spark, sf_dir, "customer")
     return enrich_stream(ev, cu)
+
+
+@register(
+    "q_top_movers",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             {dsum('value', 6)} AS revenue
+      FROM events GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT event_type, week, revenue,
+             LAG(revenue) OVER (PARTITION BY event_type ORDER BY week)
+               AS prev_revenue
+      FROM weekly
+    )
+    SELECT event_type, week, revenue, prev_revenue,
+           ROUND(revenue - prev_revenue, 6) AS delta,
+           ROUND((revenue - prev_revenue) / prev_revenue, 6) AS pct_change
+    FROM delta
+    WHERE prev_revenue IS NOT NULL
+      AND abs(revenue - prev_revenue) / prev_revenue > 0.1
+    ORDER BY event_type, week
+    """,
+    doc="Period-over-period movers: weekly revenue per event_type, "
+    "previous week via LAG, and the rows whose week-over-week change "
+    "exceeds 10% — the what-changed report behind every operational "
+    "dashboard.  Weekly sums are exact-decimal so the deltas and the "
+    "boundary comparison are bit-identical cross-engine; the window "
+    "partitions by type (types × weeks rows, no data-sized window).",
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.expr(dsum("value", 6)).alias("revenue"))
+    w = W.partitionBy("event_type").orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return (
+        weekly.withColumn("prev_revenue", prev)
+        .filter(
+            F.col("prev_revenue").isNotNull()
+            & (
+                F.abs(F.col("revenue") - F.col("prev_revenue"))
+                / F.col("prev_revenue")
+                > 0.1
+            )
+        )
+        .select(
+            "event_type",
+            "week",
+            "revenue",
+            "prev_revenue",
+            F.round(F.col("revenue") - F.col("prev_revenue"), 6).alias(
+                "delta"
+            ),
+            F.round(
+                (F.col("revenue") - F.col("prev_revenue"))
+                / F.col("prev_revenue"),
+                6,
+            ).alias("pct_change"),
+        )
+        .orderBy("event_type", "week")
+    )
