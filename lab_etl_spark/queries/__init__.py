@@ -139,7 +139,7 @@ _WINDOW_FRONT = [
 #   q_market_basket, q_recursive_cte, q_top_movers, and
 #   rows-only q_dtw_distance + q_phash_dedup +
 #   q_audio_fingerprint
-# Round 5: front those twenty-eight plus any round-4 front entry that came back
+# Round 5: front those twenty-nine plus any round-4 front entry that came back
 # red, then resume cycling veterans by the age of their last driver-green
 # row (r1-cohort first — not driver-checked since round 2's window).
 

@@ -133,3 +133,39 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = make_near_dup_audio(spark, n_pairs=16)
     return audio_near_pairs(fingerprint_audio(assets)).orderBy("id_a", "id_b")
+
+
+@register(
+    "q_image_resize",
+    oracle=None,  # binary decode→resample→re-encode: not SQL-expressible
+    priority=1,
+    bench=False,  # synthetic in-memory table, not an sf-scaled scan
+    doc="Image normalization pipeline end-to-end: the mixed-format asset "
+    "table (PNG/GIF/BMP/JPEG + audio/video passthrough) runs through "
+    "resize_images(16x12) — REAL nearest-neighbor resampling of decoded "
+    "luminance, re-encoded as genuine PNG — and the output is "
+    "decode_assets'd AGAIN to prove every image now reads back at the "
+    "target dimensions from its real header while non-images pass "
+    "through untouched.  Two chained mapInPandas passes, payloads never "
+    "leave the executors — the canonical preprocessing shape for "
+    "vision-model training corpora.",
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.columns import resize_images
+
+    assets = make_asset_table(spark, n=96)
+    resized = resize_images(assets, 16, 12)
+    decoded = decode_assets(resized)
+    return (
+        decoded.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.count_if(
+                (F.col("width") == 16) & (F.col("height") == 12)
+            ).alias("n_at_target"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias(
+                "avg_feature0"
+            ),
+        )
+        .orderBy("modality")
+    )
