@@ -1099,3 +1099,65 @@ def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
         ).alias("sum_chars"),
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             {dsum('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_order, custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency, custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary, custkey) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           {dsum('monetary', 2)} AS segment_revenue
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="RFM customer segmentation: recency/frequency/monetary quartiles "
+    "via NTILE with unique custkey tie-breaks (NTILE over ties is "
+    "engine-dependent without them), rolled up into the 4x4x4 segment "
+    "grid with exact-decimal revenue.  One customer-level aggregate then "
+    "three windows over the (small) per-customer frame — the standard "
+    "CRM segmentation shape.  NOTE the windows are global by design: "
+    "they run over the CUSTOMER aggregate (orders of magnitude smaller "
+    "than the fact table), the same compromise every NTILE segmentation "
+    "makes; at 100 TB the per-customer frame is still ~millions of rows "
+    "— approx percentile cutpoints would replace NTILE beyond that.",
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    od = load_table(spark, sf_dir, "orders")
+    rfm = od.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(dsum("o_totalprice")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(W.orderBy("last_order", "custkey")).alias("r_score"),
+        F.ntile(4).over(W.orderBy("frequency", "custkey")).alias("f_score"),
+        F.ntile(4).over(W.orderBy("monetary", "custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr(dsum("monetary", 2)).alias("segment_revenue"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

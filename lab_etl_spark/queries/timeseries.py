@@ -1357,3 +1357,58 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+@register(
+    "q_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, SUM(n) AS row_total FROM cnt GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+    FROM cnt c JOIN tot t ON t.from_type = c.from_type
+    ORDER BY c.from_type, c.to_type
+    """,
+    doc="First-order Markov transition matrix of the user journey: each "
+    "user's consecutive event pairs via one LEAD window, counted into a "
+    "(from, to) matrix and row-normalized to transition probabilities — "
+    "the Sankey/journey-analytics primitive and the input to any "
+    "sequence model baseline.  One user-partitioned window pass + a "
+    "(types²)-row rollup; the probability is a single integer division, "
+    "deterministic everywhere.",
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        cnt.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("row_total"), 6
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -243,6 +243,10 @@ _SINGLE_PARTITION_OK = {
     "q_negative_sampling",
     # 1-row broadcast of the basket total for the lift denominator
     "q_market_basket",
+    # NTILE quartiles run over the per-CUSTOMER aggregate (orders of
+    # magnitude smaller than the fact table) — documented compromise;
+    # approx-percentile cutpoints replace NTILE beyond ~millions of rows
+    "q_rfm_segmentation",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
