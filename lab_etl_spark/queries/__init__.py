@@ -137,10 +137,10 @@ _WINDOW_FRONT = [
 #   q_corrupt_records, q_seasonal_decompose, q_embedding_quantize,
 #   q_negative_sampling, q_anomaly_seasonal, q_stream_enrich,
 #   q_market_basket, q_recursive_cte, q_top_movers,
-#   q_transition_matrix, q_rfm_segmentation, and
+#   q_transition_matrix, q_rfm_segmentation, q_gini_concentration, and
 #   rows-only q_dtw_distance + q_phash_dedup +
 #   q_audio_fingerprint
-# Round 5: front those thirty-one plus any round-4 front entry that came back
+# Round 5: front those thirty-two plus any round-4 front entry that came back
 # red, then resume cycling veterans by the age of their last driver-green
 # row (r1-cohort first — not driver-checked since round 2's window).
 

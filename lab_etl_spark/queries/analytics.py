@@ -1161,3 +1161,78 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "q_gini_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey AS custkey,
+             {dsum('o.o_totalprice')} AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT segment, revenue,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY revenue, custkey) AS i
+      FROM rev
+    ),
+    sums AS (
+      SELECT segment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,4))) AS VARCHAR)
+                  AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(i * revenue AS DECIMAL(38,4))) AS VARCHAR)
+                  AS DOUBLE) AS sxi
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n_customers,
+           ROUND(2.0 * sxi / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM sums ORDER BY segment
+    """,
+    doc="Gini concentration of customer revenue per market segment — the "
+    "exact inequality coefficient from its rank formulation "
+    "G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n: one segment-partitioned rank "
+    "window over the per-customer aggregate, two exact-decimal sums "
+    "(read out through their decimal strings, the q_linreg_trend "
+    "discipline), and a closed-form read-out with identical expression "
+    "text on both engines.  The whale-dependence metric every revenue "
+    "and every training-data SOURCE-MIX audit wants; shuffles carry "
+    "customers, never order lines.",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rev = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.expr(dsum("o_totalprice")).alias("revenue"))
+    )
+    w = W.partitionBy("segment").orderBy("revenue", "custkey")
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    sums = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,4))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sx"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(i * revenue AS DECIMAL(38,4))) AS STRING)"
+            " AS DOUBLE)"
+        ).alias("sxi"),
+    )
+    return sums.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.expr("2.0 * sxi / (n * sx) - (n + 1.0) / n"), 6
+        ).alias("gini"),
+    ).orderBy("segment")
