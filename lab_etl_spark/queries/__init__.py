@@ -56,93 +56,138 @@ def register(
 #   round 1: all 41 then-registered queries fit -> all driver-checked.
 #   round 2: oracle-backed-first ordering -> the 50 core oracle queries.
 #   round 3: the 18 round-2 additions + rows-only entries + round-3 adds.
-#   round 4 (this list): the 15 late-round-3 advanced.py additions that
-#     have never had a driver CORRECTNESS row, the two disk-round-trip
-#     queries whose scratch dirs were made per-invocation-unique this
-#     round (q_jsonl_roundtrip was round 3's one red row — the fixed
-#     shared path, not the query logic), and the round-4 additions —
-#     veterans (all green in r1/r2/r3) auto-fill the remaining window
-#     slots in their round-2 order.
+#   round 4: the 15 late-round-3 advanced.py additions + the round-4
+#     additions; result: 47 hash-green, 2 rows-only-by-design, 1 red
+#     (q_jsonl_roundtrip — oracle HUGEINT bug, fixed this round).
+#   round 5 (this list): the 30 late-round-4 additions that have never
+#     had a driver CORRECTNESS row, plus q_jsonl_roundtrip (red in r3/r4;
+#     real root cause found in round 4's verdict: the oracle's bare
+#     SUM(n_chars) came back HUGEINT->float64 from DuckDB while Spark
+#     returned int64 — fixed with CAST(... AS BIGINT), and the same
+#     latent bug in q_corrupt_records' oracle was caught and fixed by the
+#     new tests/test_oracle_types.py DESCRIBE audit before it ever went
+#     driver-red).  Veterans auto-fill the remaining ~19 slots ordered by
+#     STALENESS (_LAST_GREEN below, oldest first), so the r2 cohort
+#     (untouched by the driver since round 2) starts cycling back in.
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
-# it into the checked prefix is low-risk.  Keep this list <= ~40 so a core
-# veteran cohort stays in every round's window as a regression canary.
+# it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # late-round-3 advanced.py cohort, never driver-checked (oracle-backed)
-    "q_global_share",
-    "q_scd2_build",
-    "q_vocab_oov",
-    "q_source_mix_weights",
-    "q_cdc_merge",
-    "q_pagerank",
-    "q_event_pattern",
-    "q_schema_evolution",
-    "q_null_semantics",
-    "q_fuzzy_match",
-    "q_doc_chunking",
-    "q_group_sample",
-    "q_robust_stats",
-    "q_entity_resolution",
-    # never driver-checked rows-only (mergeable-sketch algebra)
-    "q_hll_rollup",
-    # round 3's one red row: fixed shared scratch path made
-    # per-invocation-unique this round — must re-appear to show green
+    # the only historically-red row — fixed oracle must show hash green
     "q_jsonl_roundtrip",
-    # same scratch-path pattern fixed this round — re-front to re-verify
-    "q_zorder_skipping",
-    # round-4 additions (registered later this round)
-    "q_forecast_revenue",
-    "q_volume_shipping",
-    "q_shipmode_priority",
-    "q_parts_supplier_count",
-    "q_potential_promotion",
-    "q_commitlog_roundtrip",
-    # round-4 sketch/graph/time-series cohort
-    "q_heavy_hitters_cms",
-    "q_kmv_distinct",
-    "q_bloom_join_prune",
-    "q_triangle_count",
-    "q_ewma_batch",
-    "q_rolling_1h",
-    # round-4 lake-layout cohort
-    "q_bucketed_join",
-    "q_partition_pruning",
-    "q_incremental_agg",
-    "q_linreg_trend",
-    "q_time_travel",
-    "q_user_purge",
-    "q_histogram",
-    "q_data_quality",
-    "q_curation_pipeline",
-    "q_stream_cms_merge",
-    "q_orc_roundtrip",
-    "q_video_frames",
-    "q_sql_udf",
-    "q_scd2_lookup",
-    "q_dynamic_partition_pruning",
-    "q_date_spine_fill",
+    # same HUGEINT oracle bug found by audit before its first driver row
+    "q_corrupt_records",
+    # late-round-4 dedup/similarity cohort, never driver-checked
+    "q_setsim_join",
+    "q_dedup_passages",
+    "q_dedup_containment",
+    # late-round-4 text cohort
+    "q_bm25",
+    "q_cooccurrence_pmi",
+    "q_bigram_novelty",
+    "q_udtf_token_offsets",
+    # late-round-4 lake/scan cohort
+    "q_stats_pruning",
+    "q_point_lookup_bloom",
+    "q_xml_roundtrip",
+    # late-round-4 sketch/graph cohort
+    "q_kmv_intersect",
+    "q_shortest_path",
+    # late-round-4 scale/sampling cohort
+    "q_weighted_sample",
+    "q_negative_sampling",
+    "q_embedding_quantize",
+    "q_corr_matrix",
+    # late-round-4 time-series/stream cohort
+    "q_changepoint",
+    "q_attribution",
+    "q_seasonal_decompose",
+    "q_anomaly_seasonal",
+    "q_stream_enrich",
+    "q_top_movers",
+    "q_transition_matrix",
+    # late-round-4 analytics cohort
+    "q_market_basket",
+    "q_recursive_cte",
+    # late-round-4 rows-only (binary decode / DTW — no SQL oracle)
+    "q_dtw_distance",
+    "q_phash_dedup",
+    "q_audio_fingerprint",
+    "q_image_resize",
 ]
 
-# ROUND-5 ROTATION DUTY: the front above holds 45 entries, so CORRECTNESS_r04
-# checks all of them plus 5 veterans; once it lands green, every query
-# registered through EARLY round 4 has a driver row.  The LATE-round-4
-# additions are outside this round's window (fronting them would push
-# never-checked early-round-4 entries out) and are therefore round 5's
-# first fronting duty, all local-twin-green at sf0.001/sf0.01:
-#   q_setsim_join, q_dedup_passages, q_dedup_containment, q_bm25,
-#   q_cooccurrence_pmi, q_stats_pruning, q_kmv_intersect, q_shortest_path,
-#   q_weighted_sample, q_udtf_token_offsets, q_xml_roundtrip,
-#   q_corr_matrix, q_bigram_novelty, q_changepoint, q_attribution,
-#   q_stats_pruning's bloom complement q_point_lookup_bloom,
-#   q_corrupt_records, q_seasonal_decompose, q_embedding_quantize,
-#   q_negative_sampling, q_anomaly_seasonal, q_stream_enrich,
-#   q_market_basket, q_recursive_cte, q_top_movers,
-#   q_transition_matrix, q_rfm_segmentation, q_gini_concentration, and
-#   rows-only q_dtw_distance + q_phash_dedup +
-#   q_audio_fingerprint
-# Round 5: front those thirty-two plus any round-4 front entry that came back
-# red, then resume cycling veterans by the age of their last driver-green
-# row (r1-cohort first — not driver-checked since round 2's window).
+# Last driver-GREEN round per query, mechanically derived from
+# CORRECTNESS_r0{1..4}.json (hash_match true, or rows-only with rows
+# returned).  Used to order the veteran fill of the window: stalest
+# first, so no query's last green row ages beyond ~3 rounds.  Regenerate
+# each round:
+#   ok = hash_match is True or (err == 'no_oracle' and spark_rows is not None)
+# Queries absent from this map have never been driver-checked and belong
+# in _WINDOW_FRONT.
+_LAST_GREEN = {
+    "q_global_share": 4, "q_scd2_build": 4, "q_vocab_oov": 4,
+    "q_source_mix_weights": 4, "q_cdc_merge": 4, "q_pagerank": 4,
+    "q_event_pattern": 4, "q_schema_evolution": 4, "q_null_semantics": 4,
+    "q_fuzzy_match": 4, "q_doc_chunking": 4, "q_group_sample": 4,
+    "q_robust_stats": 4, "q_entity_resolution": 4, "q_hll_rollup": 4,
+    "q_zorder_skipping": 4, "q_forecast_revenue": 4, "q_volume_shipping": 4,
+    "q_shipmode_priority": 4, "q_parts_supplier_count": 4,
+    "q_potential_promotion": 4, "q_commitlog_roundtrip": 4,
+    "q_heavy_hitters_cms": 4, "q_kmv_distinct": 4, "q_bloom_join_prune": 4,
+    "q_triangle_count": 4, "q_ewma_batch": 4, "q_rolling_1h": 4,
+    "q_bucketed_join": 4, "q_partition_pruning": 4, "q_incremental_agg": 4,
+    "q_linreg_trend": 4, "q_time_travel": 4, "q_user_purge": 4,
+    "q_histogram": 4, "q_data_quality": 4, "q_curation_pipeline": 4,
+    "q_stream_cms_merge": 4, "q_orc_roundtrip": 4, "q_video_frames": 4,
+    "q_sql_udf": 4, "q_scd2_lookup": 4, "q_dynamic_partition_pruning": 4,
+    "q_date_spine_fill": 4, "q_argmin_join": 4, "q_exists_agg": 4,
+    "q_sole_supplier_wait": 4, "q_rfm_segmentation": 4,
+    "q_gini_concentration": 4,
+    "q_dedup_exact": 2, "q_dedup_ngram_jaccard": 2, "q_dedup_minhash_lsh": 2,
+    "q_dedup_clusters": 2, "q_dedup_simhash": 2, "q_dedup_embedding": 3,
+    "q_lake_roundtrip": 3, "q_filter_project": 2, "q_pricing_summary": 2,
+    "q_agg_group": 2, "q_agg_distinct": 2, "q_rollup_cube": 2,
+    "q_shipping_priority": 2, "q_local_supplier_volume": 2,
+    "q_hash_join_inner": 2, "q_broadcast_join": 2, "q_semi_join": 2,
+    "q_anti_join": 3, "q_range_join": 2, "q_window_rank": 2,
+    "q_window_frame": 2, "q_sort_limit_topk": 2, "q_set_ops": 2,
+    "q_scalar_fns": 2, "q_array_fns": 2, "q_map_fns": 2,
+    "q_skew_join_salted": 2, "q_shuffle_hash_join": 2, "q_outer_join": 2,
+    "q_scalar_subquery": 2, "q_pivot_wide": 2, "q_unpivot": 2,
+    "q_grouping_sets": 2, "q_percentile_exact": 2,
+    "q_deterministic_sample": 2, "q_similarity_topk": 2,
+    "q_similarity_blocked": 2, "q_similarity_ivf": 3, "q_text_stats": 2,
+    "q_text_quality": 2, "q_text_fingerprint": 2, "q_token_histogram": 2,
+    "q_text_tokens_bpe": 2, "q_text_rolling_hash": 2, "q_stream_tumbling": 2,
+    "q_stream_session": 2, "q_stream_sliding": 2, "q_asof_align": 2,
+    "q_interp_linear": 2, "q_interp_by_key": 2, "q_stream_stateful_ewma": 3,
+    "q_interval_join": 2, "q_hierarchical_rollup": 3, "q_returned_items": 3,
+    "q_promo_revenue": 3, "q_top_supplier": 3, "q_large_volume_customer": 3,
+    "q_region_market_share": 3, "q_json_functions": 3,
+    "q_doc_source_stats": 3, "q_sequence_budget": 3,
+    "q_customer_order_counts": 3, "q_small_qty_revenue": 3,
+    "q_idle_customers": 3, "q_nation_year_profit": 3,
+    "q_disjunctive_join": 3, "q_dedup_cross_source": 3,
+    "q_window_distribution": 3, "q_zscore_anomaly": 3,
+    "q_stratified_sample": 3, "q_seq_packing": 3, "q_training_shuffle": 3,
+    "q_embedding_lsh": 3, "q_embedding_stats": 3, "q_lang_id_ngram": 3,
+    "q_text_repetition": 3, "q_contamination": 3, "q_pii_redact": 3,
+    "q_tfidf": 3, "q_quality_filter": 3, "q_frequent_ngrams": 3,
+    "q_asof_join": 3, "q_funnel": 3, "q_sessionize": 3, "q_retention": 3,
+    "q_interarrival": 3, "q_stream_hourly_users": 3,
+    "q_instrument_peak_hrr": 3, "q_instrument_sta_mass_loss": 3,
+    "q_approx_distinct": 3, "q_approx_percentile": 3,
+    "q_multimodal_decode": 3,
+}
+
+# ROUND-6 ROTATION DUTY: the front above holds 31 entries, so ~19 veteran
+# slots go to the stalest r2-cohort queries (q_dedup_* and the first
+# relational.py block, by _LAST_GREEN then round-2 order).  Round 6:
+# front any round-5 red rows plus any new round-5 additions, then keep
+# filling with the remaining r2-stale veterans (~28 of the 47 will still
+# show last-green r2 after this round — q_scalar_fns through
+# q_interp_by_key in registry order), then the r3 cohort.  Regenerate
+# _LAST_GREEN from CORRECTNESS_r0{1..5}.json first.
 
 
 def load_all() -> dict[str, Query]:
@@ -174,9 +219,18 @@ def load_all() -> dict[str, Query]:
     ordered = sorted(
         REGISTRY.values(),
         key=lambda q: (
-            (0, front[q.name], False, 0, 0)
+            (0, front[q.name], 0, False, 0, 0)
             if q.name in front
-            else (1, 0, q.oracle is None, q.priority, order.index(q.name))
+            else (
+                1,
+                0,
+                # stalest first; never-checked (not in the map) beat all
+                # veterans so new additions enter the window immediately
+                _LAST_GREEN.get(q.name, 0),
+                q.oracle is None,
+                q.priority,
+                order.index(q.name),
+            )
         ),
     )
     return {q.name: q for q in ordered}

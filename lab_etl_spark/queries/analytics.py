@@ -666,7 +666,7 @@ _TEXT_H32_DUCK = "CAST(('0x' || SUBSTRING(MD5(text), 1, 8)) AS BIGINT)"
     oracle=f"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            bit_xor({_TEXT_H32_DUCK}) AS text_checksum
     FROM documents
     GROUP BY source
@@ -1053,7 +1053,8 @@ def q_date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END AS lang,
            COUNT(*) AS n_rows,
            COUNT(*) FILTER (doc_id % 37 = 0) AS n_corrupt,
-           SUM(CASE WHEN doc_id % 37 <> 0 THEN n_chars END) AS sum_chars
+           CAST(COALESCE(SUM(CASE WHEN doc_id % 37 <> 0 THEN n_chars END),
+                         0) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY 1
     """,
@@ -1095,8 +1096,11 @@ def q_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
-        F.sum(
-            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+            ),
+            F.lit(0).cast("bigint"),
         ).alias("sum_chars"),
     )
 

@@ -64,12 +64,43 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Collapse a pandas dtype to the kind the driver's value-hash is
+    sensitive to: 'i' (integer) vs 'f' (float) vs everything else.
+
+    DuckDB widens SUM(BIGINT) to HUGEINT, which ``fetchdf`` renders as
+    float64 (``7949.0``) while Spark returns int64 (``7949``) — the
+    driver's value-hash sees different strings while the old ``_norm_cell``
+    collapsed them.  Failing on kind mismatch makes that class visible
+    locally (round-4 verdict item #2; ``q_jsonl_roundtrip`` was red at the
+    driver for two rounds because the twin masked exactly this).
+    """
+    k = s.dtype.kind
+    if k in "iu":
+        return "i"
+    if k == "f":
+        # A float column whose every value is integral usually means the
+        # engine widened an integer aggregate (HUGEINT/DECIMAL -> float64).
+        return "f"
+    return k
+
+
 def compare(spark_df, duck_df: pd.DataFrame, name: str = "?") -> None:
     spd = spark_df.toPandas()
     assert sorted(spd.columns) == sorted(duck_df.columns), (
         f"{name}: column mismatch spark={sorted(spd.columns)} "
         f"duck={sorted(duck_df.columns)}"
     )
+    for c in spd.columns:
+        ka, kb = _dtype_kind(spd[c]), _dtype_kind(duck_df[c])
+        if {ka, kb} == {"i", "f"}:
+            raise AssertionError(
+                f"{name}: column {c!r} integer-vs-float dtype kind mismatch "
+                f"(spark={spd[c].dtype} duck={duck_df[c].dtype}); the "
+                "driver's value-hash distinguishes 7949 from 7949.0 — cast "
+                "the oracle aggregate (CAST(... AS BIGINT)) or the Spark "
+                "column so both engines agree"
+            )
     assert len(spd) == len(duck_df), (
         f"{name}: row count spark={len(spd)} duck={len(duck_df)}"
     )
