@@ -41,6 +41,7 @@ Reference parity: lab-etl has no lake/mutation surface at all (SURVEY.md
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -146,12 +147,13 @@ class LoggedTable:
         for f in files:
             ok = True
             for col, (lo, hi) in intervals.items():
-                fmin = f["min"].get(col)
-                fmax = f["max"].get(col)
+                fmin = _canon_stat(f["min"].get(col))
+                fmax = _canon_stat(f["max"].get(col))
+                lo_c, hi_c = _canon_stat(lo), _canon_stat(hi)
                 if fmin is None or fmax is None:
                     continue  # no stats for this column: cannot skip
-                if (hi is not None and fmin > hi) or (
-                    lo is not None and fmax < lo
+                if (hi_c is not None and fmin > hi_c) or (
+                    lo_c is not None and fmax < lo_c
                 ):
                     ok = False
                     break
@@ -319,6 +321,32 @@ def compact_logged(
         meta={"files_before": len(census), "files_target": n_target},
     )
     return m
+
+
+def _canon_stat(v):
+    """Canonicalize one side of a stats-pruning comparison.
+
+    Manifest stats store temporal values as ``str(value)`` (a DATE column
+    becomes ``'1995-01-01'``, a TIMESTAMP ``'1995-01-01 00:00:00'``), while
+    callers may pass ``date``/``datetime`` objects or either string form.
+    Comparing those representations lexicographically silently skips a
+    file whose max equals a boundary date when the bound carries a time
+    part, so both sides are mapped onto one axis: temporal values (objects
+    or ISO-parsable strings) become naive ``datetime`` (dates at
+    midnight); everything else passes through unchanged.  A genuinely
+    mismatched pair (e.g. a string stat vs a datetime bound) then raises
+    ``TypeError`` at the comparison instead of mispruning silently.
+    """
+    if isinstance(v, datetime.datetime):
+        return v
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        try:
+            return datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return v
+    return v
 
 
 def _file_stats(

@@ -81,3 +81,57 @@ def pagerank(
     finally:
         edges.unpersist()
         deg.unpersist()
+
+
+def degree_oriented_wedges(edges: DataFrame) -> DataFrame:
+    """Open wedges of an undirected graph, centered at each triangle's
+    (degree, id)-minimal vertex.
+
+    ``edges`` is the undirected id-ordered edge list ``(p1, p2)`` with
+    ``p1 < p2``, one row per edge.  Each edge is oriented from its lower-
+    to its higher-degree endpoint (ties broken toward the id-smaller one —
+    a total order, so the orientation is acyclic), and the returned frame
+    holds one row ``(u, v, w)`` per out-neighbor pair with ``v < w``.
+
+    Why: a triangle's three vertices produce exactly ONE wedge under this
+    orientation (at the minimal vertex), and a vertex's wedge fan-out is
+    ``outdeg^2`` where the max out-degree is bounded by O(sqrt(m)) — the
+    classic arboricity bound — instead of ``deg^2``.  A degree-d hub
+    centers ~d^2/2 wedges under naive id orientation but ~0 here, because
+    all its edges point INTO it.  That is what keeps triangle counting
+    alive on power-law graphs at 100x scale; the bound is structural, not
+    data-dependent like a support filter.
+
+    One degree aggregation + one orientation join + one self-join; caller
+    should ``localCheckpoint`` ``edges`` first if it is expensive to derive
+    (it is scanned three times: degrees, orientation, and typically the
+    triangle-closing join).
+    """
+    deg = (
+        edges.select(F.col("p1").alias("v"))
+        .unionAll(edges.select(F.col("p2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("v").alias("p1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("p2"), F.col("deg").alias("deg2"))
+    low_first = F.col("deg1") <= F.col("deg2")
+    oriented = (
+        edges.join(d1, "p1")
+        .join(d2, "p2")
+        .select(
+            F.when(low_first, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(low_first, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)  # self-joined below; compute once
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    return o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )

@@ -588,14 +588,16 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: 52 exact uniform bits for the weighted-sample key (same scaling trick as
-#: the KMV sketch: /2^52 is a pure exponent shift, bit-identical anywhere)
+#: the KMV sketch: /2^52 is a pure exponent shift, bit-identical anywhere).
+#: +0.5 shifts the lattice into (0,1) — h+0.5 is exactly representable for
+#: h < 2^52, and u=0 (which LN below cannot take) becomes impossible.
 _WS_U_SPARK = (
-    "CAST(CONV(SUBSTRING(MD5(CONCAT('wsamp:', CAST(doc_id AS STRING))), 1,"
-    " 13), 16, 10) AS DOUBLE) / 4503599627370496"
+    "(CAST(CONV(SUBSTRING(MD5(CONCAT('wsamp:', CAST(doc_id AS STRING))), 1,"
+    " 13), 16, 10) AS DOUBLE) + 0.5) / 4503599627370496"
 )
 _WS_U_DUCK = (
-    "CAST(CAST(('0x' || SUBSTRING(MD5('wsamp:' || CAST(doc_id AS VARCHAR)),"
-    " 1, 13)) AS BIGINT) AS DOUBLE) / 4503599627370496"
+    "(CAST(CAST(('0x' || SUBSTRING(MD5('wsamp:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 13)) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496"
 )
 _WS_K = 10
 
@@ -605,7 +607,7 @@ _WS_K = 10
     oracle=f"""
     WITH keyed AS (
       SELECT lang, doc_id, n_chars,
-             POW({_WS_U_DUCK}, 1.0 / n_chars) AS k
+             LN({_WS_U_DUCK}) / n_chars AS k
       FROM documents
     ),
     ranked AS (
@@ -618,8 +620,11 @@ _WS_K = 10
     FROM ranked WHERE rk <= {_WS_K}
     """,
     doc=f"Deterministic WEIGHTED sampling without replacement (Efraimidis-"
-    f"Spiliotopoulos A-ES): per-document key u^(1/w) with w = n_chars and "
-    "u a 52-bit md5 uniform; the top-k keys per language are a exact "
+    f"Spiliotopoulos A-ES): per-document key ln(u)/w — the order-"
+    "preserving log form of u^(1/w), used because ln is correctly rounded "
+    "in both engines while pow's rounding is only 1-ulp guaranteed — with "
+    "w = n_chars and u a 52-bit md5 uniform shifted into (0,1); the top-k "
+    "keys per language are an exact "
     "weighted sample — inclusion probability proportional to weight — "
     "computed as one window over independently-keyed rows.  Reproducible "
     "across engines, reruns, and cluster sizes (RAND()-based weighted "
@@ -637,7 +642,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "doc_id",
         "n_chars",
-        F.expr(f"POW({_WS_U_SPARK}, 1.0 / n_chars)").alias("k"),
+        F.expr(f"LN({_WS_U_SPARK}) / n_chars").alias("k"),
     )
     w = W.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
     return (

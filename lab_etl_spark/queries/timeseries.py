@@ -1213,13 +1213,19 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_anomaly_seasonal",
     oracle=f"""
-    WITH seasonal AS (
+    WITH sums AS (
       SELECT event_type, hour(ts) AS hour_of_day,
              {davg('value', 6)} AS s_mean,
-             stddev_pop(value) AS s_sigma,
+             {dsum('value', 6)} AS s1,
+             {dsum('value * value', 6)} AS s2,
              COUNT(*) AS n
       FROM events
       GROUP BY 1, 2
+    ),
+    seasonal AS (
+      SELECT event_type, hour_of_day, s_mean, n,
+             SQRT(s2 / n - (s1 / n) * (s1 / n)) AS s_sigma
+      FROM sums
     )
     SELECT e.event_id, e.event_type, hour(e.ts) AS hour_of_day, e.value,
            ROUND((e.value - s.s_mean) / s.s_sigma, 4) AS seasonal_z
@@ -1238,19 +1244,31 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly's 3-sigma gate.  The stratum stats table is (types × 24) "
     "rows — broadcast-joined back, one aggregation shuffle total; "
     "strata with <30 points are excluded rather than scored against "
-    "noise.  stddev_pop matches across engines because the stratum "
-    "means are exact-decimal and the variance read-out is the same "
-    "two-pass form both engines use (round 4 absorbs the last-bit "
-    "difference, the q_zscore_anomaly precedent).",
+    "noise.  Sigma is NOT native stddev_pop (each engine streams "
+    "Welford merges in its own order — a last-ulp difference there "
+    "could flip membership at the unrounded 3-sigma boundary): it is "
+    "derived from exact-decimal sufficient statistics (n, Σv, Σv²) "
+    "through the identical double expression on both engines, so the "
+    "boundary comparison is bit-identical — and the sketch stays "
+    "mergeable, which is what a 100 TB partial-aggregation plan needs "
+    "anyway.",
 )
 def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    seasonal = ev.groupBy(
+    sums = ev.groupBy(
         "event_type", F.hour("ts").alias("hour_of_day")
     ).agg(
         F.expr(davg("value", 6)).alias("s_mean"),
-        F.stddev_pop("value").alias("s_sigma"),
+        F.expr(dsum("value", 6)).alias("s1"),
+        F.expr(dsum("value * value", 6)).alias("s2"),
         F.count(F.lit(1)).alias("n"),
+    )
+    seasonal = sums.selectExpr(
+        "event_type",
+        "hour_of_day",
+        "s_mean",
+        "n",
+        "SQRT(s2 / n - (s1 / n) * (s1 / n)) AS s_sigma",
     )
     z = (F.col("value") - F.col("s_mean")) / F.col("s_sigma")
     return (
@@ -1313,7 +1331,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(revenue - prev_revenue, 6) AS delta,
            ROUND((revenue - prev_revenue) / prev_revenue, 6) AS pct_change
     FROM delta
-    WHERE prev_revenue IS NOT NULL
+    WHERE prev_revenue > 0
       AND abs(revenue - prev_revenue) / prev_revenue > 0.1
     ORDER BY event_type, week
     """,
@@ -1333,8 +1351,11 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("revenue").over(w)
     return (
         weekly.withColumn("prev_revenue", prev)
+        # > 0 (not just NOT NULL): a zero or negative weekly sum would
+        # divide by zero with engine-divergent inf/NULL semantics; make the
+        # guard explicit instead of relying on strictly-positive values
         .filter(
-            F.col("prev_revenue").isNotNull()
+            (F.col("prev_revenue") > 0)
             & (
                 F.abs(F.col("revenue") - F.col("prev_revenue"))
                 / F.col("prev_revenue")

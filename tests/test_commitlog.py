@@ -229,3 +229,41 @@ def test_bloom_pruning_without_blooms_falls_back(spark, tmp_path):
 
     t = _mk(spark, tmp_path)
     assert read_point_pruned(spark, t, "id", 5).count() == 100
+
+
+def test_stats_pruning_date_stat_vs_timestamp_bound(spark, tmp_path):
+    # DATE stats serialize as '1995-01-01' while a datetime bound renders
+    # as '1995-01-01 00:00:00'; raw string ordering would skip the file
+    # whose max EQUALS the boundary date.  _canon_stat maps both onto the
+    # datetime axis, so the boundary file must survive pruning.
+    import datetime as dt
+
+    t = LoggedTable(str(tmp_path / "table"))
+    df = spark.range(60).selectExpr(
+        "id", "date_add(DATE'1995-01-01', CAST(id AS INT)) AS d"
+    )
+    t.commit(
+        lambda p: df.repartitionByRange(4, "d").write.parquet(p),
+        op="create",
+        spark=spark,
+        stats_cols=["d"],
+    )
+    # bound as datetime object ending exactly on a file's max date
+    lo = dt.datetime(1995, 1, 1, 0, 0, 0)
+    hi = dt.datetime(1995, 1, 15, 0, 0, 0)
+    pruned = t.read_pruned(spark, {"d": (lo, hi)})
+    got = pruned.filter("d BETWEEN DATE'1995-01-01' AND DATE'1995-01-15'")
+    assert got.count() == 15
+    # and the same bounds as timestamp-formatted STRINGS
+    pruned2 = t.read_pruned(
+        spark, {"d": ("1995-01-01 00:00:00", "1995-01-15 00:00:00")}
+    )
+    assert (
+        pruned2.filter(
+            "d BETWEEN DATE'1995-01-01' AND DATE'1995-01-15'"
+        ).count()
+        == 15
+    )
+    # pruning still skips: the narrow interval must not scan all 4 files
+    n = pruned.select("_metadata.file_path").distinct().count()
+    assert n < 4

@@ -276,6 +276,7 @@ _SWEEP_SKIP = {
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
     "q_shortest_path",
+    "q_triangle_count",  # edges + oriented edges checkpointed (reused 3x/2x)
 }
 
 

@@ -97,3 +97,25 @@ def test_connected_components_rounds_scale_with_diameter_not_size(spark, n):
     c1 = clusters(_corpus(spark, n))
     c2 = clusters(_corpus(spark, 2 * n))
     assert c1 > 0 and c2 >= 2 * c1 * 0.9
+
+
+def test_degree_oriented_wedges_immune_to_hubs(spark):
+    # A degree-d hub centers ~d^2/2 wedges under naive id orientation but
+    # ~0 under degree orientation (all its edges point INTO it).  Doubling
+    # the hub size must leave the wedge count unchanged while the planted
+    # triangles keep producing exactly one wedge each.
+    from lab_etl_spark.operators.graph import degree_oriented_wedges
+
+    def graph(hub_n, tri_m):
+        rows = [(0, i) for i in range(10_000, 10_000 + hub_n)]  # star
+        for t in range(tri_m):  # disjoint planted triangles
+            a = 3 * t + 1
+            rows += [(a, a + 1), (a + 1, a + 2), (a, a + 2)]
+        return spark.createDataFrame(rows, "p1 bigint, p2 bigint")
+
+    tri_m = 40
+    w_small = degree_oriented_wedges(graph(200, tri_m)).count()
+    w_big = degree_oriented_wedges(graph(400, tri_m)).count()
+    # one wedge per triangle, zero from the hub, at either hub size
+    assert w_small == tri_m, w_small
+    assert w_big == tri_m, w_big
