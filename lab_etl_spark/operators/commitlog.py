@@ -162,7 +162,9 @@ class LoggedTable:
         if not keep:
             # schema-stable empty frame: footer-only scan of the snapshot
             return spark.read.parquet(base).filter("1 = 0")
-        return spark.read.parquet(*keep)
+        # basePath keeps partition-directory columns (p=0/...) visible
+        # when scanning an explicit file subset
+        return spark.read.option("basePath", base).parquet(*keep)
 
     def commit(
         self,
@@ -293,34 +295,97 @@ def compact_logged(
     spark: SparkSession,
     table: LoggedTable,
     target_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    keep_versions: int | None = None,
 ) -> dict:
-    """Compaction as a log commit: same single-shuffle salted rewrite as
-    ``sources/sink.py compact_table``, but published by manifest append —
-    readers of the previous version are undisturbed (no directory swap,
-    no rename window), which is what makes compaction safe to run behind
-    live queries at 100 TB."""
-    import math
+    """Compaction as a log commit: the same single-shuffle salted rewrite
+    plan as ``sources/sink.py compact_table`` (shared via its
+    ``compaction_plan``), but published by manifest append — readers of
+    the previous version are undisturbed (no directory swap, no rename
+    window), which is what makes compaction safe to run behind live
+    queries at 100 TB (pinned by tests/test_commitlog.py::
+    test_lazy_reader_survives_compaction_and_sees_old_snapshot).
 
-    from pyspark.sql import functions as F
+    Pass ``stats_cols`` to refresh per-file min/max skipping stats on the
+    compacted layout (compaction is exactly when stats tighten), and
+    ``keep_versions`` to vacuum old snapshots after the commit (in-flight
+    lazy readers need a grace window, so never keep fewer than 2).
+    Returns the committed manifest."""
+    from ..sources.sink import compaction_plan
+
+    m0 = table.latest()
+    if m0 is None:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    snap = os.path.join(table.table_dir, m0["data_dir"])
+    staged, files_before, total_bytes = compaction_plan(
+        spark, snap, target_bytes, partition_cols
+    )
+
+    def _write(d: str) -> None:
+        w = staged.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(d)
+
+    m = table.commit(
+        _write,
+        op="compact",
+        meta={"files_before": files_before, "bytes": total_bytes},
+        spark=spark if stats_cols else None,
+        stats_cols=stats_cols,
+    )
+    if keep_versions is not None:
+        table.vacuum(keep=keep_versions)
+    return m
+
+
+def zorder_logged(
+    spark: SparkSession,
+    table: LoggedTable,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int | None = None,
+    keep_versions: int | None = None,
+) -> dict:
+    """Re-cluster the latest snapshot along the z-curve of ``cols`` and
+    publish it as a new version WITH refreshed per-file min/max stats on
+    those columns — the OPTIMIZE ZORDER BY shape: z-ordering is pointless
+    unless the skipping stats are rebuilt on the new layout, and the
+    manifest commit is what lets the rewrite run behind live readers.
+    Returns the committed manifest (its ``files`` entries carry the
+    tightened stats that :meth:`LoggedTable.read_pruned` consumes)."""
+    from ..operators.zorder import DEFAULT_BITS, write_zordered
 
     df = table.read(spark)
-    census = (
-        df.select(
-            F.col("_metadata.file_path").alias("fp"),
-            F.col("_metadata.file_size").alias("sz"),
-        )
-        .groupBy("fp")
-        .agg(F.first("sz").alias("sz"))
-        .collect()
-    )
-    total_bytes = sum(r["sz"] for r in census)
-    n_target = max(1, math.ceil(total_bytes / target_bytes))
     m = table.commit(
-        lambda d: df.repartition(n_target).write.parquet(d),
-        op="compact",
-        meta={"files_before": len(census), "files_target": n_target},
+        lambda d: write_zordered(
+            df, d, cols, n_files=n_files, bits=bits or DEFAULT_BITS
+        ),
+        op="zorder",
+        spark=spark,
+        stats_cols=cols,
     )
+    if keep_versions is not None:
+        table.vacuum(keep=keep_versions)
     return m
+
+
+def _rel_path(fp: str, snapshot_dir: str) -> str:
+    """Snapshot-relative path of a ``_metadata.file_path`` URI.
+
+    PRESERVES partition subdirectories (``p=0/part-....parquet``) — a bare
+    basename would resolve to a nonexistent path under the snapshot root
+    for partitioned layouts, breaking pruned reads."""
+    p = fp
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    try:
+        return os.path.relpath(p, os.path.abspath(snapshot_dir))
+    except ValueError:
+        return os.path.basename(p)
 
 
 def _canon_stat(v):
@@ -378,7 +443,7 @@ def _file_stats(
     for r in rows:
         out.append(
             {
-                "path": os.path.basename(r["_fp"]),
+                "path": _rel_path(r["_fp"], snapshot_dir),
                 "rows": r["_rows"],
                 "min": {c: enc(r[f"_min_{c}"]) for c in stats_cols},
                 "max": {c: enc(r[f"_max_{c}"]) for c in stats_cols},
@@ -447,7 +512,7 @@ def _file_blooms(
         )
         words: dict[str, list[int]] = {}
         for r in rows:
-            f = os.path.basename(r["_fp"])
+            f = _rel_path(r["_fp"], snapshot_dir)
             words.setdefault(f, [0] * _FBLOOM_WORDS)[r["_word"]] = r["_bits"]
         for f, ws in words.items():
             out.setdefault(f, {})[col] = "".join(
@@ -494,4 +559,6 @@ def read_point_pruned(
             keep.append(f["path"])
     if not keep:
         return spark.read.parquet(base).filter("1 = 0")
-    return spark.read.parquet(*[os.path.join(base, p) for p in keep])
+    return spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, p) for p in keep]
+    )

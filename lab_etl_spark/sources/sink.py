@@ -78,9 +78,52 @@ def compact_table(
 
     Returns ``{"files_before", "files_after", "bytes"}``.
     """
-    import math
     import os
     import shutil
+
+    from pyspark.sql import functions as F
+
+    staged, files_before, total_bytes = compaction_plan(
+        spark, path, target_bytes, partition_cols
+    )
+    partition_cols = partition_cols or []
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    writer = staged.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+    files_after = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .distinct()
+        .count()
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }
+
+
+def compaction_plan(
+    spark,
+    path: str,
+    target_bytes: int = 128 << 20,
+    partition_cols: list[str] | None = None,
+):
+    """The compaction job MINUS the commit: returns the repartitioned
+    frame (one shuffle when written), the current file count, and the
+    table byte size.  Shared by :func:`compact_table` (directory-swap
+    commit) and :func:`compact_logged` (manifest commit via
+    operators/commitlog.py)."""
+    import math
 
     from pyspark.sql import functions as F
 
@@ -134,26 +177,6 @@ def compact_table(
     else:
         n_target = max(1, math.ceil(total_bytes / target_bytes))
         staged = df.repartition(n_target)
+    return staged, files_before, total_bytes
 
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
-    writer = staged.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
 
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-
-    files_after = (
-        spark.read.parquet(path)
-        .select(F.col("_metadata.file_path").alias("fp"))
-        .distinct()
-        .count()
-    )
-    return {
-        "files_before": files_before,
-        "files_after": files_after,
-        "bytes": total_bytes,
-    }

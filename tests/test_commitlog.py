@@ -267,3 +267,63 @@ def test_stats_pruning_date_stat_vs_timestamp_bound(spark, tmp_path):
     # pruning still skips: the narrow interval must not scan all 4 files
     n = pruned.select("_metadata.file_path").distinct().count()
     assert n < 4
+
+
+def test_compact_logged_partitioned_with_stats_refresh(spark, tmp_path):
+    # Partition-aware logged compaction: per-partition file targets, and
+    # stats_cols refreshes the manifest's skipping stats on the NEW layout
+    # so read_pruned keeps working after the rewrite.
+    t = LoggedTable(str(tmp_path / "table"))
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 3 AS INT) AS p", "id * 2 AS v"
+    )
+    t.commit(
+        lambda d: df.repartition(16).write.partitionBy("p").parquet(d),
+        op="create",
+    )
+    m = compact_logged(
+        spark,
+        t,
+        target_bytes=1 << 30,
+        partition_cols=["p"],
+        stats_cols=["id"],
+        keep_versions=2,
+    )
+    assert m["version"] == 2 and m["files_before"] == 48
+    after = t.read(spark)
+    assert after.count() == 1000
+    # one file per partition at this target size
+    n_files = after.select("_metadata.file_path").distinct().count()
+    assert n_files == 3
+    # refreshed stats prune: a narrow id interval must not scan all files
+    pruned = t.read_pruned(spark, {"id": (0, 5)})
+    assert pruned.filter("id <= 5").count() == 6
+
+
+def test_zorder_logged_refreshes_stats_and_prunes(spark, tmp_path):
+    from lab_etl_spark.operators.commitlog import zorder_logged
+
+    t = LoggedTable(str(tmp_path / "table"))
+    # hash-scrambled layout: every file spans the full x range, so stats
+    # cannot prune until the z-order rewrite re-clusters the data
+    df = spark.range(4000).selectExpr(
+        "CAST(id % 64 AS BIGINT) AS x", "CAST(id DIV 64 AS BIGINT) AS y"
+    )
+    t.commit(
+        lambda d: df.repartition(8, "y").write.parquet(d),
+        op="create",
+        spark=spark,
+        stats_cols=["x"],
+    )
+    before = t.read_pruned(spark, {"x": (0, 3)})
+    n_before = before.select("_metadata.file_path").distinct().count()
+    assert n_before == 8, "hash layout should defeat stats pruning"
+    reader_v1 = t.read(spark)  # lazy plan pinned to v1
+    m = zorder_logged(spark, t, ["x", "y"], n_files=8, keep_versions=2)
+    assert m["version"] == 2
+    pruned = t.read_pruned(spark, {"x": (0, 3)})
+    n_after = pruned.select("_metadata.file_path").distinct().count()
+    assert n_after < 8, "z-order + refreshed stats must skip files"
+    assert pruned.filter("x <= 3").count() == 4 * 63  # nothing lost
+    # the in-flight v1 reader is undisturbed by the rewrite
+    assert reader_v1.count() == 4000
