@@ -135,3 +135,49 @@ def degree_oriented_wedges(edges: DataFrame) -> DataFrame:
         F.col("o1.dst").alias("v"),
         F.col("o2.dst").alias("w"),
     )
+
+
+def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Synchronous k-core peeling over an undirected id-ordered edge list
+    ``(p1, p2)``: repeatedly drop vertices whose degree within the
+    surviving induced subgraph is < k.  Returns ``(v, deg)`` — the
+    vertices surviving ``rounds`` peels with their core-internal degree.
+
+    ``rounds`` is a FIXED unroll, not a convergence loop, so the result
+    is the well-defined "k-core after R synchronous peels" on any engine
+    — which equals the true k-core once R reaches the peel depth
+    (tests pin fixpoint at the shipped R for the shipped corpus; the
+    registered query's DuckDB oracle unrolls the identical rounds as a
+    CTE chain).  Each round is one degree aggregation + two semi-joins;
+    the surviving-vertex set is localCheckpoint'ed per round so lineage
+    stays O(1) instead of O(rounds) — the connected-components
+    discipline (operators/dedup.py).  At 100x scale the round count
+    grows with peel depth, not graph size, and each round's shuffles are
+    keyed by vertex — the standard distributed formulation.
+    """
+    und = (
+        edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+        .unionAll(edges.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("a").alias("v")).distinct()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            und.join(nodes, und.a == nodes.v)
+            .drop("v")
+            .join(
+                nodes.select(F.col("v").alias("_vb")),
+                F.col("b") == F.col("_vb"),
+            )
+            .groupBy(F.col("a").alias("v"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        prev = nodes
+        nodes = (
+            deg.filter(F.col("deg") >= k)
+            .select("v")
+            .localCheckpoint(eager=True)
+        )
+        del prev
+    return deg.filter(F.col("deg") >= k).select("v", "deg")

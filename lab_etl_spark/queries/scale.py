@@ -858,3 +858,48 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _NEG_KEEP)
         .select("user_id", "rank", F.col("item").alias("neg_item"))
     )
+
+
+@register(
+    "q_ntile_binning",
+    oracle="""
+    WITH binned AS (
+      SELECT p_brand, p_retailprice,
+             NTILE(10) OVER (PARTITION BY p_brand
+                             ORDER BY p_retailprice, p_partkey) AS decile
+      FROM part
+    )
+    SELECT p_brand AS brand, decile,
+           COUNT(*) AS n_parts,
+           MIN(p_retailprice) AS lo,
+           MAX(p_retailprice) AS hi
+    FROM binned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Quantile feature binning: NTILE(10) assigns each part its within-"
+    "brand price decile — the discretization step that turns a continuous "
+    "feature into a categorical one for GBDT/embedding-table training, "
+    "and the exact counterpart of the approx-quantile bucketing the "
+    "z-order writer samples.  The unique (price, partkey) tie-break makes "
+    "bin membership deterministic on any engine/partitioning; MIN/MAX "
+    "per bin double as the bin-edge table a serving layer would export.  "
+    "One window over brand partitions, one (brand × 10)-row rollup.",
+)
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_brand", "p_retailprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy(F.col("p_brand").alias("brand"), "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("lo"),
+            F.max("p_retailprice").alias("hi"),
+        )
+        .orderBy("brand", "decile")
+    )

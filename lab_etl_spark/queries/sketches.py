@@ -862,3 +862,64 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["lineitem"])
     return spark.sql(_RCTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronous peeling as a CTE chain — the DuckDB twin of
+    operators/graph.py kcore (same round count, same semantics, so parity
+    holds even before the peel reaches fixpoint)."""
+    ctes = [
+        "pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        f"""edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM pp a JOIN pp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    )""",
+        "und AS (SELECT p1 AS a, p2 AS b FROM edges"
+        " UNION ALL SELECT p2, p1 FROM edges)",
+        "n0 AS (SELECT DISTINCT a AS v FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"d{i} AS (SELECT u.a AS v, COUNT(*) AS deg FROM und u"
+            f" JOIN n{i - 1} x ON u.a = x.v"
+            f" JOIN n{i - 1} y ON u.b = y.v GROUP BY u.a)"
+        )
+        ctes.append(f"n{i} AS (SELECT v FROM d{i} WHERE deg >= {k})")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, deg FROM d{rounds} WHERE deg >= {k} ORDER BY v"
+    )
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS),
+    doc=f"{KCORE_K}-core of the support-filtered co-purchase graph "
+    "(operators/graph.py kcore): synchronously peel vertices with "
+    "induced degree < k until only the dense core survives — the "
+    "standard community/spam-cluster primitive, and the graph analogue "
+    "of the curation gates (drop low-connectivity items before "
+    "expensive downstream analysis).  Pure integer counting — exact on "
+    "any engine; the oracle unrolls the SAME fixed peel rounds as a CTE "
+    "chain, so values match even mid-convergence, and the shipped round "
+    f"count ({KCORE_ROUNDS}) is test-pinned to reach fixpoint on this "
+    "corpus.  Each round: one degree aggregation + two vertex-keyed "
+    "semi-joins over checkpointed frontiers — rounds scale with peel "
+    "depth, never graph size.",
+    tags=["graph"],
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore
+
+    edges = copurchase_edges(spark, sf_dir)
+    return kcore(edges, KCORE_K, KCORE_ROUNDS).orderBy("v")

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from . import register
-from .exact import davg
+from .exact import davg, dsum
 
 _STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 _STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -1025,4 +1025,151 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("rare_rate"),
         )
+    )
+
+
+@register(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tokens GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_tok FROM tokens),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tokens,
+             {dsum('ln(c)', 6)} AS sum_lnc
+      FROM tokens t JOIN cnt USING (token)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(sum_lnc / n_tokens - ln(n_tok), 6) AS avg_logprob
+    FROM per_doc CROSS JOIN n
+    ORDER BY doc_id
+    """,
+    doc="Corpus-LM quality scoring: each document's mean unigram "
+    "log-probability under the corpus's own unigram distribution — the "
+    "cheapest member of the perplexity-filter family every LLM data "
+    "pipeline runs (CCNet/Gopher gate on LM score; a unigram LM needs no "
+    "training job, just the wordcount).  avg_logprob = mean ln(c_w) - "
+    "ln(N): one vocabulary aggregate (the classic map-side-combined "
+    "wordcount), one token-keyed join back, one per-doc aggregate; N is "
+    "a 1-row broadcast.  ln terms are summed via exact-decimal "
+    "accumulation and the readout expression text is shared verbatim by "
+    "both engines, so scores are bit-identical.  Low (very negative) "
+    "scores flag gibberish/rare-token docs; high scores flag boilerplate "
+    "— both tails are curation drop candidates.",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("token")
+    )
+    cnt = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = tokens.agg(F.count(F.lit(1)).alias("n_tok"))
+    per_doc = (
+        tokens.join(cnt, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr(dsum("ln(c)", 6)).alias("sum_lnc"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(n))
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "ROUND(sum_lnc / n_tokens - ln(n_tok), 6) AS avg_logprob",
+        )
+        .orderBy("doc_id")
+    )
+
+
+#: hashing-trick bucket / sign expressions, one per engine, same values
+_FH_BUCKET_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('fh:', token)), 1, 8), 16, 10)"
+    " AS BIGINT) % 64"
+)
+_FH_BUCKET_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5('fh:' || token), 1, 8)) AS BIGINT) % 64"
+)
+_FH_SIGN_SPARK = (
+    "CASE WHEN CAST(CONV(SUBSTRING(MD5(CONCAT('fs:', token)), 1, 1), 16, 10)"
+    " AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+)
+_FH_SIGN_DUCK = (
+    "CASE WHEN CAST(('0x' || SUBSTRING(MD5('fs:' || token), 1, 1))"
+    " AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+)
+_FH_CELL_H32_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(doc_id AS STRING), ':',"
+    " CAST(val AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+)
+_FH_CELL_H32_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' ||"
+    " CAST(val AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             {_FH_BUCKET_DUCK} AS bucket,
+             CAST(SUM({_FH_SIGN_DUCK}) AS BIGINT) AS val
+      FROM tokens
+      GROUP BY 1, 2
+    )
+    SELECT bucket,
+           COUNT(*) AS n_cells,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(SUM(val * val) AS BIGINT) AS sum_sq,
+           bit_xor({_FH_CELL_H32_DUCK}) AS cell_checksum
+    FROM feat
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    doc="Hashing-trick feature encoding (Weinberger et al.): every token "
+    "maps to one of 64 buckets by hash and contributes a md5-derived ±1 "
+    "sign, so each document becomes a fixed-width signed-count vector "
+    "with NO vocabulary table — the unbounded-vocab answer for feature "
+    "pipelines at 100 TB (a vocab dictionary is a mutable shared state; "
+    "a hash function ships with the job).  Entirely integer arithmetic — "
+    "exact on any engine.  The check aggregates per-bucket corpus "
+    "marginals PLUS an order-independent checksum over every "
+    "(doc, bucket, value) cell, so parity proves each document's "
+    "individual feature vector, not just column sums.  Plan: explode -> "
+    "map-side-combined (doc, bucket) aggregate -> 64-row rollup.",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " +")).alias("token")
+    )
+    feat = (
+        tokens.selectExpr(
+            "doc_id",
+            f"{_FH_BUCKET_SPARK} AS bucket",
+            f"{_FH_SIGN_SPARK} AS sign",
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("val"))
+    )
+    return (
+        feat.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.sum(F.col("val") * F.col("val")).cast("bigint").alias("sum_sq"),
+            F.expr(f"bit_xor({_FH_CELL_H32_SPARK})").alias("cell_checksum"),
+        )
+        .orderBy("bucket")
     )

@@ -1313,6 +1313,65 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_stream(ev, cu)
 
 
+#: 32-bit md5-derived hash of the event id, one expression per engine,
+#: identical value (the analytics.py _TEXT_H32 idiom on a BIGINT key)
+_EID_H32_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT)"
+)
+_EID_H32_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_stream_dedup",
+    bench=False,  # drains a streaming query; not a plan-timing benchmark
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value,
+           bit_xor({_EID_H32_DUCK}) AS id_checksum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Streaming exact deduplication with bounded state: every event is "
+    "delivered TWICE (union of two file streams over the same parquet) "
+    "and dropDuplicatesWithinWatermark must emit each event_id exactly "
+    "once, holding each key in the state store only until the watermark "
+    "passes it — the 100 TB-stream answer to at-least-once delivery, "
+    "where plain dropDuplicates would grow state without bound.  The "
+    "oracle aggregates the ORIGINAL table (count + exact-decimal value "
+    "sum + order-independent id checksum per type), so parity proves the "
+    "doubled stream deduped to exactly the source content — not just "
+    "matching row counts.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import (
+        dedup_events,
+        run_available_now,
+        stream_events,
+    )
+
+    doubled = stream_events(spark, sf_dir).union(
+        stream_events(spark, sf_dir)
+    )
+    out = run_available_now(
+        dedup_events(doubled), "q_stream_dedup_mem", output_mode="append"
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+            F.expr(f"bit_xor({_EID_H32_SPARK})").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 @register(
     "q_top_movers",
     oracle=f"""
@@ -1433,3 +1492,91 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_ACF_READOUT = (
+    "ROUND((n * sxy - sx * sy)"
+    " / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf"
+)
+
+
+@register(
+    "q_acf",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {dsum('value', 6)} AS v
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, v,
+             LAG(v, 1) OVER (PARTITION BY event_type ORDER BY h) AS l1,
+             LAG(v, 2) OVER (PARTITION BY event_type ORDER BY h) AS l2,
+             LAG(v, 3) OVER (PARTITION BY event_type ORDER BY h) AS l3
+      FROM hourly
+    ),
+    pairs AS (
+      SELECT event_type, 1 AS lag, v AS x, l1 AS y FROM lagged
+      WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2 AS lag, v AS x, l2 AS y FROM lagged
+      WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3 AS lag, v AS x, l3 AS y FROM lagged
+      WHERE l3 IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, lag, COUNT(*) AS n,
+             {dsum('x', 6)} AS sx, {dsum('y', 6)} AS sy,
+             {dsum('x * x', 6)} AS sxx, {dsum('y * y', 6)} AS syy,
+             {dsum('x * y', 6)} AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n, {_ACF_READOUT}
+    FROM stats
+    ORDER BY event_type, lag
+    """,
+    doc="Autocorrelation function: Pearson correlation of each type's "
+    "hourly-revenue series with itself at lags 1-3 — THE diagnostic for "
+    "seasonality/memory before fitting any forecast (q_forecast_revenue) "
+    "or anomaly model (q_anomaly_seasonal).  Hourly sums are exact-"
+    "decimal; the three lags come from ONE window pass (no self-joins), "
+    "are unpivoted to (lag, x, y) pairs, and reduce to mergeable exact "
+    "sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) whose correlation "
+    "readout expression text is shared verbatim by both engines — "
+    "bit-identical, and at 100 TB the stats merge as partial aggregates "
+    "with only a (types × lags)-row final state.",
+)
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.expr(dsum("value", 6)).alias("v"))
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 2).over(w).alias("l2"),
+        F.lag("v", 3).over(w).alias("l3"),
+    )
+    pairs = None
+    for k in (1, 2, 3):
+        p = lagged.filter(F.col(f"l{k}").isNotNull()).select(
+            "event_type",
+            F.lit(k).alias("lag"),
+            F.col("v").alias("x"),
+            F.col(f"l{k}").alias("y"),
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(dsum("x", 6)).alias("sx"),
+        F.expr(dsum("y", 6)).alias("sy"),
+        F.expr(dsum("x * x", 6)).alias("sxx"),
+        F.expr(dsum("y * y", 6)).alias("syy"),
+        F.expr(dsum("x * y", 6)).alias("sxy"),
+    )
+    return stats.selectExpr(
+        "event_type", "lag", "n", _ACF_READOUT
+    ).orderBy("event_type", "lag")

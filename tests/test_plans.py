@@ -214,7 +214,11 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_data_quality    — five 1-row (checked, violations) rule counters; the
 #                       underlying scans/anti-join stay fully parallel and
 #                       feed 1-row reduces.
+#   q_unigram_logprob — the 1-row corpus token-total scalar (ln(N) term);
+#                       the vocabulary aggregate, token join-back, and
+#                       per-doc aggregate stay hash-partitioned.
 _SINGLE_PARTITION_OK = {
+    "q_unigram_logprob",
     "q_bloom_join_prune",
     "q_heavy_hitters_cms",
     "q_data_quality",
@@ -255,6 +259,7 @@ _SINGLE_PARTITION_OK = {
 _SWEEP_SKIP = {
     "q_stream_stateful_ewma",
     "q_stream_cms_merge",  # drains a streaming query at build time
+    "q_stream_dedup",  # drains a streaming query at build time
     "q_dedup_clusters",
     "q_entity_resolution",  # same eager CC loop as q_dedup_clusters
     # disk-round-trip queries: fn() eagerly writes a scratch lake at
@@ -277,6 +282,7 @@ _SWEEP_SKIP = {
     "q_pagerank",
     "q_shortest_path",
     "q_triangle_count",  # edges + oriented edges checkpointed (reused 3x/2x)
+    "q_kcore",  # per-round frontier localCheckpoint (CC discipline)
 }
 
 

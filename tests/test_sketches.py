@@ -169,3 +169,22 @@ def test_shortest_path_releases_persisted_edges(spark, sf_dir):
     # edge cache must be released before the frame is returned
     if was_empty:
         assert jcache.isEmpty(), "shortest_path left persisted blocks cached"
+
+
+def test_kcore_reaches_fixpoint_at_shipped_rounds(spark, sf_dir):
+    # The registered q_kcore unrolls KCORE_ROUNDS peels; the result is only
+    # "the 3-core" (not just "3-core after R peels") if the peel has
+    # converged by then.  Pin: one extra round changes nothing.
+    from lab_etl_spark.operators.graph import kcore
+    from lab_etl_spark.queries.sketches import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    a = sorted(map(tuple, kcore(edges, KCORE_K, KCORE_ROUNDS).collect()))
+    b = sorted(map(tuple, kcore(edges, KCORE_K, KCORE_ROUNDS + 1).collect()))
+    assert a == b and len(a) > 0
+    # every core vertex has induced degree >= k (defining property)
+    assert all(d >= KCORE_K for _, d in a)
