@@ -903,3 +903,137 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "decile")
     )
+
+
+#: 52-bit md5 uniform in (0,1) keyed by segment (the weighted-sample
+#: idiom: +0.5 shifts the lattice off 0 so ln stays finite)
+_DP_U_SPARK = (
+    "(CAST(CONV(SUBSTRING(MD5(CONCAT('dp:', c_mktsegment)), 1, 13),"
+    " 16, 10) AS DOUBLE) + 0.5) / 4503599627370496"
+)
+_DP_U_DUCK = (
+    "(CAST(CAST(('0x' || SUBSTRING(MD5('dp:' || c_mktsegment), 1, 13))"
+    " AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496"
+)
+#: Laplace(b=2) via inverse CDF — identical text on both engines; SIGN/LN/
+#: ABS are correctly rounded, so the noise double is bit-identical
+_DP_NOISE = "-2.0 * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5))"
+
+
+@register(
+    "q_dp_counts",
+    oracle=f"""
+    WITH agg AS (
+      SELECT c_mktsegment AS segment, COUNT(*) AS n_true,
+             {_DP_U_DUCK} AS u
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT segment, n_true,
+           ROUND(n_true + {_DP_NOISE}, 6) AS noisy_count
+    FROM agg ORDER BY segment
+    """,
+    doc="Differentially-private count release (Laplace mechanism, ε=0.5 → "
+    "b=2): per-segment counts plus inverse-CDF Laplace noise drawn from a "
+    "keyed md5 uniform — the deterministic-noise trick that makes a DP "
+    "release REPRODUCIBLE across engines, reruns, and cluster sizes "
+    "(RNG-based noise is unauditable; hash-derived noise can be "
+    "re-derived by an auditor holding the release key).  One aggregation "
+    "shuffle; the noise is O(groups) post-processing.  The oracle "
+    "re-derives the identical noise, so parity proves the mechanism "
+    "end-to-end (n_true is emitted here only for that verification; a "
+    "production release would drop it).",
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    agg = cu.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    # u depends only on the group key, so compute it post-aggregation on
+    # |groups| rows (alias the key back to its source name for the shared
+    # expression text)
+    u_expr = _DP_U_SPARK.replace("c_mktsegment", "segment")
+    return (
+        agg.selectExpr("segment", "n_true", f"{u_expr} AS u")
+        .selectExpr(
+            "segment",
+            "n_true",
+            f"ROUND(n_true + {_DP_NOISE}, 6) AS noisy_count",
+        )
+        .orderBy("segment")
+    )
+
+
+BOOT_B = 32
+#: deterministic replicate membership from ONE md5 per row: the digest's
+#: 32 hex nibbles are 32 independent 4-bit uniforms, and replicate b takes
+#: the row when nibble b < 8 (a fair coin).  One hash per row instead of
+#: one per (row, replicate) — 32x less hashing on the 100 TB fact side.
+_BOOT_H_SPARK = "MD5(CONCAT('boot:', CAST(event_id AS STRING)))"
+_BOOT_H_DUCK = "MD5('boot:' || CAST(event_id AS VARCHAR))"
+_BOOT_IN_SPARK = (
+    "CAST(CONV(SUBSTRING(h, b + 1, 1), 16, 10) AS BIGINT) < 8"
+)
+_BOOT_IN_DUCK = (
+    "CAST(('0x' || SUBSTRING(h, b + 1, 1)) AS BIGINT) < 8"
+)
+_BOOT_SD_READOUT = (
+    "ROUND(SQRT((ssq - s * s / n) / (n - 1.0)), 6) AS boot_sd"
+)
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value, {_BOOT_H_DUCK} AS h FROM events
+    ),
+    reps AS (
+      SELECT e.event_type, b.b, e.value
+      FROM ev e JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+        ON {_BOOT_IN_DUCK}
+    ),
+    rep_means AS (
+      SELECT event_type, b, {davg('value', 6)} AS m
+      FROM reps GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             {dsum('m', 6)} AS s, {dsum('m * m', 6)} AS ssq
+      FROM rep_means GROUP BY 1
+    )
+    SELECT event_type, n AS n_replicates,
+           ROUND(s / n, 6) AS boot_mean,
+           {_BOOT_SD_READOUT}
+    FROM stats ORDER BY event_type
+    """,
+    doc=f"Distributed subsample bootstrap: {BOOT_B} deterministic half-"
+    "samples per group (membership = keyed md5 coin per (row, replicate) "
+    "— reproducible on any engine/partitioning, unlike RNG resampling), "
+    "each reduced to an exact-decimal mean, then the spread of replicate "
+    "means estimates the statistic's sampling variability — the "
+    "poor-man's confidence interval that actually scales: explode ×B, "
+    "one (group, replicate) aggregate, one |groups|-row reduce, all "
+    "partial-aggregatable.  The n/2 subsample variant (vs Poisson "
+    "resampling) keeps membership a single comparison; its variance "
+    "inflation is a known constant the doc-reader can correct for.",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type", "value", f"{_BOOT_H_SPARK} AS h"
+    )
+    b = spark.range(BOOT_B).select(F.col("id").cast("int").alias("b"))
+    reps = ev.join(F.broadcast(b), F.expr(_BOOT_IN_SPARK))
+    rep_means = reps.groupBy("event_type", "b").agg(
+        F.expr(davg("value", 6)).alias("m")
+    )
+    stats = rep_means.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(dsum("m", 6)).alias("s"),
+        F.expr(dsum("m * m", 6)).alias("ssq"),
+    )
+    return stats.selectExpr(
+        "event_type",
+        "n AS n_replicates",
+        "ROUND(s / n, 6) AS boot_mean",
+        _BOOT_SD_READOUT,
+    ).orderBy("event_type")

@@ -303,3 +303,102 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+RP_DIMS = 8
+RP_EMB_DIM = 64  # embeddings.embedding length in the driver corpus
+
+
+def _rp_signs(j: int) -> list[float]:
+    """±1 Achlioptas row j, derived ONCE at plan-build time from the same
+    md5 the runtime would use (hashlib.md5 == Spark MD5 == DuckDB MD5), so
+    the matrix ships as 64 literal doubles per output dim instead of
+    re-hashing per element per row — the sign table is (i, j)-only, and
+    keeping hashes out of the row path cut the sf0.1 bench ~3x."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest()[0], 16) % 2
+        == 0
+        else -1.0
+        for i in range(1, RP_EMB_DIM + 1)
+    ]
+
+
+def _rp_proj_spark(j: int) -> str:
+    """Sequential left-to-right fold: out_j = sum_i emb[i] * sign(i, j)."""
+    arr = ", ".join(f"{s}D" for s in _rp_signs(j))
+    return (
+        f"aggregate(zip_with(embedding, array({arr}),"
+        " (x, s) -> CAST(x AS DOUBLE) * s),"
+        " CAST(0 AS DOUBLE), (p, q) -> p + q)"
+    )
+
+
+def _rp_proj_duck(j: int) -> str:
+    arr = ", ".join(str(s) for s in _rp_signs(j))
+    return (
+        f"list_reduce(list_transform(generate_series(1, {RP_EMB_DIM}),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ([{arr}])[i]),"
+        " (p, q) -> p + q)"
+    )
+
+
+_RP_READOUT = (
+    f"ROUND((sq_proj / {RP_DIMS}.0) / sq_orig, 6) AS norm_ratio"
+)
+
+#: Spark twin of _SQNORM_DUCK — the same sequential left-to-right fold
+_SQNORM_SPARK = (
+    "aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (p, q) -> p + q)"
+)
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id,
+             {_SQNORM_DUCK.format(v='embedding')} AS sq_orig,
+             {" + ".join(
+                 f"POW({_rp_proj_duck(j)}, 2)" for j in range(RP_DIMS)
+             )} AS sq_proj,
+             ROUND({_rp_proj_duck(0)}, 6) AS p0,
+             ROUND({_rp_proj_duck(1)}, 6) AS p1
+      FROM embeddings
+    )
+    SELECT vec_id, p0, p1, {_RP_READOUT}
+    FROM proj ORDER BY vec_id
+    """,
+    doc=f"Johnson-Lindenstrauss sketching: every 64-dim embedding is "
+    f"projected to {RP_DIMS} dims through a ±1 Achlioptas matrix derived "
+    "from md5 (no trained projection — the hash IS the matrix, derived "
+    "once at plan build and inlined as literals, the same trick that "
+    "makes the hyperplane-LSH quantizer training-free).  Map-only per "
+    "row: each output dim is one "
+    "sequential fold over the vector (Spark aggregate ↔ DuckDB "
+    "list_reduce, both left-to-right, so doubles match bit-for-bit); "
+    "norm_ratio = |Px|²/(J·|x|²) exposes the JL distortion that a "
+    "downstream ANN index would inherit.  At 100 TB this is the "
+    "standard first move to shrink petabyte embedding stores before "
+    "clustering/dedup, and it needs zero shuffles.",
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    proj = em.selectExpr(
+        "vec_id",
+        f"{_SQNORM_SPARK.format(v='embedding')} AS sq_orig",
+        " + ".join(f"POW({_rp_proj_spark(j)}, 2)" for j in range(RP_DIMS))
+        + " AS sq_proj",
+        f"ROUND({_rp_proj_spark(0)}, 6) AS p0",
+        f"ROUND({_rp_proj_spark(1)}, 6) AS p1",
+    )
+    return proj.selectExpr(
+        "vec_id", "p0", "p1", _RP_READOUT
+    ).orderBy("vec_id")
