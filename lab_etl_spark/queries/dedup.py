@@ -115,7 +115,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, final: str | None = None
+) -> str:
     """DuckDB twin of minhash_lsh_candidates(portable=True): the identical
     md5-derived permutation family and band keys, so the LSH candidate set —
     and therefore the verified pair set — matches Spark value-for-value."""
@@ -173,6 +175,11 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+    {final or _MINHASH_DEFAULT_FINAL}
+    """
+
+
+_MINHASH_DEFAULT_FINAL = """
     SELECT c.doc_a, c.doc_b,
            ROUND(CAST(n_common AS DOUBLE)
                  / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
@@ -181,7 +188,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     JOIN sizes sa ON sa.doc_id = c.doc_a
     JOIN sizes sb ON sb.doc_id = c.doc_b
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-    """
+"""
 
 
 @register(
@@ -573,4 +580,64 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cont_b_in_a"
             ),
         )
+    )
+
+
+_LSH_RECALL_FINAL = """
+    , truth AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    marked AS (
+      SELECT t.doc_a, t.doc_b,
+             CASE WHEN cand.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t LEFT JOIN cand USING (doc_a, doc_b)
+    )
+    SELECT COUNT(*) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_found,
+           COUNT(*) - CAST(SUM(hit) AS BIGINT) AS n_missed,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM marked
+"""
+
+
+@register(
+    "q_lsh_recall",
+    oracle=_minhash_oracle(final=_LSH_RECALL_FINAL),
+    doc="Index-quality evaluation: recall of the MinHash-LSH candidate set "
+    "against exhaustive ground truth (every pair with exact 3-shingle "
+    "Jaccard >= 0.5, from the uncapped inverted-index join — the same "
+    "shingling the LSH path uses, so the comparison is apples-to-apples). "
+    "This is the measurement every probabilistic dedup deployment owes "
+    "its users: banding (16 perms / 4 bands) trades a bounded miss rate "
+    "for never materializing the candidate square, and the miss rate "
+    "should be MEASURED on a sample, not quoted from the S-curve.  At "
+    "100 TB this exact query runs on a stratified sample as the "
+    "index-health canary while production dedups with the LSH path only. "
+    "Both pipelines and the join of their outputs run in both engines — "
+    "the evaluation itself is value-checked.",
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_candidates, shingle_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = shingle_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=None
+    ).select("doc_a", "doc_b")
+    lsh = minhash_lsh_candidates(
+        docs, n=3, num_hashes=16, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b", F.lit(1).alias("hit"))
+    marked = truth.join(lsh, ["doc_a", "doc_b"], "left").select(
+        F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum("hit").cast("bigint").alias("n_found"),
+        (F.count(F.lit(1)) - F.sum("hit")).cast("bigint").alias("n_missed"),
+        F.round(
+            F.sum("hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall"),
     )

@@ -1037,3 +1037,123 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(s / n, 6) AS boot_mean",
         _BOOT_SD_READOUT,
     ).orderBy("event_type")
+
+
+KANON_K = 5
+#: class-size bucket, shared expression text (sz is the class size)
+_KANON_BUCKET = (
+    "CASE WHEN sz = 1 THEN '1 (unique)' WHEN sz < 5 THEN '2-4'"
+    " WHEN sz < 10 THEN '5-9' ELSE '10+' END"
+)
+
+
+@register(
+    "q_kanonymity",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT {_KANON_BUCKET} AS size_bucket,
+           COUNT(*) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS n_below_k
+    FROM classes
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc=f"k-anonymity audit over the quasi-identifier pair (nation, "
+    f"segment): every equivalence class smaller than k={KANON_K} is a "
+    "re-identification risk, and this emits the class-size histogram "
+    "plus the row count still below k — the release-gate report that "
+    "decides whether a dataset needs further generalization or "
+    "suppression before publication (the privacy sibling of "
+    "q_dp_counts/q_user_purge/q_pii_redact).  One aggregation shuffle "
+    "keyed by the quasi-identifiers, then a 4-row rollup — at 100 TB "
+    "the class table is bounded by the quasi-identifier domain, not the "
+    "row count.",
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    classes = cu.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        classes.selectExpr(f"{_KANON_BUCKET} AS size_bucket", "sz")
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("sz").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_below_k"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+#: per-cell MI term from integer counts — identical readout text; counts
+#: are exact, the doubles they produce are identical, ln is correctly
+#: rounded, and the cell terms sum in exact decimal
+_MI_TERM = (
+    "(CAST(n_xy AS DOUBLE) / n) *"
+    " LN((CAST(n_xy AS DOUBLE) * n) / (CAST(n_x AS DOUBLE) * n_y))"
+)
+
+
+@register(
+    "q_mutual_information",
+    oracle=f"""
+    WITH joint AS (
+      SELECT e.event_type AS x, c.c_mktsegment AS y, COUNT(*) AS n_xy
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM joint GROUP BY y),
+    tot AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM joint),
+    cells AS (
+      SELECT j.x, j.y, j.n_xy, mx.n_x, my.n_y, tot.n
+      FROM joint j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    )
+    SELECT COUNT(*) AS n_cells,
+           ROUND({dsum(_MI_TERM, 9)}, 6) AS mi_nats
+    FROM cells
+    """,
+    doc="Mutual information I(event_type; market segment) in nats — the "
+    "dependence screen run before any feature is admitted to a training "
+    "set (near-zero MI = drop the feature; high MI against a protected "
+    "attribute = fairness flag).  The joint-count table is one "
+    "aggregation; marginals and the total REUSE it (no second fact "
+    "scan), so the fact table is read once and everything downstream is "
+    "|X|x|Y| rows.  Cell terms are doubles derived from exact integer "
+    "counts through shared expression text and summed in exact decimal "
+    "— bit-identical cross-engine.",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    joint = (
+        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        .groupBy(
+            F.col("event_type").alias("x"),
+            F.col("c_mktsegment").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .localCheckpoint(eager=True)  # reused by marginals + cells
+    )
+    mx = joint.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    my = joint.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    tot = joint.groupBy().agg(F.sum("n_xy").cast("bigint").alias("n"))
+    cells = (
+        joint.join(mx, "x").join(my, "y").crossJoin(F.broadcast(tot))
+    )
+    return cells.selectExpr(
+        "x", "y", "n_xy", "n_x", "n_y", "n"
+    ).groupBy().agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.expr(dsum(_MI_TERM, 9)), 6).alias("mi_nats"),
+    )

@@ -214,10 +214,13 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
 #   q_data_quality    — five 1-row (checked, violations) rule counters; the
 #                       underlying scans/anti-join stay fully parallel and
 #                       feed 1-row reduces.
+#   q_lsh_recall      — the final 1-row recall counters; the truth and
+#                       LSH pair pipelines and their join stay partitioned.
 #   q_unigram_logprob — the 1-row corpus token-total scalar (ln(N) term);
 #                       the vocabulary aggregate, token join-back, and
 #                       per-doc aggregate stay hash-partitioned.
 _SINGLE_PARTITION_OK = {
+    "q_lsh_recall",
     "q_unigram_logprob",
     "q_bloom_join_prune",
     "q_heavy_hitters_cms",
@@ -283,6 +286,7 @@ _SWEEP_SKIP = {
     "q_shortest_path",
     "q_triangle_count",  # edges + oriented edges checkpointed (reused 3x/2x)
     "q_kcore",  # per-round frontier localCheckpoint (CC discipline)
+    "q_mutual_information",  # joint-count table checkpointed (reused 4x)
 }
 
 
