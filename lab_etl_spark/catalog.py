@@ -78,12 +78,19 @@ def scratch_dir(family: str, sf_dir: str) -> str:
     (same-named basenames or different scale factors can't collide) plus a
     fresh uuid per call (concurrent bench/correctness runs can't either).
     Stale same-family siblings are pruned best-effort after
-    ``_SCRATCH_TTL_S`` so repeated invocations don't accumulate unboundedly.
+    ``_SCRATCH_TTL_S``, but ONLY those created by THIS process (the pid is
+    part of the dir name): a concurrent run holding a lazy DataFrame over
+    its own scratch dir for longer than the TTL must never have it swept
+    from under the plan by another process (round-4 verdict item #4).
+    Dirs orphaned by dead processes are cleaned the next time a process
+    with the same pid-slot runs — or by deleting ``spark-warehouse/``,
+    which is gitignored runtime state.
     """
     now = time.time()
+    mine = f"{family}_p{os.getpid()}_"
     try:
         for entry in os.listdir(_WAREHOUSE):
-            if entry.startswith(f"{family}_"):
+            if entry.startswith(mine):
                 path = os.path.join(_WAREHOUSE, entry)
                 try:
                     if now - os.path.getmtime(path) > _SCRATCH_TTL_S:
@@ -94,7 +101,7 @@ def scratch_dir(family: str, sf_dir: str) -> str:
         pass
     key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:8]
     return os.path.join(
-        _WAREHOUSE, f"{family}_{key}_{uuid.uuid4().hex[:8]}"
+        _WAREHOUSE, f"{mine}{key}_{uuid.uuid4().hex[:8]}"
     )
 
 

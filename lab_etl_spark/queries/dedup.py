@@ -607,6 +607,7 @@ _LSH_RECALL_FINAL = """
 @register(
     "q_lsh_recall",
     oracle=_minhash_oracle(final=_LSH_RECALL_FINAL),
+    bench=False,  # re-measures the two already-benched dedup pipelines
     doc="Index-quality evaluation: recall of the MinHash-LSH candidate set "
     "against exhaustive ground truth (every pair with exact 3-shingle "
     "Jaccard >= 0.5, from the uncapped inverted-index join — the same "

@@ -40,3 +40,25 @@ def test_second_invocation_does_not_disturb_first(spark, sf_dir, name):
     a_late = normalize(first.toPandas())
     assert a_early == a_late, f"{name}: first result changed under re-run"
     assert a_early == b, f"{name}: invocations disagree"
+
+
+def test_scratch_ttl_prunes_only_own_pid_dirs(tmp_path, monkeypatch):
+    # A concurrent process holding a lazy DataFrame over ITS scratch dir
+    # past the TTL must never have it swept by this process's sweep.
+    import os
+    import time
+
+    from lab_etl_spark import catalog
+
+    monkeypatch.setattr(catalog, "_WAREHOUSE", str(tmp_path))
+    old = time.time() - 10_000
+    foreign = tmp_path / "fam_p99999999_deadbeef_cafe0000"
+    foreign.mkdir()
+    os.utime(foreign, (old, old))
+    mine_old = tmp_path / f"fam_p{os.getpid()}_deadbeef_cafe0000"
+    mine_old.mkdir()
+    os.utime(mine_old, (old, old))
+    p = catalog.scratch_dir("fam", "/root/testdata/sf0.001")
+    assert foreign.exists(), "foreign-pid scratch dir must survive the sweep"
+    assert not mine_old.exists(), "own stale scratch dir must be pruned"
+    assert f"_p{os.getpid()}_" in os.path.basename(p)
