@@ -1240,3 +1240,46 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("2.0 * sxi / (n * sx) - (n + 1.0) / n"), 6
         ).alias("gini"),
     ).orderBy("segment")
+
+
+@register(
+    "q_webdataset_roundtrip",
+    priority=1,
+    bench=False,  # dominated by the shard write's disk I/O
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           bit_xor({_TEXT_H32_DUCK}) AS text_checksum
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="WebDataset tar-shard round-trip (the interchange layout of "
+    "multimodal LLM training corpora): export documents as 8 tar shards "
+    "of paired {key}.txt + {key}.json members (one mapInPandas writer "
+    "per partition, no codec dependency — stdlib tarfile), scan them "
+    "back through binaryFile + a pairing kernel that joins each text "
+    "member to its metadata sidecar inside the shard, and aggregate per "
+    "source with an order-independent md5 content checksum.  Parity vs "
+    "the oracle over the ORIGINAL parquet proves the tar member bytes, "
+    "the utf-8 round-trip, and the member pairing preserved every "
+    "document exactly.  Shards write and read embarrassingly parallel — "
+    "this is how petabyte text/image corpora actually ship.",
+)
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.webdataset import read_webdataset, write_webdataset
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = scratch_dir("documents_wds", sf_dir)
+    write_webdataset(docs, scratch, n_shards=8)
+    back = read_webdataset(spark, scratch)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.expr(f"bit_xor({_TEXT_H32_SPARK})").alias("text_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,126 @@
+"""WebDataset-style tar-shard source/sink.
+
+The de-facto interchange layout for multimodal LLM training corpora is a
+directory of tar shards whose members pair up by basename key —
+``{key}.txt`` carries the payload, ``{key}.json`` the per-sample metadata
+(images/audio would be further ``{key}.jpg``/``{key}.flac`` members; here
+the corpus is text, but the pairing kernel is modality-agnostic).  Spark
+has no tar codec, so both directions run as Arrow-batched ``mapInPandas``
+kernels over ``binaryFile`` rows — the same per-file justification as the
+multimodal decoders (multimodal/columns.py): the unit of work is a FILE,
+not a row, and payload bytes never leave the executors.
+
+Scale shape: shards write one-per-partition (embarrassingly parallel, no
+shuffle beyond the explicit repartition that sets the shard count), and
+reads parallelize per shard file.  At 100 TB this is exactly how
+WebDataset corpora are produced and consumed; shard size is controlled by
+the partition count.
+
+Reference analogue: the reference's one-instrument-run → one-parquet-file
+discipline (faa_mcc_parser.py:208-212) applied to the training-data
+interchange format instead.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_webdataset(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
+    """Write ``docs`` (doc_id, source, lang, n_chars, text) as ``n_shards``
+    tar shards of paired ``{doc_id}.txt`` + ``{doc_id}.json`` members.
+    Returns the number of members written (2 per doc)."""
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def shard_writer(pdfs):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        n = 0
+        with tarfile.open(path, "w") as tf:
+            for pdf in pdfs:
+                for row in pdf.itertuples(index=False):
+                    key = str(row.doc_id)
+                    payload = row.text.encode("utf-8")
+                    meta = json.dumps(
+                        {
+                            "source": row.source,
+                            "lang": row.lang,
+                            "n_chars": int(row.n_chars),
+                        },
+                        sort_keys=True,
+                    ).encode("utf-8")
+                    for name, data in (
+                        (f"{key}.txt", payload),
+                        (f"{key}.json", meta),
+                    ):
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(data)
+                        ti.mtime = 0  # deterministic shard bytes
+                        tf.addfile(ti, io.BytesIO(data))
+                        n += 1
+        yield pd.DataFrame({"shard": [path], "n_members": [n]})
+
+    counts = (
+        docs.select("doc_id", "source", "lang", "n_chars", "text")
+        .repartition(n_shards, "doc_id")
+        .mapInPandas(shard_writer, "shard string, n_members long")
+        .collect()  # one row per shard — never data-sized
+    )
+    return sum(r["n_members"] for r in counts)
+
+
+def read_webdataset(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Scan a directory of WebDataset tar shards back into rows, pairing
+    each ``{key}.txt`` with its ``{key}.json`` sidecar inside the shard.
+    Members missing either half are dropped (the WebDataset convention:
+    an incomplete sample is skipped, not an error)."""
+
+    def shard_reader(pdfs):
+        import pandas as pd
+
+        for pdf in pdfs:
+            out = {
+                "doc_id": [],
+                "source": [],
+                "lang": [],
+                "n_chars": [],
+                "text": [],
+            }
+            for content in pdf["content"]:
+                samples: dict[str, dict] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, dot, ext = m.name.rpartition(".")
+                        if not dot or ext not in ("txt", "json"):
+                            continue
+                        samples.setdefault(key, {})[ext] = (
+                            tf.extractfile(m).read()
+                        )
+                for key, parts in samples.items():
+                    if "txt" not in parts or "json" not in parts:
+                        continue
+                    meta = json.loads(parts["json"].decode("utf-8"))
+                    out["doc_id"].append(int(key))
+                    out["source"].append(meta["source"])
+                    out["lang"].append(meta["lang"])
+                    out["n_chars"].append(int(meta["n_chars"]))
+                    out["text"].append(parts["txt"].decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    bf = spark.read.format("binaryFile").load(os.path.join(in_dir, "*.tar"))
+    return bf.select("content").mapInPandas(
+        shard_reader,
+        "doc_id bigint, source string, lang string, n_chars bigint,"
+        " text string",
+    )

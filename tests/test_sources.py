@@ -322,3 +322,39 @@ def test_scan_sta_csv_long_format(spark):
     rows = long_df.where("channel = 'temperature'").count()
     assert rows >= 1094  # at least the golden file's row count
     assert long_df.where("value IS NOT NULL").count() > 0
+
+
+def test_webdataset_pairing_unicode_and_incomplete_samples(spark, tmp_path):
+    # WebDataset convention: {key}.txt + {key}.json pair by basename inside
+    # a shard; a sample missing either half is skipped, not an error; text
+    # bytes round-trip utf-8 exactly (snowman + newline + tab).
+    import io
+    import tarfile
+
+    from lab_etl_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "web", "en", 7, "hello\t☃\nworld"),
+            (2, "web", "de", 3, "grüß"),
+            (3, "book", "en", 5, "plain"),
+        ],
+        "doc_id bigint, source string, lang string, n_chars bigint,"
+        " text string",
+    )
+    out = str(tmp_path / "wds")
+    n_members = write_webdataset(docs, out, n_shards=2)
+    assert n_members == 6
+    # plant an incomplete sample (txt with no json) and a stray member
+    with tarfile.open(str(tmp_path / "wds" / "shard-99999.tar"), "w") as tf:
+        for name, data in (("9.txt", b"orphan"), ("README", b"ignore me")):
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    back = {r["doc_id"]: r for r in read_webdataset(spark, out).collect()}
+    assert set(back) == {1, 2, 3}  # orphan key 9 skipped
+    assert back[1]["text"] == "hello\t☃\nworld"
+    assert back[2]["text"] == "grüß" and back[2]["lang"] == "de"
