@@ -124,3 +124,94 @@ def read_webdataset(spark: SparkSession, in_dir: str) -> DataFrame:
         "doc_id bigint, source string, lang string, n_chars bigint,"
         " text string",
     )
+
+
+# ---------------------------------------------------------------------------
+# First-class connector: spark.read.format("webdataset")
+# ---------------------------------------------------------------------------
+
+try:  # Python DataSource API (Spark >= 4.0)
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _ShardPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class WebDatasetReader(DataSourceReader):
+        """One input partition per tar shard — the natural parallelism of
+        the format (a 100 TB corpus is O(10^5) shards; each task streams
+        one shard's members without touching the others)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("webdataset: .load(<shard dir>) required")
+
+        def partitions(self):
+            import glob
+
+            shards = sorted(glob.glob(os.path.join(self.path, "*.tar")))
+            if not shards:
+                raise FileNotFoundError(
+                    f"webdataset: no *.tar shards under {self.path}"
+                )
+            return [_ShardPartition(p) for p in shards]
+
+        def read(self, partition):
+            with tarfile.open(partition.path) as tf:
+                samples: dict[str, dict] = {}
+                for m in tf.getmembers():
+                    if not m.isfile():
+                        continue
+                    key, dot, ext = m.name.rpartition(".")
+                    if not dot or ext not in ("txt", "json"):
+                        continue
+                    samples.setdefault(key, {})[ext] = (
+                        tf.extractfile(m).read()
+                    )
+            for key, parts in samples.items():
+                if "txt" not in parts or "json" not in parts:
+                    continue  # WebDataset convention: skip incomplete
+                meta = json.loads(parts["json"].decode("utf-8"))
+                yield (
+                    int(key),
+                    meta["source"],
+                    meta["lang"],
+                    int(meta["n_chars"]),
+                    parts["txt"].decode("utf-8"),
+                )
+
+    class WebDatasetDataSource(DataSource):
+        """``spark.read.format("webdataset").load(dir)`` — the paired-member
+        tar-shard layout as a first-class Spark connector (Python
+        DataSource API, Spark 4), sharing the member-pairing rules with
+        :func:`read_webdataset`."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "webdataset"
+
+        def schema(self) -> str:
+            return (
+                "doc_id bigint, source string, lang string,"
+                " n_chars bigint, text string"
+            )
+
+        def reader(self, schema):
+            return WebDatasetReader(self.options)
+
+    def register_webdataset_source(spark: SparkSession) -> None:
+        """Idempotently register the connector on a session."""
+        spark.dataSource.register(WebDatasetDataSource)
+
+except ImportError:  # pragma: no cover — pre-4.0 PySpark
+    WebDatasetDataSource = None  # type: ignore[assignment]
+
+    def register_webdataset_source(spark: SparkSession) -> None:
+        raise NotImplementedError(
+            "Python DataSource API requires PySpark >= 4.0"
+        )

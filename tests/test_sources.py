@@ -358,3 +358,32 @@ def test_webdataset_pairing_unicode_and_incomplete_samples(spark, tmp_path):
     assert set(back) == {1, 2, 3}  # orphan key 9 skipped
     assert back[1]["text"] == "hello\t☃\nworld"
     assert back[2]["text"] == "grüß" and back[2]["lang"] == "de"
+
+
+def test_webdataset_datasource_connector_matches_kernel_reader(
+    spark, tmp_path
+):
+    # The first-class connector (spark.read.format("webdataset")) must
+    # produce exactly the rows of the mapInPandas reader, with one input
+    # partition per shard.
+    from lab_etl_spark.sources.webdataset import (
+        read_webdataset,
+        register_webdataset_source,
+        write_webdataset,
+    )
+
+    docs = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'book' END AS source",
+        "'en' AS lang",
+        "CAST(10 + id AS BIGINT) AS n_chars",
+        "concat('text-', id, ' ☃') AS text",
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, n_shards=4)
+    register_webdataset_source(spark)
+    via_ds = spark.read.format("webdataset").load(out)
+    assert via_ds.rdd.getNumPartitions() == 4  # one per shard
+    a = sorted(map(tuple, via_ds.collect()))
+    b = sorted(map(tuple, read_webdataset(spark, out).collect()))
+    assert a == b and len(a) == 40
