@@ -32,10 +32,15 @@ SAMPLE = [
     "q_linreg_trend",
     "q_interp_linear",
     "q_tfidf",
+    # round-5 additions: iterative peel, LM scoring, resampling, eval join
+    "q_kcore",
+    "q_unigram_logprob",
+    "q_bootstrap_ci",
+    "q_acf",
 ]
 
 #: queries whose contract is a fixed-row summary even over no data
-_FIXED_ROWS = {"q_funnel": 1}
+_FIXED_ROWS = {"q_funnel": 1, "q_lsh_recall": 1}  # global aggregates
 
 
 @pytest.fixture(scope="module")
