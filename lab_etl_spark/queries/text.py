@@ -1173,3 +1173,38 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+from . import REGISTRY as _REGISTRY  # noqa: E402  (oracle text reuse below)
+
+
+@register(
+    "q_langid_confusion",
+    oracle=f"""
+    SELECT d.lang AS true_lang, p.predicted_lang, COUNT(*) AS n_docs
+    FROM ({_REGISTRY["q_lang_id_ngram"].oracle}) p
+    JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Classifier-quality evaluation for the language-ID heuristic: the "
+    "full confusion matrix of predicted vs labeled language (the "
+    "evaluation sibling of q_lsh_recall — any heuristic gate deployed on "
+    "a 100 TB corpus owes its users a measured confusion matrix on "
+    "labeled data, not an anecdote).  Reuses q_lang_id_ngram's entire "
+    "predictor verbatim on both engines (the oracle nests that query's "
+    "oracle text), joins predictions back to the labels, and reduces to "
+    "|langs|² integer counts — exact on any engine.  Docs shorter than "
+    "3 chars are excluded identically on both sides (no trigrams).",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q_lang_id_ngram(spark, sf_dir).select("doc_id", "predicted_lang")
+    truth = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    return (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )
