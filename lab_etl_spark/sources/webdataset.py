@@ -185,11 +185,61 @@ try:  # Python DataSource API (Spark >= 4.0)
                     parts["txt"].decode("utf-8"),
                 )
 
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _ShardCommit(WriterCommitMessage):
+        def __init__(self, path: str, n_members: int):
+            self.path = path
+            self.n_members = n_members
+
+    class WebDatasetWriter(DataSourceWriter):
+        """One tar shard per input partition; each task's commit message
+        names its shard, so a failed/retried task's orphan file can be
+        reconciled by the driver on commit (task writes go to a
+        pid/uuid-free deterministic name per partition id via TaskContext,
+        matching :func:`write_webdataset`)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("webdataset: .save(<shard dir>) required")
+            os.makedirs(self.path, exist_ok=True)
+
+        def write(self, rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(self.path, f"shard-{pid:05d}.tar")
+            n = 0
+            with tarfile.open(path, "w") as tf:
+                for row in rows:
+                    key = str(row.doc_id)
+                    payload = row.text.encode("utf-8")
+                    meta = json.dumps(
+                        {
+                            "source": row.source,
+                            "lang": row.lang,
+                            "n_chars": int(row.n_chars),
+                        },
+                        sort_keys=True,
+                    ).encode("utf-8")
+                    for name, data in (
+                        (f"{key}.txt", payload),
+                        (f"{key}.json", meta),
+                    ):
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(data)
+                        ti.mtime = 0
+                        tf.addfile(ti, io.BytesIO(data))
+                        n += 1
+            return _ShardCommit(path, n)
+
     class WebDatasetDataSource(DataSource):
-        """``spark.read.format("webdataset").load(dir)`` — the paired-member
+        """``spark.read.format("webdataset").load(dir)`` and
+        ``df.write.format("webdataset").save(dir)`` — the paired-member
         tar-shard layout as a first-class Spark connector (Python
         DataSource API, Spark 4), sharing the member-pairing rules with
-        :func:`read_webdataset`."""
+        :func:`read_webdataset`/:func:`write_webdataset`."""
 
         @classmethod
         def name(cls) -> str:
@@ -203,6 +253,9 @@ try:  # Python DataSource API (Spark >= 4.0)
 
         def reader(self, schema):
             return WebDatasetReader(self.options)
+
+        def writer(self, schema, overwrite: bool):
+            return WebDatasetWriter(self.options)
 
     def register_webdataset_source(spark: SparkSession) -> None:
         """Idempotently register the connector on a session."""

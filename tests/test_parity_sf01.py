@@ -1,0 +1,53 @@
+"""Scale-stability spot-check: cross-engine value parity at sf0.1.
+
+The driver's correctness gate runs at sf0.01; tests/test_oracle_parity.py
+covers sf0.001 and (via SPARK_GRAFT_TEST_SF_DIR) sf0.01.  This suite runs
+a targeted sample at sf0.1 — 10x the driver scale — chosen for
+floating-point discipline risk: exact-decimal sums feeding double
+readouts, sigma/correlation boundaries, hash-derived sampling keys.  A
+determinism idiom that only holds at small row counts (accumulation
+width, boundary ulps, HUGEINT widening) fails HERE before it can fail on
+a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lab_etl_spark.queries import load_all
+
+from .compare import compare, duck_con
+
+SF01 = "/root/testdata/sf0.1"
+
+#: float-discipline cross-section: exact-sum readouts, variance/correlation
+#: boundaries, ln/sqrt readouts, hash-keyed sampling, window lag algebra
+SAMPLE = [
+    "q_pricing_summary",
+    "q_acf",
+    "q_anomaly_seasonal",
+    "q_corr_matrix",
+    "q_weighted_sample",
+    "q_top_movers",
+    "q_unigram_logprob",
+    "q_bootstrap_ci",
+    "q_dp_counts",
+    "q_random_projection",
+    "q_mutual_information",
+    "q_linreg_trend",
+]
+
+REGISTRY = load_all()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF01)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_sf01_parity(spark, con, name):
+    q = REGISTRY[name]
+    compare(q.fn(spark, SF01), con.execute(q.oracle).fetchdf(), name)

@@ -387,3 +387,24 @@ def test_webdataset_datasource_connector_matches_kernel_reader(
     a = sorted(map(tuple, via_ds.collect()))
     b = sorted(map(tuple, read_webdataset(spark, out).collect()))
     assert a == b and len(a) == 40
+
+
+def test_webdataset_datasource_write_path_roundtrips(spark, tmp_path):
+    from lab_etl_spark.sources.webdataset import register_webdataset_source
+
+    register_webdataset_source(spark)
+    docs = spark.range(20).selectExpr(
+        "id AS doc_id",
+        "'web' AS source",
+        "'en' AS lang",
+        "CAST(5 AS BIGINT) AS n_chars",
+        "concat('doc-', id) AS text",
+    )
+    out = str(tmp_path / "wds_w")
+    docs.repartition(3).write.format("webdataset").mode("append").save(out)
+    back = spark.read.format("webdataset").load(out)
+    assert back.count() == 20
+    assert back.rdd.getNumPartitions() == 3
+    assert sorted(r["text"] for r in back.collect()) == sorted(
+        f"doc-{i}" for i in range(20)
+    )
