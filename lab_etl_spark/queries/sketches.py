@@ -923,3 +923,117 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(spark, sf_dir)
     return kcore(edges, KCORE_K, KCORE_ROUNDS).orderBy("v")
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (value-checked, unlike approx_count_distinct)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # registers; standard error ~ 1.04/sqrt(m) = 6.5%
+
+#: 52 md5-derived hash bits per distinct user: low 8 = register index,
+#: high 44 feed the rho (leading-zero rank) — engine-specific derivation,
+#: identical values
+_HLL_H52_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('hll:', CAST(user_id AS STRING))), 1,"
+    " 13), 16, 10) AS BIGINT)"
+)
+_HLL_H52_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5('hll:' || CAST(user_id AS VARCHAR)), 1,"
+    " 13)) AS BIGINT)"
+)
+_HLL_RHO_SPARK = (
+    "CASE WHEN h52 DIV 256 = 0 THEN 45"
+    " ELSE instr(lpad(bin(h52 DIV 256), 44, '0'), '1') END"
+)
+_HLL_RHO_DUCK = (
+    "CASE WHEN h52 // 256 = 0 THEN 45"
+    " ELSE instr(lpad(bin(h52 // 256), 44, '0'), '1') END"
+)
+#: estimator readout — IDENTICAL text both engines.  total is the integer
+#: sum over all m registers of 2^(45 - M_j) (empty registers contribute
+#: 2^45), so 1/total is the harmonic mean term scaled by 2^45: each term
+#: <= 2^44 and m = 256, so total < 2^53 — exact in BIGINT, making the
+#: whole sketch reduction integer arithmetic; the ONE double division
+#: happens in this shared readout.  Small-range branch: linear counting
+#: when registers remain empty and the raw estimate is below 2.5m.
+_HLL_EST = (
+    "CASE WHEN zeros > 0 AND"
+    " 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 35184372088832.0"
+    " / CAST(total AS DOUBLE) <= 640.0"
+    " THEN 256.0 * LN(256.0 / CAST(zeros AS DOUBLE))"
+    " ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 35184372088832.0"
+    " / CAST(total AS DOUBLE) END"
+)
+
+_HLL_ORACLE = f"""
+WITH dv AS (SELECT DISTINCT event_type, user_id FROM events),
+hashed AS (SELECT event_type, {_HLL_H52_DUCK} AS h52 FROM dv),
+regs AS (
+  SELECT event_type, h52 % 256 AS reg, MAX({_HLL_RHO_DUCK}) AS m_j
+  FROM hashed GROUP BY 1, 2
+),
+sk AS (
+  SELECT event_type,
+         CAST(SUM(1::BIGINT << (45 - m_j)) AS BIGINT)
+           + (256 - COUNT(*)) * (1::BIGINT << 45) AS total,
+         256 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(*) AS n_exact FROM dv GROUP BY event_type
+)
+SELECT s.event_type, e.n_exact,
+       ROUND({_HLL_EST}, 4) AS hll_est,
+       ROUND(({_HLL_EST} - e.n_exact) / e.n_exact, 6) AS rel_error
+FROM sk s JOIN ex e USING (event_type)
+ORDER BY s.event_type
+"""
+
+
+@register(
+    "q_hll_portable",
+    oracle=_HLL_ORACLE,
+    doc="HyperLogLog built from scratch on portable hashes — unlike "
+    "approx_count_distinct (whose Spark-internal sketch no other engine "
+    "can reproduce, hence q_approx_distinct's rows-only check), every "
+    "step here is value-checked: md5-derived 52-bit hash -> 8-bit "
+    "register index + leading-zero rank via bin()/instr() STRING ops "
+    "(pure integer/string arithmetic), registers reduce by MAX (the "
+    "mergeable state — partial aggregation merges registers map-side, "
+    "exactly how a 100 TB scan keeps the shuffle at 256 rows per group), "
+    "and the harmonic-mean readout is scaled by 2^45 so the register "
+    "reduction stays EXACT BIGINT with one shared-text double division "
+    "at the end.  Includes the standard linear-counting small-range "
+    "branch.  rel_error vs the exact distinct count lands within the "
+    "1.04/sqrt(256) = 6.5% design band.",
+    tags=["sketch"],
+)
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dv = ev.select("event_type", "user_id").distinct()
+    hashed = dv.selectExpr("event_type", f"{_HLL_H52_SPARK} AS h52")
+    regs = hashed.selectExpr(
+        "event_type", "h52 % 256 AS reg", f"{_HLL_RHO_SPARK} AS rho"
+    ).groupBy("event_type", "reg").agg(F.max("rho").alias("m_j"))
+    sk = regs.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 45 - m_j)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.expr("shiftleft(1L, 45)")
+        )
+        .cast("bigint")
+        .alias("total"),
+        (F.lit(256) - F.count(F.lit(1))).alias("zeros"),
+    )
+    ex = dv.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        sk.join(ex, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_exact",
+            f"ROUND({_HLL_EST}, 4) AS hll_est",
+            f"ROUND(({_HLL_EST} - n_exact) / n_exact, 6) AS rel_error",
+        )
+        .orderBy("event_type")
+    )
