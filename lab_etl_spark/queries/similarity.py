@@ -402,3 +402,123 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return proj.selectExpr(
         "vec_id", "p0", "p1", _RP_READOUT
     ).orderBy("vec_id")
+
+
+# -- q_kmeans_lloyd ----------------------------------------------------------
+
+KM_K = 4  #: clusters, seeded from vec_id 0..K-1 (deterministic)
+KM_DIM = 64  #: embedding dimensionality (fixed across the corpus)
+
+#: squared-L2 fold — Spark form: sequential `aggregate` over zip_with
+#: (left-to-right), starting from 0.0 (IEEE 0.0 + x == x, so the fold
+#: matches DuckDB's init-less list_reduce bit-for-bit).
+_KM_DIST_SPARK = (
+    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+)
+_KM_DIST_DUCK = (
+    f"list_reduce(list_transform(generate_series(1, {KM_DIM}),"
+    " i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (acc, t) -> acc + t)"
+)
+#: exact per-dimension mean: decimal-exact sum (order-independent) and ONE
+#: deterministic double division — identical text both engines.
+_KM_MEAN = "CAST(SUM(CAST((x) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(x)"
+_KM_WCSS = "ROUND(CAST(SUM(CAST((dist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
+
+
+@register(
+    "q_kmeans_lloyd",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id < {KM_K}),
+    s1 AS (
+      SELECT p.vec_id, p.v, c.cid, {_KM_DIST_DUCK} AS dist
+      FROM pts p CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT cid, i AS pos, v[i] AS x
+      FROM a1, generate_series(1, {KM_DIM}) g(i)
+    ),
+    cm AS (SELECT cid, pos, {_KM_MEAN} AS m FROM dims GROUP BY cid, pos),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM cm GROUP BY cid),
+    s2 AS (
+      SELECT p.vec_id, c.cid, {_KM_DIST_DUCK} AS dist
+      FROM pts p CROSS JOIN c1 c
+    ),
+    a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+           {_KM_WCSS} AS wcss
+    FROM a2 GROUP BY cid ORDER BY cid
+    """,
+    doc="Distributed k-means, two unrolled Lloyd iterations, value-checked "
+    "end-to-end (clustering is usually waved through as 'approximate'; "
+    "here every intermediate is deterministic so DuckDB replays the "
+    "IDENTICAL algorithm and the final assignment counts and WCSS match "
+    "bit-for-bit).  Design: centroids are a K-row BROADCAST — assignment "
+    "is a map-only fold per point (sequential aggregate<->list_reduce, "
+    "bit-identical), never a shuffle of the points; argmin via a "
+    "vec_id-keyed window with (dist, cid) tie-break; the centroid update "
+    "is a posexplode to (cid, dim) cells with EXACT-decimal per-dim "
+    "means (order-independent under hash aggregation, one deterministic "
+    "double division), rebuilt into arrays by sorted collect.  Per "
+    "iteration: one map-only scoring pass + one |K*dim| aggregate — the "
+    "canonical 100 TB k-means schedule (points never move, centroids "
+    "do).  Empty clusters drop out (standard Lloyd); seeding is the "
+    "first K vec_ids, so the whole run is reproducible.",
+)
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    c0 = emb.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", F.expr(_KM_DIST_SPARK)
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "dist")
+        )
+
+    a1 = assign(c0)
+    dims = a1.select(
+        "cid", F.posexplode("v").alias("pos0", "x")
+    ).select("cid", (F.col("pos0") + 1).alias("pos"), "x")
+    cm = dims.groupBy("cid", "pos").agg(F.expr(_KM_MEAN).alias("m"))
+    c1 = cm.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+        ).alias("c")
+    )
+    a2 = assign(c1)
+    return (
+        a2.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.expr(_KM_WCSS).alias("wcss"),
+        )
+        .orderBy("cluster_id")
+    )

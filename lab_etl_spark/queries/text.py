@@ -1208,3 +1208,73 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+#: per-(source, token) KL contribution — IDENTICAL expression text on both
+#: engines so the doubles match bit-for-bit: p*ln(p/q) algebraically
+#: rearranged onto integer counts only (c_sw/n_s vs c_w/n_tot).
+_KL_TERM = (
+    "(CAST(c_sw AS DOUBLE) / n_s)"
+    " * ln((CAST(c_sw AS DOUBLE) * n_tot) / (CAST(n_s AS DOUBLE) * c_w))"
+)
+
+
+@register(
+    "q_kl_divergence",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT source, unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ),
+    sc AS (
+      SELECT source, token, COUNT(*) AS c_sw
+      FROM tokens GROUP BY source, token
+    ),
+    cw AS (SELECT token, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sc GROUP BY token),
+    ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sc GROUP BY source),
+    nt AS (SELECT CAST(SUM(c_sw) AS BIGINT) AS n_tot FROM sc)
+    SELECT s.source, ns.n_s AS n_tokens,
+           ROUND({dsum(_KL_TERM, 12)}, 6) AS kl_to_corpus
+    FROM sc s
+    JOIN cw USING (token)
+    JOIN ns USING (source)
+    CROSS JOIN nt
+    GROUP BY s.source, ns.n_s
+    ORDER BY s.source
+    """,
+    doc="Per-source distribution drift: KL(P_source || P_corpus) over the "
+    "unigram token distributions — the domain-shift / source-weighting "
+    "diagnostic LLM data pipelines run before fixing mixture weights "
+    "(a high-KL source is out-of-distribution vs the blend; near-zero "
+    "means redundant).  Everything reduces off ONE (source, token) count "
+    "table: corpus counts, per-source totals, and the grand total are "
+    "all re-aggregations of sc — the token-level scan is shuffled "
+    "exactly once, map-side combined.  The per-term double p*ln(p/q) is "
+    "computed from integer counts with the identical expression text on "
+    "both engines and summed via exact-decimal accumulation, so the "
+    "divergences are bit-identical.  The token join shuffles sc vs the "
+    "vocabulary (both |vocab|-sized); source totals broadcast.",
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "source", F.explode(F.split(F.trim("text"), " +")).alias("token")
+    )
+    sc = tokens.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c_sw")
+    )
+    cw = sc.groupBy("token").agg(
+        F.sum("c_sw").cast("bigint").alias("c_w")
+    )
+    ns = sc.groupBy("source").agg(
+        F.sum("c_sw").cast("bigint").alias("n_s")
+    )
+    nt = sc.agg(F.sum("c_sw").cast("bigint").alias("n_tot"))
+    return (
+        sc.join(cw, "token")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .groupBy("source", F.col("n_s").alias("n_tokens"))
+        .agg(F.expr(f"ROUND({dsum(_KL_TERM, 12)}, 6)").alias("kl_to_corpus"))
+        .orderBy("source")
+    )

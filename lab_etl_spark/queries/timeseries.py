@@ -1580,3 +1580,88 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.selectExpr(
         "event_type", "lag", "n", _ACF_READOUT
     ).orderBy("event_type", "lag")
+
+
+@register(
+    "q_interval_merge",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, ts, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM b
+    ),
+    f AS (
+      SELECT user_id, ts, event_id, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS ns
+      FROM o
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS iid
+      FROM f
+    ),
+    m AS (
+      SELECT user_id, iid, MIN(s) AS st, MAX(e) AS en
+      FROM isl GROUP BY user_id, iid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(en - st) AS BIGINT) AS covered_s,
+           CAST(MAX(en - st) AS BIGINT) AS max_interval_s
+    FROM m GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Gaps-and-islands interval coalescing: each event opens a 10-min "
+    "activity interval [ts, ts+600s); overlapping/touching intervals per "
+    "user merge into islands via the classic running-max construction — "
+    "prev-rows MAX(end) -> new-island flag -> running SUM = island id — "
+    "then per-island MIN(start)/MAX(end) gives the merged cover.  The "
+    "user_id-keyed window means ONE shuffle serves the running max, the "
+    "island numbering, and both aggregations (sort order reused; no "
+    "self-join of intervals, which is the O(n^2) naive formulation).  "
+    "All arithmetic is integer epoch seconds, so cross-engine parity is "
+    "exact.  The merged-interval primitive underlies uptime/SLA cover, "
+    "ad-session stitching, and genomic range union at any scale.",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 600).alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = ev.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    )
+    flagged = prev.withColumn(
+        "ns",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "iid", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy("user_id", "iid").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("en") - F.col("st")).alias("covered_s"),
+            F.max(F.col("en") - F.col("st")).alias("max_interval_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -250,6 +250,8 @@ _SINGLE_PARTITION_OK = {
     "q_negative_sampling",
     # 1-row broadcast of the basket total for the lift denominator
     "q_market_basket",
+    # 1-row broadcast of the corpus token grand total (KL denominator)
+    "q_kl_divergence",
     # NTILE quartiles run over the per-CUSTOMER aggregate (orders of
     # magnitude smaller than the fact table) — documented compromise;
     # approx-percentile cutpoints replace NTILE beyond ~millions of rows
