@@ -109,7 +109,8 @@ _WINDOW_FRONT = [
     # late-round-4 analytics cohort
     "q_market_basket",
     "q_recursive_cte",
-    # late-round-4 rows-only (binary decode / DTW — no SQL oracle)
+    # late-round-4 binary/DTW cohort (DTW promoted to a full wavefront-
+    # recursion oracle in round 5; the decode queries stay rows-only)
     "q_dtw_distance",
     "q_phash_dedup",
     "q_audio_fingerprint",

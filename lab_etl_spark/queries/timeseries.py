@@ -1005,11 +1005,85 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DTW oracle: the SAME O(n·m) dynamic program replayed as a DuckDB
+#: wavefront recursion (anti-diagonal k = i+j).  A recursive CTE's working
+#: table only holds the previous step, but cell (i,j) needs wavefronts
+#: k-1 (up/left) AND k-2 (diagonal) — so each step CARRIES the k-1 rows
+#: forward tagged 'old' alongside the freshly computed 'new' cells, and
+#: every row expands to its successor contributions via one UNNEST (single
+#: scan of the recursive table, as required).  Cell value =
+#: cost + MIN(available predecessors) — missing boundary predecessors are
+#: simply absent (= +inf), exactly like the kernel's dp initialization.
+#: Float ops match the Pandas kernel bit-for-bit: abs() of the same
+#: exact-decimal daily means, then one addition of the predecessor MIN.
+_DTW_ORACLE = """
+WITH RECURSIVE
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING)
+              AS DOUBLE) / COUNT(*) AS v
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+xs AS (
+  SELECT event_type AS et,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         v AS x
+  FROM daily
+),
+rs AS (
+  SELECT row_number() OVER (ORDER BY day) AS j, v AS r
+  FROM daily WHERE event_type = 'view'
+),
+bounds AS (
+  SELECT et, MAX(i) AS n, (SELECT MAX(j) FROM rs) AS m
+  FROM xs GROUP BY et
+),
+dp AS (
+  SELECT et, 'new' AS tag, 0 AS i, 0 AS j, CAST(0.0 AS DOUBLE) AS v
+  FROM bounds
+  UNION ALL
+  SELECT u.et,
+         CASE WHEN u.tag2 = 'cand' THEN 'new' ELSE 'old' END AS tag,
+         u.i, u.j,
+         CASE WHEN u.tag2 = 'cand'
+              THEN (SELECT abs(x.x - r.r) FROM xs x, rs r
+                    WHERE x.et = u.et AND x.i = u.i AND r.j = u.j) + u.v
+              ELSE u.v END AS v
+  FROM (
+    SELECT et, tag2, ci AS i, cj AS j, MIN(vv) AS v
+    FROM (
+      SELECT d.et, s.ci, s.cj, s.vv, s.tag2
+      FROM dp d
+      JOIN bounds b ON b.et = d.et,
+      UNNEST(CASE WHEN d.tag = 'new' THEN
+               [struct_pack(ci := d.i + 1, cj := d.j, vv := d.v,
+                            tag2 := 'cand'),
+                struct_pack(ci := d.i, cj := d.j + 1, vv := d.v,
+                            tag2 := 'cand'),
+                struct_pack(ci := d.i, cj := d.j, vv := d.v,
+                            tag2 := 'carry')]
+             ELSE
+               [struct_pack(ci := d.i + 1, cj := d.j + 1, vv := d.v,
+                            tag2 := 'cand')]
+             END) AS t(s)
+      WHERE (s.tag2 = 'cand'
+             AND s.ci BETWEEN 1 AND b.n AND s.cj BETWEEN 1 AND b.m)
+         OR (s.tag2 = 'carry' AND d.i + d.j + 1 < b.n + b.m)
+    ) z
+    GROUP BY et, tag2, ci, cj
+  ) u
+)
+SELECT d.et AS event_type, b.n AS n_x, b.m AS n_ref,
+       ROUND(d.v, 6) AS dtw
+FROM dp d JOIN bounds b ON b.et = d.et
+WHERE d.tag = 'new' AND d.i = b.n AND d.j = b.m
+ORDER BY d.et
+"""
+
+
 @register(
     "q_dtw_distance",
-    oracle=None,  # O(n·m) dynamic program — not SQL-expressible; the DP
-    # kernel is pinned against a brute-force reference in
-    # tests/test_advanced.py::test_dtw_matches_bruteforce
+    oracle=_DTW_ORACLE,
     bench=False,
     doc="Dynamic Time Warping distance from each event_type's daily-mean "
     "series to the 'view' reference series — the grouped-map "
@@ -1021,7 +1095,11 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast-style tiny cross join, and Python receives one Arrow "
     "batch per group containing two short aligned series.  At 100 TB "
     "the group count (series count) is the parallelism and the per-group "
-    "payload stays bounded by the series length, not the corpus.",
+    "payload stays bounded by the series length, not the corpus.  "
+    "Promoted from rows-only to a FULL value oracle in round 5: DuckDB "
+    "replays the identical DP as an anti-diagonal wavefront recursion "
+    "(see _DTW_ORACLE) — even the grouped-map Pandas kernel is now "
+    "hash-checked cell-for-cell, not waved through.",
 )
 def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -1062,7 +1140,10 @@ def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type": [pdf.event_type.iloc[0]],
                 "n_x": [n],
                 "n_ref": [m],
-                "dtw": [round(float(dp[n, m]), 6)],
+                # raw double; rounding happens in Spark SQL below so both
+                # engines share ROUND's half-away semantics (Python's
+                # round() is banker's — a silent cross-engine trap)
+                "dtw": [float(dp[n, m])],
             }
         )
 
@@ -1070,6 +1151,9 @@ def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         both.groupBy("event_type")
         .applyInPandas(
             dtw, "event_type string, n_x long, n_ref long, dtw double"
+        )
+        .selectExpr(
+            "event_type", "n_x", "n_ref", "ROUND(dtw, 6) AS dtw"
         )
         .orderBy("event_type")
     )
