@@ -435,32 +435,113 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: q_hll_rollup rides the portable-HLL expression family defined next to
+#: q_hll_portable (queries/sketches.py) so the two-phase sketch algebra is
+#: value-checkable instead of engine-opaque.
+_HLL_ROLLUP_ORACLE_TMPL = """
+WITH dv AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id
+  FROM events GROUP BY 1, 2, 3
+),
+hashed AS (SELECT event_type, day, {h52} AS h52 FROM dv),
+daily_cells AS (
+  SELECT event_type, day, h52 % 256 AS reg, MAX({rho}) AS m_j
+  FROM hashed GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, reg, MAX(m_j) AS m_j
+  FROM daily_cells GROUP BY 1, 2
+),
+sk AS (
+  SELECT event_type,
+         CAST(SUM(1::BIGINT << (45 - m_j)) AS BIGINT)
+           + (256 - COUNT(*)) * (1::BIGINT << 45) AS total,
+         256 - COUNT(*) AS zeros
+  FROM merged GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, COUNT(DISTINCT day) AS n_days
+  FROM daily_cells GROUP BY event_type
+)
+SELECT s.event_type, nd.n_days,
+       ROUND({est}, 4) AS approx_users
+FROM sk s JOIN nd USING (event_type)
+ORDER BY s.event_type
+"""
+
+
 @register(
     "q_hll_rollup",
-    oracle=None,  # HLL estimates are engine-specific; accuracy pinned in
-    # tests/test_advanced.py against exact distinct counts.
-    doc="Mergeable-sketch rollup: per-(event_type, day) HLL sketches of "
-    "user_id, unioned up to event_type level without touching raw data "
-    "again -- the Datasketches pattern that makes daily pre-aggregates "
-    "reusable for any coarser rollup (the whole point of sketch algebra "
-    "at 100 TB: the union phase moves kilobyte sketches, not user IDs).  "
-    "Phase 1 is the only data-sized shuffle; phase 2 shuffles "
-    "|types * days| binary sketches.",
+    oracle=None,  # filled in below once sketches.py's expressions load
+    doc="Mergeable-sketch rollup: per-(event_type, day) HLL register "
+    "sketches of user_id, unioned up to event_type level without "
+    "touching raw data again -- the Datasketches pattern that makes "
+    "daily pre-aggregates reusable for any coarser rollup (the whole "
+    "point of sketch algebra at 100 TB: the union phase moves "
+    "sketch-sized state, not user IDs).  Phase 1 is the only data-sized "
+    "shuffle; phase 2 merges |types * days * 256| register cells by MAX "
+    "-- associative, so rolling up daily sketches is EXACTLY the sketch "
+    "built from the raw scan.  Promoted from rows-only in round 5 by "
+    "switching the sketch payload from Spark's opaque hll_sketch_agg "
+    "binary (the native alternative: hll_union_agg over kilobyte "
+    "blobs) to the portable md5-register representation shared with "
+    "q_hll_portable, which DuckDB replays exactly -- the rollup "
+    "estimate is now value-checked, and equals q_hll_portable's "
+    "single-pass estimate by the associativity it demonstrates.",
 )
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sketches import _HLL_EST, _HLL_H52_SPARK, _HLL_RHO_SPARK
+
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_days"),
-            F.hll_sketch_estimate(
-                F.hll_union_agg("sketch")
-            ).alias("approx_users"),
-        )
+    dv = ev.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    hashed = dv.selectExpr(
+        "event_type", "day", f"{_HLL_H52_SPARK} AS h52"
     )
+    daily_cells = (
+        hashed.selectExpr(
+            "event_type", "day", "h52 % 256 AS reg",
+            f"{_HLL_RHO_SPARK} AS rho",
+        )
+        .groupBy("event_type", "day", "reg")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    merged = daily_cells.groupBy("event_type", "reg").agg(
+        F.max("m_j").alias("m_j")
+    )
+    sk = merged.groupBy("event_type").agg(
+        (
+            F.sum(F.expr("shiftleft(1L, 45 - m_j)"))
+            + (F.lit(256) - F.count(F.lit(1)))
+            * F.expr("shiftleft(1L, 45)")
+        )
+        .cast("bigint")
+        .alias("total"),
+        (F.lit(256) - F.count(F.lit(1))).alias("zeros"),
+    )
+    nd = daily_cells.groupBy("event_type").agg(
+        F.countDistinct("day").alias("n_days")
+    )
+    return (
+        sk.join(nd, "event_type")
+        .selectExpr(
+            "event_type", "n_days", f"ROUND({_HLL_EST}, 4) AS approx_users"
+        )
+        .orderBy("event_type")
+    )
+
+
+def _wire_hll_rollup_oracle() -> None:
+    from . import REGISTRY
+    from .sketches import _HLL_EST, _HLL_H52_DUCK, _HLL_RHO_DUCK
+
+    REGISTRY["q_hll_rollup"].oracle = _HLL_ROLLUP_ORACLE_TMPL.format(
+        h52=_HLL_H52_DUCK, rho=_HLL_RHO_DUCK, est=_HLL_EST
+    )
+
+
+_wire_hll_rollup_oracle()
 
 
 # ---------------------------------------------------------------------------
