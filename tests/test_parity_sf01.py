@@ -35,6 +35,15 @@ SAMPLE = [
     "q_random_projection",
     "q_mutual_information",
     "q_linreg_trend",
+    # round-5 batch: sketch readout, KL ln sums, k-means fold/mean chain,
+    # DTW wavefront DP — each an exact-double discipline under 10x rows
+    "q_hll_portable",
+    "q_hll_rollup",
+    "q_kl_divergence",
+    "q_kmeans_lloyd",
+    "q_dtw_distance",
+    "q_skyline_2d",
+    "q_interval_merge",
 ]
 
 REGISTRY = load_all()
