@@ -25,6 +25,7 @@ the composed plan is fine.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 #: exact accumulator for rank contributions — same SQL text runs in DuckDB
@@ -181,3 +182,46 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         )
         del prev
     return deg.filter(F.col("deg") >= k).select("v", "deg")
+
+
+def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected id-ordered edge list ``(p1, p2)``.  Every vertex starts
+    with its own id as label; each round it adopts the most frequent
+    label among its neighbors, ties broken by the SMALLEST label — the
+    deterministic variant of LPA (raw LPA breaks ties randomly, which
+    would never survive a cross-engine value check).  Returns
+    ``(v, label)`` after ``rounds`` synchronous updates.
+
+    Like :func:`kcore`, ``rounds`` is a fixed unroll: the result is the
+    well-defined "LPA after R synchronous rounds" on any engine (the
+    registered query's DuckDB oracle unrolls identical rounds as a CTE
+    chain).  Each round is one edge⋈label join (vertex-keyed shuffle),
+    one (v, label) count aggregation, and one per-vertex argmax window —
+    all keyed by vertex id, so a round costs O(|E|/p) per partition at
+    any scale; labels localCheckpoint per round to keep lineage O(1).
+    """
+    und = (
+        edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+        .unionAll(edges.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = und.select(F.col("a").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        cnt = (
+            und.join(labels.select(F.col("v").alias("b2"), "label"),
+                     F.col("b") == F.col("b2"))
+            .groupBy(F.col("a").alias("v"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", "label")
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return labels

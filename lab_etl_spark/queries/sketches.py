@@ -1037,3 +1037,188 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile-histogram sketch (value-checked, unlike approx_percentile)
+# ---------------------------------------------------------------------------
+
+QH_BIN = 1000.0  #: fixed bin width over o_totalprice (abs error <= BIN/2)
+
+#: bucket assignment and midpoint readout — deterministic double ops only
+#: (division and multiplication are correctly rounded IEEE; no exp/pow)
+_QH_BUCKET = "CAST(floor(o_totalprice / 1000.0) AS BIGINT)"
+_QH_REL_ERR = (
+    "ROUND(((CAST(bucket AS DOUBLE) + 0.5) * 1000.0 - exact_p)"
+    " / exact_p, 6)"
+)
+
+
+@register(
+    "q_quantile_histogram",
+    oracle=f"""
+    WITH cells AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             {_QH_BUCKET} AS bucket, COUNT(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    merged AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS c
+               FROM cells GROUP BY bucket),
+    cum AS (
+      SELECT bucket,
+             CAST(SUM(c) OVER (ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM merged
+    ),
+    nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM merged),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) t(qpct)),
+    hit AS (
+      SELECT q.qpct, MIN(c.bucket) AS bucket
+      FROM qs q CROSS JOIN nt, cum c
+      WHERE 100 * c.cum >= q.qpct * nt.n
+      GROUP BY q.qpct
+    ),
+    ex AS (
+      SELECT UNNEST([50, 90, 99]) AS qpct,
+             UNNEST([quantile_cont(o_totalprice, 0.50),
+                     quantile_cont(o_totalprice, 0.90),
+                     quantile_cont(o_totalprice, 0.99)]) AS exact_p
+      FROM orders
+    )
+    SELECT h.qpct, h.bucket,
+           (CAST(bucket AS DOUBLE) + 0.5) * 1000.0 AS est_mid,
+           ROUND(exact_p, 6) AS exact_pctl,
+           {_QH_REL_ERR} AS rel_err
+    FROM hit h JOIN ex USING (qpct)
+    ORDER BY h.qpct
+    """,
+    doc="Mergeable quantile-histogram sketch, value-checked end to end "
+    "(the portable counterpart of q_approx_percentile's rows-only GK "
+    "demo, the same relationship q_hll_portable has to "
+    "q_approx_distinct): fixed-width bins over o_totalprice give "
+    "per-month (bucket, count) cells — phase 1, the only data-sized "
+    "shuffle, map-side combined; phase 2 merges month sketches by "
+    "summing cells (the mergeable algebra: any coarser rollup reuses "
+    "the same cells); the quantile readout walks the cumulative "
+    "histogram with a PURE-INTEGER threshold (100*cum >= q*N — no "
+    "float boundary to flip cross-engine) and reports the bin "
+    "midpoint, whose abs error is bounded by BIN/2 by construction.  "
+    "The cumulative walk and readout run on the sketch (|buckets| "
+    "rows), never the data; exact interpolated percentiles ride along "
+    "to measure the bound.  All double ops are correctly-rounded "
+    "division/multiplication — no exp/pow (the q_weighted_sample ulp "
+    "lesson).",
+    tags=["sketch"],
+)
+def q_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("mon"),
+        F.expr(_QH_BUCKET).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = cells.groupBy("bucket").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    # cumulative walk over the SKETCH (|buckets| rows, sketch-sized —
+    # the global-order window is on purpose; see _SINGLE_PARTITION_OK)
+    cum = merged.withColumn(
+        "cum",
+        F.sum("c")
+        .over(W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    nt = merged.agg(F.sum("c").cast("bigint").alias("n"))
+    qs = nt.selectExpr("explode(array(50, 90, 99)) AS qpct", "n")
+    hit = (
+        qs.join(
+            F.broadcast(cum.select("bucket", "cum")),
+            F.lit(100) * F.col("cum") >= F.col("qpct") * F.col("n"),
+        )
+        .groupBy("qpct")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    ex = orders.agg(
+        F.expr("percentile(o_totalprice, 0.50)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.90)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    ).selectExpr("stack(3, 50, p50, 90, p90, 99, p99) AS (qpct, exact_p)")
+    return (
+        hit.join(F.broadcast(ex), "qpct")
+        .selectExpr(
+            "qpct",
+            "bucket",
+            "(CAST(bucket AS DOUBLE) + 0.5) * 1000.0 AS est_mid",
+            "ROUND(exact_p, 6) AS exact_pctl",
+            f"{_QH_REL_ERR} AS rel_err",
+        )
+        .orderBy("qpct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous LPA as a CTE chain — the DuckDB twin of
+    operators/graph.py label_propagation (same rounds, same smallest-label
+    tie-break, so the cross-engine check is exact mid-convergence)."""
+    ctes = [
+        "pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        f"""edges AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM pp a JOIN pp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+    )""",
+        "und AS (SELECT p1 AS a, p2 AS b FROM edges"
+        " UNION ALL SELECT p2, p1 FROM edges)",
+        "l0 AS (SELECT DISTINCT a AS v, a AS label FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"c{i} AS (SELECT u.a AS v, p.label, COUNT(*) AS c"
+            f" FROM und u JOIN l{i - 1} p ON u.b = p.v"
+            " GROUP BY u.a, p.label)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT v, label FROM ("
+            "SELECT v, label, row_number() OVER ("
+            "PARTITION BY v ORDER BY c DESC, label) AS rn"
+            f" FROM c{i}) WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v, label FROM l{rounds} ORDER BY v"
+    )
+
+
+@register(
+    "q_label_propagation",
+    oracle=_lpa_oracle(LPA_ROUNDS),
+    doc="Community detection by synchronous label propagation over the "
+    "support-filtered co-purchase graph (operators/graph.py "
+    "label_propagation): every part starts as its own community and "
+    "repeatedly adopts its neighbors' most frequent label, smallest "
+    "label on ties — the deterministic LPA variant, which is what makes "
+    "a cross-engine VALUE check possible at all (textbook LPA breaks "
+    "ties randomly).  Complements the existing graph family: k-core "
+    "finds the dense core, triangles count cohesion, connected "
+    "components find reachability — LPA finds the community partition.  "
+    f"Fixed {LPA_ROUNDS}-round unroll; the oracle replays identical "
+    "rounds as a CTE chain.  Each round is one vertex-keyed edge⋈label "
+    "join + one (v,label) count + one per-vertex argmax window — every "
+    "shuffle keyed by vertex id, labels localCheckpoint'ed per round so "
+    "lineage stays O(1); rounds scale with diameter, never graph size.",
+    tags=["graph"],
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    edges = copurchase_edges(spark, sf_dir)
+    return label_propagation(edges, LPA_ROUNDS).orderBy("v")

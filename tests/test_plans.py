@@ -252,6 +252,9 @@ _SINGLE_PARTITION_OK = {
     "q_market_basket",
     # 1-row broadcast of the corpus token grand total (KL denominator)
     "q_kl_divergence",
+    # cumulative walk over the merged histogram SKETCH (|buckets| rows,
+    # sketch-sized by construction — never the data)
+    "q_quantile_histogram",
     # NTILE quartiles run over the per-CUSTOMER aggregate (orders of
     # magnitude smaller than the fact table) — documented compromise;
     # approx-percentile cutpoints replace NTILE beyond ~millions of rows
@@ -289,6 +292,7 @@ _SWEEP_SKIP = {
     "q_shortest_path",
     "q_triangle_count",  # edges + oriented edges checkpointed (reused 3x/2x)
     "q_kcore",  # per-round frontier localCheckpoint (CC discipline)
+    "q_label_propagation",  # per-round label localCheckpoint (CC discipline)
     "q_mutual_information",  # joint-count table checkpointed (reused 4x)
 }
 
