@@ -1278,3 +1278,209 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr(f"ROUND({dsum(_KL_TERM, 12)}, 6)").alias("kl_to_corpus"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING (merge learning) — two unrolled rounds
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 2
+
+
+def _bpe_round_ctes(i: int) -> str:
+    """One BPE merge-learning round as DuckDB CTEs — the oracle twin of the
+    Spark stages in q_bpe_train (same pair weighting, same greedy leftmost
+    non-overlapping merge via the gaps-and-islands parity trick)."""
+    p = i - 1
+    return f"""
+pairs{i} AS (
+  SELECT a.sym AS s1, b.sym AS s2, CAST(SUM(a.c) AS BIGINT) AS cnt
+  FROM sym{p} a JOIN sym{p} b ON a.word = b.word AND b.pos = a.pos + 1
+  GROUP BY a.sym, b.sym
+),
+top{i} AS (SELECT s1, s2, cnt FROM pairs{i}
+           ORDER BY cnt DESC, s1, s2 LIMIT 1),
+m{i} AS (
+  SELECT a.word, a.pos
+  FROM sym{p} a JOIN sym{p} b ON a.word = b.word AND b.pos = a.pos + 1
+  CROSS JOIN top{i} t
+  WHERE a.sym = t.s1 AND b.sym = t.s2
+),
+keep{i} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM (
+      SELECT word, pos,
+             pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+      FROM m{i}
+    ) g
+  ) h WHERE off % 2 = 0
+),
+sym{i} AS (
+  SELECT word, c,
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         sym
+  FROM (
+    SELECT s.word, s.c, s.pos,
+           CASE WHEN k.pos IS NOT NULL THEN s.sym || t.sym2
+                ELSE s.sym END AS sym
+    FROM sym{p} s
+    CROSS JOIN (SELECT s2 AS sym2 FROM top{i}) t
+    LEFT JOIN keep{i} k ON k.word = s.word AND k.pos = s.pos
+    LEFT JOIN keep{i} k2 ON k2.word = s.word AND k2.pos = s.pos - 1
+    WHERE k2.pos IS NULL
+  ) z
+)"""
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    sql = """WITH
+wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split_regex(trim(text), ' +')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+sym0 AS (
+  SELECT word, c, u.i AS pos, substr(word, u.i, 1) AS sym
+  FROM wc, UNNEST(generate_series(1, len(word))) AS u(i)
+)"""
+    sql += "".join("," + _bpe_round_ctes(i) for i in range(1, rounds + 1))
+    sql += "\nSELECT * FROM (\n" + "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, s1, s2, cnt FROM top{i}"
+        for i in range(1, rounds + 1)
+    ) + "\n) ORDER BY rank"
+    return sql
+
+
+@register(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(BPE_TRAIN_ROUNDS),
+    doc="BPE tokenizer TRAINING as distributed relational algebra — the "
+    "counterpart of q_text_tokens_bpe (which APPLIES merges): learn the "
+    f"first {BPE_TRAIN_ROUNDS} merge rules from the corpus, value-checked "
+    "against DuckDB replaying identical rounds.  The corpus collapses "
+    "once into the (word, count) vocabulary (the only data-sized pass, "
+    "the classic map-side-combined wordcount — all later state is "
+    "VOCAB-sized, the property that makes 100 TB BPE training feasible); "
+    "each round is (1) a weighted adjacent-pair count via a (word, "
+    "pos+1) self-join, (2) the argmax pair by ORDER BY cnt DESC LIMIT 1 "
+    "(TakeOrderedAndProject — per-partition heaps, no global sort, then "
+    "a 1-row broadcast), (3) greedy LEFTMOST non-overlapping merge: "
+    "match positions form gaps-and-islands runs and only even offsets "
+    "within a run merge (exactly Sennrich-BPE's scan semantics, e.g. "
+    "'aaaa' -> [aa][aa]), (4) position reindex by a word-keyed window.  "
+    "Every window and join is keyed by word, counts are integer-exact, "
+    "ties break lexicographically — fully deterministic on any engine.  "
+    "Production training runs ~30k rounds of this same per-round plan "
+    "with the pair-count table incrementally maintained; the 2-round "
+    "unroll pins the algebra.",
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), " +")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    sym = wc.select(
+        "word",
+        "c",
+        F.expr("explode(sequence(1, length(word)))").alias("pos"),
+    ).withColumn("sym", F.expr("substr(word, pos, 1)"))
+
+    learned = []
+    for i in range(1, BPE_TRAIN_ROUNDS + 1):
+        a = sym.select(
+            "word", "c", F.col("pos").alias("apos"), F.col("sym").alias("s1")
+        )
+        b = sym.select(
+            F.col("word").alias("bword"),
+            F.col("pos").alias("bpos"),
+            F.col("sym").alias("s2"),
+        )
+        adj = a.join(
+            b,
+            (F.col("word") == F.col("bword"))
+            & (F.col("bpos") == F.col("apos") + 1),
+        )
+        pairs = adj.groupBy("s1", "s2").agg(
+            F.sum("c").cast("bigint").alias("cnt")
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("s1"), F.asc("s2")
+        ).limit(1)
+        learned.append(top.select(F.lit(i).alias("rank"), "s1", "s2", "cnt"))
+
+        m = (
+            adj.crossJoin(
+                F.broadcast(
+                    top.select(
+                        F.col("s1").alias("t1"), F.col("s2").alias("t2")
+                    )
+                )
+            )
+            .filter((F.col("s1") == F.col("t1")) & (F.col("s2") == F.col("t2")))
+            .select("word", F.col("apos").alias("pos"))
+        )
+        wg = W.partitionBy("word").orderBy("pos")
+        runs = m.withColumn(
+            "grp", F.col("pos") - F.row_number().over(wg)
+        )
+        keep = (
+            runs.withColumn(
+                "off",
+                F.col("pos")
+                - F.min("pos").over(W.partitionBy("word", "grp")),
+            )
+            .filter(F.col("off") % 2 == 0)
+            .select(F.col("word").alias("kword"), F.col("pos").alias("kpos"))
+        )
+        merged = (
+            sym.crossJoin(
+                F.broadcast(top.select(F.col("s2").alias("sym2")))
+            )
+            .join(
+                keep,
+                (F.col("word") == F.col("kword"))
+                & (F.col("pos") == F.col("kpos")),
+                "left",
+            )
+            .join(
+                keep.select(
+                    F.col("kword").alias("k2word"),
+                    F.col("kpos").alias("k2pos"),
+                ),
+                (F.col("word") == F.col("k2word"))
+                & (F.col("pos") - 1 == F.col("k2pos")),
+                "left",
+            )
+            .filter(F.col("k2pos").isNull())
+            .select(
+                "word",
+                "c",
+                "pos",
+                F.when(
+                    F.col("kpos").isNotNull(),
+                    F.concat("sym", "sym2"),
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+        )
+        sym = merged.select(
+            "word",
+            "c",
+            F.row_number().over(wg).alias("pos"),
+            "sym",
+        )
+
+    out = learned[0]
+    for t in learned[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("rank")

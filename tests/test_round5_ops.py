@@ -137,3 +137,34 @@ def test_hll_portable_error_within_design_band(spark, sf_dir):
     (1.04/sqrt(256) = 6.5%; linear counting tightens the small range)."""
     for r in REGISTRY["q_hll_portable"].fn(spark, sf_dir).collect():
         assert abs(r["rel_error"]) < 0.13, r
+
+
+def test_bpe_train_greedy_merge_semantics(spark):
+    """The merge scan is Sennrich-greedy: a run of overlapping matches
+    merges leftmost-first ('aaaa' -> [aa][aa], never [a][aa][a]) — pinned
+    on a toy corpus through the SAME oracle the driver runs."""
+    import duckdb
+
+    from lab_etl_spark.queries.text import _bpe_train_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES"
+        " ('aaaa aaaa ab'), ('aaaa xy')) t(text)"
+    )
+    got = con.execute(_bpe_train_oracle(2)).fetchdf()
+    # round 1: (a,a) appears 3x per 'aaaa' occurrence = 9 (+0 from ab/xy)
+    assert tuple(got.iloc[0][["s1", "s2", "cnt"]]) == ("a", "a", 9)
+    # after greedy merge 'aaaa' -> [aa][aa]: round 2's top is (aa,aa)
+    # with one adjacency per word occurrence (weight 3) — the pair only
+    # exists at all if the leftmost-first parity rule held
+    assert tuple(got.iloc[1][["s1", "s2", "cnt"]]) == ("aa", "aa", 3)
+    con.close()
+
+
+def test_bpe_train_counts_monotone(spark, sf_dir):
+    """Merge ranks come out in non-increasing pair-count order (rank-1 is
+    the global argmax; later merges can't beat it)."""
+    rows = REGISTRY["q_bpe_train"].fn(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[0]["cnt"] >= rows[1]["cnt"] > 0
