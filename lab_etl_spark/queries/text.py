@@ -1260,9 +1260,14 @@ def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = docs.select(
         "source", F.explode(F.split(F.trim("text"), " +")).alias("token")
     )
+    # persisted: cw/ns/nt below are three re-aggregations of this one
+    # vocab-sized table — without the persist each branch would replay the
+    # token-level scan+shuffle (verified: 8 parquet scans in the static
+    # plan; with persist the shuffle runs once and the branches read the
+    # cached cells).  Lazy, so plan-sweep safe; released when refs die.
     sc = tokens.groupBy("source", "token").agg(
         F.count(F.lit(1)).alias("c_sw")
-    )
+    ).persist()
     cw = sc.groupBy("token").agg(
         F.sum("c_sw").cast("bigint").alias("c_w")
     )
@@ -1388,11 +1393,18 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    # per-round state is persisted: sym feeds three consumers per round
+    # (both sides of the adjacency self-join and the merge rewrite) and
+    # round i+1's whole lineage hangs off round i — without persists the
+    # static plan replays the corpus scan 48 times for 2 rounds (3^rounds
+    # growth).  All persisted frames are VOCAB-sized; lazy, so the plan
+    # sweep still sees a pure declarative plan, and the blocks die with
+    # the query's references.
     sym = wc.select(
         "word",
         "c",
         F.expr("explode(sequence(1, length(word)))").alias("pos"),
-    ).withColumn("sym", F.expr("substr(word, pos, 1)"))
+    ).withColumn("sym", F.expr("substr(word, pos, 1)")).persist()
 
     learned = []
     for i in range(1, BPE_TRAIN_ROUNDS + 1):
@@ -1408,7 +1420,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("word") == F.col("bword"))
             & (F.col("bpos") == F.col("apos") + 1),
-        )
+        ).persist()
         pairs = adj.groupBy("s1", "s2").agg(
             F.sum("c").cast("bigint").alias("cnt")
         )
@@ -1478,7 +1490,7 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c",
             F.row_number().over(wg).alias("pos"),
             "sym",
-        )
+        ).persist()
 
     out = learned[0]
     for t in learned[1:]:
