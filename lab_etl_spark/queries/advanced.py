@@ -506,6 +506,10 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "day", "reg")
         .agg(F.max("rho").alias("m_j"))
+        # persisted: the merge phase and the n_days count both reduce the
+        # daily cell table (|types*days*256| rows) — without it each
+        # branch replays the data-sized phase-1 shuffle
+        .persist()
     )
     merged = daily_cells.groupBy("event_type", "reg").agg(
         F.max("m_j").alias("m_j")

@@ -487,7 +487,9 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
-    )
+    ).persist()  # points are scanned once per Lloyd pass + seeding; caching
+    # the point set is the canonical k-means schedule (Spark ML does the
+    # same) — MEMORY_AND_DISK spill covers the 100 TB case
     c0 = emb.filter(F.col("vec_id") < KM_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("c")
     )

@@ -1011,7 +1011,9 @@ ORDER BY s.event_type
 )
 def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    dv = ev.select("event_type", "user_id").distinct()
+    # persisted: the sketch branch and the exact-count reference branch
+    # both reduce this distinct set — one data-sized pass, not two
+    dv = ev.select("event_type", "user_id").distinct().persist()
     hashed = dv.selectExpr("event_type", f"{_HLL_H52_SPARK} AS h52")
     regs = hashed.selectExpr(
         "event_type", "h52 % 256 AS reg", f"{_HLL_RHO_SPARK} AS rho"
@@ -1120,7 +1122,7 @@ def q_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("c"))
     merged = cells.groupBy("bucket").agg(
         F.sum("c").cast("bigint").alias("c")
-    )
+    ).persist()  # |buckets| rows; cum walk and grand total both read it
     # cumulative walk over the SKETCH (|buckets| rows, sketch-sized —
     # the global-order window is on purpose; see _SINGLE_PARTITION_OK)
     cum = merged.withColumn(
