@@ -184,11 +184,12 @@ _LAST_GREEN = {
 # ROUND-6 ROTATION DUTY: the front above holds 31 entries; the remaining
 # 19 slots fill with never-checked round-5 additions (absent from
 # _LAST_GREEN, so they sort ahead of all veterans automatically).  The
-# round-5 additions total 21, so exactly two spill past the 50-entry
-# window: q_interval_merge and q_webdataset_roundtrip — both written in
-# round 5 itself and both green in the local twin at sf0.001/sf0.01
-# (q_interval_merge also at sf0.1, tests/test_parity_sf01.py).  Round 6:
-# front those two spills plus any round-5 red rows, then resume the
+# round-5 additions total 22, so exactly three spill past the 50-entry
+# window: q_acf, q_interval_merge, and q_webdataset_roundtrip — all
+# written in round 5 itself and all green in the local twin at
+# sf0.001/sf0.01 (q_acf/q_interval_merge also at sf0.1,
+# tests/test_parity_sf01.py).  Round 6:
+# front those three spills plus any round-5 red rows, then resume the
 # r2-stale veteran cycle (q_scalar_fns through q_interp_by_key in
 # registry order), then the r3 cohort.  Regenerate _LAST_GREEN from
 # CORRECTNESS_r0{1..5}.json first.

@@ -714,3 +714,56 @@ def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_arrow_roundtrip",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           {dsum('value', 6)} AS sum_value,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Arrow IPC (Feather V2) interchange round-trip: events written as "
+    "one .arrow shard per partition (sources/arrow_ipc.py mapInPandas "
+    "writer — Spark ships no Arrow *file* codec even though its Python "
+    "exchange layer is Arrow), read back via a binaryFile-per-shard "
+    "record-batch reader, and aggregated per type.  Parity vs the oracle "
+    "over the source parquet proves the conversion is lossless for "
+    "longs, doubles, strings, and microsecond tz-naive timestamps.  "
+    "Arrow IPC shards are what PyTorch/Polars/DuckDB loaders mmap "
+    "directly — the zero-copy handoff from a 100 TB Spark curation job "
+    "to the training stack, columnar sibling of the WebDataset tar "
+    "shards.  (mapInPandas here is the justified per-FILE Python "
+    "surface, not row-path UDF work.)",
+    bench=False,  # dominated by the eager format-conversion write
+)
+def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.arrow_ipc import (
+        EVENTS_SCHEMA,
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    scratch = scratch_dir("events_arrow", sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    write_arrow_ipc(ev, scratch, n_shards=8)
+    back = read_arrow_ipc(spark, scratch, EVENTS_SCHEMA)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )

@@ -282,6 +282,7 @@ _SWEEP_SKIP = {
     "q_orc_roundtrip",
     "q_xml_roundtrip",
     "q_webdataset_roundtrip",
+    "q_arrow_roundtrip",
     "q_stats_pruning",
     "q_point_lookup_bloom",
     "q_dynamic_partition_pruning",
