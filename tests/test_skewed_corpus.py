@@ -28,6 +28,13 @@ SKEW_SENSITIVE = [
     "q_stream_session",
     "q_funnel",
     "q_interarrival",
+    # round-5 additions with per-key windows / vocab joins: the hot user
+    # owns half of every interval island and HLL register stream
+    "q_interval_merge",
+    "q_hll_portable",
+    "q_hll_rollup",
+    "q_kl_divergence",
+    "q_bpe_train",
 ]
 
 
