@@ -44,6 +44,9 @@ SAMPLE = [
     "q_dtw_distance",
     "q_skyline_2d",
     "q_interval_merge",
+    "q_quantile_histogram",
+    "q_bpe_train",
+    "q_label_propagation",
 ]
 
 REGISTRY = load_all()
