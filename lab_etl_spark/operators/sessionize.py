@@ -58,3 +58,54 @@ def session_stats(
         F.sum("n").alias("n_events"),
         F.max("n").alias("max_session_events"),
     )
+
+
+def merge_intervals(
+    events: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    dur_s: int = 600,
+    epoch: Column | None = None,
+) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each event opens the interval
+    ``[epoch, epoch + dur_s)``; overlapping or touching intervals per key
+    merge into islands via the running-max construction (prev-rows MAX of
+    interval end → new-island flag → running SUM = island id).  Returns
+    per-key ``(n_intervals, covered_s, max_interval_s)`` — the merged
+    cover, all integer-exact.
+
+    One ``by``-keyed window serves the running max, the island numbering,
+    and both aggregations (sort order reused) — never the O(n²) interval
+    self-join.  ``epoch`` overrides the seconds expression, matching
+    :func:`assign_sessions`.
+    """
+    e = epoch if epoch is not None else F.unix_timestamp(ts)
+    ev = events.select(
+        F.col(by),
+        F.col(ts),
+        F.col(tiebreak),
+        e.alias("s"),
+        (e + dur_s).alias("e"),
+    )
+    w = W.partitionBy(by).orderBy(ts, tiebreak)
+    prev = ev.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    )
+    flagged = prev.withColumn(
+        "ns",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "iid", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    merged = isl.groupBy(by, "iid").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return merged.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("en") - F.col("st")).alias("covered_s"),
+        F.max(F.col("en") - F.col("st")).alias("max_interval_s"),
+    )

@@ -1717,35 +1717,9 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ad-session stitching, and genomic range union at any scale.",
 )
 def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.unix_timestamp("ts").alias("s"),
-        (F.unix_timestamp("ts") + 600).alias("e"),
-    )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = ev.withColumn(
-        "pmax", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))
-    )
-    flagged = prev.withColumn(
-        "ns",
-        F.when(
-            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
-        ).otherwise(0),
-    )
-    isl = flagged.withColumn(
-        "iid", F.sum("ns").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
-    merged = isl.groupBy("user_id", "iid").agg(
-        F.min("s").alias("st"), F.max("e").alias("en")
-    )
-    return (
-        merged.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_intervals"),
-            F.sum(F.col("en") - F.col("st")).alias("covered_s"),
-            F.max(F.col("en") - F.col("st")).alias("max_interval_s"),
-        )
-        .orderBy("user_id")
-    )
+    from ..operators.sessionize import merge_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    return merge_intervals(
+        ev.select("user_id", "ts", "event_id"), dur_s=600
+    ).orderBy("user_id")

@@ -109,3 +109,50 @@ def test_interpolation_matches_numpy(spark, samples, grid):
             assert got is not None and abs(got - want) <= 5e-7 + 1e-9 * abs(
                 want
             ), (g, got, want)
+
+
+_iv_event = st.tuples(
+    st.integers(min_value=0, max_value=2),  # user
+    st.integers(min_value=0, max_value=3000),  # ts seconds
+)
+
+
+def _brute_cover(rows, dur):
+    """rows: (user, ts, eid) → {user: (n_intervals, covered, max)} via
+    explicit second-by-second union of [ts, ts+dur)."""
+    out = {}
+    by_user = {}
+    for u, ts, _ in rows:
+        by_user.setdefault(u, set()).update(range(ts, ts + dur))
+    for u, secs in by_user.items():
+        secs = sorted(secs)
+        runs, start = [], secs[0]
+        for a, b in zip(secs, secs[1:]):
+            if b != a + 1:
+                runs.append(a + 1 - start)
+                start = b
+        runs.append(secs[-1] + 1 - start)
+        out[u] = (len(runs), sum(runs), max(runs))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=st.lists(_iv_event, min_size=1, max_size=25))
+def test_merge_intervals_matches_bruteforce(spark, events):
+    from lab_etl_spark.operators.sessionize import merge_intervals
+
+    rows = [(u, ts, i) for i, (u, ts) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_id bigint"
+    )
+    got = {
+        r.user_id: (r.n_intervals, r.covered_s, r.max_interval_s)
+        for r in merge_intervals(
+            df, dur_s=60, epoch=F.col("ts")
+        ).collect()
+    }
+    assert got == _brute_cover(rows, 60)
