@@ -410,3 +410,37 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
     # at execution time, not via a static predicate.
     p = _fmt(REGISTRY["q_dynamic_partition_pruning"].fn(spark, sf_dir))
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_kmeans_assignment_is_broadcast_map_only(spark, sf_dir):
+    # Both Lloyd scoring passes must ride a broadcast of the K centroids
+    # (BroadcastNestedLoopJoin over the 4-row dim) — a shuffled join here
+    # would move the POINTS, the k-means scale killer.
+    import re
+
+    p = _fmt(REGISTRY["q_kmeans_lloyd"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_bpe_argmax_uses_heap_not_global_sort(spark, sf_dir):
+    # The per-round top-pair pick must compile to TakeOrderedAndProject
+    # (per-partition heaps + 1-row result), never a global Sort of the
+    # pair-count table.
+    p = _fmt(REGISTRY["q_bpe_train"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_interval_merge_single_data_shuffle(spark, sf_dir):
+    # One user_id exchange serves the running max, island numbering, and
+    # both aggregations; only the presentation orderBy may add a range
+    # exchange on the per-user aggregate.
+    import re
+
+    p = _fmt(REGISTRY["q_interval_merge"].fn(spark, sf_dir))
+    hash_ex = [
+        ln
+        for ln in p.splitlines()
+        if "Arguments: hashpartitioning" in ln
+    ]
+    assert len(hash_ex) <= 1, p
