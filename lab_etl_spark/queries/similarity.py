@@ -524,3 +524,110 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# -- q_rrf_fusion ------------------------------------------------------------
+
+RRF_K = 60  #: the standard reciprocal-rank-fusion damping constant
+RRF_TOPN = 100  #: per-ranker candidate list length fused
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=None,  # composed below once text.py's BM25 oracle is loaded
+    doc="Hybrid-retrieval reciprocal-rank fusion — the capstone that "
+    "COMPOSES two existing rankers: the BM25 lexical scorer (q_bm25, "
+    "fixed query terms) and the exact cosine semantic ranker "
+    "(operators/similarity.py cosine_topk, query = embedding 0, doc_id "
+    "keyed by vec_id), fused as sum of 1/(60 + rank) — the standard "
+    "RAG hybrid-search primitive.  Scale shape: each ranker reduces to "
+    f"its top-{RRF_TOPN} list FIRST (BM25 via TakeOrderedAndProject "
+    "per-partition heaps; cosine via the query-keyed ranked window), so "
+    "ranking and fusion happen on two CONSTANT-SIZE lists — the corpus "
+    "is scanned once per ranker and never globally sorted (fusing full "
+    "rankings is the textbook mistake; production fuses top-K lists).  "
+    "Determinism: both scores are bit-stable cross-engine (shared "
+    "fold/readout text), ranks tie-break on doc_id, and the RRF sum is "
+    "two exact double divisions added in fixed written order.",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import q_bm25
+
+    lex_top = (
+        q_bm25(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(RRF_TOPN)
+    )
+    # rank within the constant-size top list (RRF_TOPN rows by
+    # construction — see _SINGLE_PARTITION_OK)
+    lex = lex_top.withColumn(
+        "lex_rank",
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).select("doc_id", "lex_rank")
+
+    em = load_table(spark, sf_dir, "embeddings")
+    sem = (
+        cosine_topk(em.filter(F.col("vec_id") == 0), em, k=RRF_TOPN)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk").alias("sem_rank"),
+        )
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .selectExpr(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            f"ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)"
+            f" + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf",
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+def _wire_rrf_oracle() -> None:
+    from . import REGISTRY
+
+    bm25_oracle = REGISTRY["q_bm25"].oracle
+    cos = (
+        _DOT_DUCK.format(a="q.embedding", b="e.embedding")
+        + " / (SQRT("
+        + _SQNORM_DUCK.format(v="q.embedding")
+        + ") * SQRT("
+        + _SQNORM_DUCK.format(v="e.embedding")
+        + "))"
+    )
+    REGISTRY["q_rrf_fusion"].oracle = f"""
+    WITH lex_top AS (
+      SELECT doc_id, bm25 FROM ({bm25_oracle})
+      ORDER BY bm25 DESC, doc_id LIMIT {RRF_TOPN}
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+               AS lex_rank
+      FROM lex_top
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id AS doc_id, ROUND({cos}, 6) AS cosine
+      FROM q, embeddings e WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, rk AS sem_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rk
+        FROM scored
+      ) WHERE rk <= {RRF_TOPN}
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 20
+    """
+
+
+# called from queries/text.py once q_bm25 is registered (text.py loads
+# after this module in load_all's import order)

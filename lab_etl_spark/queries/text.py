@@ -1496,3 +1496,10 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in learned[1:]:
         out = out.unionAll(t)
     return out.orderBy("rank")
+
+
+# q_rrf_fusion (queries/similarity.py) nests q_bm25's oracle, which only
+# exists once this module has registered — wire it here.
+from .similarity import _wire_rrf_oracle  # noqa: E402
+
+_wire_rrf_oracle()

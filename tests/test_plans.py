@@ -255,6 +255,10 @@ _SINGLE_PARTITION_OK = {
     # cumulative walk over the merged histogram SKETCH (|buckets| rows,
     # sketch-sized by construction — never the data)
     "q_quantile_histogram",
+    # rank within a CONSTANT-size top-K candidate list (RRF_TOPN rows by
+    # construction via TakeOrderedAndProject; fusing full rankings is the
+    # textbook scale mistake this query exists to avoid)
+    "q_rrf_fusion",
     # NTILE quartiles run over the per-CUSTOMER aggregate (orders of
     # magnitude smaller than the fact table) — documented compromise;
     # approx-percentile cutpoints replace NTILE beyond ~millions of rows
