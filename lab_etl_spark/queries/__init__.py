@@ -184,12 +184,18 @@ _LAST_GREEN = {
 # ROUND-6 ROTATION DUTY: the front above holds 31 entries; the remaining
 # 19 slots fill with never-checked round-5 additions (absent from
 # _LAST_GREEN, so they sort ahead of all veterans automatically).  The
-# round-5 additions total 22, so exactly three spill past the 50-entry
-# window: q_acf, q_interval_merge, and q_webdataset_roundtrip — all
-# written in round 5 itself and all green in the local twin at
-# sf0.001/sf0.01 (q_acf/q_interval_merge also at sf0.1,
-# tests/test_parity_sf01.py).  Round 6:
-# front those three spills plus any round-5 red rows, then resume the
+# round-5 additions total 24, so exactly five spill past the 50-entry
+# window — chosen DELIBERATELY via the priority field as the five whose
+# check class already has a driver-green representative: q_acf and
+# q_interval_merge (sufficient-statistic / gaps-and-islands window
+# algebra, same classes as driver-green q_linreg_trend / q_sessionize),
+# q_arrow_roundtrip and q_webdataset_roundtrip (interchange round-trips,
+# same class as driver-green q_orc_roundtrip / q_xml_roundtrip), and
+# q_langid_confusion (evaluation join over the driver-green
+# q_lang_id_ngram predictor).  All five are green in the local twin at
+# sf0.001/sf0.01 (several also at sf0.1, tests/test_parity_sf01.py).
+# Round 6: front those five spills plus any round-5 red rows, then
+# resume the
 # r2-stale veteran cycle (q_scalar_fns through q_interp_by_key in
 # registry order), then the r3 cohort.  Regenerate _LAST_GREEN from
 # CORRECTNESS_r0{1..5}.json first.

@@ -718,6 +718,7 @@ def q_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_arrow_roundtrip",
+    priority=1,
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1030,6 +1030,7 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_unigram_logprob",
+    priority=-1,
     oracle=f"""
     WITH tokens AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
@@ -1116,6 +1117,7 @@ _FH_CELL_H32_DUCK = (
 
 @register(
     "q_feature_hashing",
+    priority=-1,
     oracle=f"""
     WITH tokens AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
@@ -1180,6 +1182,7 @@ from . import REGISTRY as _REGISTRY  # noqa: E402  (oracle text reuse below)
 
 @register(
     "q_langid_confusion",
+    priority=1,
     oracle=f"""
     SELECT d.lang AS true_lang, p.predicted_lang, COUNT(*) AS n_docs
     FROM ({_REGISTRY["q_lang_id_ngram"].oracle}) p
@@ -1221,6 +1224,7 @@ _KL_TERM = (
 
 @register(
     "q_kl_divergence",
+    priority=-1,
     oracle=f"""
     WITH tokens AS (
       SELECT source, unnest(string_split_regex(trim(text), ' +')) AS token
@@ -1361,6 +1365,7 @@ sym0 AS (
 
 @register(
     "q_bpe_train",
+    priority=-1,
     oracle=_bpe_train_oracle(BPE_TRAIN_ROUNDS),
     doc="BPE tokenizer TRAINING as distributed relational algebra — the "
     "counterpart of q_text_tokens_bpe (which APPLIES merges): learn the "

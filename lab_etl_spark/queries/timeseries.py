@@ -1411,6 +1411,7 @@ _EID_H32_DUCK = (
 
 @register(
     "q_stream_dedup",
+    priority=-1,
     bench=False,  # drains a streaming query; not a plan-timing benchmark
     oracle=f"""
     SELECT event_type,
@@ -1586,6 +1587,7 @@ _ACF_READOUT = (
 
 @register(
     "q_acf",
+    priority=1,
     oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
@@ -1668,6 +1670,7 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_interval_merge",
+    priority=1,
     oracle="""
     WITH b AS (
       SELECT user_id, ts, event_id,
