@@ -1234,3 +1234,134 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(
         F.broadcast(s2), dominated, "left_anti"
     ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment analysis with CUPED variance reduction
+# ---------------------------------------------------------------------------
+
+#: portable deterministic 50/50 assignment — same md5 bucket family as
+#: q_deterministic_sample, so the split is identical on any engine/run
+_AB_GROUP_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('ab:', CAST(user_id AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT) % 2"
+)
+_AB_GROUP_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 2"
+)
+#: CUPED theta and mean-pre from pooled sufficient statistics — IDENTICAL
+#: readout text on both engines (sx/sy/sxx/sxy are exact-decimal sums)
+_AB_THETA = "((sxy - sx * sy / n) / (sxx - sx * sx / n))"
+_AB_ADJ = f"(post - {_AB_THETA} * (pre - sx / n))"
+
+
+@register(
+    "q_abtest_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             COALESCE({dsum("CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'"
+                            " THEN value END", 6)}, 0.0) AS pre,
+             COALESCE({dsum("CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'"
+                            " THEN value END", 6)}, 0.0) AS post
+      FROM events GROUP BY user_id
+    ),
+    assigned AS (
+      SELECT user_id, pre, post, {_AB_GROUP_DUCK} AS grp FROM per_user
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             {dsum('pre', 6)} AS sx, {dsum('post', 6)} AS sy,
+             {dsum('pre * pre', 6)} AS sxx, {dsum('pre * post', 6)} AS sxy
+      FROM assigned
+    ),
+    adj AS (
+      SELECT grp, post, {_AB_ADJ} AS adjusted
+      FROM assigned CROSS JOIN stats
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND({dsum('post', 6)} / COUNT(*), 6) AS mean_post,
+           ROUND({dsum('adjusted', 6)} / COUNT(*), 6) AS mean_adjusted,
+           ROUND({dsum('post * post', 6)} / COUNT(*)
+                 - ({dsum('post', 6)} / COUNT(*))
+                   * ({dsum('post', 6)} / COUNT(*)), 6) AS var_post,
+           ROUND({dsum('adjusted * adjusted', 6)} / COUNT(*)
+                 - ({dsum('adjusted', 6)} / COUNT(*))
+                   * ({dsum('adjusted', 6)} / COUNT(*)), 6) AS var_adjusted
+    FROM adj GROUP BY grp ORDER BY grp
+    """,
+    doc="A/B experiment readout with CUPED variance reduction — the "
+    "modern experimentation-platform workload: users split 50/50 by a "
+    "PORTABLE md5 hash (reproducible across engines, runs, and cluster "
+    "sizes — the property rand() assignment lacks), outcome = post-period "
+    "revenue, covariate = pre-period revenue, and the CUPED adjustment "
+    "post - theta*(pre - mean_pre) computed from POOLED exact-decimal "
+    "sufficient statistics (one extra 1-row broadcast — no second scan).  "
+    "var_adjusted < var_post by construction when pre correlates with "
+    "post, which is the entire point: smaller variance = smaller "
+    "detectable effect at the same sample size.  Plan: one user-keyed "
+    "aggregation (the only data-sized shuffle), a 1-row stats aggregate "
+    "broadcast back, a map-only adjustment, and a 2-row group readout.  "
+    "Every double appears in identical expression text on both engines; "
+    "theta's two divisions are correctly-rounded IEEE ops.",
+)
+def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "COALESCE("
+            + dsum(
+                "CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'"
+                " THEN value END",
+                6,
+            )
+            + ", 0.0)"
+        ).alias("pre"),
+        F.expr(
+            "COALESCE("
+            + dsum(
+                "CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'"
+                " THEN value END",
+                6,
+            )
+            + ", 0.0)"
+        ).alias("post"),
+    )
+    assigned = per_user.selectExpr(
+        "user_id", "pre", "post", f"{_AB_GROUP_SPARK} AS grp"
+    )
+    stats = assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(dsum("pre", 6)).alias("sx"),
+        F.expr(dsum("post", 6)).alias("sy"),
+        F.expr(dsum("pre * pre", 6)).alias("sxx"),
+        F.expr(dsum("pre * post", 6)).alias("sxy"),
+    )
+    adj = assigned.crossJoin(F.broadcast(stats)).selectExpr(
+        "grp", "post", f"{_AB_ADJ} AS adjusted"
+    )
+    return (
+        adj.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr(f"ROUND({dsum('post', 6)} / COUNT(*), 6)").alias(
+                "mean_post"
+            ),
+            F.expr(f"ROUND({dsum('adjusted', 6)} / COUNT(*), 6)").alias(
+                "mean_adjusted"
+            ),
+            F.expr(
+                f"ROUND({dsum('post * post', 6)} / COUNT(*)"
+                f" - ({dsum('post', 6)} / COUNT(*))"
+                f" * ({dsum('post', 6)} / COUNT(*)), 6)"
+            ).alias("var_post"),
+            F.expr(
+                f"ROUND({dsum('adjusted * adjusted', 6)} / COUNT(*)"
+                f" - ({dsum('adjusted', 6)} / COUNT(*))"
+                f" * ({dsum('adjusted', 6)} / COUNT(*)), 6)"
+            ).alias("var_adjusted"),
+        )
+        .orderBy("grp")
+    )

@@ -252,6 +252,8 @@ _SINGLE_PARTITION_OK = {
     "q_market_basket",
     # 1-row broadcast of the corpus token grand total (KL denominator)
     "q_kl_divergence",
+    # 1-row broadcast of the pooled CUPED sufficient statistics
+    "q_abtest_cuped",
     # cumulative walk over the merged histogram SKETCH (|buckets| rows,
     # sketch-sized by construction — never the data)
     "q_quantile_histogram",
