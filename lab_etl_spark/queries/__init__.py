@@ -184,17 +184,19 @@ _LAST_GREEN = {
 # ROUND-6 ROTATION DUTY: the front above holds 31 entries; the remaining
 # 19 slots fill with never-checked round-5 additions (absent from
 # _LAST_GREEN, so they sort ahead of all veterans automatically).  The
-# round-5 additions total 24, so exactly five spill past the 50-entry
-# window — chosen DELIBERATELY via the priority field as the five whose
+# round-5 additions total 25, so exactly six spill past the 50-entry
+# window — chosen DELIBERATELY via the priority field as the six whose
 # check class already has a driver-green representative: q_acf and
 # q_interval_merge (sufficient-statistic / gaps-and-islands window
 # algebra, same classes as driver-green q_linreg_trend / q_sessionize),
 # q_arrow_roundtrip and q_webdataset_roundtrip (interchange round-trips,
-# same class as driver-green q_orc_roundtrip / q_xml_roundtrip), and
+# same class as driver-green q_orc_roundtrip / q_xml_roundtrip),
 # q_langid_confusion (evaluation join over the driver-green
-# q_lang_id_ngram predictor).  All five are green in the local twin at
-# sf0.001/sf0.01 (several also at sf0.1, tests/test_parity_sf01.py).
-# Round 6: front those five spills plus any round-5 red rows, then
+# q_lang_id_ngram predictor), and q_ntile_binning (ranked-window
+# distribution, same class as driver-green q_window_distribution).  All
+# six are green in the local twin at sf0.001/sf0.01 (several also at
+# sf0.1, tests/test_parity_sf01.py).
+# Round 6: front those six spills plus any round-5 red rows, then
 # resume the
 # r2-stale veteran cycle (q_scalar_fns through q_interp_by_key in
 # registry order), then the r3 cohort.  Regenerate _LAST_GREEN from

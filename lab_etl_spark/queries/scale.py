@@ -862,6 +862,8 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ntile_binning",
+    priority=1,  # deliberate round-5 window spill: same check class as
+    # driver-green q_window_distribution (r3)
     oracle="""
     WITH binned AS (
       SELECT p_brand, p_retailprice,
