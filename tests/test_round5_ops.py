@@ -168,3 +168,26 @@ def test_bpe_train_counts_monotone(spark, sf_dir):
     rows = REGISTRY["q_bpe_train"].fn(spark, sf_dir).collect()
     assert [r["rank"] for r in rows] == [1, 2]
     assert rows[0]["cnt"] >= rows[1]["cnt"] > 0
+
+
+def test_bpe_train_multibyte_chars(spark):
+    """substr() is CHARACTER-based in both engines: a corpus of multi-byte
+    words must split into whole codepoints, never bytes (a byte-based
+    splitter would produce invalid UTF-8 fragments and different pair
+    counts per engine)."""
+    import duckdb
+
+    from lab_etl_spark.queries.text import _bpe_train_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES"
+        " ('héllo héllo'), ('héllo wörld')) t(text)"
+    )
+    got = con.execute(_bpe_train_oracle(1)).fetchdf()
+    # most frequent pair is (h, é) / (é, l) / (l, l) all at 3 — the
+    # lexicographic tie-break picks the smallest; the essential assertion
+    # is that 'é' survives as ONE symbol
+    assert got.iloc[0]["cnt"] == 3
+    assert "é" in (got.iloc[0]["s1"] + got.iloc[0]["s2"])
+    con.close()
