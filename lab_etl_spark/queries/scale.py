@@ -1254,7 +1254,13 @@ _AB_GROUP_DUCK = (
 )
 #: CUPED theta and mean-pre from pooled sufficient statistics — IDENTICAL
 #: readout text on both engines (sx/sy/sxx/sxy are exact-decimal sums)
-_AB_THETA = "((sxy - sx * sy / n) / (sxx - sx * sx / n))"
+#: zero-variance pre-period (all users identical covariate) would divide
+#: by zero — theta degrades to 0 explicitly (adjusted = post), the same
+#: make-the-guard-explicit discipline as q_top_movers' denominator
+_AB_THETA = (
+    "(CASE WHEN (sxx - sx * sx / n) = 0.0 THEN 0.0"
+    " ELSE (sxy - sx * sy / n) / (sxx - sx * sx / n) END)"
+)
 _AB_ADJ = f"(post - {_AB_THETA} * (pre - sx / n))"
 
 
