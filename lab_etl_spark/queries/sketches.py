@@ -1050,9 +1050,13 @@ QH_BIN = 1000.0  #: fixed bin width over o_totalprice (abs error <= BIN/2)
 #: bucket assignment and midpoint readout — deterministic double ops only
 #: (division and multiplication are correctly rounded IEEE; no exp/pow)
 _QH_BUCKET = "CAST(floor(o_totalprice / 1000.0) AS BIGINT)"
+#: a zero exact percentile (possible only on a degenerate all-zero price
+#: corpus) would divide by zero — emit NULL explicitly rather than an
+#: engine-divergent inf (the q_top_movers make-the-guard-explicit rule)
 _QH_REL_ERR = (
-    "ROUND(((CAST(bucket AS DOUBLE) + 0.5) * 1000.0 - exact_p)"
-    " / exact_p, 6)"
+    "ROUND(CASE WHEN exact_p = 0.0 THEN NULL"
+    " ELSE ((CAST(bucket AS DOUBLE) + 0.5) * 1000.0 - exact_p)"
+    " / exact_p END, 6)"
 )
 
 
