@@ -25,6 +25,9 @@ REGISTRY = load_all()
 AT_RISK = sorted(
     [n for n, q in REGISTRY.items() if not q.bench]
     + ["q_pricing_summary", "q_dedup_exact"]
+    # lazy .persist() carriers: a second invocation cache-HITS the first's
+    # entry (Spark caches by analyzed plan), which must be value-neutral
+    + ["q_bpe_train", "q_kl_divergence", "q_kmeans_lloyd", "q_hll_portable"]
 )
 
 
