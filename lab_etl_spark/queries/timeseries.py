@@ -1726,3 +1726,97 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_intervals(
         ev.select("user_id", "ts", "event_id"), dur_s=600
     ).orderBy("user_id")
+
+
+@register(
+    "q_funnel_windowed",
+    priority=1,  # deliberate round-6 queue: late round-5 addition kept out
+    # of the full round-5 window so the documented spill set stays fixed
+    oracle="""
+    WITH staged AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    clicked AS (
+      SELECT user_id, t_view,
+             MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                       AND ts <= t_view + INTERVAL 3 DAY THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM (SELECT e.user_id, e.event_type, e.ts, s.t_view
+            FROM events e JOIN (SELECT DISTINCT user_id, t_view
+                                FROM staged) s USING (user_id))
+    ),
+    bought AS (
+      SELECT user_id, t_view, t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                       AND ts <= t_click + INTERVAL 3 DAY THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM (SELECT e.user_id, e.event_type, e.ts, c.t_view, c.t_click
+            FROM events e JOIN (SELECT DISTINCT user_id, t_view, t_click
+                                FROM clicked) c USING (user_id))
+    ),
+    per_user AS (
+      SELECT DISTINCT user_id, t_view, t_click, t_purchase FROM bought
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_view,
+           CAST(COUNT(t_click) AS BIGINT) AS n_click_3d,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase_3d
+    FROM per_user
+    """,
+    doc="Time-bounded conversion funnel (view -> click within 3 days -> "
+    "purchase within 3 more days): the product-analytics shape where "
+    "each stage must land inside a window anchored at the PREVIOUS "
+    "stage's time, which plain min-per-stage conditional aggregation "
+    "(q_funnel) cannot express.  Built as chained per-user window MINs — "
+    "t_view is a window aggregate, t_click a conditional window MIN "
+    "referencing t_view, t_purchase referencing t_click — so every stage "
+    "shares ONE user_id-keyed layout (the joins back are user-keyed and "
+    "AQE-coalesced onto the same exchange), never an events-to-events "
+    "self-join per stage.  Strict > plus closed <= bounds on exact "
+    "microsecond timestamps keep the stage predicates engine-exact.",
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    wu = W.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+    )
+    sv = staged.select("user_id", "t_view").distinct()
+    clicked = ev.join(sv, "user_id").withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view"))
+                & (F.col("ts") <= F.expr("t_view + INTERVAL 3 DAY")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    cv = clicked.select("user_id", "t_view", "t_click").distinct()
+    bought = ev.join(cv, "user_id").withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click"))
+                & (F.col("ts") <= F.expr("t_click + INTERVAL 3 DAY")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = bought.select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    ).distinct()
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.count("t_click").cast("bigint").alias("n_click_3d"),
+        F.count("t_purchase").cast("bigint").alias("n_purchase_3d"),
+    )

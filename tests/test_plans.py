@@ -254,6 +254,9 @@ _SINGLE_PARTITION_OK = {
     "q_kl_divergence",
     # 1-row broadcast of the pooled CUPED sufficient statistics
     "q_abtest_cuped",
+    # the final 4-counter global aggregate (q_funnel's documented shape);
+    # the chained per-user windows below it stay user_id-partitioned
+    "q_funnel_windowed",
     # cumulative walk over the merged histogram SKETCH (|buckets| rows,
     # sketch-sized by construction — never the data)
     "q_quantile_histogram",
