@@ -193,10 +193,12 @@ _LAST_GREEN = {
 # same class as driver-green q_orc_roundtrip / q_xml_roundtrip),
 # q_langid_confusion (evaluation join over the driver-green
 # q_lang_id_ngram predictor), and q_ntile_binning (ranked-window
-# distribution, same class as driver-green q_window_distribution).  All
-# six are green in the local twin at sf0.001/sf0.01 (several also at
-# sf0.1, tests/test_parity_sf01.py).
-# Round 6: front those six spills plus any round-5 red rows, then
+# distribution, same class as driver-green q_window_distribution) —
+# plus q_funnel_windowed, added after the window was frozen and
+# self-queued for round 6 via priority=1.  All seven are green in the
+# local twin at sf0.001/sf0.01 (several also at sf0.1,
+# tests/test_parity_sf01.py).
+# Round 6: front those seven spills plus any round-5 red rows, then
 # resume the
 # r2-stale veteran cycle (q_scalar_fns through q_interp_by_key in
 # registry order), then the r3 cohort.  Regenerate _LAST_GREEN from
