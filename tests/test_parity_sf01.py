@@ -47,6 +47,9 @@ SAMPLE = [
     "q_quantile_histogram",
     "q_bpe_train",
     "q_label_propagation",
+    "q_abtest_cuped",
+    "q_funnel_windowed",
+    "q_rrf_fusion",
 ]
 
 REGISTRY = load_all()
