@@ -194,8 +194,8 @@ _LAST_GREEN = {
 # q_langid_confusion (evaluation join over the driver-green
 # q_lang_id_ngram predictor), and q_ntile_binning (ranked-window
 # distribution, same class as driver-green q_window_distribution) —
-# plus q_funnel_windowed, added after the window was frozen and
-# self-queued for round 6 via priority=1.  All seven are green in the
+# plus q_funnel_windowed and q_attribution_markov, added after the
+# window was frozen and self-queued for round 6 via priority=1.  All seven are green in the
 # local twin at sf0.001/sf0.01 (several also at sf0.1,
 # tests/test_parity_sf01.py).
 # Round 6: front those seven spills plus any round-5 red rows, then

@@ -304,6 +304,7 @@ _SWEEP_SKIP = {
     "q_kcore",  # per-round frontier localCheckpoint (CC discipline)
     "q_label_propagation",  # per-round label localCheckpoint (CC discipline)
     "q_mutual_information",  # joint-count table checkpointed (reused 4x)
+    "q_attribution_markov",  # per-iteration chain checkpoints (kcore discipline)
 }
 
 
