@@ -1192,7 +1192,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY segment
     )
     SELECT segment, CAST(n AS BIGINT) AS n_customers,
-           ROUND(2.0 * sxi / (n * sx) - (n + 1.0) / n, 6) AS gini
+           ROUND(CAST(2.0 AS DOUBLE) * sxi / (n * sx) - (n + CAST(1.0 AS DOUBLE)) / n, 6) AS gini
     FROM sums ORDER BY segment
     """,
     doc="Gini concentration of customer revenue per market segment — the "
@@ -1237,7 +1237,8 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         F.col("n").cast("bigint").alias("n_customers"),
         F.round(
-            F.expr("2.0 * sxi / (n * sx) - (n + 1.0) / n"), 6
+            F.expr("CAST(2.0 AS DOUBLE) * sxi / (n * sx)"
+            " - (n + CAST(1.0 AS DOUBLE)) / n"), 6
         ).alias("gini"),
     ).orderBy("segment")
 

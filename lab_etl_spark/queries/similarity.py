@@ -581,8 +581,13 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lex_rank",
             "sem_rank",
-            f"ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)"
-            f" + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf",
+            # CAST(1.0 AS DOUBLE): a bare 1.0 literal is DECIMAL(2,1) in
+            # Spark SQL, which makes the division decimal and the rrf column
+            # DECIMAL(9,6) — the DuckDB oracle returns DOUBLE, so the driver
+            # value-hash would mismatch on identical values.
+            f"ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank), 0.0)"
+            f" + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + sem_rank), 0.0), 6)"
+            " AS rrf",
         )
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
@@ -631,3 +636,129 @@ def _wire_rrf_oracle() -> None:
 
 # called from queries/text.py once q_bm25 is registered (text.py loads
 # after this module in load_all's import order)
+
+
+# -- q_pq_adc ----------------------------------------------------------------
+
+PQ_M = 4        #: subspaces (64-dim vectors -> 4 x 16-dim subvectors)
+PQ_SUB = 16     #: dims per subspace
+PQ_K = 8        #: codewords per subspace, seeded from vec_id 0..K-1
+PQ_TOPK = 10
+
+#: squared L2 between a point subvector and a codeword — sequential fold,
+#: bit-identical across engines (aggregate <-> list_reduce precedent).
+_PQ_DIST_SPARK = (
+    "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+)
+_PQ_DIST_DUCK = (
+    f"list_reduce(list_transform(generate_series(1, {PQ_SUB}),"
+    " i -> ({s}.sv[i] - {c}.c[i]) * ({s}.sv[i] - {c}.c[i])),"
+    " (acc, t) -> acc + t)"
+)
+#: ADC readout: 4 per-subspace LUT distances summed exactly, one rounding.
+_PQ_ADC = "ROUND(CAST(SUM(CAST((qdist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
+
+
+@register(
+    "q_pq_adc",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, g.m,
+             list_transform(generate_series(1, {PQ_SUB}),
+                            i -> v[g.m * {PQ_SUB} + i]) AS sv
+      FROM pts, generate_series(0, {PQ_M - 1}) g(m)
+    ),
+    cb AS (SELECT m, vec_id AS cid, sv AS c FROM sub WHERE vec_id < {PQ_K}),
+    enc AS (
+      SELECT vec_id, m, cid FROM (
+        SELECT s.vec_id, s.m, cb.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY {_PQ_DIST_DUCK.format(s='s', c='cb')}, cb.cid
+               ) AS rn
+        FROM sub s JOIN cb ON s.m = cb.m
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT cb.m, cb.cid,
+             {_PQ_DIST_DUCK.format(s='q', c='cb')} AS qdist
+      FROM (SELECT m, sv FROM sub WHERE vec_id = 0) q
+      JOIN cb ON q.m = cb.m
+    )
+    SELECT vec_id AS neighbor_id, adc, rk FROM (
+      SELECT e.vec_id, {_PQ_ADC} AS adc,
+             row_number() OVER (
+               ORDER BY {_PQ_ADC}, e.vec_id
+             ) AS rk
+      FROM enc e JOIN lut ON e.m = lut.m AND e.cid = lut.cid
+      WHERE e.vec_id <> 0
+      GROUP BY e.vec_id
+    ) WHERE rk <= {PQ_TOPK}
+    """,
+    doc="Product-quantization ANN (the IVF/LSH family's third leg, and "
+    "the memory-bound regime's standard answer): vectors split into "
+    f"{PQ_M} x {PQ_SUB}-dim subvectors, each encoded as the nearest of "
+    f"{PQ_K} data-seeded codewords (argmin with cid tie-break), and the "
+    "query answered by ASYMMETRIC DISTANCE — a per-subspace "
+    "query-to-codeword lookup table summed over each point's code.  "
+    "Deterministic end-to-end (seeded codebooks, sequential-fold "
+    "distances, exact-decimal ADC sum), so DuckDB replays the identical "
+    "algorithm and values match bit-for-bit.  Scale shape: the codebook "
+    f"({PQ_M}x{PQ_K} rows) and the {PQ_M * PQ_K}-entry LUT are "
+    "broadcasts; encoding is a subvector explode + broadcast join + "
+    "(vec_id, m)-keyed argmin window — codes are 100x smaller than the "
+    "vectors, the point of PQ at 100 TB; the ADC readout is one "
+    "vec_id-keyed sum and a TakeOrdered top-k.  Codebook TRAINING "
+    "composes with q_kmeans_lloyd's broadcast-Lloyd schedule (elided "
+    "here: seeds stand in for trained centroids to keep the oracle "
+    "one-page).",
+)
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    sub = pts.crossJoin(F.broadcast(ms)).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+    )
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("c"))
+    )
+    scored = sub.join(F.broadcast(cb), "m").withColumn(
+        "dist", F.expr(_PQ_DIST_SPARK)
+    )
+    w_enc = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    enc = (
+        scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    lut = (
+        sub.filter(F.col("vec_id") == 0)
+        .join(F.broadcast(cb), "m")
+        .select("m", "cid", F.expr(_PQ_DIST_SPARK).alias("qdist"))
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.expr(_PQ_ADC).alias("adc"))
+    )
+    # top-k FIRST via TakeOrderedAndProject (scale-safe: per-partition
+    # heaps, never a global sort), THEN rank the constant-size result —
+    # see _SINGLE_PARTITION_OK (the q_rrf_fusion pattern)
+    top = adc.orderBy("adc", "vec_id").limit(PQ_TOPK)
+    w_rk = W.orderBy("adc", "vec_id")
+    return top.withColumn("rk", F.row_number().over(w_rk)).select(
+        F.col("vec_id").alias("neighbor_id"), "adc", "rk"
+    )

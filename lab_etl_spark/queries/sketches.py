@@ -1055,7 +1055,7 @@ _QH_BUCKET = "CAST(floor(o_totalprice / 1000.0) AS BIGINT)"
 #: engine-divergent inf (the q_top_movers make-the-guard-explicit rule)
 _QH_REL_ERR = (
     "ROUND(CASE WHEN exact_p = 0.0 THEN NULL"
-    " ELSE ((CAST(bucket AS DOUBLE) + 0.5) * 1000.0 - exact_p)"
+    " ELSE ((CAST(bucket AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(1000.0 AS DOUBLE) - exact_p)"
     " / exact_p END, 6)"
 )
 
@@ -1092,7 +1092,7 @@ _QH_REL_ERR = (
       FROM orders
     )
     SELECT h.qpct, h.bucket,
-           (CAST(bucket AS DOUBLE) + 0.5) * 1000.0 AS est_mid,
+           (CAST(bucket AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(1000.0 AS DOUBLE) AS est_mid,
            ROUND(exact_p, 6) AS exact_pctl,
            {_QH_REL_ERR} AS rel_err
     FROM hit h JOIN ex USING (qpct)
@@ -1155,7 +1155,7 @@ def q_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "qpct",
             "bucket",
-            "(CAST(bucket AS DOUBLE) + 0.5) * 1000.0 AS est_mid",
+            "(CAST(bucket AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(1000.0 AS DOUBLE) AS est_mid",
             "ROUND(exact_p, 6) AS exact_pctl",
             f"{_QH_REL_ERR} AS rel_err",
         )

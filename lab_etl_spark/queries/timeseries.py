@@ -1917,7 +1917,7 @@ def _markov_oracle(k_iters: int) -> str:
 raw AS (
   SELECT channel, p_base, p_without,
          CASE WHEN p_base = 0.0 THEN 0.0
-              ELSE 1.0 - p_without / p_base END AS effect
+              ELSE CAST(1.0 AS DOUBLE) - p_without / p_base END AS effect
   FROM ({per_channel})
 ),
 tot AS (SELECT {dsum('effect', 12)} AS s FROM raw)
@@ -2076,7 +2076,7 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_base",
         "p_without",
         "CASE WHEN p_base = 0.0 THEN 0.0"
-        " ELSE 1.0 - p_without / p_base END AS effect",
+        " ELSE CAST(1.0 AS DOUBLE) - p_without / p_base END AS effect",
     ).localCheckpoint(eager=True)  # read twice: grand total + readout
     tot = raw.agg(F.expr(dsum("effect", 12)).alias("s"))
     return (

@@ -82,6 +82,17 @@ def _dtype_kind(s: pd.Series) -> str:
         # A float column whose every value is integral usually means the
         # engine widened an integer aggregate (HUGEINT/DECIMAL -> float64).
         return "f"
+    if k == "O":
+        # A Spark DecimalType column reaches pandas as object/Decimal while
+        # the DuckDB oracle renders DECIMAL as float64 — the driver's
+        # value-hash sees Decimal('0.016393') vs 0.016393 as different
+        # strings even when the values are identical (round-5 q_rrf_fusion:
+        # a bare 1.0 literal in selectExpr made the division decimal).
+        # Classify such columns 'd' so the kind check below rejects them.
+        for v in s:
+            if v is None:
+                continue
+            return "d" if isinstance(v, Decimal) else "O"
     return k
 
 
@@ -100,6 +111,16 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str = "?") -> None:
                 "driver's value-hash distinguishes 7949 from 7949.0 — cast "
                 "the oracle aggregate (CAST(... AS BIGINT)) or the Spark "
                 "column so both engines agree"
+            )
+        if "d" in {ka, kb} and ka != kb:
+            raise AssertionError(
+                f"{name}: column {c!r} decimal-vs-{'f' if 'f' in {ka, kb} else ka + kb} "
+                f"dtype kind mismatch "
+                f"(spark={spd[c].dtype} duck={duck_df[c].dtype}); a "
+                "DECIMAL result column reaches the driver's value-hash as "
+                "Decimal objects on one side and float64 on the other — "
+                "CAST the output column to DOUBLE (bare N.M literals in "
+                "selectExpr are DECIMAL in Spark SQL)"
             )
     assert len(spd) == len(duck_df), (
         f"{name}: row count spark={len(spd)} duck={len(duck_df)}"
