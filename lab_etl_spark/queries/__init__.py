@@ -59,95 +59,54 @@ def register(
 #   round 4: the 15 late-round-3 advanced.py additions + the round-4
 #     additions; result: 47 hash-green, 2 rows-only-by-design, 1 red
 #     (q_jsonl_roundtrip — oracle HUGEINT bug, fixed this round).
-#   round 5 (this list): the 30 late-round-4 additions that have never
-#     had a driver CORRECTNESS row, plus q_jsonl_roundtrip (red in r3/r4;
-#     real root cause found in round 4's verdict: the oracle's bare
-#     SUM(n_chars) came back HUGEINT->float64 from DuckDB while Spark
-#     returned int64 — fixed with CAST(... AS BIGINT), and the same
-#     latent bug in q_corrupt_records' oracle was caught and fixed by the
-#     new tests/test_oracle_types.py DESCRIBE audit before it ever went
-#     driver-red).  Veterans auto-fill the remaining ~19 slots ordered by
-#     STALENESS (_LAST_GREEN below, oldest first), so the r2 cohort
-#     (untouched by the driver since round 2) starts cycling back in.
+#   round 5: the 30 late-round-4 additions + q_jsonl_roundtrip (fixed
+#     oracle went hash-green) -> 46 hash-green, 3 rows-only-by-design,
+#     1 red (q_rrf_fusion — Spark-side DECIMAL output from a bare 1.0
+#     selectExpr literal; values identical, type flipped the hash).
+#   round 6 (this list): q_rrf_fusion first (fixed: CAST(1.0 AS DOUBLE)
+#     makes the division double; guarded registry-wide by
+#     tests/test_spark_types.py + tools/audit_decimal_literals.py), then
+#     the 8 round-5 additions that have never had a driver row, then the
+#     two queries whose oracles were PROMOTED after their last driver
+#     check (q_hll_rollup rows-only->portable-register value oracle in
+#     r5, q_stream_stateful_ewma rows-only->value oracle in r4) so the
+#     promoted checks finally run at the driver.  The remaining ~39
+#     slots fill by STALENESS (_LAST_GREEN below): any round-6 additions
+#     (absent from the map) first, then the r2 cohort veterans
+#     (q_scalar_fns .. q_interp_by_key), whose last driver rows are
+#     three rounds old and whose shared helpers (exact-decimal readouts,
+#     plan gates) have been refactored since.
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # the only historically-red row — fixed oracle must show hash green
-    "q_jsonl_roundtrip",
-    # same HUGEINT oracle bug found by audit before its first driver row
-    "q_corrupt_records",
-    # late-round-4 dedup/similarity cohort, never driver-checked
-    "q_setsim_join",
-    "q_dedup_passages",
-    "q_dedup_containment",
-    # late-round-4 text cohort
-    "q_bm25",
-    "q_cooccurrence_pmi",
-    "q_bigram_novelty",
-    "q_udtf_token_offsets",
-    # late-round-4 lake/scan cohort
-    "q_stats_pruning",
-    "q_point_lookup_bloom",
-    "q_xml_roundtrip",
-    # late-round-4 sketch/graph cohort
-    "q_kmv_intersect",
-    "q_shortest_path",
-    # late-round-4 scale/sampling cohort
-    "q_weighted_sample",
-    "q_negative_sampling",
-    "q_embedding_quantize",
-    "q_corr_matrix",
-    # late-round-4 time-series/stream cohort
-    "q_changepoint",
-    "q_attribution",
-    "q_seasonal_decompose",
-    "q_anomaly_seasonal",
-    "q_stream_enrich",
-    "q_top_movers",
-    "q_transition_matrix",
-    # late-round-4 analytics cohort
-    "q_market_basket",
-    "q_recursive_cte",
-    # late-round-4 binary/DTW cohort (DTW promoted to a full wavefront-
-    # recursion oracle in round 5; the decode queries stay rows-only)
-    "q_dtw_distance",
-    "q_phash_dedup",
-    "q_audio_fingerprint",
-    "q_image_resize",
+    # the only round-5 red row — fixed Spark output type must show green
+    "q_rrf_fusion",
+    # round-5 additions never driver-checked (window spill, self-queued)
+    "q_acf",
+    "q_arrow_roundtrip",
+    "q_attribution_markov",
+    "q_funnel_windowed",
+    "q_interval_merge",
+    "q_langid_confusion",
+    "q_ntile_binning",
+    "q_webdataset_roundtrip",
+    # oracles promoted after their last driver row — run the new checks
+    "q_hll_rollup",
+    "q_stream_stateful_ewma",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
-# CORRECTNESS_r0{1..4}.json (hash_match true, or rows-only with rows
-# returned).  Used to order the veteran fill of the window: stalest
-# first, so no query's last green row ages beyond ~3 rounds.  Regenerate
-# each round:
-#   ok = hash_match is True or (err == 'no_oracle' and spark_rows is not None)
-# Queries absent from this map have never been driver-checked and belong
-# in _WINDOW_FRONT.
+# CORRECTNESS_r0{1..5}.json via tools/regen_last_green.py (hash_match
+# true, or rows-only with rows returned).  Orders the veteran fill of
+# the window: stalest first.  Queries absent from this map have never
+# been driver-checked and sort ahead of all veterans automatically.
 _LAST_GREEN = {
-    "q_global_share": 4, "q_scd2_build": 4, "q_vocab_oov": 4,
-    "q_source_mix_weights": 4, "q_cdc_merge": 4, "q_pagerank": 4,
-    "q_event_pattern": 4, "q_schema_evolution": 4, "q_null_semantics": 4,
-    "q_fuzzy_match": 4, "q_doc_chunking": 4, "q_group_sample": 4,
-    "q_robust_stats": 4, "q_entity_resolution": 4, "q_hll_rollup": 4,
-    "q_zorder_skipping": 4, "q_forecast_revenue": 4, "q_volume_shipping": 4,
-    "q_shipmode_priority": 4, "q_parts_supplier_count": 4,
-    "q_potential_promotion": 4, "q_commitlog_roundtrip": 4,
-    "q_heavy_hitters_cms": 4, "q_kmv_distinct": 4, "q_bloom_join_prune": 4,
-    "q_triangle_count": 4, "q_ewma_batch": 4, "q_rolling_1h": 4,
-    "q_bucketed_join": 4, "q_partition_pruning": 4, "q_incremental_agg": 4,
-    "q_linreg_trend": 4, "q_time_travel": 4, "q_user_purge": 4,
-    "q_histogram": 4, "q_data_quality": 4, "q_curation_pipeline": 4,
-    "q_stream_cms_merge": 4, "q_orc_roundtrip": 4, "q_video_frames": 4,
-    "q_sql_udf": 4, "q_scd2_lookup": 4, "q_dynamic_partition_pruning": 4,
-    "q_date_spine_fill": 4, "q_argmin_join": 4, "q_exists_agg": 4,
-    "q_sole_supplier_wait": 4, "q_rfm_segmentation": 4,
-    "q_gini_concentration": 4,
     "q_dedup_exact": 2, "q_dedup_ngram_jaccard": 2, "q_dedup_minhash_lsh": 2,
     "q_dedup_clusters": 2, "q_dedup_simhash": 2, "q_dedup_embedding": 3,
-    "q_lake_roundtrip": 3, "q_filter_project": 2, "q_pricing_summary": 2,
-    "q_agg_group": 2, "q_agg_distinct": 2, "q_rollup_cube": 2,
+    "q_instrument_peak_hrr": 3, "q_instrument_sta_mass_loss": 3,
+    "q_filter_project": 2, "q_pricing_summary": 2, "q_agg_group": 2,
+    "q_agg_distinct": 2, "q_approx_distinct": 3,
     "q_shipping_priority": 2, "q_local_supplier_volume": 2,
     "q_hash_join_inner": 2, "q_broadcast_join": 2, "q_semi_join": 2,
     "q_anti_join": 3, "q_range_join": 2, "q_window_rank": 2,
@@ -159,50 +118,66 @@ _LAST_GREEN = {
     "q_deterministic_sample": 2, "q_similarity_topk": 2,
     "q_similarity_blocked": 2, "q_similarity_ivf": 3, "q_text_stats": 2,
     "q_text_quality": 2, "q_text_fingerprint": 2, "q_token_histogram": 2,
-    "q_text_tokens_bpe": 2, "q_text_rolling_hash": 2, "q_stream_tumbling": 2,
-    "q_stream_session": 2, "q_stream_sliding": 2, "q_asof_align": 2,
-    "q_interp_linear": 2, "q_interp_by_key": 2, "q_stream_stateful_ewma": 3,
-    "q_interval_join": 2, "q_hierarchical_rollup": 3, "q_returned_items": 3,
+    "q_text_tokens_bpe": 2, "q_text_rolling_hash": 2, "q_lang_id_ngram": 3,
+    "q_stream_tumbling": 2, "q_rollup_cube": 2, "q_stream_session": 2,
+    "q_stream_sliding": 2, "q_asof_align": 2, "q_interp_linear": 2,
+    "q_interp_by_key": 2, "q_interval_join": 2, "q_zscore_anomaly": 3,
+    "q_stratified_sample": 3, "q_seq_packing": 3, "q_training_shuffle": 3,
+    "q_embedding_lsh": 3, "q_embedding_stats": 3, "q_text_repetition": 3,
+    "q_contamination": 3, "q_pii_redact": 3, "q_tfidf": 3,
+    "q_quality_filter": 3, "q_asof_join": 3, "q_funnel": 3, "q_sessionize": 3,
+    "q_retention": 3, "q_interarrival": 3, "q_stream_hourly_users": 3,
+    "q_stream_stateful_ewma": 3, "q_approx_percentile": 3,
+    "q_hierarchical_rollup": 3, "q_lake_roundtrip": 3, "q_returned_items": 3,
     "q_promo_revenue": 3, "q_top_supplier": 3, "q_large_volume_customer": 3,
     "q_region_market_share": 3, "q_json_functions": 3,
     "q_doc_source_stats": 3, "q_sequence_budget": 3,
-    "q_customer_order_counts": 3, "q_small_qty_revenue": 3,
-    "q_idle_customers": 3, "q_nation_year_profit": 3,
-    "q_disjunctive_join": 3, "q_dedup_cross_source": 3,
-    "q_window_distribution": 3, "q_zscore_anomaly": 3,
-    "q_stratified_sample": 3, "q_seq_packing": 3, "q_training_shuffle": 3,
-    "q_embedding_lsh": 3, "q_embedding_stats": 3, "q_lang_id_ngram": 3,
-    "q_text_repetition": 3, "q_contamination": 3, "q_pii_redact": 3,
-    "q_tfidf": 3, "q_quality_filter": 3, "q_frequent_ngrams": 3,
-    "q_asof_join": 3, "q_funnel": 3, "q_sessionize": 3, "q_retention": 3,
-    "q_interarrival": 3, "q_stream_hourly_users": 3,
-    "q_instrument_peak_hrr": 3, "q_instrument_sta_mass_loss": 3,
-    "q_approx_distinct": 3, "q_approx_percentile": 3,
-    "q_multimodal_decode": 3,
+    "q_dedup_cross_source": 3, "q_customer_order_counts": 3,
+    "q_small_qty_revenue": 3, "q_idle_customers": 3,
+    "q_nation_year_profit": 3, "q_disjunctive_join": 3,
+    "q_multimodal_decode": 3, "q_window_distribution": 3,
+    "q_zorder_skipping": 4, "q_frequent_ngrams": 3, "q_argmin_join": 4,
+    "q_exists_agg": 4, "q_sole_supplier_wait": 4, "q_global_share": 4,
+    "q_scd2_build": 4, "q_vocab_oov": 4, "q_source_mix_weights": 4,
+    "q_cdc_merge": 4, "q_pagerank": 4, "q_event_pattern": 4,
+    "q_schema_evolution": 4, "q_null_semantics": 4, "q_fuzzy_match": 4,
+    "q_doc_chunking": 4, "q_group_sample": 4, "q_robust_stats": 4,
+    "q_entity_resolution": 4, "q_hll_rollup": 4, "q_forecast_revenue": 4,
+    "q_volume_shipping": 4, "q_shipmode_priority": 4,
+    "q_parts_supplier_count": 4, "q_potential_promotion": 4,
+    "q_commitlog_roundtrip": 4, "q_heavy_hitters_cms": 4, "q_kmv_distinct": 4,
+    "q_bloom_join_prune": 4, "q_triangle_count": 4, "q_ewma_batch": 4,
+    "q_rolling_1h": 4, "q_bucketed_join": 4, "q_partition_pruning": 4,
+    "q_incremental_agg": 4, "q_linreg_trend": 4, "q_time_travel": 4,
+    "q_user_purge": 4, "q_histogram": 4, "q_data_quality": 4,
+    "q_curation_pipeline": 4, "q_stream_cms_merge": 4, "q_orc_roundtrip": 4,
+    "q_video_frames": 4, "q_sql_udf": 4, "q_scd2_lookup": 4,
+    "q_dynamic_partition_pruning": 4, "q_date_spine_fill": 4,
+    "q_rfm_segmentation": 4, "q_gini_concentration": 4,
+    "q_jsonl_roundtrip": 5, "q_corrupt_records": 5, "q_setsim_join": 5,
+    "q_dedup_passages": 5, "q_dedup_containment": 5, "q_bm25": 5,
+    "q_cooccurrence_pmi": 5, "q_bigram_novelty": 5, "q_udtf_token_offsets": 5,
+    "q_stats_pruning": 5, "q_point_lookup_bloom": 5, "q_xml_roundtrip": 5,
+    "q_kmv_intersect": 5, "q_shortest_path": 5, "q_weighted_sample": 5,
+    "q_negative_sampling": 5, "q_embedding_quantize": 5, "q_corr_matrix": 5,
+    "q_changepoint": 5, "q_attribution": 5, "q_seasonal_decompose": 5,
+    "q_anomaly_seasonal": 5, "q_stream_enrich": 5, "q_top_movers": 5,
+    "q_transition_matrix": 5, "q_market_basket": 5, "q_recursive_cte": 5,
+    "q_dtw_distance": 5, "q_phash_dedup": 5, "q_audio_fingerprint": 5,
+    "q_image_resize": 5, "q_unigram_logprob": 5, "q_feature_hashing": 5,
+    "q_kl_divergence": 5, "q_bpe_train": 5, "q_stream_dedup": 5, "q_kcore": 5,
+    "q_hll_portable": 5, "q_quantile_histogram": 5, "q_label_propagation": 5,
+    "q_lsh_recall": 5, "q_dp_counts": 5, "q_bootstrap_ci": 5,
+    "q_kanonymity": 5, "q_mutual_information": 5, "q_skyline_2d": 5,
+    "q_abtest_cuped": 5, "q_random_projection": 5, "q_kmeans_lloyd": 5,
 }
 
-# ROUND-6 ROTATION DUTY: the front above holds 31 entries; the remaining
-# 19 slots fill with never-checked round-5 additions (absent from
-# _LAST_GREEN, so they sort ahead of all veterans automatically).  The
-# round-5 additions total 25, so exactly six spill past the 50-entry
-# window — chosen DELIBERATELY via the priority field as the six whose
-# check class already has a driver-green representative: q_acf and
-# q_interval_merge (sufficient-statistic / gaps-and-islands window
-# algebra, same classes as driver-green q_linreg_trend / q_sessionize),
-# q_arrow_roundtrip and q_webdataset_roundtrip (interchange round-trips,
-# same class as driver-green q_orc_roundtrip / q_xml_roundtrip),
-# q_langid_confusion (evaluation join over the driver-green
-# q_lang_id_ngram predictor), and q_ntile_binning (ranked-window
-# distribution, same class as driver-green q_window_distribution) —
-# plus q_funnel_windowed and q_attribution_markov, added after the
-# window was frozen and self-queued for round 6 via priority=1.  All seven are green in the
-# local twin at sf0.001/sf0.01 (several also at sf0.1,
-# tests/test_parity_sf01.py).
-# Round 6: front those seven spills plus any round-5 red rows, then
-# resume the
-# r2-stale veteran cycle (q_scalar_fns through q_interp_by_key in
-# registry order), then the r3 cohort.  Regenerate _LAST_GREEN from
-# CORRECTNESS_r0{1..5}.json first.
+# ROUND-7 ROTATION DUTY: regenerate _LAST_GREEN from
+# CORRECTNESS_r0{1..6}.json (tools/regen_last_green.py), front any
+# round-6 red rows plus whatever round-6 additions spilled past the
+# 50-slot window, then continue the staleness cycle — after round 6 the
+# r2 cohort should be mostly drained; the r3 cohort
+# (q_hierarchical_rollup .. q_multimodal_decode) is next.
 
 
 def load_all() -> dict[str, Query]:
