@@ -143,13 +143,19 @@ class LoggedTable:
         base = os.path.join(self.table_dir, m["data_dir"])
         if not files:
             return spark.read.parquet(base)
+        # manifests written since stats were typed carry the list of
+        # temporal stats columns; older manifests (None) fall back to
+        # ISO-sniffing every string, the legacy behavior
+        temporal = m.get("stats_temporal")
         keep = []
         for f in files:
             ok = True
             for col, (lo, hi) in intervals.items():
-                fmin = _canon_stat(f["min"].get(col))
-                fmax = _canon_stat(f["max"].get(col))
-                lo_c, hi_c = _canon_stat(lo), _canon_stat(hi)
+                is_temporal = col in temporal if temporal is not None else None
+                fmin = _canon_stat(f["min"].get(col), is_temporal)
+                fmax = _canon_stat(f["max"].get(col), is_temporal)
+                lo_c = _canon_stat(lo, is_temporal)
+                hi_c = _canon_stat(hi, is_temporal)
                 if fmin is None or fmax is None:
                     continue  # no stats for this column: cannot skip
                 if (hi_c is not None and fmin > hi_c) or (
@@ -194,12 +200,18 @@ class LoggedTable:
         abs_dir = os.path.join(self.table_dir, data_rel)
         write_fn(abs_dir)
         if spark is not None and (stats_cols or bloom_cols):
-            files = _file_stats(spark, abs_dir, stats_cols or [])
+            files, temporal = _file_stats(spark, abs_dir, stats_cols or [])
             if bloom_cols:
                 blooms = _file_blooms(spark, abs_dir, bloom_cols)
                 for f in files:
                     f["bloom"] = blooms.get(f["path"], {})
-            meta = {**(meta or {}), "files": files}
+            # record which stats columns are date/timestamp-typed so
+            # read_pruned canonicalizes exactly those — sniffing
+            # ISO-parsability of arbitrary strings at read time
+            # misclassifies genuinely string-typed stats (e.g. an
+            # '2024-01-15'-shaped id) and then raises on comparison
+            meta = {**(meta or {}), "files": files,
+                    "stats_temporal": sorted(temporal)}
         os.makedirs(self.log_dir, exist_ok=True)
         while True:
             version = (self.versions() or [0])[-1] + 1
@@ -388,7 +400,7 @@ def _rel_path(fp: str, snapshot_dir: str) -> str:
         return os.path.basename(p)
 
 
-def _canon_stat(v):
+def _canon_stat(v, is_temporal: bool | None = None):
     """Canonicalize one side of a stats-pruning comparison.
 
     Manifest stats store temporal values as ``str(value)`` (a DATE column
@@ -396,42 +408,68 @@ def _canon_stat(v):
     callers may pass ``date``/``datetime`` objects or either string form.
     Comparing those representations lexicographically silently skips a
     file whose max equals a boundary date when the bound carries a time
-    part, so both sides are mapped onto one axis: temporal values (objects
-    or ISO-parsable strings) become naive ``datetime`` (dates at
-    midnight); everything else passes through unchanged.  A genuinely
-    mismatched pair (e.g. a string stat vs a datetime bound) then raises
-    ``TypeError`` at the comparison instead of mispruning silently.
+    part, so both sides are mapped onto one axis: temporal values become
+    naive ``datetime`` (dates at midnight); everything else passes through
+    unchanged.  A genuinely mismatched pair (e.g. a string stat vs a
+    datetime bound) then raises ``TypeError`` at the comparison instead of
+    mispruning silently.
+
+    ``is_temporal`` is the column's logical type recorded in the manifest
+    at ``_file_stats`` time: ``True`` parses strings as ISO datetimes,
+    ``False`` leaves strings alone (a string-typed column whose values
+    merely LOOK like dates — ``'2024-01-15'`` ids — must compare
+    lexicographically, and one-sided sniffing would raise TypeError),
+    and ``None`` (a pre-typing manifest) falls back to sniffing
+    ISO-parsability, the legacy behavior.
     """
     if isinstance(v, datetime.datetime):
         return v
     if isinstance(v, datetime.date):
         return datetime.datetime(v.year, v.month, v.day)
-    if isinstance(v, str):
+    if isinstance(v, str) and is_temporal is not False:
         try:
             return datetime.datetime.fromisoformat(v)
         except ValueError:
+            if is_temporal:
+                raise ValueError(
+                    f"temporal stats column carries a non-ISO value: {v!r}"
+                )
             return v
     return v
 
 
 def _file_stats(
     spark: SparkSession, snapshot_dir: str, stats_cols: list[str]
-) -> list[dict]:
+) -> tuple[list[dict], set[str]]:
     """Per-file MIN/MAX/row-count for ``stats_cols`` over a just-written
     snapshot, keyed by the hidden ``_metadata.file_path`` column — one
     aggregate shuffle whose cardinality is the FILE count, not the row
     count.  Values are JSON-encoded natively when numeric/string and as
     ``str(value)`` otherwise (timestamps/dates serialize to ISO strings,
     whose lexicographic order matches their chronological order, so
-    interval pruning keeps working without type round-trips)."""
-    from pyspark.sql import functions as F
+    interval pruning keeps working without type round-trips).
 
+    Also returns the subset of ``stats_cols`` that are DATE/TIMESTAMP
+    typed, recorded in the manifest so ``read_pruned`` knows which stats
+    to canonicalize back to datetimes (instead of sniffing arbitrary
+    strings for ISO-parsability at read time)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    snap = spark.read.parquet(snapshot_dir)
+    temporal = {
+        f.name
+        for f in snap.schema.fields
+        if f.name in stats_cols
+        and isinstance(
+            f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType)
+        )
+    }
     aggs = [F.count(F.lit(1)).alias("_rows")]
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
     rows = (
-        spark.read.parquet(snapshot_dir)
-        .groupBy(F.col("_metadata.file_path").alias("_fp"))
+        snap.groupBy(F.col("_metadata.file_path").alias("_fp"))
         .agg(*aggs)
         .collect()
     )
@@ -449,7 +487,7 @@ def _file_stats(
                 "max": {c: enc(r[f"_max_{c}"]) for c in stats_cols},
             }
         )
-    return sorted(out, key=lambda f: f["path"])
+    return sorted(out, key=lambda f: f["path"]), temporal
 
 
 #: per-file membership bloom recorded in manifests: 8192 bits (128 64-bit

@@ -138,6 +138,26 @@ def degree_oriented_wedges(edges: DataFrame) -> DataFrame:
     )
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the cached blocks behind an eagerly ``localCheckpoint``'ed
+    frame.
+
+    ``DataFrame.unpersist`` only talks to the SQL cache manager, so the
+    RDD blocks backing a localCheckpoint are never released by it — the
+    leak the iterative operators here would otherwise accumulate one
+    frontier per round.  This reaches the ``LogicalRDD``'s internal RDD
+    (guarded: a no-op on any plan that is not a checkpoint scan).  Call
+    ONLY on superseded frames — the frame cannot be recomputed afterwards
+    because its lineage was truncated at checkpoint time.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.nodeName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover — internal-API drift tolerance
+        pass
+
+
 def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """Synchronous k-core peeling over an undirected id-ordered edge list
     ``(p1, p2)``: repeatedly drop vertices whose degree within the
@@ -156,32 +176,55 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     grows with peel depth, not graph size, and each round's shuffles are
     keyed by vertex — the standard distributed formulation.
     """
+    if rounds < 1:
+        raise ValueError(
+            "kcore requires rounds >= 1 (a 0-round peel would be the "
+            "plain degree table — compute that directly)"
+        )
     und = (
         edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
         .unionAll(edges.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
         .localCheckpoint(eager=True)
     )
-    nodes = und.select(F.col("a").alias("v")).distinct()
-    deg = None
-    for _ in range(rounds):
-        deg = (
-            und.join(nodes, und.a == nodes.v)
+
+    def _deg(frontier: DataFrame) -> DataFrame:
+        return (
+            und.join(frontier, und.a == frontier.v)
             .drop("v")
             .join(
-                nodes.select(F.col("v").alias("_vb")),
+                frontier.select(F.col("v").alias("_vb")),
                 F.col("b") == F.col("_vb"),
             )
             .groupBy(F.col("a").alias("v"))
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        prev = nodes
-        nodes = (
-            deg.filter(F.col("deg") >= k)
-            .select("v")
-            .localCheckpoint(eager=True)
-        )
-        del prev
-    return deg.filter(F.col("deg") >= k).select("v", "deg")
+
+    cur = und.select(F.col("a").alias("v")).distinct()
+    deg = None
+    for r in range(rounds):
+        deg = _deg(cur)
+        if r < rounds - 1:
+            nxt = (
+                deg.filter(F.col("deg") >= k)
+                .select("v")
+                .localCheckpoint(eager=True)
+            )
+            # the frontier deg consumed is superseded the moment nxt is
+            # eagerly materialized (round 0's frontier is a lazy distinct
+            # — the release helper no-ops on it)
+            release_local_checkpoint(cur)
+            cur = nxt
+    out = (
+        deg.filter(F.col("deg") >= k)
+        .select("v", "deg")
+        .localCheckpoint(eager=True)
+    )
+    # out is materialized: the last frontier and the symmetrized edge
+    # cache are no longer needed — release their blocks (pagerank's
+    # no-session-lifetime-footprint contract)
+    release_local_checkpoint(cur)
+    release_local_checkpoint(und)
+    return out
 
 
 def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
@@ -217,11 +260,15 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
             .groupBy(F.col("a").alias("v"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        prev = labels
         labels = (
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("v", "label")
             .localCheckpoint(eager=True)
         )
-    und.unpersist()
+        # prev is superseded once the new labels are materialized (round
+        # 0's prev is the lazy id-label seed — the helper no-ops on it)
+        release_local_checkpoint(prev)
+    release_local_checkpoint(und)
     return labels

@@ -42,10 +42,16 @@ def write_webdataset(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
         import pandas as pd
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
         path = os.path.join(out_dir, f"shard-{pid:05d}.tar")
+        # Task-attempt-unique temp + atomic rename: a failed, retried, or
+        # speculative task must never leave a torn/concurrently-rewritten
+        # shard visible at the final name (same publish discipline as
+        # operators/commitlog.py's manifest commit).
+        tmp = f"{path}.attempt-{tc.taskAttemptId()}.tmp"
         n = 0
-        with tarfile.open(path, "w") as tf:
+        with tarfile.open(tmp, "w") as tf:
             for pdf in pdfs:
                 for row in pdf.itertuples(index=False):
                     key = str(row.doc_id)
@@ -67,6 +73,7 @@ def write_webdataset(docs: DataFrame, out_dir: str, n_shards: int = 8) -> int:
                         ti.mtime = 0  # deterministic shard bytes
                         tf.addfile(ti, io.BytesIO(data))
                         n += 1
+        os.replace(tmp, path)  # atomic publish
         yield pd.DataFrame({"shard": [path], "n_members": [n]})
 
     counts = (
@@ -188,16 +195,22 @@ try:  # Python DataSource API (Spark >= 4.0)
     from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
 
     class _ShardCommit(WriterCommitMessage):
-        def __init__(self, path: str, n_members: int):
-            self.path = path
+        def __init__(self, tmp_path: str, final_path: str, n_members: int):
+            self.tmp_path = tmp_path
+            self.final_path = final_path
             self.n_members = n_members
 
     class WebDatasetWriter(DataSourceWriter):
-        """One tar shard per input partition; each task's commit message
-        names its shard, so a failed/retried task's orphan file can be
-        reconciled by the driver on commit (task writes go to a
-        pid/uuid-free deterministic name per partition id via TaskContext,
-        matching :func:`write_webdataset`)."""
+        """One tar shard per input partition, published with the standard
+        two-phase protocol: each task streams its tar to a
+        task-attempt-unique ``*.tmp`` name and reports it in its commit
+        message; the driver's :meth:`commit` renames exactly the winning
+        attempts to their final ``shard-{pid}.tar`` names and sweeps any
+        losers, and :meth:`abort` deletes all temp files.  A failed,
+        retried, or speculative task therefore never leaves a torn or
+        concurrently-rewritten shard visible to readers (rename is atomic
+        on POSIX/HDFS; on object stores pair this with a rename-capable
+        committer, as with any file sink)."""
 
         def __init__(self, options):
             self.path = options.get("path")
@@ -208,10 +221,13 @@ try:  # Python DataSource API (Spark >= 4.0)
         def write(self, rows):
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
-            path = os.path.join(self.path, f"shard-{pid:05d}.tar")
+            tc = TaskContext.get()
+            final = os.path.join(
+                self.path, f"shard-{tc.partitionId():05d}.tar"
+            )
+            tmp = f"{final}.attempt-{tc.taskAttemptId()}.tmp"
             n = 0
-            with tarfile.open(path, "w") as tf:
+            with tarfile.open(tmp, "w") as tf:
                 for row in rows:
                     key = str(row.doc_id)
                     payload = row.text.encode("utf-8")
@@ -232,7 +248,28 @@ try:  # Python DataSource API (Spark >= 4.0)
                         ti.mtime = 0
                         tf.addfile(ti, io.BytesIO(data))
                         n += 1
-            return _ShardCommit(path, n)
+            return _ShardCommit(tmp, final, n)
+
+        def commit(self, messages):
+            import glob as _glob
+
+            for m in messages:
+                os.replace(m.tmp_path, m.final_path)  # atomic publish
+            # sweep losing attempts (task retries / speculative dupes)
+            for stray in _glob.glob(
+                os.path.join(self.path, "shard-*.tar.attempt-*.tmp")
+            ):
+                try:
+                    os.remove(stray)
+                except OSError:
+                    pass
+
+        def abort(self, messages):
+            for m in messages:
+                try:
+                    os.remove(m.tmp_path)
+                except OSError:
+                    pass
 
     class WebDatasetDataSource(DataSource):
         """``spark.read.format("webdataset").load(dir)`` and

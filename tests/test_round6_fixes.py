@@ -1,0 +1,159 @@
+"""Round-6 hardening: kcore input validation + checkpoint-block release,
+typed stats canonicalization in the commit log, and atomic WebDataset
+shard publication."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_etl_spark.operators.commitlog import LoggedTable, _canon_stat
+from lab_etl_spark.operators.graph import (
+    kcore,
+    label_propagation,
+    release_local_checkpoint,
+)
+
+
+def _edges(spark):
+    # a 4-clique (core number 3) with a pendant path hanging off it
+    pairs = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6),
+    ]
+    return spark.createDataFrame(pairs, "p1 bigint, p2 bigint")
+
+
+def test_kcore_rejects_zero_rounds(spark):
+    with pytest.raises(ValueError, match="rounds >= 1"):
+        kcore(_edges(spark), k=2, rounds=0)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_kcore_releases_superseded_checkpoint_blocks(spark):
+    # und + one frontier per round are localCheckpoint'ed; after the
+    # result is materialized only the RESULT's blocks may remain (the
+    # pagerank no-session-lifetime-footprint contract, RDD-level edition).
+    before = _n_persistent(spark)
+    out = kcore(_edges(spark), k=3, rounds=3)
+    got = {r.v: r.deg for r in out.collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # the 4-clique, pendant peeled
+    assert _n_persistent(spark) == before + 1, (
+        "kcore leaked frontier/edge checkpoint blocks"
+    )
+    release_local_checkpoint(out)
+    assert _n_persistent(spark) == before
+
+
+def test_label_propagation_releases_superseded_checkpoint_blocks(spark):
+    before = _n_persistent(spark)
+    out = label_propagation(_edges(spark), rounds=2)
+    labels = {r.v: r.label for r in out.collect()}
+    assert set(labels) == {1, 2, 3, 4, 5, 6}
+    assert _n_persistent(spark) == before + 1, (
+        "label_propagation leaked label/edge checkpoint blocks"
+    )
+    release_local_checkpoint(out)
+    assert _n_persistent(spark) == before
+
+
+def test_canon_stat_typed_string_column_stays_lexicographic():
+    # a string-typed column whose values LOOK like dates must not be
+    # parsed: one-sided sniffing turned '2024-01-15' into datetime while
+    # a non-ISO bound stayed str -> TypeError at the comparison
+    assert _canon_stat("2024-01-15", is_temporal=False) == "2024-01-15"
+    assert _canon_stat("2024-01-10x", is_temporal=False) == "2024-01-10x"
+    # temporal columns canonicalize, and garbage in one raises loudly
+    assert _canon_stat("2024-01-15", is_temporal=True) == datetime.datetime(
+        2024, 1, 15
+    )
+    with pytest.raises(ValueError, match="non-ISO"):
+        _canon_stat("not-a-date", is_temporal=True)
+    # legacy manifests (no type tag) keep the sniffing behavior
+    assert _canon_stat("2024-01-15", is_temporal=None) == datetime.datetime(
+        2024, 1, 15
+    )
+
+
+def test_stats_pruning_string_typed_date_lookalikes(spark, tmp_path):
+    # ISO-shaped string ids + a non-ISO bound: pre-fix read_pruned raised
+    # TypeError (datetime vs str); with typed stats it prunes
+    # lexicographically like any other string column.
+    t = LoggedTable(str(tmp_path / "table"))
+    df = spark.createDataFrame(
+        [(f"2024-01-{i:02d}",) for i in range(1, 31)], "sid string"
+    )
+    m = t.commit(
+        lambda d: df.repartitionByRange(3, "sid").write.parquet(d),
+        op="create",
+        spark=spark,
+        stats_cols=["sid"],
+    )
+    assert m["stats_temporal"] == []
+    pruned = t.read_pruned(spark, {"sid": ("2024-01-05", "2024-01-10x")})
+    got = sorted(
+        r.sid
+        for r in pruned.filter(
+            "sid >= '2024-01-05' AND sid <= '2024-01-10x'"
+        ).collect()
+    )
+    assert got == [f"2024-01-{i:02d}" for i in range(5, 11)]
+    assert pruned.select("_metadata.file_path").distinct().count() < 3
+
+
+def test_stats_pruning_temporal_column_is_tagged(spark, tmp_path):
+    t = LoggedTable(str(tmp_path / "table"))
+    df = spark.range(30).select(
+        F.col("id"), F.expr("DATE_ADD(DATE'2024-01-01', CAST(id AS INT))").alias("d")
+    )
+    m = t.commit(
+        lambda d: df.repartitionByRange(3, "d").write.parquet(d),
+        op="create",
+        spark=spark,
+        stats_cols=["d", "id"],
+    )
+    assert m["stats_temporal"] == ["d"]
+    pruned = t.read_pruned(
+        spark, {"d": (datetime.date(2024, 1, 5), datetime.date(2024, 1, 8))}
+    )
+    assert pruned.select("_metadata.file_path").distinct().count() < 3
+    assert (
+        pruned.filter("d BETWEEN DATE'2024-01-05' AND DATE'2024-01-08'").count()
+        == 4
+    )
+
+
+def test_webdataset_write_leaves_no_temp_files(spark, tmp_path):
+    # both write paths publish shards via attempt-unique temp + atomic
+    # rename; after a successful job no *.tmp may remain next to shards
+    from lab_etl_spark.sources.webdataset import (
+        read_webdataset,
+        register_webdataset_source,
+        write_webdataset,
+    )
+
+    docs = spark.range(12).selectExpr(
+        "id AS doc_id",
+        "'web' AS source",
+        "'en' AS lang",
+        "CAST(5 AS BIGINT) AS n_chars",
+        "concat('t-', id) AS text",
+    )
+    helper_dir = str(tmp_path / "wds_helper")
+    write_webdataset(docs, helper_dir, n_shards=3)
+    assert glob.glob(os.path.join(helper_dir, "*.tmp")) == []
+    assert len(glob.glob(os.path.join(helper_dir, "shard-*.tar"))) == 3
+
+    ds_dir = str(tmp_path / "wds_ds")
+    register_webdataset_source(spark)
+    docs.repartition(3).write.format("webdataset").mode("append").save(ds_dir)
+    assert glob.glob(os.path.join(ds_dir, "*.tmp")) == []
+    back = read_webdataset(spark, ds_dir)
+    assert back.count() == 12
