@@ -264,6 +264,9 @@ _SINGLE_PARTITION_OK = {
     # construction via TakeOrderedAndProject; fusing full rankings is the
     # textbook scale mistake this query exists to avoid)
     "q_rrf_fusion",
+    # same pattern: rk assigned over the PQ_TOPK rows a
+    # TakeOrderedAndProject already reduced to
+    "q_pq_adc",
     # NTILE quartiles run over the per-CUSTOMER aggregate (orders of
     # magnitude smaller than the fact table) — documented compromise;
     # approx-percentile cutpoints replace NTILE beyond ~millions of rows
