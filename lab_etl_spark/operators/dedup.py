@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .graph import release_local_checkpoint
+
 # trim + collapse internal whitespace + lowercase; identical regex semantics
 # exist in DuckDB for the oracle side (see queries/dedup.py).
 NORMALIZE_SQL = "lower(regexp_replace(trim(text), '\\\\s+', ' '))"
@@ -233,6 +235,9 @@ def connected_components(
         checkpoint_dir,
     )
     labels, converged = _min_label_rounds(sym, labels, max_iter, checkpoint_dir)
+    # the final labels checkpoint no longer references the symmetric edge
+    # set — release its blocks
+    release_local_checkpoint(sym)
     if not converged:
         # A silent wrong answer is worse than a loud one: a component with
         # diameter > max_iter would otherwise emit split clusters.
@@ -259,7 +264,12 @@ def _min_label_rounds(
     (labels, converged).  Each step is one join + hash-aggregate; the
     previous label rides along through the checkpoint so convergence is read
     back with a single cheap aggregate over the materialized step — no
-    second join against the old labels (half the per-round job cost)."""
+    second join against the old labels (half the per-round job cost).
+
+    Superseded label checkpoints (including the caller's initial one) have
+    their blocks released each round — without this a 30-round job pins 30
+    generations of labels in executor storage."""
+    prev_ck = labels  # the caller's initial _chk frame (root = LogicalRDD)
     for _ in range(rounds):
         nbr_min = (
             sym.join(labels, sym._d == labels._id)
@@ -281,6 +291,8 @@ def _min_label_rounds(
         changed = (
             stepped.filter(F.col("component") != F.col("_old")).limit(1).count()
         )
+        release_local_checkpoint(prev_ck)  # superseded by stepped
+        prev_ck = stepped
         labels = stepped.select("_id", "component")
         if changed == 0:
             return labels, True
@@ -355,8 +367,10 @@ def connected_components_star(
     )
     prev_fp = None
     for _ in range(max_iter):
+        prev_ck = cur
         cur = _chk(small_star(large_star(cur)), checkpoint_dir)
         fp = fingerprint(cur)
+        release_local_checkpoint(prev_ck)  # superseded by the new round
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -2022,6 +2022,8 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(tag, "CONV", 1.0) for tag in ["base"] + MARKOV_CHANNELS],
         "chain string, state string, prob double",
     )
+    from ..operators.graph import release_local_checkpoint
+
     v = init
     for _ in range(MARKOV_K):
         stepped = (
@@ -2045,8 +2047,12 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(dsum("p * COALESCE(prob, 0.0)", 12)).alias("prob")
             )
         )
-        # per-iteration lineage truncation (kcore/LPA discipline)
+        # per-iteration lineage truncation (kcore/LPA discipline); the
+        # superseded iterate's blocks are released (round 0's v is the
+        # LocalRelation init — the helper no-ops on it)
+        prev_v = v
         v = stepped.unionByName(init).localCheckpoint(eager=True)
+        release_local_checkpoint(prev_v)
 
     starts_v = v.filter(F.col("state") == "START").select("chain", "prob")
     p_base = starts_v.filter(F.col("chain") == "base").select(
@@ -2078,6 +2084,11 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN p_base = 0.0 THEN 0.0"
         " ELSE CAST(1.0 AS DOUBLE) - p_without / p_base END AS effect",
     ).localCheckpoint(eager=True)  # read twice: grand total + readout
+    # raw is materialized: the chain sketch, transition probabilities, and
+    # final iterate are no longer reachable from the returned plan
+    release_local_checkpoint(v)
+    release_local_checkpoint(p_all)
+    release_local_checkpoint(base_t)
     tot = raw.agg(F.expr(dsum("effect", 12)).alias("s"))
     return (
         raw.crossJoin(F.broadcast(tot))

@@ -33,35 +33,44 @@ def test_kcore_rejects_zero_rounds(spark):
         kcore(_edges(spark), k=2, rounds=0)
 
 
-def _n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persistent_ids(spark) -> set[int]:
+    # the id SET, not the count: in a shared session Spark's ContextCleaner
+    # asynchronously drops other tests' unreferenced cached RDDs, so global
+    # counts race — the delta of NEW ids added by the operator under test
+    # is stable
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 def test_kcore_releases_superseded_checkpoint_blocks(spark):
     # und + one frontier per round are localCheckpoint'ed; after the
     # result is materialized only the RESULT's blocks may remain (the
     # pagerank no-session-lifetime-footprint contract, RDD-level edition).
-    before = _n_persistent(spark)
+    before = _persistent_ids(spark)
     out = kcore(_edges(spark), k=3, rounds=3)
     got = {r.v: r.deg for r in out.collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # the 4-clique, pendant peeled
-    assert _n_persistent(spark) == before + 1, (
-        "kcore leaked frontier/edge checkpoint blocks"
+    new = _persistent_ids(spark) - before
+    assert len(new) == 1, (
+        f"kcore leaked frontier/edge checkpoint blocks: {len(new)} new "
+        "persistent RDDs (expected only the returned frame's)"
     )
     release_local_checkpoint(out)
-    assert _n_persistent(spark) == before
+    assert _persistent_ids(spark) & new == set()
 
 
 def test_label_propagation_releases_superseded_checkpoint_blocks(spark):
-    before = _n_persistent(spark)
+    before = _persistent_ids(spark)
     out = label_propagation(_edges(spark), rounds=2)
     labels = {r.v: r.label for r in out.collect()}
     assert set(labels) == {1, 2, 3, 4, 5, 6}
-    assert _n_persistent(spark) == before + 1, (
-        "label_propagation leaked label/edge checkpoint blocks"
+    new = _persistent_ids(spark) - before
+    assert len(new) == 1, (
+        f"label_propagation leaked label/edge checkpoint blocks: "
+        f"{len(new)} new persistent RDDs"
     )
     release_local_checkpoint(out)
-    assert _n_persistent(spark) == before
+    assert _persistent_ids(spark) & new == set()
 
 
 def test_canon_stat_typed_string_column_stays_lexicographic():
