@@ -1228,3 +1228,85 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = copurchase_edges(spark, sf_dir)
     return label_propagation(edges, LPA_ROUNDS).orderBy("v")
+
+
+# -- q_bottomk_quantile ------------------------------------------------------
+
+BKQ_K = 512  #: sample size; rank error ~ sqrt(p(1-p)/K) ≈ 2.2% at the median
+_BKQ_PCTS = (50, 90, 99)
+#: 52-bit md5 uniform in (0,1) keyed by order id — the portable-uniform
+#: idiom shared with q_weighted_sample (scale.py).
+_BKQ_U_SPARK = (
+    "(CAST(CONV(SUBSTRING(MD5(CONCAT('bkq:', CAST(o_orderkey AS STRING))),"
+    " 1, 13), 16, 10) AS DOUBLE) + 0.5) / 4503599627370496"
+)
+_BKQ_U_DUCK = (
+    "(CAST(CAST(('0x' || SUBSTRING(MD5('bkq:' || CAST(o_orderkey AS"
+    " VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496"
+)
+
+
+@register(
+    "q_bottomk_quantile",
+    oracle=f"""
+    WITH sample AS (
+      SELECT o_totalprice, o_orderkey
+      FROM orders
+      ORDER BY {_BKQ_U_DUCK}, o_orderkey
+      LIMIT {BKQ_K}
+    ),
+    ranked AS (
+      SELECT o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM sample
+    )
+    SELECT p.qpct, r.o_totalprice AS est
+    FROM (VALUES {', '.join(f'({p})' for p in _BKQ_PCTS)}) p(qpct)
+    JOIN ranked r
+      ON r.rn = CAST(CEIL(p.qpct * {BKQ_K} / CAST(100.0 AS DOUBLE)) AS BIGINT)
+    ORDER BY p.qpct
+    """,
+    doc="Mergeable quantile sketch as a BOTTOM-K uniform sample: every row "
+    "draws a portable 52-bit md5 uniform and the K smallest keys form "
+    "the sample — the classic mergeable sampler (the bottom-k of a "
+    "union is the bottom-k of per-part bottom-ks), which Spark executes "
+    "as TakeOrderedAndProject per-partition heaps with no global sort "
+    "and O(K) driver state.  Quantiles read off the sample by exact "
+    "rank selection (ceil(p*K), value+key tie-break), so unlike the "
+    "GK/KLL native-API demos (q_approx_percentile, rows-only) the whole "
+    "estimator is deterministic and VALUE-CHECKED against DuckDB "
+    "replaying the identical sample.  Rank error is the textbook "
+    f"sqrt(p(1-p)/K) (~2.2% at the median for K={BKQ_K}); "
+    "tests/test_sketches.py pins the observed rank error.  The ranking "
+    "window runs over the K-row sample only (see _SINGLE_PARTITION_OK).",
+    tags=["sketch"],
+)
+def q_bottomk_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    sample = (
+        orders.select(
+            "o_totalprice", "o_orderkey", F.expr(_BKQ_U_SPARK).alias("_u")
+        )
+        .orderBy("_u", "o_orderkey")
+        .limit(BKQ_K)
+    )
+    ranked = sample.withColumn(
+        "rn", F.row_number().over(W.orderBy("o_totalprice", "o_orderkey"))
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in _BKQ_PCTS], "qpct int"
+    ).withColumn(
+        "target",
+        F.expr(
+            f"CAST(CEIL(qpct * {BKQ_K} / CAST(100.0 AS DOUBLE)) AS BIGINT)"
+        ),
+    )
+    return (
+        ranked.join(
+            F.broadcast(pcts), F.col("rn") == F.col("target")
+        )
+        .select("qpct", F.col("o_totalprice").alias("est"))
+        .orderBy("qpct")
+    )

@@ -267,6 +267,10 @@ _SINGLE_PARTITION_OK = {
     # same pattern: rk assigned over the PQ_TOPK rows a
     # TakeOrderedAndProject already reduced to
     "q_pq_adc",
+    # rank selection over the BKQ_K-row bottom-k sample (the sketch is
+    # constant-size by construction; the sampling pass itself is
+    # TakeOrderedAndProject per-partition heaps)
+    "q_bottomk_quantile",
     # NTILE quartiles run over the per-CUSTOMER aggregate (orders of
     # magnitude smaller than the fact table) — documented compromise;
     # approx-percentile cutpoints replace NTILE beyond ~millions of rows

@@ -166,3 +166,28 @@ def test_webdataset_write_leaves_no_temp_files(spark, tmp_path):
     assert glob.glob(os.path.join(ds_dir, "*.tmp")) == []
     back = read_webdataset(spark, ds_dir)
     assert back.count() == 12
+
+
+def test_bottomk_quantile_rank_error_within_design_band(spark, sf_dir):
+    # the sample quantile's observed RANK (fraction of the full column
+    # below the estimate) must sit within a few sigma of the target
+    # percentile — sigma = sqrt(p(1-p)/K)
+    import math
+
+    from lab_etl_spark.queries import load_all
+    from lab_etl_spark.queries.sketches import BKQ_K
+
+    rows = load_all()["q_bottomk_quantile"].fn(spark, sf_dir).collect()
+    assert [r.qpct for r in rows] == [50, 90, 99]
+    from lab_etl_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    for r in rows:
+        p = r.qpct / 100.0
+        below = orders.filter(f"o_totalprice <= {r.est}").count()
+        sigma = math.sqrt(p * (1 - p) / BKQ_K)
+        assert abs(below / n - p) < 4 * sigma + 1.0 / BKQ_K, (
+            r.qpct,
+            below / n,
+        )
