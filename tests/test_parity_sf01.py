@@ -50,6 +50,11 @@ SAMPLE = [
     "q_abtest_cuped",
     "q_funnel_windowed",
     "q_rrf_fusion",
+    # round-6 batch: subspace-fold distances + exact-decimal ADC sums, and
+    # the md5-keyed bottom-k sample rank readout — both hash/fold
+    # disciplines under 10x rows
+    "q_pq_adc",
+    "q_bottomk_quantile",
 ]
 
 REGISTRY = load_all()
