@@ -10,11 +10,10 @@ load_all's ordering), i.e. they enter the next window automatically.
 
 Usage: python tools/regen_last_green.py   # prints the dict body to paste
 
-Drop names that no longer exist in the registry before pasting (e.g.
-round-1's q_rollup/q_cube, merged into q_rollup_cube in round 2) — the
-ordering only consults names that are registered, but dead keys are
-noise.  Validated against the committed round-5 map: identical except
-those two merged names.
+Names that no longer exist in the registry (e.g. round-1's
+q_rollup/q_cube, merged into q_rollup_cube in round 2) are dropped
+automatically — registered names are read by regexing the ``register(``
+calls in ``lab_etl_spark/queries/*.py``, so no Spark import is needed.
 """
 
 from __future__ import annotations
@@ -25,6 +24,17 @@ import os
 import re
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def registered_names() -> set[str]:
+    out: set[str] = set()
+    for path in glob.glob(
+        os.path.join(ROOT, "lab_etl_spark", "queries", "*.py")
+    ):
+        src = open(path).read()
+        out |= set(re.findall(r'register\(\s*\n?\s*"(q_\w+)"', src))
+        out |= set(re.findall(r'@register\(\s*"(q_\w+)"', src))
+    return out
 
 
 def last_green() -> dict[str, int]:
@@ -51,6 +61,11 @@ def last_green() -> dict[str, int]:
 
 if __name__ == "__main__":
     lg = last_green()
+    live = registered_names()
+    dead = sorted(set(lg) - live)
+    lg = {n: r for n, r in lg.items() if n in live}
+    if dead:
+        print(f"# dropped {len(dead)} unregistered names: {dead}")
     print(f"# {len(lg)} queries with a driver-green row")
     print("_LAST_GREEN = {")
     line = "   "
