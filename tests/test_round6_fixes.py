@@ -191,3 +191,48 @@ def test_bottomk_quantile_rank_error_within_design_band(spark, sf_dir):
             r.qpct,
             below / n,
         )
+
+
+def test_pq_adc_rank_quality_against_exact_l2(spark, sf_dir):
+    # PQ is an approximation; pin its retrieval quality so a codebook or
+    # encoding regression shows up as a failed gate, not a silent quality
+    # drop.  On this synthetic near-random corpus, coarse 4x8 codebooks
+    # give weak top-10 recall (expected: random vectors don't cluster, the
+    # regime PQ exploits), but the RANK signal is strong — the PQ top-10's
+    # exact-L2 ranks land in the top ~10-20% of the corpus (observed
+    # median rank ~25-40 of 499; chance median = N/2).  Gate the median
+    # exact rank, which is stable where top-10 recall is noise.
+    from pyspark.sql import functions as F
+
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.queries import load_all
+
+    approx = [
+        r.neighbor_id
+        for r in load_all()["q_pq_adc"].fn(spark, sf_dir).collect()
+    ]
+    pts = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    )
+    q = pts.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = (
+        pts.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+            ).alias("d2"),
+        )
+        .orderBy("d2", "vec_id")
+        .collect()
+    )
+    n = len(exact)
+    rank = {r.vec_id: i for i, r in enumerate(exact)}
+    ranks = sorted(rank[a] for a in approx)
+    median_rank = ranks[len(ranks) // 2]
+    assert median_rank < 0.2 * n, (
+        f"PQ rank signal collapsed: median exact rank {median_rank} of {n}"
+        f" (chance ~{n // 2}); ranks={ranks}"
+    )
