@@ -136,3 +136,38 @@ def test_singletons_self_labeled(spark):
     out = connected_components(vertices, edges, id_col="doc_id", src="a", dst="b")
     rows = {r.doc_id: r.component for r in out.collect()}
     assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4}
+
+
+def test_reliable_checkpoint_dir_path_with_release(spark, tmp_path):
+    # checkpoint_dir switches every round to reliable checkpoint();
+    # the superseded-frame release added in round 6 must be a safe no-op
+    # there too (reliably checkpointed frames are also LogicalRDD scans,
+    # but their data lives in checkpoint files, not persisted blocks).
+    v, e = _chain(spark, 12)
+    out = connected_components(
+        v,
+        e,
+        id_col="doc_id",
+        src="a",
+        dst="b",
+        max_iter=20,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    rows = {r.doc_id: r.component for r in out.collect()}
+    assert rows == {i: 0 for i in range(12)}
+
+
+def test_star_reliable_checkpoint_dir_path_with_release(spark, tmp_path):
+    from lab_etl_spark.operators.dedup import connected_components_star
+
+    v, e = _chain(spark, 12)
+    out = connected_components_star(
+        v,
+        e,
+        id_col="doc_id",
+        src="a",
+        dst="b",
+        checkpoint_dir=str(tmp_path / "ck2"),
+    )
+    rows = {r.doc_id: r.component for r in out.collect()}
+    assert rows == {i: 0 for i in range(12)}

@@ -236,3 +236,60 @@ def test_pq_adc_rank_quality_against_exact_l2(spark, sf_dir):
         f"PQ rank signal collapsed: median exact rank {median_rank} of {n}"
         f" (chance ~{n // 2}); ranks={ranks}"
     )
+
+
+def test_pq_and_bottomk_deterministic_on_degenerate_corpus(
+    spark, sf_dir, tmp_path
+):
+    # All-identical embeddings and all-equal order totals: every distance
+    # and every sample value ties, so ONLY the documented tie-breaks
+    # (cid, vec_id, o_orderkey) order the output — the driver-identical
+    # compare then proves the tie-break algebra agrees across engines on
+    # a corpus with zero discriminating signal.
+    import shutil
+
+    from lab_etl_spark.queries import load_all
+
+    from .compare import TABLES, compare, duck_con
+
+    for t in TABLES:
+        shutil.copy(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+
+    def _write_single(df, name):
+        d = tmp_path / f"_{name}_dir"
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        files = list(d.glob("*.parquet"))
+        assert len(files) == 1
+        shutil.move(str(files[0]), tmp_path / f"{name}.parquet")
+        shutil.rmtree(d)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = emb.limit(1).collect()[0]
+    _write_single(
+        spark.createDataFrame(
+            [(i, one.embedding, 0) for i in range(40)], emb.schema
+        ),
+        "embeddings",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    flat = orders.limit(100).selectExpr(
+        "o_orderkey",
+        *[
+            "CAST(42000.0 AS DOUBLE) AS o_totalprice"
+            if c == "o_totalprice"
+            else c
+            for c in orders.columns
+            if c != "o_orderkey"
+        ],
+    )
+    _write_single(flat.select(*orders.columns), "orders")
+
+    con = duck_con(str(tmp_path))
+    reg = load_all()
+    for name in ("q_pq_adc", "q_bottomk_quantile"):
+        q = reg[name]
+        compare(
+            q.fn(spark, str(tmp_path)),
+            con.execute(q.oracle).fetchdf(),
+            f"{name}@degenerate",
+        )
