@@ -43,6 +43,16 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in p, p
 
 
+def test_range_join_is_binned_hash_join(spark, sf_dir):
+    # The band join must compile to a codegen broadcast HASH join on the
+    # bucket key (binned range join), never a BroadcastNestedLoopJoin —
+    # BNLJ evaluates the full theta predicate per row x band outside
+    # whole-stage codegen and its cost scales with the band count.
+    p = _fmt(REGISTRY["q_range_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_pricing_summary_single_shuffle(spark, sf_dir):
     # Scan → partial agg → one exchange → final agg: a second exchange
     # means map-side partial aggregation broke.  Count exchange *nodes*
