@@ -105,7 +105,8 @@ def shingle_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (doc_a < doc_b, jaccard >= threshold).
 
-    Columns: doc_a, doc_b, jaccard (rounded to 6 for cross-engine hashing).
+    Columns: doc_a, doc_b, jaccard (raw exact-integer quotient —
+    bit-identical cross-engine; rounding would ADD boundary risk).
 
     Shape: shingle stream → posting lists (1 shuffle; cap applied there) →
     codegen pair explosion → pair count (1 shuffle) → size join.  The sizes
@@ -134,7 +135,11 @@ def shingle_jaccard_pairs(
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # raw quotient of exact integers: bit-identical on every engine.
+        # ROUND here is the cross-engine half-boundary trap (see
+        # q_seasonal_decompose / q_bootstrap_ci): n/union is a small-
+        # denominator rational that lands exactly on half-microunits.
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -652,7 +657,11 @@ def minhash_lsh_candidates(
         common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
         .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        # raw quotient of exact integers: bit-identical on every engine.
+        # ROUND here is the cross-engine half-boundary trap (see
+        # q_seasonal_decompose / q_bootstrap_ci): n/union is a small-
+        # denominator rational that lands exactly on half-microunits.
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -743,6 +752,7 @@ def setsim_prefix_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            # raw exact-integer quotient; no ROUND (half-boundary trap)
+            (inter.cast("double") / union).alias("jaccard"),
         )
     )

@@ -96,8 +96,8 @@ _CAPPED_SHINGLE_CTES = f"""
     oracle=f"""
     WITH {_CAPPED_SHINGLE_CTES}
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+           CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
     FROM rawpairs
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -181,8 +181,8 @@ def _minhash_oracle(
 
 _MINHASH_DEFAULT_FINAL = """
     SELECT c.doc_a, c.doc_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+           CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
     FROM common c
     JOIN cand USING (doc_a, doc_b)
     JOIN sizes sa ON sa.doc_id = c.doc_a
@@ -354,8 +354,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_CAPPED_SHINGLE_CTES}
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard,
+           CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
            da.source AS source_a, db.source AS source_b,
            CASE WHEN da.source < db.source THEN doc_a ELSE doc_b
                 END AS keeper_id
@@ -423,8 +423,8 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE)
-                 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+           CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
     FROM rawpairs
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -474,8 +474,8 @@ _PASSAGE_WORDS = 10
     SELECT b.doc_id,
            COUNT(*) AS n_passages,
            COUNT(*) FILTER (f.n_occ > 1) AS n_dup_passages,
-           ROUND(CAST(SUM(CASE WHEN f.n_occ > 1 THEN b.n_words ELSE 0 END)
-                      AS DOUBLE) / SUM(b.n_words), 6) AS dup_word_frac
+           CAST(SUM(CASE WHEN f.n_occ > 1 THEN b.n_words ELSE 0 END)
+                      AS DOUBLE) / SUM(b.n_words) AS dup_word_frac
     FROM blocks b JOIN freq f USING (fp)
     GROUP BY b.doc_id
     """,
@@ -522,9 +522,11 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_passages"),
             F.count_if(F.col("n_occ") > 1).alias("n_dup_passages"),
-            F.round(
-                dup_words.cast("double") / F.sum("n_words"), 6
-            ).alias("dup_word_frac"),
+            # raw exact-integer quotient; ROUND is the cross-engine
+            # half-boundary trap on small-denominator rationals
+            (dup_words.cast("double") / F.sum("n_words")).alias(
+                "dup_word_frac"
+            ),
         )
     )
 
@@ -534,8 +536,8 @@ def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_CAPPED_SHINGLE_CTES}
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS cont_a_in_b,
-           ROUND(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS cont_b_in_a
+           CAST(n_common AS DOUBLE) / sa.n_sh AS cont_a_in_b,
+           CAST(n_common AS DOUBLE) / sb.n_sh AS cont_b_in_a
     FROM rawpairs
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -573,10 +575,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("n_common").cast("double") / F.col("n_a"), 6).alias(
+            (F.col("n_common").cast("double") / F.col("n_a")).alias(
                 "cont_a_in_b"
             ),
-            F.round(F.col("n_common").cast("double") / F.col("n_b"), 6).alias(
+            (F.col("n_common").cast("double") / F.col("n_b")).alias(
                 "cont_b_in_a"
             ),
         )
@@ -599,7 +601,7 @@ _LSH_RECALL_FINAL = """
     SELECT COUNT(*) AS n_true,
            CAST(SUM(hit) AS BIGINT) AS n_found,
            COUNT(*) - CAST(SUM(hit) AS BIGINT) AS n_missed,
-           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS recall
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
     FROM marked
 """
 
@@ -638,7 +640,5 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_true"),
         F.sum("hit").cast("bigint").alias("n_found"),
         (F.count(F.lit(1)) - F.sum("hit")).cast("bigint").alias("n_missed"),
-        F.round(
-            F.sum("hit").cast("double") / F.count(F.lit(1)), 6
-        ).alias("recall"),
+        (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
     )

@@ -11,6 +11,27 @@ cast rounds identically in both engines for non-boundary values.
 Array folds (dot products, norms) instead rely on *sequential* left-to-right
 evaluation, which Spark's ``aggregate`` and DuckDB's ``list_reduce`` both
 guarantee, so plain double accumulation is already deterministic there.
+
+THE RATIONAL-ROUND TRAP (round-6 lesson, first hit by q_seasonal_decompose
+at sf0.1): never ROUND — and never cast back to DECIMAL — a double that is
+a small-denominator rational (a mean ``sum/count``, a ratio ``n/total``, a
+replicate mean).  Such rationals land EXACTLY on the half boundary of the
+target scale with probability ~1/denominator (e.g. k/30 microunits is a
+half-boundary whenever k ≡ 15 mod 30), and at the boundary Spark (exact
+BigDecimal HALF_UP on the binary value) and DuckDB (scaled-double pipeline)
+round in different directions.  Irrational-valued expressions (ln, sqrt,
+cosines) are safe to ROUND — they sit on a boundary with probability ~0.
+
+Rules:
+  * ratio/mean OUTPUT columns: emit the RAW quotient — a single IEEE
+    division of bit-identical operands is itself bit-identical; ROUND
+    only ADDS risk.
+  * RE-AGGREGATING per-group means (two-level decompositions, bootstrap
+    replicates): quantize to integer microunits first —
+    ``CAST(FLOOR(m * CAST(1000000 AS DOUBLE)) AS BIGINT)`` (one
+    deterministic multiply + floor, boundary-free), sum exactly as
+    BIGINT, and divide once at readout.  Do NOT dsum/davg an
+    already-divided double: the DECIMAL cast rounds it.
 """
 
 from __future__ import annotations

@@ -978,9 +978,22 @@ _BOOT_IN_SPARK = (
 _BOOT_IN_DUCK = (
     "CAST(('0x' || SUBSTRING(h, b + 1, 1)) AS BIGINT) < 8"
 )
-_BOOT_SD_READOUT = (
-    "ROUND(SQRT((ssq - s * s / n) / (n - 1.0)), 6) AS boot_sd"
+#: identical-text readouts over EXACT integer microunit sums (s, ssq are
+#: BIGINT; every double op below is deterministic IEEE on identical
+#: operands).  No ROUND: rounding a replicate-mean rational (denominator =
+#: replicate count) sits exactly on a half-microunit boundary with
+#: probability ~1/n — the cross-engine ROUND/decimal-cast trap that bit
+#: q_seasonal_decompose at sf0.1.
+_BOOT_MEAN_READOUT = (
+    "CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE) / n AS boot_mean"
 )
+_BOOT_SD_READOUT = (
+    "SQRT((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+    " / (n - 1)) / CAST(1000000 AS DOUBLE) AS boot_sd"
+)
+#: replicate mean quantized to integer microunits: one deterministic IEEE
+#: multiply + floor on a bit-identical double, then exact BIGINT sums.
+_BOOT_MM = "CAST(FLOOR(m * CAST(1000000 AS DOUBLE)) AS BIGINT)"
 
 
 @register(
@@ -998,13 +1011,17 @@ _BOOT_SD_READOUT = (
       SELECT event_type, b, {davg('value', 6)} AS m
       FROM reps GROUP BY 1, 2
     ),
+    micro AS (
+      SELECT event_type, {_BOOT_MM} AS mm FROM rep_means
+    ),
     stats AS (
       SELECT event_type, COUNT(*) AS n,
-             {dsum('m', 6)} AS s, {dsum('m * m', 6)} AS ssq
-      FROM rep_means GROUP BY 1
+             CAST(SUM(mm) AS BIGINT) AS s,
+             CAST(SUM(mm * mm) AS BIGINT) AS ssq
+      FROM micro GROUP BY 1
     )
     SELECT event_type, n AS n_replicates,
-           ROUND(s / n, 6) AS boot_mean,
+           {_BOOT_MEAN_READOUT},
            {_BOOT_SD_READOUT}
     FROM stats ORDER BY event_type
     """,
@@ -1028,15 +1045,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_means = reps.groupBy("event_type", "b").agg(
         F.expr(davg("value", 6)).alias("m")
     )
-    stats = rep_means.groupBy("event_type").agg(
+    micro = rep_means.selectExpr("event_type", f"{_BOOT_MM} AS mm")
+    stats = micro.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(dsum("m", 6)).alias("s"),
-        F.expr(dsum("m * m", 6)).alias("ssq"),
+        F.sum("mm").alias("s"),
+        F.sum(F.col("mm") * F.col("mm")).alias("ssq"),
     )
     return stats.selectExpr(
         "event_type",
         "n AS n_replicates",
-        "ROUND(s / n, 6) AS boot_mean",
+        _BOOT_MEAN_READOUT,
         _BOOT_SD_READOUT,
     ).orderBy("event_type")
 
@@ -1290,14 +1308,14 @@ _AB_ADJ = f"(post - {_AB_THETA} * (pre - sx / n))"
     )
     SELECT grp,
            CAST(COUNT(*) AS BIGINT) AS n_users,
-           ROUND({dsum('post', 6)} / COUNT(*), 6) AS mean_post,
-           ROUND({dsum('adjusted', 6)} / COUNT(*), 6) AS mean_adjusted,
-           ROUND({dsum('post * post', 6)} / COUNT(*)
+           {dsum('post', 6)} / COUNT(*) AS mean_post,
+           {dsum('adjusted', 6)} / COUNT(*) AS mean_adjusted,
+           {dsum('post * post', 6)} / COUNT(*)
                  - ({dsum('post', 6)} / COUNT(*))
-                   * ({dsum('post', 6)} / COUNT(*)), 6) AS var_post,
-           ROUND({dsum('adjusted * adjusted', 6)} / COUNT(*)
+                   * ({dsum('post', 6)} / COUNT(*)) AS var_post,
+           {dsum('adjusted * adjusted', 6)} / COUNT(*)
                  - ({dsum('adjusted', 6)} / COUNT(*))
-                   * ({dsum('adjusted', 6)} / COUNT(*)), 6) AS var_adjusted
+                   * ({dsum('adjusted', 6)} / COUNT(*)) AS var_adjusted
     FROM adj GROUP BY grp ORDER BY grp
     """,
     doc="A/B experiment readout with CUPED variance reduction — the "
@@ -1354,21 +1372,25 @@ def q_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         adj.groupBy("grp")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            F.expr(f"ROUND({dsum('post', 6)} / COUNT(*), 6)").alias(
-                "mean_post"
-            ),
-            F.expr(f"ROUND({dsum('adjusted', 6)} / COUNT(*), 6)").alias(
+            # raw identical-text readouts, no ROUND: the means are
+            # small-denominator rationals (microunit sums / COUNT) that
+            # can land exactly on half-microunit boundaries where the
+            # engines' ROUND pipelines disagree (the q_seasonal_decompose
+            # class); the raw IEEE ops on identical operands are
+            # bit-identical everywhere.
+            F.expr(f"{dsum('post', 6)} / COUNT(*)").alias("mean_post"),
+            F.expr(f"{dsum('adjusted', 6)} / COUNT(*)").alias(
                 "mean_adjusted"
             ),
             F.expr(
-                f"ROUND({dsum('post * post', 6)} / COUNT(*)"
+                f"{dsum('post * post', 6)} / COUNT(*)"
                 f" - ({dsum('post', 6)} / COUNT(*))"
-                f" * ({dsum('post', 6)} / COUNT(*)), 6)"
+                f" * ({dsum('post', 6)} / COUNT(*))"
             ).alias("var_post"),
             F.expr(
-                f"ROUND({dsum('adjusted * adjusted', 6)} / COUNT(*)"
+                f"{dsum('adjusted * adjusted', 6)} / COUNT(*)"
                 f" - ({dsum('adjusted', 6)} / COUNT(*))"
-                f" * ({dsum('adjusted', 6)} / COUNT(*)), 6)"
+                f" * ({dsum('adjusted', 6)} / COUNT(*))"
             ).alias("var_adjusted"),
         )
         .orderBy("grp")

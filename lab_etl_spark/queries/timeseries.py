@@ -1236,22 +1236,27 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             {davg('value', 6)} AS hv
+             CAST(FLOOR(({davg('value', 6)})
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT) AS hm
       FROM events
       GROUP BY 1, 2
     ),
     seasonal AS (
       SELECT event_type, hour(h) AS hour_of_day,
              COUNT(*) AS n_buckets,
-             {davg('hv', 6)} AS seasonal_mean
+             CAST(SUM(hm) AS BIGINT) AS sm
       FROM hourly GROUP BY 1, 2
     ),
     overall AS (
-      SELECT event_type, {davg('hv', 6)} AS type_mean FROM hourly GROUP BY 1
+      SELECT event_type, COUNT(*) AS tn, CAST(SUM(hm) AS BIGINT) AS tm
+      FROM hourly GROUP BY 1
     )
     SELECT s.event_type, s.hour_of_day, s.n_buckets,
-           ROUND(s.seasonal_mean, 6) AS seasonal_mean,
-           ROUND(s.seasonal_mean - o.type_mean, 6) AS seasonal_index
+           CAST(s.sm AS DOUBLE) / CAST(1000000 AS DOUBLE) / s.n_buckets
+             AS seasonal_mean,
+           CAST(s.sm AS DOUBLE) / CAST(1000000 AS DOUBLE) / s.n_buckets
+             - CAST(o.tm AS DOUBLE) / CAST(1000000 AS DOUBLE) / o.tn
+             AS seasonal_index
     FROM seasonal s JOIN overall o ON o.event_type = s.event_type
     ORDER BY s.event_type, s.hour_of_day
     """,
@@ -1259,36 +1264,52 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket means, a per-(type, hour-of-day) seasonal profile over them, "
     "and the seasonal index as deviation from the type-level mean — the "
     "classic pre-forecasting decomposition (and the input q_date_spine_"
-    "fill's gap handling feeds).  Two exact-decimal aggregation levels "
-    "(bucket means are deterministic doubles, the second level re-"
-    "accumulates them in DECIMAL), so both engines agree bit-for-bit; "
-    "shuffles carry (type, hour) cardinality, never raw events, at any "
-    "scale.",
+    "fill's gap handling feeds).  Determinism: level 1 is an exact-"
+    "decimal mean of the 2-decimal source values (bit-identical double "
+    "on both engines); level 2 re-accumulates the bucket means as FIXED-"
+    "POINT INTEGER MICROUNITS — floor(hv * 1e6) is one deterministic "
+    "IEEE multiply plus floor, summed exactly as BIGINT — because "
+    "casting an arbitrary double mean back to DECIMAL(30,6) rounds at "
+    "the 6th-decimal HALF boundary, where Spark (exact BigDecimal "
+    "HALF_UP) and DuckDB (scaled-double) can disagree: bucket means are "
+    "small-count rationals that LAND on those boundaries (first seen at "
+    "sf0.1; sf0.01 never hit one).  Readout is identical-text double "
+    "division, no output ROUND.  Shuffles carry (type, hour) "
+    "cardinality, never raw events, at any scale; the integer-microunit "
+    "re-aggregation is the standard deterministic distributed "
+    "accumulator (exact, mergeable, order-free).",
 )
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.expr(davg("value", 6)).alias("hv"))
+    ).agg(
+        F.expr(
+            f"CAST(FLOOR(({davg('value', 6)})"
+            " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        ).alias("hm")
+    )
     seasonal = hourly.groupBy(
         "event_type", F.hour("h").alias("hour_of_day")
     ).agg(
         F.count(F.lit(1)).alias("n_buckets"),
-        F.expr(davg("hv", 6)).alias("seasonal_mean"),
+        F.sum("hm").alias("sm"),
     )
     overall = hourly.groupBy("event_type").agg(
-        F.expr(davg("hv", 6)).alias("type_mean")
+        F.count(F.lit(1)).alias("tn"), F.sum("hm").alias("tm")
     )
+    mean_sql = (
+        "CAST(sm AS DOUBLE) / CAST(1000000 AS DOUBLE) / n_buckets"
+    )
+    type_mean_sql = "CAST(tm AS DOUBLE) / CAST(1000000 AS DOUBLE) / tn"
     return (
         seasonal.join(overall, "event_type")
-        .select(
+        .selectExpr(
             "event_type",
             "hour_of_day",
             "n_buckets",
-            F.round("seasonal_mean", 6).alias("seasonal_mean"),
-            F.round(
-                F.col("seasonal_mean") - F.col("type_mean"), 6
-            ).alias("seasonal_index"),
+            f"{mean_sql} AS seasonal_mean",
+            f"{mean_sql} - {type_mean_sql} AS seasonal_index",
         )
         .orderBy("event_type", "hour_of_day")
     )
@@ -1542,7 +1563,7 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT from_type, SUM(n) AS row_total FROM cnt GROUP BY 1
     )
     SELECT c.from_type, c.to_type, c.n,
-           ROUND(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+           CAST(c.n AS DOUBLE) / t.row_total AS p
     FROM cnt c JOIN tot t ON t.from_type = c.from_type
     ORDER BY c.from_type, c.to_type
     """,
@@ -1551,8 +1572,11 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(from, to) matrix and row-normalized to transition probabilities — "
     "the Sankey/journey-analytics primitive and the input to any "
     "sequence model baseline.  One user-partitioned window pass + a "
-    "(types²)-row rollup; the probability is a single integer division, "
-    "deterministic everywhere.",
+    "(types²)-row rollup; the probability is a single integer division "
+    "emitted RAW (no ROUND: n/row_total is a small-denominator rational, "
+    "and rounding one that lands on a half-microunit boundary is the "
+    "cross-engine trap documented on q_bootstrap_ci — the raw IEEE "
+    "quotient of two exact integers is bit-identical everywhere).",
 )
 def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -1571,9 +1595,7 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "from_type",
             "to_type",
             "n",
-            F.round(
-                F.col("n").cast("double") / F.col("row_total"), 6
-            ).alias("p"),
+            (F.col("n").cast("double") / F.col("row_total")).alias("p"),
         )
         .orderBy("from_type", "to_type")
     )
