@@ -585,8 +585,12 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark SQL, which makes the division decimal and the rrf column
             # DECIMAL(9,6) — the DuckDB oracle returns DOUBLE, so the driver
             # value-hash would mismatch on identical values.
-            f"ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank), 0.0)"
-            f" + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + sem_rank), 0.0), 6)"
+            # raw sum of two IEEE divisions — no ROUND: 1/(60+a)+1/(60+b)
+            # is a rational whose reduced denominator can take the exact
+            # 2^7*5^j half-boundary form (e.g. ranks 68 and 65 give
+            # 253/16000 = 15812.5 microunits), the rational-ROUND trap
+            f"COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank), 0.0)"
+            f" + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + sem_rank), 0.0)"
             " AS rrf",
         )
     )
@@ -627,8 +631,9 @@ def _wire_rrf_oracle() -> None:
       ) WHERE rk <= {RRF_TOPN}
     )
     SELECT doc_id, lex_rank, sem_rank,
-           ROUND(COALESCE(1.0 / ({RRF_K} + lex_rank), 0.0)
-                 + COALESCE(1.0 / ({RRF_K} + sem_rank), 0.0), 6) AS rrf
+           COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + sem_rank), 0.0)
+             AS rrf
     FROM lex FULL OUTER JOIN sem USING (doc_id)
     ORDER BY rrf DESC, doc_id LIMIT 20
     """

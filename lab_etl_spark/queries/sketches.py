@@ -740,10 +740,10 @@ BASKET_MIN_SUPPORT = 3
         HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
     )
     SELECT p.item_a, p.item_b, p.support,
-           ROUND(CAST(p.support AS DOUBLE) / ca.c, 6) AS conf_a_b,
-           ROUND(CAST(p.support AS DOUBLE) / cb.c, 6) AS conf_b_a,
-           ROUND(CAST(p.support AS DOUBLE) * n.n_baskets
-                 / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+           CAST(p.support AS DOUBLE) / ca.c AS conf_a_b,
+           CAST(p.support AS DOUBLE) / cb.c AS conf_b_a,
+           CAST(p.support AS DOUBLE) * n.n_baskets
+                 / (CAST(ca.c AS DOUBLE) * cb.c) AS lift
     FROM pairs p
     JOIN item ca ON ca.l_partkey = p.item_a
     JOIN item cb ON cb.l_partkey = p.item_b
@@ -792,17 +792,18 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_a",
             "item_b",
             "support",
-            F.round(F.col("support").cast("double") / F.col("ca"), 6).alias(
+            # raw exact-integer quotients — no rounding (rational-ROUND
+            # trap, see queries/exact.py)
+            (F.col("support").cast("double") / F.col("ca")).alias(
                 "conf_a_b"
             ),
-            F.round(F.col("support").cast("double") / F.col("cb"), 6).alias(
+            (F.col("support").cast("double") / F.col("cb")).alias(
                 "conf_b_a"
             ),
-            F.round(
+            (
                 F.col("support").cast("double")
                 * F.col("n_baskets")
-                / (F.col("ca").cast("double") * F.col("cb")),
-                6,
+                / (F.col("ca").cast("double") * F.col("cb"))
             ).alias("lift"),
         )
         .orderBy("item_a", "item_b")

@@ -53,11 +53,11 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            len(string_split_regex(trim(text), ' +')) AS n_tokens,
-           ROUND(CAST(len(list_filter(string_split_regex(trim(text), ' +'),
-                                      w -> w IN ({_STOP_SQL}))) AS DOUBLE)
-                 / len(string_split_regex(trim(text), ' +')), 6) AS stopword_ratio,
-           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                 / len(string_split_regex(trim(text), ' +')), 6) AS avg_word_len,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                                w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+                 / len(string_split_regex(trim(text), ' +')) AS stopword_ratio,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), ' +')) AS avg_word_len,
            CASE WHEN len(string_split_regex(trim(text), ' +')) BETWEEN 5 AND 1000
                  AND CAST(len(list_filter(string_split_regex(trim(text), ' +'),
                                           w -> w IN ({_STOP_SQL}))) AS DOUBLE)
@@ -81,8 +81,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(awl, 6).alias("avg_word_len"),
+        # raw exact-integer quotients — no rounding (rational-ROUND trap,
+        # see queries/exact.py)
+        stop_ratio.alias("stopword_ratio"),
+        awl.alias("avg_word_len"),
         F.when(n_tokens.between(5, 1000) & (stop_ratio > 0.05), 1)
         .otherwise(0)
         .alias("quality_pass"),
@@ -146,9 +148,8 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
     SELECT doc_id,
            len(string_split_regex(trim(text), ' +')) AS ws_tokens,
            len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
-           ROUND(CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS DOUBLE)
-                 / len(string_split_regex(trim(text), ' +')), 6)
-             AS bpe_per_word
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS DOUBLE)
+                 / len(string_split_regex(trim(text), ' +')) AS bpe_per_word
     FROM documents
     """,
     doc="Token counting two ways: whitespace words and a BPE-ish regex "
@@ -163,7 +164,7 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        F.round(bpe.cast("double") / ws, 6).alias("bpe_per_word"),
+        (bpe.cast("double") / ws).alias("bpe_per_word"),
     )
 
 
@@ -338,11 +339,11 @@ def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id, n_words,
-           ROUND(CAST(list_max(list_transform(list_distinct(ws),
+           CAST(list_max(list_transform(list_distinct(ws),
                      d -> len(list_filter(ws, x -> x = d)))) AS DOUBLE)
-                 / n_words, 6) AS top_word_frac,
-           ROUND(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
-                 / len(bigrams), 6) AS dup_bigram_frac
+                 / n_words AS top_word_frac,
+           1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / len(bigrams) AS dup_bigram_frac
     FROM g
     WHERE n_words >= 2
     """,
@@ -370,14 +371,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "n_words",
-        F.round(
-            top_word.cast("double") / F.col("n_words"), 6
-        ).alias("top_word_frac"),
-        F.round(
+        (top_word.cast("double") / F.col("n_words")).alias(
+            "top_word_frac"
+        ),
+        (
             F.lit(1.0)
             - F.size(F.array_distinct("bigrams")).cast("double")
-            / F.size("bigrams"),
-            6,
+            / F.size("bigrams")
         ).alias("dup_bigram_frac"),
     )
 
@@ -575,8 +575,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     )
     SELECT doc_id, n_words,
-           ROUND(awl, 6) AS avg_word_len,
-           ROUND(fa, 6) AS alpha_frac,
+           awl AS avg_word_len,
+           fa AS alpha_frac,
            CASE WHEN len(fails) = 0 THEN 1 ELSE 0 END AS keep,
            COALESCE(array_to_string(fails, ','), '') AS drop_reasons
     FROM g
@@ -617,8 +617,8 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.withColumn("fails", fails).select(
         "doc_id",
         "n_words",
-        F.round("awl", 6).alias("avg_word_len"),
-        F.round("fa", 6).alias("alpha_frac"),
+        F.col("awl").alias("avg_word_len"),
+        F.col("fa").alias("alpha_frac"),
         F.when(F.size("fails") == 0, 1).otherwise(0).alias("keep"),
         F.concat_ws(",", "fails").alias("drop_reasons"),
     )
@@ -967,11 +967,11 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg)
     SELECT b.doc_id,
            COUNT(*) AS n_bigrams,
-           ROUND(CAST(SUM(CAST(f.c AS DECIMAL(30,0))) AS DOUBLE)
-                 / COUNT(*), 6) AS mean_bigram_freq,
+           CAST(SUM(CAST(f.c AS DECIMAL(30,0))) AS DOUBLE)
+                 / COUNT(*) AS mean_bigram_freq,
            MIN(f.c) AS min_bigram_freq,
-           ROUND(CAST(COUNT(*) FILTER (f.c <= 2) AS DOUBLE)
-                 / COUNT(*), 6) AS rare_rate
+           CAST(COUNT(*) FILTER (f.c <= 2) AS DOUBLE)
+                 / COUNT(*) AS rare_rate
     FROM bigrams b JOIN freq f USING (bg)
     GROUP BY b.doc_id
     """,
@@ -1011,18 +1011,16 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.expr(
-                    "CAST(SUM(CAST(c AS DECIMAL(30,0))) AS DOUBLE)"
-                )
-                / F.count(F.lit(1)),
-                6,
+            # raw exact-integer quotients — no rounding (rational-ROUND
+            # trap, see queries/exact.py)
+            (
+                F.expr("CAST(SUM(CAST(c AS DECIMAL(30,0))) AS DOUBLE)")
+                / F.count(F.lit(1))
             ).alias("mean_bigram_freq"),
             F.min("c").alias("min_bigram_freq"),
-            F.round(
+            (
                 F.count_if(F.col("c") <= 2).cast("double")
-                / F.count(F.lit(1)),
-                6,
+                / F.count(F.lit(1))
             ).alias("rare_rate"),
         )
     )

@@ -55,6 +55,16 @@ SAMPLE = [
     # disciplines under 10x rows
     "q_pq_adc",
     "q_bottomk_quantile",
+    # rational-ROUND class (late r6): queries whose outputs are small-
+    # denominator rationals — the exact population that flipped at sf0.1
+    # before the microunit/raw-quotient fixes.  Pinned here so a
+    # reintroduced ROUND or DECIMAL re-cast fails at 10x immediately.
+    "q_seasonal_decompose",
+    "q_transition_matrix",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_containment",
+    "q_dedup_passages",
+    "q_lsh_recall",
 ]
 
 REGISTRY = load_all()
