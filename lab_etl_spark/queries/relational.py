@@ -685,8 +685,8 @@ def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, event_type,
            CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
            LAG(value, 1) OVER w AS prev_value,
            LEAD(value, 1) OVER w AS next_value,
            value - LAG(value, 1) OVER w AS delta_prev
@@ -711,8 +711,12 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        # raw native outputs: both engines compute (rk-1)/(n-1) and
+        # rk/n as single IEEE divisions of identical integers —
+        # bit-identical, verified at sf0.001/0.01/0.1 (rational-ROUND
+        # discipline, queries/exact.py)
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         prev.alias("prev_value"),
         F.lead("value", 1).over(w).alias("next_value"),
         (F.col("value") - prev).alias("delta_prev"),

@@ -43,10 +43,6 @@ ALLOW: list[tuple[str, str, str]] = [
      "product — boundary P negligible"),
     ("queries/scale.py", "quantile_cont", "quartiles of 2-decimal values: "
      "k/400 microunits = 2500k, always integer — boundary-free"),
-    ("queries/relational.py", "PERCENT_RANK", "scale-9 boundary needs reduced "
-     "denominator 2^10*5^j dividing n-1 AND odd numerator — reviewed, "
-     "data-impossible at test scales; native fn kept for API parity"),
-    ("queries/relational.py", "CUME_DIST", "same analysis as PERCENT_RANK"),
     ("multimodal/columns.py", "n_common", "rows-only query (no oracle): "
      "cross-engine rounding divergence cannot manifest"),
     ("queries/analytics.py", "100.0", "promo share: numerator and "
