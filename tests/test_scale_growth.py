@@ -99,6 +99,53 @@ def test_connected_components_rounds_scale_with_diameter_not_size(spark, n):
     assert c1 > 0 and c2 >= 2 * c1 * 0.9
 
 
+def test_simhash_pairs_grow_linearly(spark):
+    # Exact-dup pairs over per-doc-unique vocabularies: unrelated docs get
+    # uncorrelated 64-bit signatures, so a 16-bit band collision between
+    # them is ~2^-16 — the banded join's output must track the planted n
+    # pairs, not the n^2 cross product.
+    from lab_etl_spark.operators.simhash import simhash_near_pairs
+
+    def corpus(n):
+        rows = []
+        for i in range(n):
+            text = " ".join(f"u{i}w{k}" for k in range(24))
+            rows.append((2 * i, text))
+            rows.append((2 * i + 1, text))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    small = simhash_near_pairs(corpus(60), max_hamming=3, bands=4).count()
+    large = simhash_near_pairs(corpus(120), max_hamming=3, bands=4).count()
+    assert small >= 60, f"planted exact dups missed: {small} < 60"
+    g = large / small
+    assert g <= 2.2, f"simhash pair output grew {g:.2f}x for 2x docs"
+
+
+def test_embedding_near_pairs_work_is_sum_block_sq(spark):
+    # The block join's pair count is Σ|block|², not n²: doubling the BLOCK
+    # COUNT at fixed block size must double the emitted pairs, and no pair
+    # may cross a block boundary (which is what caps the shuffle at scale).
+    from lab_etl_spark.operators.similarity import embedding_near_pairs
+
+    def vectors(blocks):
+        rows = []
+        for b in range(blocks):
+            base = [0.0] * 8
+            base[b % 8] = 1.0
+            jit = base[:]
+            jit[(b + 1) % 8] = 1e-4  # cosine ~ 1 - 5e-9, inside 0.98
+            rows.append((2 * b, b, base))
+            rows.append((2 * b + 1, b, jit))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, label bigint, embedding array<double>"
+        )
+
+    small = embedding_near_pairs(vectors(40), threshold=0.98).count()
+    large = embedding_near_pairs(vectors(80), threshold=0.98).count()
+    assert small == 40, f"expected one pair per block, got {small}"
+    assert large == 80, f"expected one pair per block, got {large}"
+
+
 def test_degree_oriented_wedges_immune_to_hubs(spark):
     # A degree-d hub centers ~d^2/2 wedges under naive id orientation but
     # ~0 under degree orientation (all its edges point INTO it).  Doubling
