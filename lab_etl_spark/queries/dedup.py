@@ -642,3 +642,138 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("hit")).cast("bigint").alias("n_missed"),
         (F.sum("hit").cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+# -- q_semdedup --------------------------------------------------------------
+
+SD_NBITS = 4  #: hyperplane-LSH sign bits -> up to 16 quantizer cells
+SD_EPS = 0.35  #: within-cell cosine at/above which the larger id is dropped
+
+#: order-independent 32-bit digest of a dropped vec_id (bit_xor-folded per
+#: cell), pinning the EXACT drop set — not just its size — cross-engine.
+_SD_H32_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('sd:', CAST(vec_id AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT)"
+)
+_SD_H32_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5('sd:' || CAST(vec_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+def _semdedup_oracle() -> str:
+    from ..operators.similarity import lsh_bucket_duck
+
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i] * b.v[i]), (p, q) -> p + q)"
+    )
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, {lsh_bucket_duck(SD_NBITS)} AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, cell, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (p, q) -> p + q)) AS nrm
+      FROM sig
+    ),
+    dropped AS (
+      SELECT DISTINCT b.cell, b.vec_id
+      FROM nrm a JOIN nrm b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {dot} / (a.nrm * b.nrm) >= CAST({SD_EPS} AS DOUBLE)
+    ),
+    drops AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+             bit_xor({_SD_H32_DUCK}) AS drop_checksum
+      FROM dropped GROUP BY cell
+    )
+    SELECT s.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           COALESCE(MAX(d.n_dropped), CAST(0 AS BIGINT)) AS n_dropped,
+           CAST(COUNT(*) AS BIGINT)
+             - COALESCE(MAX(d.n_dropped), CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(MAX(d.drop_checksum), CAST(0 AS BIGINT)) AS drop_checksum
+    FROM sig s LEFT JOIN drops d ON s.cell = d.cell
+    GROUP BY s.cell
+    ORDER BY s.cell
+    """
+
+
+@register(
+    "q_semdedup",
+    oracle=_semdedup_oracle(),
+    doc="Semantic dedup, cluster-then-prune (the SemDeDup recipe, Abbas et "
+    "al. 2023): a training-free hyperplane-LSH quantizer cell plays the "
+    "k-means cluster, and within each cell every vector whose cosine to a "
+    "SMALLER-id cell-mate reaches eps is dropped (deterministic keep-first "
+    "stand-in for the paper's keep-farthest-from-centroid rule).  Scale "
+    "shape: one codegen scan computes the cell signature, the self-join "
+    "shuffles on the cell key so pair work is sum(|cell|^2) — never the "
+    "n^2 cross product — and the readout is a cell-keyed aggregate whose "
+    "bit_xor digest pins the exact drop set.  Cosines are sequential "
+    "folds (aggregate <-> list_reduce), bit-identical cross-engine; the "
+    "whole pipeline is value-checked including WHICH vectors drop.",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import DOT, SQNORM, lsh_bucket_spark
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # lazy persist: the signature frame feeds the pair join twice (both
+    # sides) plus the per-cell census; the fold is cheap but corpus-sized,
+    # and Catalyst does not dedupe common subtrees.
+    sig = (
+        emb.selectExpr(
+            "vec_id",
+            f"{lsh_bucket_spark(SD_NBITS)} AS cell",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        )
+        .withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+        .persist()
+    )
+    a = sig.select(
+        "cell",
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sig.select(
+        "cell",
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("vec_id"))
+        .filter(cos >= F.expr(f"CAST({SD_EPS} AS DOUBLE)"))
+        .select("cell", "vec_id")
+        .distinct()
+    )
+    drops = dropped.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.expr(f"bit_xor({_SD_H32_SPARK})").alias("drop_checksum"),
+    )
+    return (
+        sig.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(drops, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias(
+                "n_dropped"
+            ),
+            (
+                F.col("n_vecs")
+                - F.coalesce("n_dropped", F.lit(0)).cast("bigint")
+            ).alias("n_kept"),
+            F.coalesce("drop_checksum", F.lit(0)).cast("bigint").alias(
+                "drop_checksum"
+            ),
+        )
+        .orderBy("cell")
+    )

@@ -32,6 +32,15 @@ Rules:
     deterministic multiply + floor, boundary-free), sum exactly as
     BIGINT, and divide once at readout.  Do NOT dsum/davg an
     already-divided double: the DECIMAL cast rounds it.
+  * COMPOUND transcendentals (LN of an LN result, or LN of any
+    arbitrary double that is not a ratio of exact integers): the two
+    engines' libm may disagree by 1 ulp (first observed on
+    q_importance_resampling's Gumbel key ``LN(-LN(u))``), so the raw
+    double is NOT cross-engine-stable.  Emit such outputs ROUNDed
+    (they are irrational — boundary probability ~0) and keep raw
+    values only for ordering, where a 1-ulp drift cannot flip ranks
+    of distinct rows.  Single LN/SQRT over a ratio of bit-identical
+    integers remains raw-safe (q_weighted_sample precedent).
 """
 
 from __future__ import annotations

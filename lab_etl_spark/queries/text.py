@@ -1501,6 +1501,169 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("rank")
 
 
+# -- q_importance_resampling -------------------------------------------------
+
+IR_B = 64  #: hashed-feature buckets (the DSIR hashed n-gram space)
+IR_K = 20  #: documents selected
+
+_IR_BUCKET_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('ir:', token)), 1, 8), 16, 10)"
+    f" AS BIGINT) % {IR_B}"
+)
+_IR_BUCKET_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5('ir:' || token), 1, 8)) AS BIGINT)"
+    f" % {IR_B}"
+)
+#: 52-bit md5 uniform in (0,1) for the Gumbel perturbation (the
+#: q_weighted_sample lattice trick — salt 'irs:', +0.5 shift kills u=0).
+_IR_U_SPARK = (
+    "(CAST(CONV(SUBSTRING(MD5(CONCAT('irs:', CAST(doc_id AS STRING))), 1,"
+    " 13), 16, 10) AS DOUBLE) + 0.5) / 4503599627370496"
+)
+_IR_U_DUCK = (
+    "(CAST(CAST(('0x' || SUBSTRING(MD5('irs:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 13)) AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496"
+)
+
+
+@register(
+    "q_importance_resampling",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(text), ' +')) AS token
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, lang, {_IR_BUCKET_DUCK} AS bucket FROM tokens
+    ),
+    totals AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS r_total,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS t_total
+      FROM tb
+    ),
+    rc AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS rcnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS tcnt
+      FROM tb GROUP BY bucket
+    ),
+    lr AS (
+      SELECT bucket,
+             LN(CAST(tcnt + 1 AS DOUBLE) / CAST(t_total + {IR_B} AS DOUBLE))
+             - LN(CAST(rcnt + 1 AS DOUBLE)
+                  / CAST(r_total + {IR_B} AS DOUBLE)) AS lr
+      FROM rc CROSS JOIN totals
+    ),
+    dbc AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tb GROUP BY doc_id, bucket
+    ),
+    contrib AS (
+      SELECT d.doc_id, d.bucket, CAST(d.n AS DOUBLE) * l.lr AS c
+      FROM dbc d JOIN lr l USING (bucket)
+    ),
+    lw AS (
+      SELECT doc_id,
+             list_reduce(array_agg(c ORDER BY bucket), (p, q) -> p + q)
+               AS logw
+      FROM contrib GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, logw, logw - LN(-LN({_IR_U_DUCK})) AS sel_key
+      FROM lw
+    ),
+    ranked AS (
+      SELECT doc_id, logw, sel_key,
+             ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT r.rk, r.doc_id, d.lang, ROUND(r.logw, 6) AS logw,
+           ROUND(r.sel_key, 6) AS sel_key
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rk <= {IR_K}
+    ORDER BY r.rk
+    """,
+    doc="Data selection via importance resampling (the DSIR recipe, Xie et "
+    "al. 2023): hashed token features (64 md5 buckets — no vocabulary "
+    "state), per-bucket log-likelihood ratio of a Laplace-smoothed target "
+    "unigram model (lang='en' docs) vs the raw corpus model, per-document "
+    "importance = bucket-count-weighted sum of ratios, and Gumbel-top-k "
+    "selection (logw - LN(-LN(u)), u a portable md5 uniform) — exact "
+    "weighted sampling without replacement, reproducible on any engine or "
+    "cluster size.  Determinism: integer bucket counts, single IEEE "
+    "divisions of identical integers under correctly-rounded LN, and the "
+    "per-document sum folds in fixed bucket order (aggregate <-> "
+    "list_reduce) so every double is bit-identical — outputs ship raw, "
+    "no ROUND.  Scale shape: two map-side-combined token aggregations "
+    "collapse the corpus to a 64-row broadcast ratio table, the "
+    "per-document fold is map-side, and selection is a top-k heap "
+    "(TakeOrderedAndProject) — no global sort, no driver state.",
+)
+def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.selectExpr(
+        "doc_id", "lang",
+        f"explode(split(trim(text), ' +')) AS token",
+    ).selectExpr("doc_id", "lang", f"{_IR_BUCKET_SPARK} AS bucket")
+    totals = tb.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_total"),
+    )
+    rc = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rcnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("tcnt"),
+    )
+    lr = rc.crossJoin(F.broadcast(totals)).selectExpr(
+        "bucket",
+        f"LN(CAST(tcnt + 1 AS DOUBLE) / CAST(t_total + {IR_B} AS DOUBLE))"
+        f" - LN(CAST(rcnt + 1 AS DOUBLE)"
+        f" / CAST(r_total + {IR_B} AS DOUBLE)) AS lr",
+    )
+    dbc = tb.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    contrib = dbc.join(F.broadcast(lr), "bucket").selectExpr(
+        "doc_id", "bucket", "CAST(n AS DOUBLE) * lr AS c"
+    )
+    lw = contrib.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(bucket, c)))"
+            ", s -> s.c), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("logw")
+    )
+    keyed = lw.selectExpr(
+        "doc_id", "logw", f"logw - LN(-LN({_IR_U_SPARK})) AS sel_key"
+    )
+    top = keyed.orderBy(F.desc("sel_key"), "doc_id").limit(IR_K)
+    # post-limit window: only ever sees the IR_K selected rows
+    w = W.orderBy(F.desc("sel_key"), "doc_id")
+    ranked = top.withColumn("rk", F.row_number().over(w))
+    # the IR_K-row selection broadcasts into the corpus-sized docs table,
+    # never the reverse
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(ranked), "doc_id")
+        .select(
+            "rk", "doc_id", "lang",
+            # irrational readouts (sums/compositions of LN) — ROUND is
+            # boundary-safe and absorbs the 1-ulp cross-libm LN drift
+            # observed on the double-LN Gumbel key; ORDER/top-k always
+            # use the raw keys (distinct docs are never within an ulp)
+            F.round("logw", 6).alias("logw"),
+            F.round("sel_key", 6).alias("sel_key"),
+        )
+        .orderBy("rk")
+    )
+
+
 # q_rrf_fusion (queries/similarity.py) nests q_bm25's oracle, which only
 # exists once this module has registered — wire it here.
 from .similarity import _wire_rrf_oracle  # noqa: E402

@@ -285,6 +285,9 @@ _SINGLE_PARTITION_OK = {
     # magnitude smaller than the fact table) — documented compromise;
     # approx-percentile cutpoints replace NTILE beyond ~millions of rows
     "q_rfm_segmentation",
+    # rk assigned over the IR_K rows a TakeOrderedAndProject already
+    # reduced to (the q_rrf_fusion/q_pq_adc pattern)
+    "q_importance_resampling",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
