@@ -356,3 +356,52 @@ def embedding_near_pairs(
         .filter(F.col("_raw_cos") >= threshold)
         .select("id_a", "id_b", F.round(F.col("_raw_cos"), 6).alias("cosine"))
     )
+
+
+def semdedup_dropped(
+    emb: DataFrame, nbits: int, eps: float
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster-then-prune semantic dedup (the SemDeDup recipe): a
+    training-free hyperplane-LSH cell (:func:`lsh_bucket_spark`) plays the
+    cluster, and within each cell every vector whose cosine to a
+    SMALLER-id cell-mate reaches ``eps`` is dropped — the deterministic
+    keep-first stand-in for the paper's keep-farthest-from-centroid rule.
+
+    ``emb`` needs (vec_id, embedding).  Returns ``(sig, dropped)``:
+    ``sig`` = (vec_id, cell, v, nrm), lazily persisted (it feeds both
+    sides of the pair join plus any census the caller builds, and
+    Catalyst does not dedupe common subtrees); ``dropped`` = (cell,
+    vec_id), one row per pruned vector.  Pair work is Σ|cell|² via the
+    cell-keyed self-join — never the n² cross product — and the cosine
+    is a sequential fold, bit-identical on any engine or partitioning.
+    """
+    sig = (
+        emb.selectExpr(
+            "vec_id",
+            f"{lsh_bucket_spark(nbits)} AS cell",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+        )
+        .withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+        .persist()
+    )
+    a = sig.select(
+        "cell",
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = sig.select(
+        "cell",
+        "vec_id",
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("vec_id"))
+        .filter(cos >= F.expr(f"CAST({eps} AS DOUBLE)"))
+        .select("cell", "vec_id")
+        .distinct()
+    )
+    return sig, dropped

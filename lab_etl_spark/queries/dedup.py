@@ -718,41 +718,10 @@ def _semdedup_oracle() -> str:
     "whole pipeline is value-checked including WHICH vectors drop.",
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import DOT, SQNORM, lsh_bucket_spark
+    from ..operators.similarity import semdedup_dropped
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # lazy persist: the signature frame feeds the pair join twice (both
-    # sides) plus the per-cell census; the fold is cheap but corpus-sized,
-    # and Catalyst does not dedupe common subtrees.
-    sig = (
-        emb.selectExpr(
-            "vec_id",
-            f"{lsh_bucket_spark(SD_NBITS)} AS cell",
-            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
-        )
-        .withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
-        .persist()
-    )
-    a = sig.select(
-        "cell",
-        F.col("vec_id").alias("ia"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = sig.select(
-        "cell",
-        F.col("vec_id").alias("vec_id"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("ia") < F.col("vec_id"))
-        .filter(cos >= F.expr(f"CAST({SD_EPS} AS DOUBLE)"))
-        .select("cell", "vec_id")
-        .distinct()
-    )
+    sig, dropped = semdedup_dropped(emb, nbits=SD_NBITS, eps=SD_EPS)
     drops = dropped.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_dropped"),
         F.expr(f"bit_xor({_SD_H32_SPARK})").alias("drop_checksum"),
