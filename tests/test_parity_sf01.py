@@ -65,6 +65,13 @@ SAMPLE = [
     "q_dedup_containment",
     "q_dedup_passages",
     "q_lsh_recall",
+    # raw-quotient distribution windows (PERCENT_RANK/CUME_DIST emitted
+    # unrounded after the allowlist retirement)
+    "q_window_distribution",
+    # late-r6 curation flagships: cell-join cosine folds + the ROUNDed
+    # Gumbel/logw readouts (the LN-1ulp class absorber) under 10x rows
+    "q_semdedup",
+    "q_importance_resampling",
 ]
 
 REGISTRY = load_all()
