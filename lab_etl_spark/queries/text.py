@@ -1526,6 +1526,53 @@ _IR_U_DUCK = (
 )
 
 
+def dsir_logw(docs: DataFrame, target: str = "lang = 'en'") -> DataFrame:
+    """Per-document DSIR log-importance over hashed token features.
+
+    ``docs`` needs (doc_id, lang, text); ``target`` is a SQL predicate
+    selecting the target-distribution documents.  Returns (doc_id, logw)
+    where ``logw`` = sum over the document's hash buckets of
+    count * [ln p_target(bucket) - ln p_raw(bucket)] with Laplace
+    smoothing — positive for documents that look like the target model,
+    negative otherwise.  The corpus collapses to a 64-row broadcast
+    ratio table; the per-document sum folds in fixed bucket order so the
+    double is bit-identical on any engine or partitioning.
+    """
+    tb = docs.selectExpr(
+        "doc_id", "lang",
+        "explode(split(trim(text), ' +')) AS token",
+    ).selectExpr(
+        "doc_id", f"CASE WHEN {target} THEN 1 ELSE 0 END AS is_t",
+        f"{_IR_BUCKET_SPARK} AS bucket",
+    )
+    totals = tb.agg(
+        F.count(F.lit(1)).alias("r_total"),
+        F.sum("is_t").cast("bigint").alias("t_total"),
+    )
+    rc = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rcnt"),
+        F.sum("is_t").cast("bigint").alias("tcnt"),
+    )
+    lr = rc.crossJoin(F.broadcast(totals)).selectExpr(
+        "bucket",
+        f"LN(CAST(tcnt + 1 AS DOUBLE) / CAST(t_total + {IR_B} AS DOUBLE))"
+        f" - LN(CAST(rcnt + 1 AS DOUBLE)"
+        f" / CAST(r_total + {IR_B} AS DOUBLE)) AS lr",
+    )
+    dbc = tb.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    contrib = dbc.join(F.broadcast(lr), "bucket").selectExpr(
+        "doc_id", "bucket", "CAST(n AS DOUBLE) * lr AS c"
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(bucket, c)))"
+            ", s -> s.c), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        ).alias("logw")
+    )
+
+
 @register(
     "q_importance_resampling",
     oracle=f"""
@@ -1605,40 +1652,7 @@ def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    tb = docs.selectExpr(
-        "doc_id", "lang",
-        f"explode(split(trim(text), ' +')) AS token",
-    ).selectExpr("doc_id", "lang", f"{_IR_BUCKET_SPARK} AS bucket")
-    totals = tb.agg(
-        F.count(F.lit(1)).alias("r_total"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("t_total"),
-    )
-    rc = tb.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rcnt"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("tcnt"),
-    )
-    lr = rc.crossJoin(F.broadcast(totals)).selectExpr(
-        "bucket",
-        f"LN(CAST(tcnt + 1 AS DOUBLE) / CAST(t_total + {IR_B} AS DOUBLE))"
-        f" - LN(CAST(rcnt + 1 AS DOUBLE)"
-        f" / CAST(r_total + {IR_B} AS DOUBLE)) AS lr",
-    )
-    dbc = tb.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    contrib = dbc.join(F.broadcast(lr), "bucket").selectExpr(
-        "doc_id", "bucket", "CAST(n AS DOUBLE) * lr AS c"
-    )
-    lw = contrib.groupBy("doc_id").agg(
-        F.expr(
-            "aggregate(transform(array_sort(collect_list(struct(bucket, c)))"
-            ", s -> s.c), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        ).alias("logw")
-    )
+    lw = dsir_logw(docs)
     keyed = lw.selectExpr(
         "doc_id", "logw", f"logw - LN(-LN({_IR_U_SPARK})) AS sel_key"
     )
