@@ -35,3 +35,53 @@ def test_bm25_ranks_term_dense_docs_higher(spark, tmp_path):
     }
     assert set(out) == {1, 2}, "only term-bearing docs are scored"
     assert out[1] > out[2] > 0, out
+
+
+def _docs(tmp_path, rows):
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_unigram_logprob_scores_gibberish_lower(spark, tmp_path):
+    # 40 docs of shared common vocabulary + one doc of hapax tokens: the
+    # corpus-LM score must put the gibberish doc strictly below every
+    # common-vocab doc (an inverted ln or a flipped subtraction would
+    # rank it highest).
+    common = "alpha beta gamma delta epsilon"
+    rows = [(d, common, "en", "src0", 30) for d in range(40)]
+    rows.append((99, "zxqj wvkp mbtr ylgh fdns", "en", "src0", 25))
+    sf = _docs(tmp_path, rows)
+    out = {r.doc_id: r.avg_logprob
+           for r in REGISTRY["q_unigram_logprob"].fn(spark, sf).collect()}
+    assert out[99] < min(v for k, v in out.items() if k != 99), out
+
+
+def test_kl_divergence_flags_the_drifted_source(spark, tmp_path):
+    # src_on shares the corpus-majority vocabulary; src_off uses disjoint
+    # tokens.  KL(P_source || P_corpus) must rank the off-distribution
+    # source strictly higher (zero/negative or inverted KL would not).
+    rows = [(d, "one two three four five", "en", "src_on", 25)
+            for d in range(30)]
+    rows += [(100 + d, "qqq www eee rrr ttt", "en", "src_off", 20)
+             for d in range(3)]
+    sf = _docs(tmp_path, rows)
+    out = {r.source: r.kl_to_corpus
+           for r in REGISTRY["q_kl_divergence"].fn(spark, sf).collect()}
+    assert out["src_off"] > out["src_on"] >= 0, out
+
+
+def test_quality_filter_drops_junk_keeps_prose(spark, tmp_path):
+    # One clean English paragraph vs one symbol-soup doc: the Gopher-style
+    # gates must keep the former and drop the latter with at least one
+    # named failed rule.
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "walks slowly home across the quiet green field tonight")
+    junk = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) {{{{ }}}}"
+    sf = _docs(tmp_path, [(1, clean, "en", "src0", len(clean)),
+                          (2, junk, "en", "src0", len(junk))])
+    out = {r.doc_id: r for r in
+           REGISTRY["q_quality_filter"].fn(spark, sf).collect()}
+    assert out[1].keep and not out[2].keep, out
+    assert out[2].drop_reasons, "drop must carry its audit trail"
