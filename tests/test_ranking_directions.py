@@ -85,3 +85,48 @@ def test_quality_filter_drops_junk_keeps_prose(spark, tmp_path):
            REGISTRY["q_quality_filter"].fn(spark, sf).collect()}
     assert out[1].keep and not out[2].keep, out
     assert out[2].drop_reasons, "drop must carry its audit trail"
+
+
+def test_contamination_flags_only_the_overlapping_doc(spark, tmp_path):
+    # doc 0 (doc_id % 97 == 0) is the held-out benchmark slice; doc 5
+    # repeats its text verbatim (full 5-gram overlap), doc 7 is disjoint.
+    # The scan must flag doc 5 and stay silent on doc 7 — an off-by-one
+    # in the shingle window or an inverted benchmark filter would be
+    # replicated by the oracle and pass parity.
+    bench_text = "held out benchmark question about gravity and light"
+    rows = [(0, bench_text, "en", "src0", len(bench_text)),
+            (5, bench_text, "en", "src1", len(bench_text)),
+            (7, "completely different words in this training document here",
+             "en", "src1", 57)]
+    sf = _docs(tmp_path, rows)
+    out = {r.doc_id: r.n_shared
+           for r in REGISTRY["q_contamination"].fn(spark, sf).collect()}
+    assert 5 in out and out[5] >= 1, out
+    assert 7 not in out and 0 not in out, out
+
+
+def test_pii_regexes_actually_match(spark, tmp_path):
+    # The augmentation plants exactly one email and one IP per document;
+    # a dead regex (matching nothing) would redact nothing yet still pass
+    # oracle parity, since both engines would replicate it.  Counts must
+    # be exactly 1/1 on PII-free base text.
+    sf = _docs(tmp_path, [(d, "plain text with no addresses at all",
+                           "en", "src0", 36) for d in range(5)])
+    for r in REGISTRY["q_pii_redact"].fn(spark, sf).collect():
+        assert r.n_emails == 1 and r.n_ips == 1, r
+
+
+def test_lang_id_follows_the_trigram_profile(spark, tmp_path):
+    # 20 en-labeled docs share one character system, 20 de-labeled docs
+    # another; a 41st doc labeled 'de' but written in the en system must
+    # be PREDICTED 'en' — content, not label, drives the vote.
+    en = "the quick brown fox jumps over the lazy dog again today"
+    de = "zwölf große Boxkämpfer jagen Viktor quer über den Sylter"
+    rows = [(i, en + f" v{i}", "en", "src0", 60) for i in range(20)]
+    rows += [(100 + i, de + f" n{i}", "de", "src0", 60) for i in range(20)]
+    rows.append((999, en + " v999", "de", "src0", 60))  # mislabeled
+    sf = _docs(tmp_path, rows)
+    out = {r.doc_id: r.predicted_lang
+           for r in REGISTRY["q_lang_id_ngram"].fn(spark, sf).collect()}
+    assert out[999] == "en", out[999]
+    assert out[0] == "en" and out[100] == "de", (out[0], out[100])
