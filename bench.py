@@ -107,6 +107,16 @@ def main() -> None:
     # min over passes discards it for all of them.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {name: float("inf") for name in bench_set}
+    # Host-variance floor: a fixed map-only plan (scan + project + noop)
+    # whose cost is dominated by per-job overhead, not query compute.
+    # Probed ONCE PER PASS, interleaved with the real queries exactly like
+    # any other timing, min across passes — a steal storm that hits one
+    # pass is discarded by the min, the same way it is for every query.
+    # (Round 6's probe ran 3 back-to-back trials AFTER the whole suite; a
+    # steal storm during that window inflated the floor ~10x and made
+    # every normalized ratio vacuous — see VERDICT round 6, "What's
+    # wrong" #1.)
+    floor = float("inf")
     for t in range(trials):
         for name, q in sorted(bench_set.items()):
             t0 = time.perf_counter()
@@ -123,37 +133,49 @@ def main() -> None:
             # queries' JVM memory.
             del df
             gc.collect()
-        print(f"# pass {t + 1}/{trials} done", file=sys.stderr)
-    timings = {n: round(v, 4) for n, v in sorted(timings.items())}
-    for name, v in timings.items():
-        print(f"# {name}: {v:.3f}s", file=sys.stderr)
-
-    # Host-variance floor: a fixed map-only plan (scan + project + noop)
-    # whose cost is dominated by per-job overhead, not query compute.  This
-    # host shows round-to-round CPU-steal swings of ~1.2-2x that hit every
-    # query uniformly; recording the floor alongside the timings lets a
-    # reader normalize across rounds (divide by floor_r{N}/floor_r{M})
-    # without cross-referencing map-only queries in old BENCH files.
-    floor = float("inf")
-    for _ in range(max(trials, 3)):
         t0 = time.perf_counter()
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
             "l_orderkey", "l_quantity + 1.0 AS q1"
         ).write.format("noop").mode("overwrite").save()
         floor = min(floor, time.perf_counter() - t0)
+        print(f"# pass {t + 1}/{trials} done", file=sys.stderr)
+    timings = {n: round(v, 4) for n, v in sorted(timings.items())}
+    for name, v in timings.items():
+        print(f"# {name}: {v:.3f}s", file=sys.stderr)
     print(f"# host_floor: {floor:.4f}s", file=sys.stderr)
 
     # Self-auditing 2x-gate: per-query ratio vs the round-1 baseline, raw
     # and host-floor-normalized (this host's CPU-steal level varies ~1.2-2x
     # between rounds and hits every query uniformly; dividing by the floor
     # ratio removes that).  Only queries that existed in round 1 appear.
-    ratios, ratios_norm = {}, {}
+    #
+    # Floor/canary cross-check: q_unpivot is a map-only query timed the
+    # same interleaved way as the floor probe; its raw ratio vs its own r1
+    # baseline is an independent estimate of host steal.  If the two
+    # disagree by >1.5x the floor measurement is suspect — normalize by
+    # the SMALLER of the two (conservative: under-normalizing can only
+    # make ratios look worse, never hide a regression) and flag loudly.
     floor_ratio = floor / BASELINE_R1_FLOOR if BASELINE_R1_FLOOR else 1.0
+    canary = timings.get("q_unpivot")
+    canary_ratio = (
+        canary / BASELINE_R1["q_unpivot"] if canary else floor_ratio
+    )
+    hi, lo = max(floor_ratio, canary_ratio), min(floor_ratio, canary_ratio)
+    floor_canary_agree = lo > 0 and hi / lo <= 1.5
+    norm_div = lo if lo > 0 else 1.0
+    if not floor_canary_agree:
+        print(
+            f"# BENCH INTEGRITY WARNING: floor_ratio {floor_ratio:.3f} and "
+            f"canary_ratio {canary_ratio:.3f} disagree by >1.5x — "
+            f"normalizing by the conservative min {norm_div:.3f}",
+            file=sys.stderr,
+        )
+    ratios, ratios_norm = {}, {}
     for name, base in BASELINE_R1.items():
         if name in timings and base > 0:
             r = timings[name] / base
             ratios[name] = round(r, 3)
-            ratios_norm[name] = round(r / floor_ratio, 3)
+            ratios_norm[name] = round(r / norm_div, 3)
     med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
     med_n = (
         sorted(ratios_norm.values())[len(ratios_norm) // 2]
@@ -163,24 +185,42 @@ def main() -> None:
     over_gate = sorted(n for n, r in ratios_norm.items() if r > 2.0)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "host_floor": round(floor, 4),
-                "baseline_floor": BASELINE_R1_FLOOR,
-                "ratio_vs_baseline": ratios,
-                "ratio_vs_baseline_norm": ratios_norm,
-                "ratio_median": med,
-                "ratio_median_norm": med_n,
-                "over_2x_gate_norm": over_gate,
-            }
-        )
+    # Key ORDER matters: the driver archives only a ~1.8 KB TAIL of stdout
+    # (BENCH_r0*.json store a truncated tail), so the gate/diagnostic
+    # scalars go LAST in the dict — they must survive truncation even when
+    # the per-query dicts at the front do not.  Compact separators buy
+    # ~15% more surviving entries.  The complete untruncated JSON is also
+    # written to bench_last_run.json so nothing is ever unrecoverable.
+    report = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "ratio_vs_baseline": ratios,
+        "ratio_vs_baseline_norm": ratios_norm,
+        "baseline_floor": BASELINE_R1_FLOOR,
+        "host_floor": round(floor, 4),
+        "floor_ratio": round(floor_ratio, 4),
+        "canary_ratio": round(canary_ratio, 4),
+        "floor_canary_agree": floor_canary_agree,
+        "norm_divisor": round(norm_div, 4),
+        "ratio_median": med,
+        "ratio_median_norm": med_n,
+        "over_2x_gate_norm": over_gate,
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_last_run.json"),
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # a read-only checkout must not kill the bench
+        print(f"# bench_last_run.json not written: {e}", file=sys.stderr)
+    print(json.dumps(report, separators=(",", ":")))
     spark.stop()
 
 

@@ -4,12 +4,18 @@ index, and MinHash + banded LSH for the 100 TB path.
 Design notes for scale:
   * Shingling is embarrassingly parallel (per-row `transform` over the word
     array — stays in whole-stage codegen, no Python).
-  * Exact Jaccard joins on the *shingle* (inverted index), so only documents
-    sharing at least one shingle meet — never the n² cross product.  Hot
-    shingles are the skew risk; AQE skew-join splitting handles moderate skew,
-    and `max_shingle_freq` drops stop-shingles (a standard trick: a shingle
+  * Exact Jaccard meets documents through shingle POSTING LISTS (inverted
+    index), so only documents sharing at least one shingle pair up — never
+    the n² cross product.  Hot shingles are the skew risk, and it is bounded
+    STRUCTURALLY here: `max_shingle_freq` drops stop-shingles (a shingle
     shared by thousands of docs carries ~no Jaccard signal but dominates the
-    join fan-out).
+    pair fan-out), which also caps any single doc's pair count in the
+    downstream doc-keyed joins.  AQE skew-join splitting is the backstop for
+    the residual enrichment-join class (candidates back to documents) — but
+    note it only rewrites SMJs whose inputs are bare shuffle stages, NOT
+    joins reusing an upstream aggregate's partitioning, so it cannot be the
+    primary defense inside this pipeline (mechanism + scope pinned by
+    tests/test_aqe_skew.py).
   * MinHash+LSH replaces the pair join with an O(docs × bands) bucket
     shuffle; exact Jaccard then verifies only the candidates.
 """

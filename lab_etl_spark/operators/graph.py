@@ -244,6 +244,13 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     all keyed by vertex id, so a round costs O(|E|/p) per partition at
     any scale; labels localCheckpoint per round to keep lineage O(1).
     """
+    if rounds < 1:
+        raise ValueError(
+            "label_propagation requires rounds >= 1 (with 0 rounds the "
+            "returned seed labels would still be a lazy derivation of "
+            "the undirected edge frame, whose checkpoint blocks are "
+            "released below — collecting it would then fail)"
+        )
     und = (
         edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
         .unionAll(edges.select(F.col("p2").alias("a"), F.col("p1").alias("b")))

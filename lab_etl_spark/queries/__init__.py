@@ -63,37 +63,25 @@ def register(
 #     oracle went hash-green) -> 46 hash-green, 3 rows-only-by-design,
 #     1 red (q_rrf_fusion — Spark-side DECIMAL output from a bare 1.0
 #     selectExpr literal; values identical, type flipped the hash).
-#   round 6 (this list): q_rrf_fusion first (fixed: CAST(1.0 AS DOUBLE)
-#     makes the division double; guarded registry-wide by
-#     tests/test_spark_types.py + tools/audit_decimal_literals.py), then
-#     the 8 round-5 additions that have never had a driver row, then the
-#     two queries whose oracles were PROMOTED after their last driver
-#     check (q_hll_rollup rows-only->portable-register value oracle in
-#     r5, q_stream_stateful_ewma rows-only->value oracle in r4) so the
-#     promoted checks finally run at the driver.  The remaining ~39
-#     slots fill by STALENESS (_LAST_GREEN below): any round-6 additions
-#     (absent from the map) first, then the r2 cohort veterans
-#     (q_scalar_fns .. q_interp_by_key), whose last driver rows are
-#     three rounds old and whose shared helpers (exact-decimal readouts,
-#     plan gates) have been refactored since.
+#   round 6: q_rrf_fusion (the r5 red, fixed) + 8 never-checked r5
+#     additions + 2 promoted oracles fronted, remaining slots from the
+#     r2 cohort; result 50/50 green — the first zero-red zero-waiver
+#     window, and every one of the 203 registered queries now has a
+#     green driver row somewhere in CORRECTNESS_r0{1..6}.
+#   round 7 (this list): no reds to front; the only residue is
+#     STALENESS, so the window is almost purely the staleness drain —
+#     the 12 r2-stale veterans (q_text_quality .. q_interval_join) then
+#     as much of the 44-strong r3 cohort as fits.  Fronted explicitly:
+#     q_approx_percentile, whose oracle was PROMOTED this round
+#     (rows-only GK demo -> value-checked rank-band certificate), the
+#     q_hll_rollup/q_stream_stateful_ewma precedent.  Round-7 additions
+#     (absent from _LAST_GREEN) enter automatically ahead of veterans.
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # the only round-5 red row — fixed Spark output type must show green
-    "q_rrf_fusion",
-    # round-5 additions never driver-checked (window spill, self-queued)
-    "q_acf",
-    "q_arrow_roundtrip",
-    "q_attribution_markov",
-    "q_funnel_windowed",
-    "q_interval_merge",
-    "q_langid_confusion",
-    "q_ntile_binning",
-    "q_webdataset_roundtrip",
-    # oracles promoted after their last driver row — run the new checks
-    "q_hll_rollup",
-    "q_stream_stateful_ewma",
+    # oracle promoted after its last driver row — run the new check
+    "q_approx_percentile",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
@@ -102,34 +90,34 @@ _WINDOW_FRONT = [
 # the window: stalest first.  Queries absent from this map have never
 # been driver-checked and sort ahead of all veterans automatically.
 _LAST_GREEN = {
-    "q_dedup_exact": 2, "q_dedup_ngram_jaccard": 2, "q_dedup_minhash_lsh": 2,
-    "q_dedup_clusters": 2, "q_dedup_simhash": 2, "q_dedup_embedding": 3,
+    "q_dedup_exact": 6, "q_dedup_ngram_jaccard": 6, "q_dedup_minhash_lsh": 6,
+    "q_dedup_clusters": 6, "q_dedup_simhash": 6, "q_dedup_embedding": 3,
     "q_instrument_peak_hrr": 3, "q_instrument_sta_mass_loss": 3,
-    "q_filter_project": 2, "q_pricing_summary": 2, "q_agg_group": 2,
-    "q_agg_distinct": 2, "q_approx_distinct": 3,
-    "q_shipping_priority": 2, "q_local_supplier_volume": 2,
-    "q_hash_join_inner": 2, "q_broadcast_join": 2, "q_semi_join": 2,
-    "q_anti_join": 3, "q_range_join": 2, "q_window_rank": 2,
-    "q_window_frame": 2, "q_sort_limit_topk": 2, "q_set_ops": 2,
-    "q_scalar_fns": 2, "q_array_fns": 2, "q_map_fns": 2,
-    "q_skew_join_salted": 2, "q_shuffle_hash_join": 2, "q_outer_join": 2,
-    "q_scalar_subquery": 2, "q_pivot_wide": 2, "q_unpivot": 2,
-    "q_grouping_sets": 2, "q_percentile_exact": 2,
-    "q_deterministic_sample": 2, "q_similarity_topk": 2,
-    "q_similarity_blocked": 2, "q_similarity_ivf": 3, "q_text_stats": 2,
-    "q_text_quality": 2, "q_text_fingerprint": 2, "q_token_histogram": 2,
-    "q_text_tokens_bpe": 2, "q_text_rolling_hash": 2, "q_lang_id_ngram": 3,
-    "q_stream_tumbling": 2, "q_rollup_cube": 2, "q_stream_session": 2,
-    "q_stream_sliding": 2, "q_asof_align": 2, "q_interp_linear": 2,
-    "q_interp_by_key": 2, "q_interval_join": 2, "q_zscore_anomaly": 3,
-    "q_stratified_sample": 3, "q_seq_packing": 3, "q_training_shuffle": 3,
-    "q_embedding_lsh": 3, "q_embedding_stats": 3, "q_text_repetition": 3,
-    "q_contamination": 3, "q_pii_redact": 3, "q_tfidf": 3,
-    "q_quality_filter": 3, "q_asof_join": 3, "q_funnel": 3, "q_sessionize": 3,
-    "q_retention": 3, "q_interarrival": 3, "q_stream_hourly_users": 3,
-    "q_stream_stateful_ewma": 3, "q_approx_percentile": 3,
-    "q_hierarchical_rollup": 3, "q_lake_roundtrip": 3, "q_returned_items": 3,
-    "q_promo_revenue": 3, "q_top_supplier": 3, "q_large_volume_customer": 3,
+    "q_filter_project": 6, "q_pricing_summary": 6, "q_agg_group": 6,
+    "q_agg_distinct": 6, "q_approx_distinct": 3, "q_shipping_priority": 6,
+    "q_local_supplier_volume": 6, "q_hash_join_inner": 6,
+    "q_broadcast_join": 6, "q_semi_join": 6, "q_anti_join": 3,
+    "q_range_join": 6, "q_window_rank": 6, "q_window_frame": 6,
+    "q_sort_limit_topk": 6, "q_set_ops": 6, "q_scalar_fns": 6,
+    "q_array_fns": 6, "q_map_fns": 6, "q_skew_join_salted": 6,
+    "q_shuffle_hash_join": 6, "q_outer_join": 6, "q_scalar_subquery": 6,
+    "q_pivot_wide": 6, "q_unpivot": 6, "q_grouping_sets": 6,
+    "q_percentile_exact": 6, "q_deterministic_sample": 6,
+    "q_similarity_topk": 6, "q_similarity_blocked": 6, "q_similarity_ivf": 3,
+    "q_text_stats": 6, "q_text_quality": 2, "q_text_fingerprint": 2,
+    "q_token_histogram": 2, "q_text_tokens_bpe": 2, "q_text_rolling_hash": 2,
+    "q_lang_id_ngram": 3, "q_stream_tumbling": 2, "q_rollup_cube": 6,
+    "q_stream_session": 2, "q_stream_sliding": 2, "q_asof_align": 2,
+    "q_interp_linear": 2, "q_interp_by_key": 2, "q_interval_join": 2,
+    "q_zscore_anomaly": 3, "q_stratified_sample": 3, "q_seq_packing": 3,
+    "q_training_shuffle": 3, "q_embedding_lsh": 3, "q_embedding_stats": 3,
+    "q_text_repetition": 3, "q_contamination": 3, "q_pii_redact": 3,
+    "q_tfidf": 3, "q_quality_filter": 3, "q_asof_join": 3, "q_funnel": 3,
+    "q_sessionize": 3, "q_retention": 3, "q_interarrival": 3,
+    "q_stream_hourly_users": 3, "q_stream_stateful_ewma": 6,
+    "q_approx_percentile": 3, "q_hierarchical_rollup": 3,
+    "q_lake_roundtrip": 3, "q_returned_items": 3, "q_promo_revenue": 3,
+    "q_top_supplier": 3, "q_large_volume_customer": 3,
     "q_region_market_share": 3, "q_json_functions": 3,
     "q_doc_source_stats": 3, "q_sequence_budget": 3,
     "q_dedup_cross_source": 3, "q_customer_order_counts": 3,
@@ -142,7 +130,7 @@ _LAST_GREEN = {
     "q_cdc_merge": 4, "q_pagerank": 4, "q_event_pattern": 4,
     "q_schema_evolution": 4, "q_null_semantics": 4, "q_fuzzy_match": 4,
     "q_doc_chunking": 4, "q_group_sample": 4, "q_robust_stats": 4,
-    "q_entity_resolution": 4, "q_hll_rollup": 4, "q_forecast_revenue": 4,
+    "q_entity_resolution": 4, "q_hll_rollup": 6, "q_forecast_revenue": 4,
     "q_volume_shipping": 4, "q_shipmode_priority": 4,
     "q_parts_supplier_count": 4, "q_potential_promotion": 4,
     "q_commitlog_roundtrip": 4, "q_heavy_hitters_cms": 4, "q_kmv_distinct": 4,
@@ -170,14 +158,18 @@ _LAST_GREEN = {
     "q_lsh_recall": 5, "q_dp_counts": 5, "q_bootstrap_ci": 5,
     "q_kanonymity": 5, "q_mutual_information": 5, "q_skyline_2d": 5,
     "q_abtest_cuped": 5, "q_random_projection": 5, "q_kmeans_lloyd": 5,
+    "q_rrf_fusion": 6, "q_acf": 6, "q_arrow_roundtrip": 6,
+    "q_attribution_markov": 6, "q_funnel_windowed": 6, "q_interval_merge": 6,
+    "q_langid_confusion": 6, "q_ntile_binning": 6,
+    "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 6, "q_semdedup": 6,
+    "q_pq_adc": 6, "q_importance_resampling": 6,
 }
 
-# ROUND-7 ROTATION DUTY: regenerate _LAST_GREEN from
-# CORRECTNESS_r0{1..6}.json (tools/regen_last_green.py), front any
-# round-6 red rows plus whatever round-6 additions spilled past the
-# 50-slot window, then continue the staleness cycle — after round 6 the
-# r2 cohort should be mostly drained; the r3 cohort
-# (q_hierarchical_rollup .. q_multimodal_decode) is next.
+# ROUND-8 ROTATION DUTY: regenerate _LAST_GREEN from
+# CORRECTNESS_r0{1..7}.json (tools/regen_last_green.py), front any
+# round-7 red rows plus promoted oracles, then finish the staleness
+# cycle — after round 7 the r2 cohort is drained and most of r3; the
+# remaining r3 spill plus the r4 cohort fill the r8 window.
 
 
 def load_all() -> dict[str, Query]:

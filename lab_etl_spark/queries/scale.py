@@ -283,37 +283,139 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GK accuracy parameter -> rank guarantee: for percentile p over n rows,
+#: the returned value's rank interval must intersect
+#: [floor((p-eps)n), ceil((p+eps)n)] with eps = 1/accuracy.
+APPROX_PCT_ACCURACY = 10000
+#: HLL relative standard deviation passed to approx_count_distinct; the
+#: certificate band below allows 5x that (the estimate is deterministic
+#: for a given dataset — register MAX merges are order-independent — so
+#: the boolean is stable across partitionings and reruns).
+APPROX_CD_RSD = 0.02
+
+
 @register(
     "q_approx_percentile",
-    oracle=None,  # t-digest/GK sketch internals are engine-specific
-    doc="Approximate percentiles via Spark's Greenwald-Khanna sketch "
-    "(mergeable, single pass, bounded memory) — the 100 TB path where "
-    "q_percentile_exact's per-group sort is not worth the exactness.",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           TRUE AS q25_band_ok, TRUE AS q50_band_ok, TRUE AS q75_band_ok,
+           TRUE AS acd_band_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Approximate percentiles via Spark's Greenwald-Khanna sketch plus "
+    "an HLL distinct count (mergeable, single pass, bounded memory — the "
+    "100 TB path where q_percentile_exact's per-group sort is not worth "
+    "the exactness), VALUE-CHECKED as a certificate: the output carries "
+    "the exact group counts plus booleans asserting each sketch met its "
+    "published contract — every GK percentile's rank interval intersects "
+    "the +/-(1/accuracy)*n guarantee band (computed Spark-side against "
+    "the exact per-group CDF; ANY valid GK merge order satisfies it, so "
+    "the boolean survives repartitioning even though the raw sketch "
+    "values need not), and the HLL estimate lands within 5x its "
+    "configured rsd of the exact distinct count.  The oracle supplies "
+    "the exact counts and TRUE literals — the q_lsh_recall "
+    "checked-against-ground-truth pattern (sketch internals stay "
+    "engine-specific; the contract is what's portable).  The CDF used "
+    "for rank verification is |groups| x |distinct quantities| (~50 "
+    "values), so the certificate costs one small window + broadcast "
+    "join on top of the sketches at any scale.",
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE sketch per group (array percentile form), scalars projected from
-    # the array afterwards: three separate percentile_approx calls build
-    # three GK sketches over the same column — measured 2.15× the single-
-    # sketch cost at sf0.1 — while the driver's canonicalizer still needs
-    # scalar (non-list) output columns for hashing.
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                "percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)"
-            ).alias("_qs"),
-            F.expr("approx_count_distinct(l_partkey, 0.02)").alias(
-                "approx_parts"
+    # ONE sketch per group (array percentile form): three separate
+    # percentile_approx calls build three GK sketches over the same column
+    # — measured 2.15x the single-sketch cost at sf0.1.
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile_approx(l_quantity, array(0.25, 0.5, 0.75),"
+            f" {APPROX_PCT_ACCURACY})"
+        ).alias("_qs"),
+        F.expr(f"approx_count_distinct(l_partkey, {APPROX_CD_RSD})").alias(
+            "_acd"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    # exact CDF over the distinct quantity values (~50 per group): rank
+    # interval of value v in its group is [cum - c + 1, cum]
+    cdf = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                W.partitionBy("l_returnflag").orderBy("l_quantity")
             ),
         )
+    )
+    # percentile_approx returns actual data values, so each approx value
+    # joins one CDF row exactly; the approx side is |groups| x 3 rows —
+    # broadcast it into the (also small) CDF.  Both frames descend from
+    # the same lineitem scan, so the group key is RENAMED on the probe
+    # side — joining cdf.l_returnflag == pv.l_returnflag would resolve
+    # both sides to the same attribute (Spark warns "trivially true
+    # equals predicate") and silently drop the group equality.
+    pv = agg.select(
+        F.col("l_returnflag").alias("_g"),
+        F.posexplode("_qs").alias("_i", "_v"),
+    ).selectExpr(
+        "_g",
+        "_v",
+        "ELEMENT_AT(ARRAY(0.25, 0.5, 0.75), _i + 1) AS p",
+    )
+    eps = 1.0 / APPROX_PCT_ACCURACY
+    bands = cdf.join(
+        F.broadcast(pv),
+        (F.col("l_returnflag") == F.col("_g"))
+        & (F.col("l_quantity") == F.col("_v")),
+    ).select(
+        "l_returnflag",
+        "p",
+        F.col("cum").alias("rank_hi"),
+        (F.col("cum") - F.col("c") + 1).alias("rank_lo"),
+    )
+    n_by_g = agg.select("l_returnflag", "n_rows")
+    band_ok = (
+        bands.join(F.broadcast(n_by_g), "l_returnflag")
+        .withColumn(
+            "ok",
+            (
+                F.col("rank_hi")
+                >= F.floor((F.col("p") - F.lit(eps)) * F.col("n_rows"))
+            )
+            & (
+                F.col("rank_lo")
+                <= F.ceil((F.col("p") + F.lit(eps)) * F.col("n_rows"))
+            ),
+        )
+        .groupBy("l_returnflag")
+        .pivot("p", [0.25, 0.5, 0.75])
+        .agg(F.first("ok"))
+        .withColumnRenamed("0.25", "q25_band_ok")
+        .withColumnRenamed("0.5", "q50_band_ok")
+        .withColumnRenamed("0.75", "q75_band_ok")
+    )
+    return (
+        agg.join(F.broadcast(band_ok), "l_returnflag")
         .select(
             "l_returnflag",
-            F.col("_qs")[0].alias("q25"),
-            F.col("_qs")[1].alias("q50"),
-            F.col("_qs")[2].alias("q75"),
-            "approx_parts",
+            "n_rows",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            "q25_band_ok",
+            "q50_band_ok",
+            "q75_band_ok",
+            (
+                F.abs(F.col("_acd") - F.col("n_parts"))
+                <= F.lit(5.0 * APPROX_CD_RSD) * F.col("n_parts")
+            ).alias("acd_band_ok"),
         )
+        .orderBy("l_returnflag")
     )
 
 
@@ -1017,7 +1119,7 @@ _BOOT_MM = "CAST(FLOOR(m * CAST(1000000 AS DOUBLE)) AS BIGINT)"
     stats AS (
       SELECT event_type, COUNT(*) AS n,
              CAST(SUM(mm) AS BIGINT) AS s,
-             CAST(SUM(mm * mm) AS BIGINT) AS ssq
+             SUM(CAST(mm AS DECIMAL(38,0)) * mm) AS ssq
       FROM micro GROUP BY 1
     )
     SELECT event_type, n AS n_replicates,
@@ -1046,10 +1148,15 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(davg("value", 6)).alias("m")
     )
     micro = rep_means.selectExpr("event_type", f"{_BOOT_MM} AS mm")
+    # ssq accumulates through DECIMAL(38,0): mm*mm as a BIGINT multiply
+    # wraps silently in Spark's non-ANSI mode once a replicate mean
+    # reaches ~537 units (floor(537e6)^2 * 32 reps ~ int64 max) while
+    # DuckDB raises — the decimal path is exact on both engines and the
+    # readout casts it back to DOUBLE (_BOOT_SD_READOUT).
     stats = micro.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("mm").alias("s"),
-        F.sum(F.col("mm") * F.col("mm")).alias("ssq"),
+        F.expr("SUM(CAST(mm AS DECIMAL(38,0)) * mm)").alias("ssq"),
     )
     return stats.selectExpr(
         "event_type",

@@ -1642,8 +1642,11 @@ def dsir_logw(docs: DataFrame, target: str = "lang = 'en'") -> DataFrame:
     "cluster size.  Determinism: integer bucket counts, single IEEE "
     "divisions of identical integers under correctly-rounded LN, and the "
     "per-document sum folds in fixed bucket order (aggregate <-> "
-    "list_reduce) so every double is bit-identical — outputs ship raw, "
-    "no ROUND.  Scale shape: two map-side-combined token aggregations "
+    "list_reduce) so every double is bit-identical; the LN-derived "
+    "output columns (logw, sel_key) ship ROUNDed to 6 — compound "
+    "transcendentals are irrational, so the round is boundary-safe and "
+    "absorbs cross-libm 1-ulp drift — while ordering/top-k always use "
+    "the raw keys.  Scale shape: two map-side-combined token aggregations "
     "collapse the corpus to a 64-row broadcast ratio table, the "
     "per-document fold is map-side, and selection is a top-k heap "
     "(TakeOrderedAndProject) — no global sort, no driver state.",

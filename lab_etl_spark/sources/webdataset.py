@@ -265,9 +265,24 @@ try:  # Python DataSource API (Spark >= 4.0)
                     pass
 
         def abort(self, messages):
+            import glob as _glob
+
             for m in messages:
                 try:
                     os.remove(m.tmp_path)
+                except OSError:
+                    pass
+            # messages only cover tasks that RETURNED a commit message;
+            # attempts that died mid-write (and zombie/speculative
+            # attempts finishing later) leave *.attempt-*.tmp strays —
+            # sweep them like commit() does so retried jobs don't
+            # accumulate unbounded litter (readers glob *.tar, so strays
+            # are invisible to them, but not free on disk).
+            for stray in _glob.glob(
+                os.path.join(self.path, "shard-*.tar.attempt-*.tmp")
+            ):
+                try:
+                    os.remove(stray)
                 except OSError:
                     pass
 
