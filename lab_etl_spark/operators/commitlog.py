@@ -600,3 +600,148 @@ def read_point_pruned(
     return spark.read.option("basePath", base).parquet(
         *[os.path.join(base, p) for p in keep]
     )
+
+
+# -- Delta-protocol export -----------------------------------------------------
+
+#: Delta transaction-log directory name (fixed by the protocol)
+DELTA_LOG_DIR = "_delta_log"
+
+
+def export_delta_log(
+    table: LoggedTable, spark: SparkSession, table_id: str | None = None
+) -> list[str]:
+    """Export the commit log as a Delta-protocol ``_delta_log`` so any
+    off-the-shelf Delta reader (delta-rs, DuckDB's delta extension,
+    Spark + delta-lake jars, Trino) can read the table directly —
+    ecosystem interop for the lake surface, one JSON mapping pass.
+
+    The mapping is exact because both logs share the same model (an
+    append-only log of snapshot manifests — the Delta Lake paper's core
+    mechanism, Armbrust et al., VLDB 2020):
+
+      * commit-log version ``v`` → ``_delta_log/{v-1:020d}.json``
+        (our log starts at 1, Delta's at 0);
+      * every snapshot here is a FULL REWRITE (each manifest references a
+        complete ``v_*`` directory), so commit N's Delta actions are
+        ``remove`` for every file of snapshot N-1 plus ``add`` for every
+        file of snapshot N — the Delta encoding of replace-table;
+      * version 0 additionally carries ``protocol`` (reader 1 / writer 2,
+        the minimum: no invariants, no column mapping) and ``metaData``
+        whose ``schemaString`` is the Spark StructType JSON — Delta's
+        schema wire format IS Spark's;
+      * per-file ``stats`` carry numRecords from the parquet footers
+        (pyarrow, no Spark job), so Delta readers get the same file-count
+        /row-count planning facts :meth:`LoggedTable.read_pruned` uses.
+
+    Incremental and idempotent: existing ``_delta_log`` entries are never
+    rewritten, only missing versions are appended — re-export after new
+    commits emits just the new tail.  Raises when the earliest missing
+    Delta version's manifest has been vacuumed away (the Delta log must
+    be contiguous from 0; export before vacuuming, or keep more versions).
+
+    Returns the list of delta-log file names written.
+    """
+    import pyarrow.parquet as pq
+
+    versions = table.versions()
+    if not versions:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    delta_dir = os.path.join(table.table_dir, DELTA_LOG_DIR)
+    os.makedirs(delta_dir, exist_ok=True)
+
+    def delta_name(v: int) -> str:
+        return f"{v - 1:020d}.json"
+
+    def snapshot_files(m: dict) -> list[tuple[str, str]]:
+        """(relative path, absolute path) of every parquet file in the
+        manifest's snapshot directory, sorted for deterministic output."""
+        base = os.path.join(table.table_dir, m["data_dir"])
+        out = []
+        for root, _dirs, names in os.walk(base):
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    ap = os.path.join(root, n)
+                    out.append((os.path.relpath(ap, table.table_dir), ap))
+        return sorted(out)
+
+    missing = [
+        v for v in versions
+        if not os.path.exists(os.path.join(delta_dir, delta_name(v)))
+    ]
+    if not missing:
+        return []
+    # contiguity: everything below the first missing version must already
+    # be exported (Delta readers replay 0..N; a hole is unreadable)
+    for v in range(1, missing[0]):
+        if not os.path.exists(os.path.join(delta_dir, delta_name(v))):
+            raise FileNotFoundError(
+                f"cannot export a contiguous Delta log: version {v} is "
+                f"neither in {table.log_dir} (vacuumed?) nor already "
+                f"exported to {delta_dir}"
+            )
+
+    written = []
+    for v in missing:
+        m = table.manifest(v)
+        files = snapshot_files(m)
+        actions: list[dict] = []
+        if v == versions[0] and v == missing[0]:
+            schema_json = table.read(spark, version=v).schema.json()
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": table_id or uuid.uuid4().hex,
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_json,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": m["ts_ms"],
+                    }
+                }
+            )
+        if v > versions[0]:
+            for rel, _ap in snapshot_files(table.manifest(v - 1)):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": m["ts_ms"],
+                            "dataChange": True,
+                        }
+                    }
+                )
+        for rel, ap in files:
+            st = os.stat(ap)
+            n_rows = pq.ParquetFile(ap).metadata.num_rows
+            actions.append(
+                {
+                    "add": {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps({"numRecords": n_rows}),
+                    }
+                }
+            )
+        # same atomic-claim discipline as the native log: temp + fsync +
+        # link (a concurrent exporter of the same version loses cleanly)
+        tmp = os.path.join(delta_dir, f".tmp.{uuid.uuid4().hex[:8]}.json")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        final = os.path.join(delta_dir, delta_name(v))
+        try:
+            os.link(tmp, final)
+            os.unlink(tmp)
+            written.append(delta_name(v))
+        except FileExistsError:
+            os.unlink(tmp)
+    return written

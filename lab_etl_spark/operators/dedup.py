@@ -577,23 +577,18 @@ def minhash_signatures(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     docs: DataFrame,
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
     portable: bool = True,
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
-
-    Pipeline: shingle → signature (1 shuffle) → band buckets (1 shuffle) →
-    bucket self-join (candidates only) → exact-Jaccard verify restricted to
-    candidates.  Columns: doc_a, doc_b, jaccard.
-
-    With ``portable=True`` the signature family and band keys are md5-derived
-    (see :func:`minhash_signatures`), so the full pipeline is reproducible in
-    the DuckDB oracle — value-exact correctness, not just a rows-only check.
+    """(doc_id, band, bkey) LSH bucket assignments — the BLOCKING stage of
+    :func:`minhash_lsh_candidates`, exposed on its own so the scale suite
+    (tests/test_scale_growth_sf1.py) can measure the candidate join's true
+    work, Σ over buckets of C(|bucket|, 2), directly on the real lake at
+    multiple scale factors instead of inferring it from verified output.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -601,8 +596,9 @@ def minhash_lsh_candidates(
             f"({bands}); trailing hash functions would be silently unused"
         )
     rows_per_band = num_hashes // bands
-    sh = word_shingles(docs, n)
-    sig = minhash_signatures(sh, num_hashes, portable=portable)
+    sig = minhash_signatures(
+        word_shingles(docs, n), num_hashes, portable=portable
+    )
 
     # One posexplode pass emits every band key (a bands-way union would
     # recompute the signature aggregation once per branch).
@@ -624,8 +620,32 @@ def minhash_lsh_candidates(
         band_keys = F.array(
             *[F.xxhash64(*_band_cols(b)).cast("string") for b in range(bands)]
         )
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    portable: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    Pipeline: shingle → signature (1 shuffle) → band buckets (1 shuffle) →
+    bucket self-join (candidates only) → exact-Jaccard verify restricted to
+    candidates.  Columns: doc_a, doc_b, jaccard.
+
+    With ``portable=True`` the signature family and band keys are md5-derived
+    (see :func:`minhash_signatures`), so the full pipeline is reproducible in
+    the DuckDB oracle — value-exact correctness, not just a rows-only check.
+    """
+    sh = word_shingles(docs, n)
+    buckets = minhash_band_buckets(
+        docs, n=n, num_hashes=num_hashes, bands=bands, portable=portable
     )
 
     x = buckets.alias("x")
@@ -677,6 +697,46 @@ def minhash_lsh_candidates(
     )
 
 
+def _setsim_frames(
+    docs: DataFrame, n: int, t_num: int, t_den: int
+) -> tuple[DataFrame, DataFrame]:
+    """(per_doc, pref) for the prefix-filter join: per-doc sorted shingle
+    arrays in the global (df ASC, shingle ASC) canonical order, and the
+    exploded prefix postings (doc_id, n_sh, shingle) — the blocking stage.
+    """
+    p_len = f"(size(_sh) - ({t_num} * size(_sh) + {t_den} - 1) div {t_den} + 1)"
+    sh = word_shingles(docs, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(_df, shingle))),"
+                " x -> x.shingle)"
+            ).alias("_sh")
+        )
+        .select("doc_id", "_sh", F.size("_sh").alias("n_sh"))
+    )
+    pref = per_doc.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.expr(f"slice(_sh, 1, {p_len})")).alias("shingle"),
+    )
+    return per_doc, pref
+
+
+def setsim_prefix_postings(
+    docs: DataFrame, n: int = 3, t_num: int = 4, t_den: int = 5
+) -> DataFrame:
+    """(doc_id, n_sh, shingle) prefix postings — the BLOCKING stage of
+    :func:`setsim_prefix_pairs`, exposed so the scale suite can measure the
+    candidate join's work, Σ over prefix shingles of C(|posting|, 2), on
+    the real lake at multiple scale factors.
+    """
+    return _setsim_frames(docs, n, t_num, t_den)[1]
+
+
 def setsim_prefix_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -709,25 +769,7 @@ def setsim_prefix_pairs(
     two doc-keyed verify joins against per-doc shingle arrays (intersection
     via sorted-array ``array_intersect`` in whole-stage codegen).
     """
-    p_len = f"(size(_sh) - ({t_num} * size(_sh) + {t_den} - 1) div {t_den} + 1)"
-    sh = word_shingles(docs, n)
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        sh.join(dfreq, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(_df, shingle))),"
-                " x -> x.shingle)"
-            ).alias("_sh")
-        )
-        .select("doc_id", "_sh", F.size("_sh").alias("n_sh"))
-    )
-    pref = per_doc.select(
-        "doc_id",
-        "n_sh",
-        F.explode(F.expr(f"slice(_sh, 1, {p_len})")).alias("shingle"),
-    )
+    per_doc, pref = _setsim_frames(docs, n, t_num, t_den)
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

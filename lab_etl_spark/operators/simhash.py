@@ -108,6 +108,29 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_band_buckets(
+    docs: DataFrame, bands: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash, band, bkey) — the BLOCKING stage of
+    :func:`simhash_near_pairs`, exposed so the scale suite can measure the
+    candidate join's work, Σ over buckets of C(|bucket|, 2), on the real
+    lake at multiple scale factors (tests/test_scale_growth_sf1.py).
+    """
+    sig = simhash_signatures(docs, text_col)
+    width = BITS // bands
+    # One posexplode pass emits all band keys (vs a bands-way union, which
+    # recomputes the signature subtree once per branch).
+    band_arr = F.array(
+        *[
+            F.expr(f"(simhash div {1 << (b * width)}) % {1 << width}")
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        "doc_id", "simhash", F.posexplode(band_arr).alias("band", "bkey")
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -120,19 +143,7 @@ def simhash_near_pairs(
     pair within ``max_hamming < bands`` distance shares ≥1 exact band, so
     recall is total — this is exact near-dup search with an LSH-bounded join.
     """
-    sig = simhash_signatures(docs, text_col)
-    width = BITS // bands
-    # One posexplode pass emits all band keys (vs a bands-way union, which
-    # recomputes the signature subtree once per branch).
-    band_arr = F.array(
-        *[
-            F.expr(f"(simhash div {1 << (b * width)}) % {1 << width}")
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(
-        "doc_id", "simhash", F.posexplode(band_arr).alias("band", "bkey")
-    )
+    buckets = simhash_band_buckets(docs, bands=bands, text_col=text_col)
 
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (

@@ -384,6 +384,19 @@ def semdedup_dropped(
         .withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
         .persist()
     )
+    return sig, _semdedup_prune(sig, eps)
+
+
+def _semdedup_prune(sig: DataFrame, eps: float) -> DataFrame:
+    """Within-cell keep-first prune over a (vec_id, cell, v, nrm) frame:
+    (cell, vec_id) rows for every vector whose cosine to a smaller-id
+    cell-mate reaches ``eps``.  Pair work is Σ|cell|² via the cell-keyed
+    self-join; how well that is bounded is the CELL BUILDER's problem —
+    see :func:`semdedup_dropped` (hyperplane LSH, training-free but cells
+    track the corpus's directional clusters and can go quadratic on
+    clustered data) vs :func:`kmeans_cells` (k ∝ corpus keeps cell sizes
+    bounded; tests/test_scale_growth_sf1.py pins both behaviors).
+    """
     a = sig.select(
         "cell",
         F.col("vec_id").alias("ia"),
@@ -397,11 +410,242 @@ def semdedup_dropped(
         F.col("nrm").alias("nb"),
     )
     cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
-    dropped = (
+    return (
         a.join(b, "cell")
         .filter(F.col("ia") < F.col("vec_id"))
         .filter(cos >= F.expr(f"CAST({eps} AS DOUBLE)"))
         .select("cell", "vec_id")
         .distinct()
     )
-    return sig, dropped
+
+
+#: squared-L2 fold for k-means assignment — sequential left-to-right like
+#: DOT/SQNORM, so DuckDB's init-less list_reduce replays it bit-for-bit.
+KM_DIST = (
+    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+)
+#: per-dimension centroid mean: DECIMAL-exact sum (order-independent under
+#: hash aggregation) and ONE deterministic double division.
+KM_MEAN = "CAST(SUM(CAST((x) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(x)"
+
+
+def kmeans_cells(emb: DataFrame, k: int, updates: int = 1) -> DataFrame:
+    """(vec_id, cell, v, nrm) quantizer-cell assignments from a
+    deterministic distributed k-means — the SemDeDup paper's actual cell
+    builder (k-means with k ∝ corpus), for data whose directional clusters
+    defeat hyperplane LSH: co-directional vectors share every sign bit, so
+    no number of hyperplanes splits a tight cluster and Σ|cell|² goes
+    quadratic (measured 101× for 10× vectors on the sf1 lake, fixed 16
+    cells).  k-means seeds land INSIDE dense regions, so growing k with
+    the corpus keeps max |cell| bounded (measured: work 4.0×/10.0× for
+    4×/10× vectors at k = n/250, max cell ~300 flat).
+
+    Determinism (the whole pipeline is oracle-replayable):
+      * seeds = the k smallest (md5('km:' || vec_id), vec_id) — a uniform
+        deterministic sample, spread over the corpus no matter how ids
+        cluster, computed as one TakeOrderedAndProject;
+      * assignment = argmin over a BROADCAST centroid table with (dist,
+        cid) tie-break — map-only, points never shuffle (the canonical
+        k-means schedule, same as q_kmeans_lloyd);
+      * each Lloyd update recomputes centroids as DECIMAL-exact per-dim
+        means (KM_MEAN), so centroid doubles are partitioning-independent.
+
+    Returns the same lazily-persisted sig shape :func:`semdedup_dropped`
+    produces, ready for :func:`_semdedup_prune`.
+    """
+    pts = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    ).persist()  # scanned once per Lloyd pass + seeding; spills at worst
+    seeds = (
+        pts.withColumn(
+            "_h", F.md5(F.concat(F.lit("km:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = pts.crossJoin(F.broadcast(cents)).withColumn(
+            "dist", F.expr(KM_DIST)
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    cents = seeds
+    for _ in range(updates):
+        a = assign(cents)
+        dims = a.select(
+            "cid", F.posexplode("v").alias("pos0", "x")
+        ).select("cid", (F.col("pos0") + 1).alias("pos"), "x")
+        cm = dims.groupBy("cid", "pos").agg(F.expr(KM_MEAN).alias("m"))
+        cents = cm.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("c")
+        )
+    sig = (
+        assign(cents)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            "v",
+            F.expr(f"SQRT({SQNORM.format(v='v')})").alias("nrm"),
+        )
+        .persist()
+    )
+    # pts stays lazily persisted so the seeding/update/assign subtrees share
+    # one materialization inside the caller's first action; the reference
+    # dies with this frame and the ContextCleaner reclaims the blocks (the
+    # same convention as q_kmeans_lloyd's point cache).
+    return sig
+
+
+def graph_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_hubs: int = 16,
+    m: int = 4,
+    beam: int = 8,
+    hops: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """HNSW-style graph ANN: fixed-hop beam search over a deterministic
+    two-layer navigable neighbor graph.  Columns: (query_id, neighbor_id,
+    cosine ROUNDed 6, rk).
+
+    The graph mirrors HNSW's structure with Spark-friendly determinism:
+
+      * upper layer = ``n_hubs`` HUB nodes, the hash-uniform sample with the
+        smallest (md5('hub:'||vec_id), vec_id) — like HNSW's sparse top
+        layers they give every search a short route into the right region;
+      * layer 0 = each vector's top-``m`` cosine neighbors WITHIN its
+        nearest-hub cell (symmetrized) — pair work is Σ|cell|² on
+        bounded cells (hubs ∝ corpus), never n²;
+      * search = exact scoring of the tiny hub layer picks 2 entry nodes,
+        then ``hops`` unrolled beam steps: expand the beam along layer-0
+        edges (vertex-keyed join), score candidates against the BROADCAST
+        query vectors, keep the top-``beam`` by (cosine DESC, vec_id).
+
+    Scale shape: hub scoring is a map-only broadcast pass; graph build
+    shuffles on the cell key; each beam step shuffles O(|queries|·beam·m)
+    rows — the corpus is never globally joined.  Everything ranks on raw
+    sequential-fold cosines with id tie-breaks, so the DuckDB oracle
+    replays the whole pipeline bit-for-bit (q_graph_ann).
+    """
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    ).withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+    hubs = (
+        base.withColumn(
+            "_h", F.md5(F.concat(F.lit("hub:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("_h", "vec_id")
+        .limit(n_hubs)
+        .select(
+            F.col("vec_id").alias("hub_id"),
+            F.col("v").alias("hv"),
+            F.col("nrm").alias("hnrm"),
+        )
+    )
+
+    # nearest-hub cell assignment: broadcast hubs, map-only argmin.
+    hub_cos = F.expr(DOT.format(a="v", b="hv")) / (F.col("nrm") * F.col("hnrm"))
+    w_cell = W.partitionBy("vec_id").orderBy(
+        F.desc("_hc"), F.asc("hub_id")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(hubs))
+        .withColumn("_hc", hub_cos)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", F.col("hub_id").alias("cell"))
+        .persist()  # feeds both sides of the edge join; ContextCleaner
+        # reclaims the blocks when the frame's reference dies
+    )
+
+    # layer-0 edges: top-m cosine neighbors within the cell, symmetrized.
+    a = cells.select(
+        "cell", F.col("vec_id").alias("src"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        "cell", F.col("vec_id").alias("dst"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    e_cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    w_edge = W.partitionBy("src").orderBy(F.desc("_ec"), F.asc("dst"))
+    knn = (
+        a.join(b, "cell")
+        .filter(F.col("src") != F.col("dst"))
+        .withColumn("_ec", e_cos)
+        .withColumn("rn", F.row_number().over(w_edge))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst")
+    )
+    edges = (
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()  # O(n·m) rows referenced by every unrolled hop —
+        # without the persist each hop re-runs the Σ|cell|² edge-build
+        # join (measured 3x the whole query's cost at sf0.1); the
+        # ContextCleaner reclaims the blocks with the frame reference
+    )
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"),
+    ).withColumn("qnrm", F.expr(f"SQRT({SQNORM.format(v='qv')})"))
+
+    # entry points: exact top-2 hubs per query (hub layer is tiny).
+    q_cos = F.expr(DOT.format(a="qv", b="hv")) / (F.col("qnrm") * F.col("hnrm"))
+    w_entry = W.partitionBy("query_id").orderBy(F.desc("_qc"), F.asc("hub_id"))
+    beam_df = (
+        q.crossJoin(F.broadcast(hubs))
+        .withColumn("_qc", q_cos)
+        .withColumn("rn", F.row_number().over(w_entry))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", F.col("hub_id").alias("vec_id"))
+    )
+
+    qb = F.broadcast(q)
+    corpus = cells.select("vec_id", "v", "nrm")
+    c_cos = F.expr(DOT.format(a="qv", b="v")) / (F.col("qnrm") * F.col("nrm"))
+    w_beam = W.partitionBy("query_id").orderBy(F.desc("_cc"), F.asc("vec_id"))
+    for _ in range(hops):
+        expanded = beam_df.unionByName(
+            beam_df.join(
+                edges, beam_df["vec_id"] == edges["src"], "inner"
+            ).select("query_id", F.col("dst").alias("vec_id"))
+        ).distinct()
+        beam_df = (
+            expanded.join(corpus, "vec_id")
+            .join(qb, "query_id")
+            .withColumn("_cc", c_cos)
+            .withColumn("rn", F.row_number().over(w_beam))
+            .filter(F.col("rn") <= beam)
+            .select("query_id", "vec_id")
+        )
+
+    return (
+        beam_df.join(corpus, "vec_id")
+        .join(qb, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_cc", c_cos)
+        .withColumn("rk", F.row_number().over(w_beam))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("_cc"), 6).alias("cosine"),
+            "rk",
+        )
+    )

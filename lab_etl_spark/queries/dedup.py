@@ -722,6 +722,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sig, dropped = semdedup_dropped(emb, nbits=SD_NBITS, eps=SD_EPS)
+    return _semdedup_readout(sig, dropped)
+
+
+def _semdedup_readout(sig: DataFrame, dropped: DataFrame) -> DataFrame:
+    """Per-cell census + drop digest — shared by q_semdedup (hyperplane-LSH
+    cells) and q_semdedup_kmeans (k-means cells): (cell, n_vecs, n_dropped,
+    n_kept, drop_checksum)."""
     drops = dropped.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_dropped"),
         F.expr(f"bit_xor({_SD_H32_SPARK})").alias("drop_checksum"),
@@ -746,3 +753,132 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# -- q_semdedup_kmeans ---------------------------------------------------------
+
+SDK_CELL_TARGET = 250  #: target vectors per k-means cell: k = max(2, n/250).
+#: k TRACKS THE CORPUS in both engine texts — a fixed k is exactly the
+#: hidden quadratic the sf1 replay caught (k=8 at 20k vectors measured
+#: 37x time for 10x rows; adaptive k, like the test's k ∝ n sweep, keeps
+#: max |cell| ~flat and pair work linear).  The SemDeDup paper does the
+#: same (k grows with the corpus; 110k clusters for LAION).
+SDK_UPDATES = 1  #: Lloyd refinement passes after seeding
+SDK_DIM = 64  #: embedding dimensionality (fixed across the corpus; the
+#: dims CTE needs a CONSTANT series — DuckDB's generate_series table
+#: function cannot take a lateral column parameter)
+
+
+def _semdedup_kmeans_oracle() -> str:
+    dist = (
+        "list_reduce(list_transform(generate_series(1, len(p.v)),"
+        " i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (acc, t) -> acc + t)"
+    )
+    dot = (
+        "list_reduce(list_transform(generate_series(1, len(a.v)),"
+        " i -> a.v[i] * b.v[i]), (p, q) -> p + q)"
+    )
+    mean = "CAST(SUM(CAST((x) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(x)"
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, v AS c FROM (
+        SELECT vec_id, v,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS srn
+        FROM pts
+      ) WHERE srn <= GREATEST(2, (SELECT COUNT(*) // {SDK_CELL_TARGET}
+                                  FROM pts))
+    ),
+    s1 AS (
+      SELECT p.vec_id, p.v, c.cid, {dist} AS dist
+      FROM pts p CROSS JOIN seeds c
+    ),
+    a1 AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT cid, i AS pos, v[i] AS x
+      FROM a1, generate_series(1, {SDK_DIM}) g(i)
+    ),
+    cm AS (SELECT cid, pos, {mean} AS m FROM dims GROUP BY cid, pos),
+    c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM cm GROUP BY cid),
+    s2 AS (
+      SELECT p.vec_id, p.v, c.cid, {dist} AS dist
+      FROM pts p CROSS JOIN c1 c
+    ),
+    sig AS (
+      SELECT vec_id, cid AS cell, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (p, q) -> p + q)) AS nrm
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.cell, b.vec_id
+      FROM sig a JOIN sig b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {dot} / (a.nrm * b.nrm) >= CAST({SD_EPS} AS DOUBLE)
+    ),
+    drops AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+             bit_xor({_SD_H32_DUCK}) AS drop_checksum
+      FROM dropped GROUP BY cell
+    )
+    SELECT s.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           COALESCE(MAX(d.n_dropped), CAST(0 AS BIGINT)) AS n_dropped,
+           CAST(COUNT(*) AS BIGINT)
+             - COALESCE(MAX(d.n_dropped), CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(MAX(d.drop_checksum), CAST(0 AS BIGINT)) AS drop_checksum
+    FROM sig s LEFT JOIN drops d ON s.cell = d.cell
+    GROUP BY s.cell
+    ORDER BY s.cell
+    """
+
+
+@register(
+    "q_semdedup_kmeans",
+    oracle=_semdedup_kmeans_oracle(),
+    doc="Semantic dedup with K-MEANS cells — the SemDeDup paper's actual "
+    "cluster stage (Abbas et al. 2023 run k-means with k proportional to "
+    "the corpus), added after the sf1 scale point exposed the hyperplane-"
+    "LSH variant's limit: co-directional vectors share every sign bit, so "
+    "no number of hyperplanes splits a tight directional cluster and the "
+    "cell pair work went QUADRATIC on the 10x lake (101x for 10x vectors; "
+    "tests/test_scale_growth_sf1.py pins both behaviors).  k-means seeds "
+    "land inside dense regions, so k ∝ corpus keeps max |cell| bounded "
+    "(measured flat ~300) and pair work linear (4.0x/10.0x for 4x/10x) — "
+    "and the query APPLIES the rule: k = max(2, n // SDK_CELL_TARGET) in "
+    "BOTH engine texts (the Spark side from an eager 1-row count, the "
+    "oracle from a scalar subquery), because a fixed k is itself the "
+    "hidden quadratic (k=8 at 20k vectors replayed 37x time for 10x "
+    "rows before this rule).  "
+    "Deterministic end-to-end, value-checked including WHICH vectors "
+    "drop: seeds are the k smallest (md5('km:'||vec_id), vec_id) — a "
+    "uniform deterministic sample via one TakeOrderedAndProject — "
+    "assignment is a broadcast-centroid map-only argmin with (dist, cid) "
+    "tie-break, centroid updates are DECIMAL-exact per-dim means, and "
+    "the within-cell cosine prune + bit_xor drop digest replay the "
+    "q_semdedup readout (operators/similarity.py kmeans_cells).",
+)
+def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _semdedup_prune, kmeans_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # eager 1-row count: k must track the corpus (see SDK_CELL_TARGET) and
+    # the seed selection is a TakeOrderedAndProject whose limit is a plan
+    # constant — the same allowed-collect class as the file censuses
+    k = max(2, emb.count() // SDK_CELL_TARGET)
+    sig = kmeans_cells(emb, k=k, updates=SDK_UPDATES)
+    return _semdedup_readout(sig, _semdedup_prune(sig, SD_EPS))

@@ -341,7 +341,11 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_partkey").alias("n_parts"),
-    )
+    ).persist()  # |groups| rows, referenced by three consumers (pv,
+    # n_by_g, final) — without the persist the GK+HLL aggregation over
+    # the fact table runs once per consumer (Catalyst does not dedupe
+    # common subtrees; measured 1.74 s -> the sketch pass alone at sf0.1).
+    # Group-count-sized cache; the ContextCleaner reclaims it.
     # exact CDF over the distinct quantity values (~50 per group): rank
     # interval of value v in its group is [cum - c + 1, cum]
     cdf = (

@@ -767,3 +767,141 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w_rk)).select(
         F.col("vec_id").alias("neighbor_id"), "adc", "rk"
     )
+
+
+# -- q_graph_ann ---------------------------------------------------------------
+
+GA_HUBS = 16  #: upper-layer hub nodes (hash-uniform deterministic sample)
+GA_M = 4  #: layer-0 edges per node (within nearest-hub cell, symmetrized)
+GA_BEAM = 8  #: beam width per hop
+GA_HOPS = 3  #: unrolled beam-search steps
+GA_K = 5  #: neighbors returned per query
+GA_QUERIES = 4  #: query vectors (vec_id < GA_QUERIES)
+
+
+def _graph_ann_oracle() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i] * {b}[i]), (p, q) -> p + q)"
+        )
+
+    hop_ctes = []
+    prev = "beam0"
+    for h in range(1, GA_HOPS + 1):
+        hop_ctes.append(f"""
+    exp{h} AS (
+      SELECT query_id, vec_id FROM {prev}
+      UNION
+      SELECT b.query_id, e.dst FROM {prev} b JOIN edges e ON b.vec_id = e.src
+    ),
+    beam{h} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT x.query_id, x.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY x.query_id
+                 ORDER BY ({dot('q.qv', 'c.v')} / (q.qnrm * c.nrm)) DESC,
+                          x.vec_id) AS rn
+        FROM exp{h} x
+        JOIN cells c ON c.vec_id = x.vec_id
+        JOIN q ON q.query_id = x.query_id
+      ) WHERE rn <= {GA_BEAM}
+    )""")
+        prev = f"beam{h}"
+    hops_sql = ",".join(hop_ctes)
+
+    return f"""
+    WITH nb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             sqrt(list_reduce(
+               list_transform(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), x -> x * x),
+               (p, q) -> p + q)) AS nrm
+      FROM embeddings
+    ),
+    hubs AS (
+      SELECT vec_id AS hub_id, v AS hv, nrm AS hnrm FROM nb
+      ORDER BY md5('hub:' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {GA_HUBS}
+    ),
+    cells AS (
+      SELECT vec_id, v, nrm, hub_id AS cell FROM (
+        SELECT n.vec_id, n.v, n.nrm, h.hub_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY ({dot('n.v', 'h.hv')} / (n.nrm * h.hnrm)) DESC,
+                          h.hub_id) AS rn
+        FROM nb n CROSS JOIN hubs h
+      ) WHERE rn = 1
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                 ORDER BY ({dot('a.v', 'b.v')} / (a.nrm * b.nrm)) DESC,
+                          b.vec_id) AS rn
+        FROM cells a JOIN cells b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      ) WHERE rn <= {GA_M}
+    ),
+    edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nb
+      WHERE vec_id < {GA_QUERIES}
+    ),
+    beam0 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, h.hub_id AS vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ({dot('q.qv', 'h.hv')} / (q.qnrm * h.hnrm)) DESC,
+                          h.hub_id) AS rn
+        FROM q CROSS JOIN hubs h
+      ) WHERE rn <= 2
+    ),{hops_sql}
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT x.query_id, x.vec_id AS neighbor_id,
+             ROUND({dot('q.qv', 'c.v')} / (q.qnrm * c.nrm), 6) AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY x.query_id
+               ORDER BY ({dot('q.qv', 'c.v')} / (q.qnrm * c.nrm)) DESC,
+                        x.vec_id) AS rk
+      FROM {prev} x
+      JOIN cells c ON c.vec_id = x.vec_id
+      JOIN q ON q.query_id = x.query_id
+      WHERE x.vec_id <> x.query_id
+    ) WHERE rk <= {GA_K}
+    """
+
+
+@register(
+    "q_graph_ann",
+    oracle=_graph_ann_oracle(),
+    doc="HNSW-style graph ANN — the last missing ANN family member next to "
+    "exhaustive / blocked / IVF / PQ: a deterministic two-layer navigable "
+    "graph (operators/similarity.py graph_ann_topk) searched with a "
+    f"fixed {GA_HOPS}-hop beam.  Upper layer = {GA_HUBS} hash-uniform hub "
+    "nodes (smallest md5('hub:'||vec_id) — HNSW's sparse top layers as a "
+    "deterministic sample); layer 0 = each vector's top-"
+    f"{GA_M} cosine neighbors within its nearest-hub cell, symmetrized "
+    "(pair work bounded at sum(|cell|^2) like the other blocked joins); "
+    "search scores the tiny hub layer exactly for 2 entry points, then "
+    f"each hop expands the beam along edges and keeps the top {GA_BEAM} "
+    "by (cosine DESC, vec_id).  Scale shape: hub scoring and query "
+    "vectors are broadcasts, graph build shuffles on the cell key, each "
+    "beam step shuffles O(queries*beam*m) rows — the corpus is never "
+    "globally joined.  Raw-cosine ranking with id tie-breaks makes the "
+    "whole traversal engine-deterministic; the DuckDB oracle replays "
+    "build + search end-to-end, so WHICH nodes the beam visits is "
+    "value-checked, not just how many.",
+)
+def q_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import graph_ann_topk
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return graph_ann_topk(
+        em,
+        em.filter(F.col("vec_id") < GA_QUERIES),
+        n_hubs=GA_HUBS,
+        m=GA_M,
+        beam=GA_BEAM,
+        hops=GA_HOPS,
+        k=GA_K,
+    )

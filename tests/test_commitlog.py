@@ -327,3 +327,83 @@ def test_zorder_logged_refreshes_stats_and_prunes(spark, tmp_path):
     assert pruned.filter("x <= 3").count() == 4 * 63  # nothing lost
     # the in-flight v1 reader is undisturbed by the rewrite
     assert reader_v1.count() == 4000
+
+
+def test_delta_export_replays_to_current_snapshot(spark, tmp_path):
+    # Replaying the exported _delta_log the way a Delta reader does
+    # (protocol -> metaData -> add/remove fold across versions) must
+    # resolve exactly the current snapshot's files, schema, and row count.
+    from lab_etl_spark.operators.commitlog import (
+        DELTA_LOG_DIR,
+        export_delta_log,
+    )
+
+    t = _mk(spark, tmp_path, rows=100, n_files=4)
+    df2 = spark.range(37).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    t.commit(lambda d: df2.repartition(2).write.parquet(d), op="overwrite")
+
+    written = export_delta_log(t, spark, table_id="fixed-id")
+    assert written == ["0" * 20 + ".json", "0" * 19 + "1.json"]
+    delta_dir = os.path.join(t.table_dir, DELTA_LOG_DIR)
+
+    live: dict[str, dict] = {}
+    protocol = meta = None
+    for name in sorted(os.listdir(delta_dir)):
+        with open(os.path.join(delta_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protocol = a["protocol"]
+                elif "metaData" in a:
+                    meta = a["metaData"]
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+
+    assert protocol == {"minReaderVersion": 1, "minWriterVersion": 2}
+    assert meta is not None and meta["id"] == "fixed-id"
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    # schemaString is the Spark StructType JSON of the table
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert schema == t.read(spark).schema
+
+    # the folded live set IS version 2's snapshot: same files, and the
+    # stats row counts sum to the table count
+    v2_dir = t.manifest(2)["data_dir"]
+    assert live and all(p.startswith(v2_dir + "/") for p in live)
+    paths = {
+        os.path.relpath(str(p), t.table_dir)
+        for p in __import__("pathlib").Path(
+            os.path.join(t.table_dir, v2_dir)
+        ).rglob("*.parquet")
+    }
+    assert set(live) == paths
+    n = sum(json.loads(a["stats"])["numRecords"] for a in live.values())
+    assert n == 37 == t.read(spark).count()
+
+
+def test_delta_export_is_incremental_and_contiguity_gated(spark, tmp_path):
+    import pytest
+
+    from lab_etl_spark.operators.commitlog import export_delta_log
+
+    t = _mk(spark, tmp_path, rows=10, n_files=1)
+    assert len(export_delta_log(t, spark)) == 1
+    # re-export with no new commits: nothing to write
+    assert export_delta_log(t, spark) == []
+    # a new commit exports just the tail
+    df2 = spark.range(5).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    t.commit(lambda d: df2.write.parquet(d), op="overwrite")
+    assert export_delta_log(t, spark) == ["0" * 19 + "1.json"]
+
+    # vacuumed-away history with NO prior export cannot form a contiguous
+    # Delta log: fail loudly, never write a holey log
+    t2 = _mk(spark, tmp_path / "t2", rows=10, n_files=1)
+    df3 = spark.range(3).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    t2.commit(lambda d: df3.write.parquet(d), op="overwrite")
+    t2.vacuum(keep=1)
+    with pytest.raises(FileNotFoundError, match="contiguous"):
+        export_delta_log(t2, spark)

@@ -72,6 +72,9 @@ ALLOW: list[tuple[str, str, str]] = [
     ("queries/timeseries.py", "effect", "markov removal effect: "
      "denominators are products of chain-count ratios — astronomically "
      "large, boundary unreachable"),
+    ("queries/similarity.py", "q.qnrm", "graph-ANN readout cosine: the "
+     "denominator is a product of sqrt norms (irrational; the sqrt lives "
+     "in the nb CTE, out of the heuristic's sight) — boundary unreachable"),
 ]
 
 

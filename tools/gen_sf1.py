@@ -50,7 +50,13 @@ KEYED = {
     },
     "events": {"event_id": "event_id", "user_id": "user_id"},
     "documents": {"doc_id": "doc_id"},
-    "embeddings": {"vec_id": "vec_id"},
+    # label is the coarse-quantizer cell id: a replica's rolled vectors
+    # are directionally incoherent with the originals, so a real
+    # quantizer would assign them to NEW cells — offsetting the label
+    # per replica models that (cell count grows with the data, cell
+    # SIZE stays bounded, which is the Σ|block|² design assumption the
+    # sf1 growth pins measure).
+    "embeddings": {"vec_id": "vec_id", "label": "label"},
 }
 COPY_THROUGH = ["region", "nation"]
 

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Replay the heaviest registered queries at sf0.1 AND sf1 (tools/gen_sf1.py)
+and report the wall-time scaling factor per query — the empirical time
+counterpart to tests/test_scale_growth_sf1.py's candidate-work pins.
+
+Methodology matches bench.py: noop materialization (full column
+evaluation, no driver deserialization), min-of-N INTERLEAVED passes so a
+host steal storm must hit every pass to corrupt a number, and a map-only
+floor probe per pass per sf to calibrate fixed job overhead.  A query
+whose sf1/sf0.1 time ratio is ~<= the row-growth ratio (10x lineitem/
+documents; less for queries dominated by fixed-size readouts) scales
+linearly; a ratio near 100x means something quadratic is hiding.
+
+Usage: python tools/replay_sf1.py [trials=2]   # prints a markdown table
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(ROOT, "testdata_sf1")
+
+#: the top of bench_r6_final.json's cost ranking plus the new sf1-motivated
+#: q_semdedup_kmeans — the queries where a superlinear term would show.
+HEAVIEST = [
+    "q_entity_resolution", "q_label_propagation", "q_kcore",
+    "q_shortest_path", "q_pagerank", "q_semdedup", "q_semdedup_kmeans",
+    "q_dedup_clusters", "q_bootstrap_ci", "q_triangle_count",
+    "q_langid_confusion", "q_setsim_join", "q_dedup_minhash_lsh",
+    "q_bloom_join_prune", "q_ewma_batch", "q_market_basket",
+    "q_dedup_simhash", "q_lang_id_ngram", "q_importance_resampling",
+    "q_dedup_ngram_jaccard", "q_dedup_containment", "q_negative_sampling",
+    "q_dedup_embedding", "q_dedup_cross_source", "q_pricing_summary",
+]
+
+
+def main() -> int:
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if not os.path.isdir(SF1):
+        print("sf1 lake absent — run tools/gen_sf1.py first", file=sys.stderr)
+        return 1
+
+    from lab_etl_spark.queries import load_all
+    from lab_etl_spark.session import get_spark
+
+    spark = get_spark("replay_sf1")
+    reg = load_all()
+    names = [n for n in HEAVIEST if n in reg]
+
+    # warm-up at sf0.01: compile every plan once outside the timings
+    for n in names:
+        try:
+            reg[n].fn(spark, "/root/testdata/sf0.01").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as e:
+            print(f"# warmup {n} failed: {e}", file=sys.stderr)
+    print("# warmup complete", file=sys.stderr)
+
+    dirs = [SF01, SF1]
+    t = {d: {n: float("inf") for n in names} for d in dirs}
+    floor = {d: float("inf") for d in dirs}
+    for p in range(trials):
+        for d in dirs:
+            for n in names:
+                t0 = time.perf_counter()
+                df = reg[n].fn(spark, d)
+                df.write.format("noop").mode("overwrite").save()
+                t[d][n] = min(t[d][n], time.perf_counter() - t0)
+                del df
+                gc.collect()
+            t0 = time.perf_counter()
+            spark.read.parquet(f"{d}/lineitem.parquet").selectExpr(
+                "l_orderkey", "l_quantity + 1.0 AS q1"
+            ).write.format("noop").mode("overwrite").save()
+            floor[d] = min(floor[d], time.perf_counter() - t0)
+        print(f"# pass {p + 1}/{trials} done", file=sys.stderr)
+    spark.stop()
+
+    print("| query | sf0.1 s | sf1 s | time ratio (10x rows) |")
+    print("|---|---|---|---|")
+    rows = {}
+    for n in names:
+        r = t[SF1][n] / t[SF01][n]
+        rows[n] = {
+            "sf0.1": round(t[SF01][n], 3),
+            "sf1": round(t[SF1][n], 3),
+            "ratio": round(r, 2),
+        }
+        print(f"| {n} | {t[SF01][n]:.2f} | {t[SF1][n]:.2f} | {r:.2f}x |")
+    print(f"| _map-only floor_ | {floor[SF01]:.2f} | {floor[SF1]:.2f} "
+          f"| {floor[SF1] / floor[SF01]:.2f}x |")
+    print(json.dumps({"queries": rows,
+                      "floor": {d: round(v, 4) for d, v in floor.items()}}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
