@@ -589,12 +589,23 @@ def graph_ann_topk(
         .filter(F.col("rn") <= m)
         .select("src", "dst")
     )
+    # DESCENT edges (hub → every member of its cell) guarantee the beam
+    # can enter a cell from its hub — without them the knn edges are
+    # near-neighbor-local and a cell containing no entry hub is
+    # unreachable (a planted-corpus pin caught exactly that).  This is
+    # HNSW's upper-layer descent made explicit; a hub's fan-out is its
+    # cell size (~n/n_hubs), so expanding an entry hub costs one
+    # cell-bounded candidate set — the IVF-probe shape.
+    descent = cells.select(
+        F.col("cell").alias("src"), F.col("vec_id").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
     edges = (
         knn.unionByName(
             knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        .unionByName(descent)
         .distinct()
-        .persist()  # O(n·m) rows referenced by every unrolled hop —
+        .persist()  # O(n·(m+1)) rows referenced by every unrolled hop —
         # without the persist each hop re-runs the Σ|cell|² edge-build
         # join (measured 3x the whole query's cost at sf0.1); the
         # ContextCleaner reclaims the blocks with the frame reference

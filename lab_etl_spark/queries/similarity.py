@@ -843,7 +843,11 @@ def _graph_ann_oracle() -> str:
           ON a.cell = b.cell AND a.vec_id <> b.vec_id
       ) WHERE rn <= {GA_M}
     ),
-    edges AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    edges AS (
+      SELECT src, dst FROM knn
+      UNION SELECT dst, src FROM knn
+      UNION SELECT cell AS src, vec_id AS dst FROM cells WHERE cell <> vec_id
+    ),
     q AS (
       SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nb
       WHERE vec_id < {GA_QUERIES}
@@ -880,14 +884,19 @@ def _graph_ann_oracle() -> str:
     f"fixed {GA_HOPS}-hop beam.  Upper layer = {GA_HUBS} hash-uniform hub "
     "nodes (smallest md5('hub:'||vec_id) — HNSW's sparse top layers as a "
     "deterministic sample); layer 0 = each vector's top-"
-    f"{GA_M} cosine neighbors within its nearest-hub cell, symmetrized "
-    "(pair work bounded at sum(|cell|^2) like the other blocked joins); "
-    "search scores the tiny hub layer exactly for 2 entry points, then "
-    f"each hop expands the beam along edges and keeps the top {GA_BEAM} "
-    "by (cosine DESC, vec_id).  Scale shape: hub scoring and query "
-    "vectors are broadcasts, graph build shuffles on the cell key, each "
-    "beam step shuffles O(queries*beam*m) rows — the corpus is never "
-    "globally joined.  Raw-cosine ranking with id tie-breaks makes the "
+    f"{GA_M} cosine neighbors within its nearest-hub cell, symmetrized, "
+    "PLUS hub->member descent edges so every cell is reachable from its "
+    "hub (HNSW's layer descent made explicit; without it a cell holding "
+    "no entry hub is unreachable — caught by the planted-corpus pin in "
+    "tests/test_graph_ann.py, which also asserts exact agreement with "
+    "the exhaustive ranker on a clustered corpus).  Pair work stays "
+    "sum(|cell|^2) like the other blocked joins; search scores the tiny "
+    "hub layer exactly for 2 entry points, then each hop expands the "
+    f"beam along edges and keeps the top {GA_BEAM} by (cosine DESC, "
+    "vec_id).  Scale shape: hub scoring and query vectors are "
+    "broadcasts, graph build shuffles on the cell key, each beam step "
+    "shuffles O(queries*(beam*m + |entry cell|)) rows — the corpus is "
+    "never globally joined.  Raw-cosine ranking with id tie-breaks makes the "
     "whole traversal engine-deterministic; the DuckDB oracle replays "
     "build + search end-to-end, so WHICH nodes the beam visits is "
     "value-checked, not just how many.",

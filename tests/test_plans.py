@@ -288,6 +288,12 @@ _SINGLE_PARTITION_OK = {
     # rk assigned over the IR_K rows a TakeOrderedAndProject already
     # reduced to (the q_rrf_fusion/q_pq_adc pattern)
     "q_importance_resampling",
+    # OPTIMIZER-injected runtime bloom-filter merges: Spark builds a join
+    # pruning filter from the GA_QUERIES-row query-id side, and the
+    # partial_bloom_filter_agg buffers (1 row each) merge on a single
+    # partition — constant-size scalar aggregates, not data windows; the
+    # query's own windows are all query_id/vec_id/src-partitioned
+    "q_graph_ann",
 }
 
 # Excluded from the sweep because their fn() *executes* work at build time
