@@ -106,6 +106,16 @@ def measure(spark, sf_dir: str) -> dict[str, int]:
     sig, dropped = semdedup_dropped(emb, nbits=SD_NBITS, eps=SD_EPS)
     out["semdedup_dropped"] = dropped.count()
     sig.unpersist()
+
+    # the k ∝ corpus rule q_semdedup_kmeans applies (SDK_CELL_TARGET)
+    from lab_etl_spark.operators.similarity import kmeans_cells
+    from lab_etl_spark.queries.dedup import SDK_CELL_TARGET
+
+    ksig = kmeans_cells(
+        emb, k=max(2, out["vecs"] // SDK_CELL_TARGET), updates=1
+    )
+    out["kmeans_cell_work"] = pairwork(ksig, "cell")
+    ksig.unpersist()
     return out
 
 
