@@ -771,7 +771,12 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- q_graph_ann ---------------------------------------------------------------
 
-GA_HUBS = 16  #: upper-layer hub nodes (hash-uniform deterministic sample)
+GA_CELL_TARGET = 125  #: target vectors per hub cell: n_hubs = max(4, n/125).
+#: Hub count TRACKS THE CORPUS in both engine texts — the same rule as
+#: q_semdedup_kmeans's k, for the same reason: a fixed hub count makes
+#: the layer-0 edge build's pair work n²/hubs (masked at small sf by the
+#: WindowGroupLimit top-k pushdown, catastrophic at 1000x).  The hub
+#: table stays a broadcastable (n/250)-row frame far beyond this lake.
 GA_M = 4  #: layer-0 edges per node (within nearest-hub cell, symmetrized)
 GA_BEAM = 8  #: beam width per hop
 GA_HOPS = 3  #: unrolled beam-search steps
@@ -820,9 +825,14 @@ def _graph_ann_oracle() -> str:
       FROM embeddings
     ),
     hubs AS (
-      SELECT vec_id AS hub_id, v AS hv, nrm AS hnrm FROM nb
-      ORDER BY md5('hub:' || CAST(vec_id AS VARCHAR)), vec_id
-      LIMIT {GA_HUBS}
+      SELECT vec_id AS hub_id, v AS hv, nrm AS hnrm FROM (
+        SELECT vec_id, v, nrm,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5('hub:' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS hrn
+        FROM nb
+      ) WHERE hrn <= GREATEST(4, (SELECT COUNT(*) // {GA_CELL_TARGET}
+                                  FROM nb))
     ),
     cells AS (
       SELECT vec_id, v, nrm, hub_id AS cell FROM (
@@ -881,9 +891,12 @@ def _graph_ann_oracle() -> str:
     doc="HNSW-style graph ANN — the last missing ANN family member next to "
     "exhaustive / blocked / IVF / PQ: a deterministic two-layer navigable "
     "graph (operators/similarity.py graph_ann_topk) searched with a "
-    f"fixed {GA_HOPS}-hop beam.  Upper layer = {GA_HUBS} hash-uniform hub "
-    "nodes (smallest md5('hub:'||vec_id) — HNSW's sparse top layers as a "
-    "deterministic sample); layer 0 = each vector's top-"
+    f"fixed {GA_HOPS}-hop beam.  Upper layer = max(4, n//"
+    f"{GA_CELL_TARGET}) hash-uniform hub nodes (smallest "
+    "md5('hub:'||vec_id) — HNSW's sparse top layers as a deterministic "
+    "sample; the count tracks the corpus in BOTH engine texts, the "
+    "q_semdedup_kmeans rule, so cells stay ~250 vectors and the edge "
+    "build never goes n²/hubs); layer 0 = each vector's top-"
     f"{GA_M} cosine neighbors within its nearest-hub cell, symmetrized, "
     "PLUS hub->member descent edges so every cell is reachable from its "
     "hub (HNSW's layer descent made explicit; without it a cell holding "
@@ -905,10 +918,13 @@ def q_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import graph_ann_topk
 
     em = load_table(spark, sf_dir, "embeddings")
+    # eager 1-row count: hub cardinality must track the corpus (see
+    # GA_CELL_TARGET); the hub selection stays a TakeOrderedAndProject
+    n_hubs = max(4, em.count() // GA_CELL_TARGET)
     return graph_ann_topk(
         em,
         em.filter(F.col("vec_id") < GA_QUERIES),
-        n_hubs=GA_HUBS,
+        n_hubs=n_hubs,
         m=GA_M,
         beam=GA_BEAM,
         hops=GA_HOPS,

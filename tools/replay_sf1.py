@@ -33,6 +33,7 @@ SF1 = os.path.join(ROOT, "testdata_sf1")
 HEAVIEST = [
     "q_entity_resolution", "q_label_propagation", "q_kcore",
     "q_shortest_path", "q_pagerank", "q_semdedup", "q_semdedup_kmeans",
+    "q_graph_ann",
     "q_dedup_clusters", "q_bootstrap_ci", "q_triangle_count",
     "q_langid_confusion", "q_setsim_join", "q_dedup_minhash_lsh",
     "q_bloom_join_prune", "q_ewma_batch", "q_market_basket",
