@@ -32,6 +32,12 @@ CASES = [
     "q_weighted_sample",
     "q_semdedup",
     "q_importance_resampling",
+    # round-7 adds: Lloyd assignment + within-cell cosine prune (seed
+    # selection, argmin windows, and DECIMAL centroid means must all be
+    # layout-independent), and the 3-hop beam traversal (every hop's
+    # top-beam cut rides raw-cosine ranks)
+    "q_semdedup_kmeans",
+    "q_graph_ann",
 ]
 
 
