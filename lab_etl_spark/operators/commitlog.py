@@ -607,6 +607,42 @@ def read_point_pruned(
 #: Delta transaction-log directory name (fixed by the protocol)
 DELTA_LOG_DIR = "_delta_log"
 
+#: Hive's directory name for a NULL partition value (Spark writes it too)
+_HIVE_NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_partition_values(
+    rels: list[str],
+) -> tuple[list[str], dict[str, dict[str, str | None]]]:
+    """Decode hive-style ``key=value`` path components of snapshot-relative
+    parquet paths (``v_*/k=3/part-...parquet``) into Delta's partition
+    wire format: the ordered partition-column list plus a per-file
+    ``partitionValues`` map (values percent-decoded the way Spark encoded
+    them; ``__HIVE_DEFAULT_PARTITION__`` → null).  Raises when files
+    disagree on the column sequence — such a directory is not one
+    hive-partitioned table and no correct metaData exists for it."""
+    from urllib.parse import unquote
+
+    cols: list[str] | None = None
+    vals: dict[str, dict[str, str | None]] = {}
+    for rel in rels:
+        parts = [
+            c.partition("=") for c in rel.split(os.sep)[1:-1] if "=" in c
+        ]
+        keys = [k for k, _eq, _v in parts]
+        if cols is None:
+            cols = keys
+        elif keys != cols:
+            raise ValueError(
+                f"inconsistent hive partitioning within one snapshot: "
+                f"{rel} has columns {keys}, earlier files {cols}"
+            )
+        vals[rel] = {
+            k: (None if v == _HIVE_NULL_PART else unquote(v))
+            for k, _eq, v in parts
+        }
+    return cols or [], vals
+
 
 def export_delta_log(
     table: LoggedTable, spark: SparkSession, table_id: str | None = None
@@ -629,16 +665,26 @@ def export_delta_log(
       * version 0 additionally carries ``protocol`` (reader 1 / writer 2,
         the minimum: no invariants, no column mapping) and ``metaData``
         whose ``schemaString`` is the Spark StructType JSON — Delta's
-        schema wire format IS Spark's;
+        schema wire format IS Spark's (hive-partitioned snapshots get
+        their ``key=value`` path components decoded into
+        ``partitionColumns`` / per-file ``partitionValues``, matching the
+        partition column Spark's basePath read infers into the schema);
       * per-file ``stats`` carry numRecords from the parquet footers
         (pyarrow, no Spark job), so Delta readers get the same file-count
         /row-count planning facts :meth:`LoggedTable.read_pruned` uses.
 
     Incremental and idempotent: existing ``_delta_log`` entries are never
     rewritten, only missing versions are appended — re-export after new
-    commits emits just the new tail.  Raises when the earliest missing
-    Delta version's manifest has been vacuumed away (the Delta log must
-    be contiguous from 0; export before vacuuming, or keep more versions).
+    commits emits just the new tail.  ``protocol``/``metaData`` are
+    emitted ONLY into Delta version 0, and the ``remove`` set for a
+    version whose predecessor manifest was vacuumed after a prior export
+    is reconstructed from the predecessor's already-exported ``add``
+    actions (every snapshot is a full rewrite, so delta N-1's adds ARE
+    snapshot N-1's files).  Raises when the earliest missing Delta
+    version's manifest has been vacuumed away with no prior export (the
+    Delta log must be contiguous from 0; export before vacuuming, or
+    keep more versions), and when a snapshot's partitioning contradicts
+    the exported ``metaData`` (Delta partition columns are table-level).
 
     Returns the list of delta-log file names written.
     """
@@ -665,6 +711,27 @@ def export_delta_log(
                     out.append((os.path.relpath(ap, table.table_dir), ap))
         return sorted(out)
 
+    def exported_actions(v: int) -> list[dict]:
+        with open(os.path.join(delta_dir, delta_name(v))) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def prev_snapshot_rels(v: int) -> list[str]:
+        """Relative paths of snapshot v-1's files — from its manifest when
+        the log still has it, else reconstructed from its already-exported
+        delta file's add actions (full-rewrite snapshots: adds = files)."""
+        if v - 1 in versions:
+            return [rel for rel, _ap in snapshot_files(table.manifest(v - 1))]
+        prior = os.path.join(delta_dir, delta_name(v - 1))
+        if not os.path.exists(prior):
+            raise FileNotFoundError(
+                f"cannot emit removes for Delta version {v - 1}: snapshot "
+                f"{v - 1} is neither in {table.log_dir} (vacuumed?) nor "
+                f"already exported to {delta_dir}"
+            )
+        return sorted(
+            a["add"]["path"] for a in exported_actions(v - 1) if "add" in a
+        )
+
     missing = [
         v for v in versions
         if not os.path.exists(os.path.join(delta_dir, delta_name(v)))
@@ -681,12 +748,33 @@ def export_delta_log(
                 f"exported to {delta_dir}"
             )
 
+    # table-level partition columns: from the already-exported metaData if
+    # Delta version 0 exists, else decided by the first version written
+    part_cols: list[str] | None = None
+    if os.path.exists(os.path.join(delta_dir, delta_name(1))):
+        for a in exported_actions(1):
+            if "metaData" in a:
+                part_cols = list(a["metaData"]["partitionColumns"])
+                break
+
     written = []
     for v in missing:
         m = table.manifest(v)
         files = snapshot_files(m)
+        snap_cols, part_vals = _hive_partition_values(
+            [rel for rel, _ap in files]
+        )
+        if part_cols is None:
+            part_cols = snap_cols
+        elif snap_cols != part_cols:
+            raise ValueError(
+                f"snapshot {v} is partitioned by {snap_cols} but the "
+                f"exported Delta metaData declares {part_cols}; Delta "
+                f"partition columns are table-level — re-export to a "
+                f"fresh _delta_log or re-partition the snapshot"
+            )
         actions: list[dict] = []
-        if v == versions[0] and v == missing[0]:
+        if v == 1:
             schema_json = table.read(spark, version=v).schema.json()
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
@@ -697,14 +785,14 @@ def export_delta_log(
                         "id": table_id or uuid.uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
-                        "partitionColumns": [],
+                        "partitionColumns": part_cols,
                         "configuration": {},
                         "createdTime": m["ts_ms"],
                     }
                 }
             )
-        if v > versions[0]:
-            for rel, _ap in snapshot_files(table.manifest(v - 1)):
+        else:
+            for rel in prev_snapshot_rels(v):
                 actions.append(
                     {
                         "remove": {
@@ -721,7 +809,7 @@ def export_delta_log(
                 {
                     "add": {
                         "path": rel,
-                        "partitionValues": {},
+                        "partitionValues": part_vals[rel],
                         "size": st.st_size,
                         "modificationTime": int(st.st_mtime * 1000),
                         "dataChange": True,

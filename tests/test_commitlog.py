@@ -407,3 +407,98 @@ def test_delta_export_is_incremental_and_contiguity_gated(spark, tmp_path):
     t2.vacuum(keep=1)
     with pytest.raises(FileNotFoundError, match="contiguous"):
         export_delta_log(t2, spark)
+
+
+def _fold_delta(delta_dir):
+    """Replay a _delta_log the way a Delta reader does: fold add/remove
+    across versions, collecting every protocol/metaData occurrence."""
+    live, protocols, metas = {}, [], []
+    for name in sorted(os.listdir(delta_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(delta_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "protocol" in a:
+                    protocols.append((name, a["protocol"]))
+                elif "metaData" in a:
+                    metas.append((name, a["metaData"]))
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    return live, protocols, metas
+
+
+def test_delta_export_survives_vacuum_between_exports(spark, tmp_path):
+    # export v1 -> commit v2 -> vacuum(keep=1) -> export: the v2 delta
+    # entry must REMOVE snapshot 1's files (reconstructed from the
+    # already-exported adds, since manifest 1 is gone) and must NOT
+    # re-emit protocol/metaData mid-log.  A fold must resolve exactly
+    # snapshot 2 — no union of both snapshots, no fresh table id.
+    from lab_etl_spark.operators.commitlog import (
+        DELTA_LOG_DIR,
+        export_delta_log,
+    )
+
+    t = _mk(spark, tmp_path, rows=100, n_files=4)
+    assert len(export_delta_log(t, spark, table_id="stable-id")) == 1
+    df2 = spark.range(37).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    t.commit(lambda d: df2.repartition(2).write.parquet(d), op="overwrite")
+    t.vacuum(keep=1)
+    assert t.versions() == [2], "vacuum should leave only v2"
+    assert export_delta_log(t, spark) == ["0" * 19 + "1.json"]
+
+    delta_dir = os.path.join(t.table_dir, DELTA_LOG_DIR)
+    live, protocols, metas = _fold_delta(delta_dir)
+    assert [n for n, _p in protocols] == ["0" * 20 + ".json"]
+    assert [n for n, _m in metas] == ["0" * 20 + ".json"]
+    assert metas[0][1]["id"] == "stable-id"
+    v2_dir = t.manifest(2)["data_dir"]
+    assert live and all(p.startswith(v2_dir + "/") for p in live)
+    assert len(live) == 2
+    assert sum(json.loads(a["stats"])["numRecords"] for a in live.values()) == 37
+
+
+def test_delta_export_partitioned_snapshot(spark, tmp_path):
+    # hive-partitioned snapshots: metaData.partitionColumns and per-file
+    # partitionValues must be populated from the k=.../ path components,
+    # matching the partition column spark's basePath read infers into
+    # schemaString (a reader that trusts metaData alone must not see a
+    # phantom all-null column).
+    from pyspark.sql.types import StructType
+
+    from lab_etl_spark.operators.commitlog import (
+        DELTA_LOG_DIR,
+        export_delta_log,
+    )
+
+    t = LoggedTable(str(tmp_path / "ptable"))
+    df = spark.range(60).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    t.commit(
+        lambda d: df.write.partitionBy("k").parquet(d), op="create"
+    )
+    export_delta_log(t, spark, table_id="part-id")
+    delta_dir = os.path.join(t.table_dir, DELTA_LOG_DIR)
+    live, _protocols, metas = _fold_delta(delta_dir)
+    meta = metas[0][1]
+    assert meta["partitionColumns"] == ["k"]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert "k" in schema.fieldNames()
+    seen = set()
+    for rel, add in live.items():
+        assert "/k=" in rel
+        assert add["partitionValues"] == {"k": rel.split("k=")[1].split("/")[0]}
+        seen.add(add["partitionValues"]["k"])
+    assert seen == {"0", "1", "2"}
+    # partition column counted once: footer rows cover all 60 ids
+    assert sum(json.loads(a["stats"])["numRecords"] for a in live.values()) == 60
+
+    # repartitioning the table later contradicts table-level metaData:
+    # the export must refuse rather than emit wrong partitionValues
+    import pytest
+
+    df2 = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    t.commit(lambda d: df2.write.parquet(d), op="overwrite")
+    with pytest.raises(ValueError, match="table-level"):
+        export_delta_log(t, spark)
