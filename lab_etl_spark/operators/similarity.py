@@ -358,8 +358,25 @@ def embedding_near_pairs(
     )
 
 
+#: deterministic 32-bit sub-block hash for the within-cell cap: any cell
+#: larger than the cap is split into ceil(|cell|/cap) hash sub-blocks, so
+#: pair work per cell is <= |cell| * cap — linear no matter how the
+#: corpus's directional clusters pile into one LSH cell.  ``_n`` is the
+#: cell's row count (exact census, broadcast back; 2**nbits rows).
+_SD_SUB_SPARK = (
+    "CAST(CONV(SUBSTRING(MD5(CONCAT('sdb:', CAST(vec_id AS STRING))), 1, 8),"
+    " 16, 10) AS BIGINT)"
+    " % CAST(CEIL(CAST(_n AS DOUBLE) / {cap}) AS BIGINT)"
+)
+_SD_SUB_DUCK = (
+    "CAST(('0x' || SUBSTRING(MD5('sdb:' || CAST(vec_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+    " % CAST(CEIL(CAST(_n AS DOUBLE) / {cap}) AS BIGINT)"
+)
+
+
 def semdedup_dropped(
-    emb: DataFrame, nbits: int, eps: float
+    emb: DataFrame, nbits: int, eps: float, cell_cap: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Cluster-then-prune semantic dedup (the SemDeDup recipe): a
     training-free hyperplane-LSH cell (:func:`lsh_bucket_spark`) plays the
@@ -367,51 +384,80 @@ def semdedup_dropped(
     SMALLER-id cell-mate reaches ``eps`` is dropped — the deterministic
     keep-first stand-in for the paper's keep-farthest-from-centroid rule.
 
+    ``cell_cap`` bounds the within-cell pair work.  Hyperplane cells TRACK
+    the corpus's directional clusters (co-directional vectors share every
+    sign bit, so no number of planes splits a tight cluster — measured
+    Σ|cell|² grew 101× for 10× vectors on the sf1 lake); the cap splits
+    any cell over ``cell_cap`` vectors into ceil(|cell|/cap) deterministic
+    md5 sub-blocks (``_SD_SUB_SPARK``), bounding pair work at n·cap.  The
+    sub-block count derives from an exact per-cell census (2**nbits rows,
+    broadcast back), so — like the posting-list stop-shingle cap in
+    operators/dedup.py and kmeans_cells' k ∝ n — the split scales with
+    the data in BOTH engine texts and stays oracle-replayable.  The cap
+    trades recall for the bound (a near-dup pair split across sub-blocks
+    is missed — roughly a 1/ceil(|cell|/cap) pair sample in oversized
+    cells); for cluster-shaped corpora at scale prefer
+    :func:`kmeans_cells`, which splits dense regions instead of sampling
+    them.
+
     ``emb`` needs (vec_id, embedding).  Returns ``(sig, dropped)``:
-    ``sig`` = (vec_id, cell, v, nrm), lazily persisted (it feeds both
-    sides of the pair join plus any census the caller builds, and
+    ``sig`` = (vec_id, cell[, sub], v, nrm), lazily persisted (it feeds
+    both sides of the pair join plus any census the caller builds, and
     Catalyst does not dedupe common subtrees); ``dropped`` = (cell,
-    vec_id), one row per pruned vector.  Pair work is Σ|cell|² via the
-    cell-keyed self-join — never the n² cross product — and the cosine
+    vec_id), one row per pruned vector.  Pair work is Σ|block|² via the
+    block-keyed self-join — never the n² cross product — and the cosine
     is a sequential fold, bit-identical on any engine or partitioning.
     """
+    base = emb.selectExpr(
+        "vec_id",
+        f"{lsh_bucket_spark(nbits)} AS cell",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
+    ).withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+    if cell_cap is None:
+        sig = base.persist()
+        return sig, _semdedup_prune(sig, eps)
+    # exact per-cell census (2**nbits rows): Catalyst prunes v/nrm off this
+    # branch, so it costs one cell-only scan; the RETURNED frame is the one
+    # persisted so callers' unpersist() releases the cache.
+    census = base.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     sig = (
-        emb.selectExpr(
-            "vec_id",
-            f"{lsh_bucket_spark(nbits)} AS cell",
-            "transform(embedding, x -> CAST(x AS DOUBLE)) AS v",
-        )
-        .withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+        base.join(F.broadcast(census), "cell")
+        .withColumn("sub", F.expr(_SD_SUB_SPARK.format(cap=cell_cap)))
+        .drop("_n")
         .persist()
     )
-    return sig, _semdedup_prune(sig, eps)
+    return sig, _semdedup_prune(sig, eps, keys=("cell", "sub"))
 
 
-def _semdedup_prune(sig: DataFrame, eps: float) -> DataFrame:
-    """Within-cell keep-first prune over a (vec_id, cell, v, nrm) frame:
+def _semdedup_prune(
+    sig: DataFrame, eps: float, keys: tuple[str, ...] = ("cell",)
+) -> DataFrame:
+    """Within-block keep-first prune over a (vec_id, *keys, v, nrm) frame:
     (cell, vec_id) rows for every vector whose cosine to a smaller-id
-    cell-mate reaches ``eps``.  Pair work is Σ|cell|² via the cell-keyed
+    block-mate reaches ``eps``.  Pair work is Σ|block|² via the block-keyed
     self-join; how well that is bounded is the CELL BUILDER's problem —
-    see :func:`semdedup_dropped` (hyperplane LSH, training-free but cells
-    track the corpus's directional clusters and can go quadratic on
-    clustered data) vs :func:`kmeans_cells` (k ∝ corpus keeps cell sizes
-    bounded; tests/test_scale_growth_sf1.py pins both behaviors).
+    see :func:`semdedup_dropped` (hyperplane LSH, training-free; its
+    ``cell_cap`` sub-blocks oversized cells, without it cells track the
+    corpus's directional clusters and go quadratic on clustered data) vs
+    :func:`kmeans_cells` (k ∝ corpus keeps cell sizes bounded;
+    tests/test_scale_growth_sf1.py pins all three behaviors).
     """
+    keyc = list(keys)
     a = sig.select(
-        "cell",
+        *keyc,
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
     )
     b = sig.select(
-        "cell",
+        *keyc,
         "vec_id",
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
     cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "cell")
+        a.join(b, keyc)
         .filter(F.col("ia") < F.col("vec_id"))
         .filter(cos >= F.expr(f"CAST({eps} AS DOUBLE)"))
         .select("cell", "vec_id")

@@ -648,6 +648,12 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SD_NBITS = 4  #: hyperplane-LSH sign bits -> up to 16 quantizer cells
 SD_EPS = 0.35  #: within-cell cosine at/above which the larger id is dropped
+#: hard within-cell pair-work cap: cells over this split into
+#: ceil(|cell|/cap) deterministic md5 sub-blocks (the r7 sf1 measurement:
+#: uncapped hyperplane cells grew pair work 101x for 10x vectors because
+#: co-directional embeddings share every sign bit; the cap bounds work at
+#: n*cap while staying oracle-replayable — see semdedup_dropped).
+SD_CELL_CAP = 150
 
 #: order-independent 32-bit digest of a dropped vec_id (bit_xor-folded per
 #: cell), pinning the EXACT drop set — not just its size — cross-engine.
@@ -662,7 +668,7 @@ _SD_H32_DUCK = (
 
 
 def _semdedup_oracle() -> str:
-    from ..operators.similarity import lsh_bucket_duck
+    from ..operators.similarity import _SD_SUB_DUCK, lsh_bucket_duck
 
     dot = (
         "list_reduce(list_transform(generate_series(1, len(a.v)),"
@@ -674,16 +680,20 @@ def _semdedup_oracle() -> str:
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
+    census AS (
+      SELECT cell, COUNT(*) AS _n FROM sig GROUP BY cell
+    ),
     nrm AS (
-      SELECT vec_id, cell, v,
+      SELECT vec_id, cell,
+             {_SD_SUB_DUCK.format(cap=SD_CELL_CAP)} AS sub, v,
              sqrt(list_reduce(list_transform(v, x -> x * x),
                               (p, q) -> p + q)) AS nrm
-      FROM sig
+      FROM sig JOIN census USING (cell)
     ),
     dropped AS (
       SELECT DISTINCT b.cell, b.vec_id
       FROM nrm a JOIN nrm b
-        ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
       WHERE {dot} / (a.nrm * b.nrm) >= CAST({SD_EPS} AS DOUBLE)
     ),
     drops AS (
@@ -710,18 +720,27 @@ def _semdedup_oracle() -> str:
     "k-means cluster, and within each cell every vector whose cosine to a "
     "SMALLER-id cell-mate reaches eps is dropped (deterministic keep-first "
     "stand-in for the paper's keep-farthest-from-centroid rule).  Scale "
-    "shape: one codegen scan computes the cell signature, the self-join "
-    "shuffles on the cell key so pair work is sum(|cell|^2) — never the "
-    "n^2 cross product — and the readout is a cell-keyed aggregate whose "
-    "bit_xor digest pins the exact drop set.  Cosines are sequential "
-    "folds (aggregate <-> list_reduce), bit-identical cross-engine; the "
-    "whole pipeline is value-checked including WHICH vectors drop.",
+    "shape: one codegen scan computes the cell signature; any cell over "
+    "SD_CELL_CAP vectors is split into ceil(|cell|/cap) deterministic md5 "
+    "sub-blocks (hyperplane cells track directional clusters — the sf1 "
+    "lake measured uncapped pair work 101x for 10x vectors — so the cap "
+    "bounds the self-join at n*cap comparisons, the posting-list "
+    "stop-shingle trick applied to cells); the self-join shuffles on the "
+    "(cell, sub) key so pair work is sum(|block|^2) — never the n^2 cross "
+    "product — and the readout is a cell-keyed aggregate whose bit_xor "
+    "digest pins the exact drop set.  Cosines are sequential folds "
+    "(aggregate <-> list_reduce), bit-identical cross-engine; the whole "
+    "pipeline is value-checked including WHICH vectors drop.  For "
+    "cluster-shaped corpora prefer q_semdedup_kmeans, which splits dense "
+    "regions instead of pair-sampling them.",
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semdedup_dropped
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sig, dropped = semdedup_dropped(emb, nbits=SD_NBITS, eps=SD_EPS)
+    sig, dropped = semdedup_dropped(
+        emb, nbits=SD_NBITS, eps=SD_EPS, cell_cap=SD_CELL_CAP
+    )
     return _semdedup_readout(sig, dropped)
 
 

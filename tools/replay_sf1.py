@@ -68,15 +68,24 @@ def main() -> int:
 
     dirs = [SF01, SF1]
     t = {d: {n: float("inf") for n in names} for d in dirs}
+    failed: dict[str, str] = {}
     floor = {d: float("inf") for d in dirs}
     for p in range(trials):
         for d in dirs:
             for n in names:
-                t0 = time.perf_counter()
-                df = reg[n].fn(spark, d)
-                df.write.format("noop").mode("overwrite").save()
-                t[d][n] = min(t[d][n], time.perf_counter() - t0)
-                del df
+                if n in failed:
+                    continue
+                try:
+                    t0 = time.perf_counter()
+                    df = reg[n].fn(spark, d)
+                    df.write.format("noop").mode("overwrite").save()
+                    t[d][n] = min(t[d][n], time.perf_counter() - t0)
+                    del df
+                except Exception as e:
+                    # one red query must not abort a multi-hour replay and
+                    # lose every other timing — record it and keep going
+                    failed[n] = str(e).splitlines()[0][:200]
+                    print(f"# FAILED {n} at {d}: {failed[n]}", file=sys.stderr)
                 gc.collect()
             t0 = time.perf_counter()
             spark.read.parquet(f"{d}/lineitem.parquet").selectExpr(
@@ -90,6 +99,9 @@ def main() -> int:
     print("|---|---|---|---|")
     rows = {}
     for n in names:
+        if n in failed:
+            print(f"| {n} | FAILED | FAILED | {failed[n]} |")
+            continue
         r = t[SF1][n] / t[SF01][n]
         rows[n] = {
             "sf0.1": round(t[SF01][n], 3),
@@ -99,7 +111,7 @@ def main() -> int:
         print(f"| {n} | {t[SF01][n]:.2f} | {t[SF1][n]:.2f} | {r:.2f}x |")
     print(f"| _map-only floor_ | {floor[SF01]:.2f} | {floor[SF1]:.2f} "
           f"| {floor[SF1] / floor[SF01]:.2f}x |")
-    print(json.dumps({"queries": rows,
+    print(json.dumps({"queries": rows, "failed": failed,
                       "floor": {d: round(v, 4) for d, v in floor.items()}}))
     return 0
 
