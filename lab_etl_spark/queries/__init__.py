@@ -68,63 +68,68 @@ def register(
 #     r2 cohort; result 50/50 green — the first zero-red zero-waiver
 #     window, and every one of the 203 registered queries now has a
 #     green driver row somewhere in CORRECTNESS_r0{1..6}.
-#   round 7 (this list): no reds to front; the only residue is
-#     STALENESS, so the window is almost purely the staleness drain —
-#     the 12 r2-stale veterans (q_text_quality .. q_interval_join) then
-#     as much of the 44-strong r3 cohort as fits.  Fronted explicitly:
-#     q_approx_percentile, whose oracle was PROMOTED this round
-#     (rows-only GK demo -> value-checked rank-band certificate), the
-#     q_hll_rollup/q_stream_stateful_ewma precedent.  Round-7 additions
-#     (absent from _LAST_GREEN) enter automatically ahead of veterans.
+#   round 7: the staleness drain — the 12 r2-stale veterans then the r3
+#     cohort; q_approx_percentile fronted for its PROMOTED oracle.
+#     Result: 50/50 green again, nothing older than r3 remains.
+#   round 8 (this list): two changed oracles fronted — q_approx_distinct
+#     (PROMOTED from rows-only to the 5x-rsd certificate, the
+#     q_approx_percentile pattern) and q_semdedup (oracle changed in
+#     lockstep with the SD_CELL_CAP sub-blocking that linearized its sf1
+#     scaling) — then the final staleness tail: the 7 remaining r3-cohort
+#     veterans (q_sessionize .. q_multimodal_decode) and the r4 cohort
+#     (48 queries) by staleness; ~41 of those fit, the handful that spill
+#     stay at r4 so the post-r8 invariant is "no driver row predates r4".
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # oracle promoted after its last driver row — run the new check
-    "q_approx_percentile",
+    # oracle promoted / changed after its last driver row — run the new
+    # check first
+    "q_approx_distinct",
+    "q_semdedup",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
-# CORRECTNESS_r0{1..5}.json via tools/regen_last_green.py (hash_match
+# CORRECTNESS_r0{1..7}.json via tools/regen_last_green.py (hash_match
 # true, or rows-only with rows returned).  Orders the veteran fill of
 # the window: stalest first.  Queries absent from this map have never
 # been driver-checked and sort ahead of all veterans automatically.
 _LAST_GREEN = {
     "q_dedup_exact": 6, "q_dedup_ngram_jaccard": 6, "q_dedup_minhash_lsh": 6,
-    "q_dedup_clusters": 6, "q_dedup_simhash": 6, "q_dedup_embedding": 3,
+    "q_dedup_clusters": 6, "q_dedup_simhash": 6, "q_dedup_embedding": 7,
     "q_instrument_peak_hrr": 3, "q_instrument_sta_mass_loss": 3,
     "q_filter_project": 6, "q_pricing_summary": 6, "q_agg_group": 6,
     "q_agg_distinct": 6, "q_approx_distinct": 3, "q_shipping_priority": 6,
     "q_local_supplier_volume": 6, "q_hash_join_inner": 6,
-    "q_broadcast_join": 6, "q_semi_join": 6, "q_anti_join": 3,
+    "q_broadcast_join": 6, "q_semi_join": 6, "q_anti_join": 7,
     "q_range_join": 6, "q_window_rank": 6, "q_window_frame": 6,
     "q_sort_limit_topk": 6, "q_set_ops": 6, "q_scalar_fns": 6,
     "q_array_fns": 6, "q_map_fns": 6, "q_skew_join_salted": 6,
     "q_shuffle_hash_join": 6, "q_outer_join": 6, "q_scalar_subquery": 6,
     "q_pivot_wide": 6, "q_unpivot": 6, "q_grouping_sets": 6,
     "q_percentile_exact": 6, "q_deterministic_sample": 6,
-    "q_similarity_topk": 6, "q_similarity_blocked": 6, "q_similarity_ivf": 3,
-    "q_text_stats": 6, "q_text_quality": 2, "q_text_fingerprint": 2,
-    "q_token_histogram": 2, "q_text_tokens_bpe": 2, "q_text_rolling_hash": 2,
-    "q_lang_id_ngram": 3, "q_stream_tumbling": 2, "q_rollup_cube": 6,
-    "q_stream_session": 2, "q_stream_sliding": 2, "q_asof_align": 2,
-    "q_interp_linear": 2, "q_interp_by_key": 2, "q_interval_join": 2,
-    "q_zscore_anomaly": 3, "q_stratified_sample": 3, "q_seq_packing": 3,
-    "q_training_shuffle": 3, "q_embedding_lsh": 3, "q_embedding_stats": 3,
-    "q_text_repetition": 3, "q_contamination": 3, "q_pii_redact": 3,
-    "q_tfidf": 3, "q_quality_filter": 3, "q_asof_join": 3, "q_funnel": 3,
+    "q_similarity_topk": 6, "q_similarity_blocked": 6, "q_similarity_ivf": 7,
+    "q_text_stats": 6, "q_text_quality": 7, "q_text_fingerprint": 7,
+    "q_token_histogram": 7, "q_text_tokens_bpe": 7, "q_text_rolling_hash": 7,
+    "q_lang_id_ngram": 7, "q_stream_tumbling": 7, "q_rollup_cube": 6,
+    "q_stream_session": 7, "q_stream_sliding": 7, "q_asof_align": 7,
+    "q_interp_linear": 7, "q_interp_by_key": 7, "q_interval_join": 7,
+    "q_zscore_anomaly": 7, "q_stratified_sample": 7, "q_seq_packing": 7,
+    "q_training_shuffle": 7, "q_embedding_lsh": 7, "q_embedding_stats": 7,
+    "q_text_repetition": 7, "q_contamination": 7, "q_pii_redact": 7,
+    "q_tfidf": 7, "q_quality_filter": 7, "q_asof_join": 7, "q_funnel": 7,
     "q_sessionize": 3, "q_retention": 3, "q_interarrival": 3,
     "q_stream_hourly_users": 3, "q_stream_stateful_ewma": 6,
-    "q_approx_percentile": 3, "q_hierarchical_rollup": 3,
-    "q_lake_roundtrip": 3, "q_returned_items": 3, "q_promo_revenue": 3,
-    "q_top_supplier": 3, "q_large_volume_customer": 3,
-    "q_region_market_share": 3, "q_json_functions": 3,
-    "q_doc_source_stats": 3, "q_sequence_budget": 3,
-    "q_dedup_cross_source": 3, "q_customer_order_counts": 3,
-    "q_small_qty_revenue": 3, "q_idle_customers": 3,
-    "q_nation_year_profit": 3, "q_disjunctive_join": 3,
-    "q_multimodal_decode": 3, "q_window_distribution": 3,
-    "q_zorder_skipping": 4, "q_frequent_ngrams": 3, "q_argmin_join": 4,
+    "q_approx_percentile": 7, "q_hierarchical_rollup": 7,
+    "q_lake_roundtrip": 7, "q_returned_items": 7, "q_promo_revenue": 7,
+    "q_top_supplier": 7, "q_large_volume_customer": 7,
+    "q_region_market_share": 7, "q_json_functions": 7,
+    "q_doc_source_stats": 7, "q_sequence_budget": 7,
+    "q_dedup_cross_source": 7, "q_customer_order_counts": 7,
+    "q_small_qty_revenue": 7, "q_idle_customers": 7,
+    "q_nation_year_profit": 7, "q_disjunctive_join": 7,
+    "q_multimodal_decode": 3, "q_window_distribution": 7,
+    "q_zorder_skipping": 4, "q_frequent_ngrams": 7, "q_argmin_join": 4,
     "q_exists_agg": 4, "q_sole_supplier_wait": 4, "q_global_share": 4,
     "q_scd2_build": 4, "q_vocab_oov": 4, "q_source_mix_weights": 4,
     "q_cdc_merge": 4, "q_pagerank": 4, "q_event_pattern": 4,
@@ -162,14 +167,18 @@ _LAST_GREEN = {
     "q_attribution_markov": 6, "q_funnel_windowed": 6, "q_interval_merge": 6,
     "q_langid_confusion": 6, "q_ntile_binning": 6,
     "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 6, "q_semdedup": 6,
-    "q_pq_adc": 6, "q_importance_resampling": 6,
+    "q_pq_adc": 6, "q_importance_resampling": 6, "q_semdedup_kmeans": 7,
+    "q_graph_ann": 7,
 }
 
-# ROUND-8 ROTATION DUTY: regenerate _LAST_GREEN from
-# CORRECTNESS_r0{1..7}.json (tools/regen_last_green.py), front any
-# round-7 red rows plus promoted oracles, then finish the staleness
-# cycle — after round 7 the r2 cohort is drained and most of r3; the
-# remaining r3 spill plus the r4 cohort fill the r8 window.
+# ROUND-9 ROTATION DUTY: regenerate _LAST_GREEN from
+# CORRECTNESS_r0{1..8}.json (tools/regen_last_green.py), front any
+# round-8 red rows plus promoted/changed oracles, then continue the
+# staleness cycle — after round 8 the oldest cohort is r4 (7 spilled
+# r4 veterans: q_forecast_revenue, q_volume_shipping,
+# q_shipmode_priority, q_parts_supplier_count, q_potential_promotion,
+# q_commitlog_roundtrip, q_video_frames); front those, then fill from
+# the r5 cohort (~50 queries) by staleness.
 
 
 def load_all() -> dict[str, Query]:

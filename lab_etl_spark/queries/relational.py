@@ -139,14 +139,44 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,  # HLL estimates are engine-specific → rows-only check
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           TRUE AS acd_band_ok
+    FROM events
+    GROUP BY event_type
+    """,
     doc="approx_count_distinct (HyperLogLog++) per event_type; scale path for "
-    "distinct-user counts where exact dedup shuffle would dominate.",
+    "distinct-user counts where exact dedup shuffle would dominate.  "
+    "VALUE-CHECKED as a certificate (the q_approx_percentile pattern, "
+    "queries/scale.py): the output carries the exact group counts plus a "
+    "boolean asserting the HLL estimate landed within 5x its configured "
+    "rsd (0.02) of the exact distinct count — the sketch's registers stay "
+    "engine-specific, the published accuracy contract is what's portable, "
+    "and register MAX merges are order-independent so the boolean is "
+    "stable under any partitioning.  The oracle supplies exact counts and "
+    "TRUE literals.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    rsd = 0.02
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=rsd).alias("_acd"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            (
+                F.abs(F.col("_acd") - F.col("n_users"))
+                <= F.lit(5 * rsd) * F.col("n_users")
+            ).alias("acd_band_ok"),
+        )
     )
 
 
