@@ -253,6 +253,9 @@ def q_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nat_rev"
             )
         )
+        .persist()  # nation-sized agg over the lineitem join, consumed by
+        # the 1-row total AND the share readout (multi-consumer rule:
+        # Catalyst does not dedupe common subtrees)
     )
     tot = rev.agg(
         F.expr(
@@ -415,7 +418,8 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
-    )
+    ).persist()  # |sources|-sized, consumed by the 1-row total AND the
+    # weight readout (multi-consumer rule)
     tot = per.agg(
         F.sum("n_docs").cast("bigint").alias("total_docs"),
         F.count(F.lit(1)).alias("n_sources"),

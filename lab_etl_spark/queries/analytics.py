@@ -136,7 +136,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(dsum("l_extendedprice * (1 - l_discount)", 6)).alias(
             "total_revenue"
         )
-    )
+    ).persist()  # supplier-sized agg, consumed by the 1-row max AND the
+    # argmax filter (multi-consumer rule)
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -292,6 +292,77 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_delta_export",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {dsum('o_totalprice', 6)} AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Delta-protocol interop for the commit-log lake "
+    "(operators/commitlog.py export_delta_log): commit a partial snapshot "
+    "v1, export the _delta_log, commit the full snapshot v2, VACUUM v1's "
+    "manifest away, then export again — the incremental export must "
+    "reconstruct v2's remove actions from v1's already-exported add "
+    "actions (the round-8 fix; re-emitting protocol/metaData mid-log or "
+    "skipping the removes makes Delta readers see the union of both "
+    "snapshots).  The query then replays the exported log exactly the "
+    "way an off-the-shelf Delta reader does — fold add/remove across "
+    "versions, scan the surviving files — and returns that result, so "
+    "the driver's value check proves the folded log resolves to "
+    "snapshot v2 bit-for-bit (the oracle recomputes v2 from the source "
+    "table).  The export itself is one manifest-sized JSON mapping pass "
+    "(parquet footers read driver-side, no Spark job), independent of "
+    "table size — the property that makes the interop viable at 100 TB.",
+    bench=False,  # dominated by the two eager snapshot writes
+)
+def q_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from ..operators.commitlog import (
+        DELTA_LOG_DIR,
+        LoggedTable,
+        export_delta_log,
+    )
+
+    od = load_table(spark, sf_dir, "orders")
+    agg = od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(dsum("o_totalprice", 6)).alias("sum_price"),
+    )
+    table = LoggedTable(scratch_dir("delta_export", sf_dir))
+    table.commit(
+        lambda d: agg.filter(
+            F.col("o_orderpriority") <= "3-MEDIUM"
+        ).write.parquet(d),
+        op="ingest",
+    )
+    export_delta_log(table, spark, table_id="q-delta-export")
+    table.commit(lambda d: agg.write.parquet(d), op="overwrite")
+    table.vacuum(keep=1)  # v1's manifest is gone; only its export remains
+    export_delta_log(table, spark)
+
+    # replay the log the way a Delta reader does: fold add/remove in
+    # version order, then scan exactly the surviving files
+    delta_dir = os.path.join(table.table_dir, DELTA_LOG_DIR)
+    live: dict[str, bool] = {}
+    for name in sorted(os.listdir(delta_dir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(delta_dir, name)) as f:
+            for line in f:
+                a = json.loads(line)
+                if "add" in a:
+                    live[a["add"]["path"]] = True
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    paths = [os.path.join(table.table_dir, p) for p in sorted(live)]
+    return spark.read.parquet(*paths).orderBy("o_orderpriority")
+
+
+@register(
     "q_user_purge",
     oracle=f"""
     SELECT event_type,

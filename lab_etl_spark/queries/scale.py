@@ -1349,6 +1349,8 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("p_size") > F.col("best_cheaper"))
         )
         .select("p_partkey", "p_size", "p_retailprice")
+        .persist()  # bucket-pruned candidate set, consumed by BOTH sides
+        # of the domination self-join (multi-consumer rule)
     )
     s2 = survivors.select(
         F.col("p_size").alias("q_size"),

@@ -126,7 +126,11 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counting the raw stream per cell — CMS cells are count-weighted token
     # sums — so at 100 TB the petabyte text is read once and everything
     # downstream reshuffles only |vocab| rows.
-    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    ).persist()  # vocabulary-sized; feeds the CMS cells, the probe set,
+    # and the stream total — persisting it is what makes the "ONE corpus
+    # scan" claim above true (multi-consumer rule)
     cells = (
         exact.select(
             "exact_cnt",
@@ -780,7 +784,8 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     item = pp.groupBy(F.col("doc_id").alias("item")).agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).persist()  # item-sized, consumed by BOTH confidence sides
+    # (multi-consumer rule)
     n = pp.agg(F.count_distinct("shingle").alias("n_baskets"))
     ca = item.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
     cb = item.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))

@@ -853,7 +853,8 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("token") == t).alias(f"tf_{t}")
             for t in _BM25_TERMS
         ],
-    )
+    ).persist()  # doc-count-sized, consumed by the corpus stats AND the
+    # score readout (multi-consumer rule)
     g = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -928,7 +929,10 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_both") >= 5)
     )
     pres = toks.select("doc_id", F.explode("_t").alias("token"))
-    ct = pres.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ct = pres.groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()  # vocab-sized, consumed by BOTH PMI margin sides
+    # (multi-consumer rule)
     n = pres.agg(F.count_distinct("doc_id").alias("n_docs"))
     ca = ct.select(F.col("token").alias("tok_a"), F.col("c").alias("ca"))
     cb = ct.select(F.col("token").alias("tok_b"), F.col("c").alias("cb"))

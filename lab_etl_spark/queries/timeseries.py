@@ -419,7 +419,9 @@ def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n"), F.sum(dec).alias("dv"))
     hour = minute.groupBy(
         "event_type", F.date_trunc("hour", "m_ts").alias("h_ts")
-    ).agg(F.sum("n").alias("n"), F.sum("dv").alias("dv"))
+    ).agg(F.sum("n").alias("n"), F.sum("dv").alias("dv")).persist()
+    # hour-bucket-sized, consumed by its own level readout AND the day
+    # rollup (multi-consumer rule)
     day = hour.groupBy(
         "event_type", F.date_trunc("day", "h_ts").alias("d_ts")
     ).agg(F.sum("n").alias("n"), F.sum("dv").alias("dv"))
@@ -1112,7 +1114,8 @@ def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING)"
             " AS DOUBLE) / COUNT(*)"
         ).alias("v")
-    )
+    ).persist()  # (type, day)-sized agg, consumed by the x series, the
+    # reference series, and the type spine (multi-consumer rule)
     x = daily.select("event_type", F.lit("x").alias("role"), "day", "v")
     ref_series = daily.filter(F.col("event_type") == "view").select(
         F.lit("ref").alias("role"), "day", "v"
@@ -1288,7 +1291,8 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(FLOOR(({davg('value', 6)})"
             " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
         ).alias("hm")
-    )
+    ).persist()  # hour-bucket-sized, consumed by the seasonal profile AND
+    # the residual join (multi-consumer rule)
     seasonal = hourly.groupBy(
         "event_type", F.hour("h").alias("hour_of_day")
     ).agg(
@@ -1587,7 +1591,8 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("to_type").isNotNull())
     cnt = seq.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).persist()  # |types|^2-sized, consumed by the row totals AND the
+    # probability readout (multi-consumer rule)
     tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_total"))
     return (
         cnt.join(tot, "from_type")
@@ -1667,7 +1672,8 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("v", 1).over(w).alias("l1"),
         F.lag("v", 2).over(w).alias("l2"),
         F.lag("v", 3).over(w).alias("l3"),
-    )
+    ).persist()  # hour-bucket-sized window output, consumed by one union
+    # branch per lag (multi-consumer rule)
     pairs = None
     for k in (1, 2, 3):
         p = lagged.filter(F.col(f"l{k}").isNotNull()).select(

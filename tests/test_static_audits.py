@@ -1,0 +1,57 @@
+"""The four static audit gates as tests, so a regression fails the suite
+instead of waiting for someone to run the tools by hand:
+
+  * decimal-literal audit (round-4): no bare decimal literals in SQL-text
+    arithmetic — doubles must accumulate in DECIMAL (cross-engine rule).
+  * rational-ROUND audit (round-5): ROUND only on already-rational values.
+  * compound-LN audit (round-6): ln() only on integer-exact arguments.
+  * multi-consumer audit (round-8, this round's verdict item 6): any
+    DataFrame feeding 2+ consumers inside a registered query must be
+    persisted/localCheckpointed, leaf-cheap, or allowlisted with a reason
+    (Catalyst does not dedupe common subtrees — the measured 2-3x tax of
+    rounds 6-7).
+
+Each tool stays runnable standalone (tools/audit_*.py); these tests just
+import and invoke them — pure static analysis, no Spark session.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def _load(tool: str):
+    spec = importlib.util.spec_from_file_location(
+        tool, ROOT / "tools" / f"{tool}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[tool] = mod  # dataclass field resolution looks here
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_no_bare_decimal_literals_in_sql_arithmetic():
+    mod = _load("audit_decimal_literals")
+    hits = mod.audit(pathlib.Path(mod.ROOT) / "lab_etl_spark")
+    assert not hits, "\n".join(hits)
+
+
+def test_round_only_on_rational_values():
+    mod = _load("audit_rational_round")
+    assert mod.main() == 0
+
+
+def test_ln_only_on_integer_exact_arguments():
+    mod = _load("audit_compound_ln")
+    assert mod.main() == 0
+
+
+def test_multi_consumer_frames_are_persisted_or_allowlisted():
+    mod = _load("audit_multi_consumer")
+    assert mod.main() == 0

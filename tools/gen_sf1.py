@@ -108,6 +108,27 @@ def main() -> int:
                 rep = rep.withColumn(
                     col, F.col(col) + F.lit(r * strides[family])
                 )
+            if table == "part" and r > 0:
+                # replica-distinct part NAMES (round-7 verdict item 4):
+                # replicating names verbatim welded 10 identical catalog
+                # copies into every entity cluster (~100x true pair mass),
+                # so the ER/fuzzy sf1 replay measured the weld, not the
+                # blocking.  A real 10x catalog has NEW part names.  The
+                # suffix grows by _LEN_BUCKET (4) chars per replica, so
+                # (a) each replica lands in its own name-length bucket —
+                # block sizes stay flat instead of growing 10x — and
+                # (b) cross-replica levenshtein >= 4 > max_dist, so no
+                # cross-replica edge survives the verify either.
+                rep = rep.withColumn(
+                    "p_name",
+                    F.expr(f"concat(p_name, '_', repeat('r{r}', {2 * r}))"),
+                )
+            if table == "customer" and r > 0:
+                # same rule for customer names (CDC/merge readouts carry
+                # them; verbatim copies would weld any name-keyed logic)
+                rep = rep.withColumn(
+                    "c_name", F.expr(f"concat(c_name, '_r{r}')")
+                )
             if table == "documents" and r > 0:
                 # disjoint vocabulary per replica (see module doc);
                 # n_chars follows the rewritten text so the stored
