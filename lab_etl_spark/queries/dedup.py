@@ -207,6 +207,163 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incremental_oracle() -> str:
+    """DuckDB twin of q_dedup_incremental: the same md5 MinHash family and
+    band keys computed over ALL docs, split into index (doc_id % 10 != 0)
+    and batch (% 10 == 0), batch-vs-index bucket join, exact-Jaccard
+    verify on the candidates only."""
+    from ..operators.dedup import (
+        MINHASH_BASE_DUCK,
+        _minhash_perm_sql,
+        minhash_constants,
+    )
+
+    num_hashes, bands = 16, 4
+    rows_per_band = num_hashes // bands
+    mins = ",\n             ".join(
+        f"MIN({_minhash_perm_sql(a, b, c, d, 'mh')}) AS h{i}"
+        for i, (a, b, c, d) in enumerate(minhash_constants(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, MD5(concat_ws(',', {cols})) AS bkey"
+        " FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"h{b * rows_per_band + k}" for k in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
+      FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
+      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+    ),
+    shingle_h AS (
+      SELECT doc_id, {MINHASH_BASE_DUCK} AS mh FROM shingles
+    ),
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM shingle_h GROUP BY doc_id
+    ),
+    buckets AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS old_doc
+      FROM buckets x JOIN buckets y
+        ON x.band = y.band AND x.bkey = y.bkey
+      WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 != 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, COUNT(*) AS n_common
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+      GROUP BY 1, 2
+    )
+    SELECT c.new_doc, c.old_doc,
+           CAST(n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common c
+    JOIN cand USING (new_doc, old_doc)
+    JOIN sizes sa ON sa.doc_id = c.new_doc
+    JOIN sizes sb ON sb.doc_id = c.old_doc
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """
+
+
+@register(
+    "q_dedup_incremental",
+    oracle=_incremental_oracle(),
+    doc="Incremental dedup against a STORED MinHash-LSH index — the 100 TB "
+    "ingestion path: the existing corpus's band buckets are written once "
+    "as a parquet index (modeled here by an in-query write + read-back "
+    "of the 90% partition, doc_id % 10 != 0), and each arriving batch "
+    "(the 10% partition) computes only ITS OWN signatures and probes the "
+    "index with a bucket equi-join — per-batch cost is O(|batch| x "
+    "bands) plus the candidate fetches, independent of corpus size, "
+    "where re-running the full self-join dedup would re-shuffle the "
+    "whole corpus per batch.  The exact-Jaccard verify then fetches "
+    "shingles for only the candidate OLD docs (semi-join pushdown into "
+    "the corpus scan).  Same md5-portable hash family as "
+    "q_dedup_minhash_lsh, so the DuckDB oracle replays the identical "
+    "pipeline; output is (new_doc, old_doc, jaccard >= 0.5) — which "
+    "incoming docs duplicate the existing corpus.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import scratch_dir
+    from ..operators.dedup import minhash_band_buckets, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+
+    # the stored index: band buckets of the existing corpus, written once
+    # and read back — at scale this table persists across ingestion runs
+    # and is the only corpus-sized artifact the batch path touches
+    idx_dir = scratch_dir("mh_index", sf_dir)
+    minhash_band_buckets(old, n=3, num_hashes=16, bands=4).write.parquet(
+        idx_dir
+    )
+    idx = spark.read.parquet(idx_dir)
+
+    nb = minhash_band_buckets(new, n=3, num_hashes=16, bands=4)
+    cand = (
+        nb.alias("x")
+        .join(
+            idx.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey")),
+        )
+        .select(
+            F.col("x.doc_id").alias("new_doc"),
+            F.col("y.doc_id").alias("old_doc"),
+        )
+        .distinct()
+    )
+    sh_new = word_shingles(new, 3)
+    # fetch shingles for candidate OLD docs only — the semi join prunes
+    # the corpus-side explode to the handful of docs worth verifying
+    sh_old = word_shingles(old, 3).join(
+        cand.select(F.col("old_doc").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    na = sh_new.groupBy(F.col("doc_id").alias("new_doc")).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    nbs = sh_old.groupBy(F.col("doc_id").alias("old_doc")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    common = (
+        sh_new.alias("a")
+        .join(sh_old.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("old_doc"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(cand, ["new_doc", "old_doc"], "left_semi")
+        .join(na, "new_doc")
+        .join(nbs, "old_doc")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("new_doc", "old_doc", "jaccard")
+    )
+
+
 _PAIRS_CTES = f"""
     {_CAPPED_SHINGLE_CTES},
     pairs AS (

@@ -109,19 +109,28 @@ def main() -> int:
                     col, F.col(col) + F.lit(r * strides[family])
                 )
             if table == "part" and r > 0:
-                # replica-distinct part NAMES (round-7 verdict item 4):
-                # replicating names verbatim welded 10 identical catalog
-                # copies into every entity cluster (~100x true pair mass),
-                # so the ER/fuzzy sf1 replay measured the weld, not the
-                # blocking.  A real 10x catalog has NEW part names.  The
-                # suffix grows by _LEN_BUCKET (4) chars per replica, so
-                # (a) each replica lands in its own name-length bucket —
-                # block sizes stay flat instead of growing 10x — and
-                # (b) cross-replica levenshtein >= 4 > max_dist, so no
-                # cross-replica edge survives the verify either.
+                # replica-distinct part NAMES + BRANDS (round-7 verdict
+                # item 4): replicating them verbatim welded 10 identical
+                # catalog copies into every entity cluster (~100x true
+                # pair mass), so the ER/fuzzy sf1 replay measured the
+                # weld, not the blocking.  A real 10x catalog has NEW
+                # names and brands.  The name suffix is SHORT and
+                # constant-length ('_r3'): block separation comes from
+                # the replica-distinct brand (the ER block key), and a
+                # longer bucket-separating suffix was measured to inflate
+                # the O(len^2) Levenshtein DP ~2.6x on late replicas —
+                # a fixture artifact in the other direction.
                 rep = rep.withColumn(
-                    "p_name",
-                    F.expr(f"concat(p_name, '_', repeat('r{r}', {2 * r}))"),
+                    "p_name", F.expr(f"concat(p_name, '_r{r}')")
+                ).withColumn(
+                    # brands are the ER/fuzzy BLOCK key: with them copied
+                    # verbatim, every (brand, bucket) block holds all 10
+                    # replicas and blocking work grows 100x by fixture
+                    # construction.  A real 10x catalog carries NEW
+                    # brands; queries filtering a literal brand then
+                    # match only the original subset — the honest
+                    # behavior for a selective filter on grown data.
+                    "p_brand", F.expr(f"concat(p_brand, '_r{r}')")
                 )
             if table == "customer" and r > 0:
                 # same rule for customer names (CDC/merge readouts carry
