@@ -296,6 +296,8 @@ def _incremental_oracle() -> str:
     "q_dedup_minhash_lsh, so the DuckDB oracle replays the identical "
     "pipeline; output is (new_doc, old_doc, jaccard >= 0.5) — which "
     "incoming docs duplicate the existing corpus.",
+    bench=False,  # dominated by the eager index write; the signature and
+    # band-join compute is already benched via q_dedup_minhash_lsh
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import scratch_dir
