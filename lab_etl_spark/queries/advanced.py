@@ -418,8 +418,7 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
-    ).persist()  # |sources|-sized, consumed by the 1-row total AND the
-    # weight readout (multi-consumer rule)
+    )
     tot = per.agg(
         F.sum("n_docs").cast("bigint").alias("total_docs"),
         F.count(F.lit(1)).alias("n_sources"),

@@ -329,6 +329,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y.doc_id").alias("old_doc"),
         )
         .distinct()
+        .persist()  # candidate-pair-sized, consumed by the old-doc
+        # shingle prune AND the final verify semi-join (multi-consumer
+        # rule; the two consumers prune it differently)
     )
     sh_new = word_shingles(new, 3)
     # fetch shingles for candidate OLD docs only — the semi join prunes
@@ -337,7 +340,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(F.col("old_doc").alias("doc_id")).distinct(),
         "doc_id",
         "left_semi",
-    )
+    ).persist()  # candidate-doc-sized, consumed by the per-doc size agg
+    # AND the common-shingle join (multi-consumer rule)
     na = sh_new.groupBy(F.col("doc_id").alias("new_doc")).agg(
         F.count(F.lit(1)).alias("n_a")
     )

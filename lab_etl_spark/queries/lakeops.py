@@ -331,7 +331,9 @@ def q_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = od.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.expr(dsum("o_totalprice", 6)).alias("sum_price"),
-    )
+    ).persist()  # |priorities|-sized, written by TWO eager snapshot
+    # commits (multi-consumer rule: without it the orders agg runs once
+    # per commit)
     table = LoggedTable(scratch_dir("delta_export", sf_dir))
     table.commit(
         lambda d: agg.filter(

@@ -853,8 +853,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("token") == t).alias(f"tf_{t}")
             for t in _BM25_TERMS
         ],
-    ).persist()  # doc-count-sized, consumed by the corpus stats AND the
-    # score readout (multi-consumer rule)
+    )
     g = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -1114,8 +1114,7 @@ def q_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS STRING)"
             " AS DOUBLE) / COUNT(*)"
         ).alias("v")
-    ).persist()  # (type, day)-sized agg, consumed by the x series, the
-    # reference series, and the type spine (multi-consumer rule)
+    )
     x = daily.select("event_type", F.lit("x").alias("role"), "day", "v")
     ref_series = daily.filter(F.col("event_type") == "view").select(
         F.lit("ref").alias("role"), "day", "v"
@@ -1291,8 +1290,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(FLOOR(({davg('value', 6)})"
             " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
         ).alias("hm")
-    ).persist()  # hour-bucket-sized, consumed by the seasonal profile AND
-    # the residual join (multi-consumer rule)
+    )
     seasonal = hourly.groupBy(
         "event_type", F.hour("h").alias("hour_of_day")
     ).agg(
