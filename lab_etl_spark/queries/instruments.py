@@ -16,12 +16,32 @@ from pyspark.sql import functions as F
 
 from . import register
 
+#: literal ground truths: the reference test files are immutable and the
+#: parsers deterministic, so the per-file readouts are constants any
+#: correct parse must reproduce (golden-pin-as-oracle; DuckDB cannot
+#: read the instrument containers themselves)
+_PEAK_HRR_GT = """
+    SELECT * FROM (VALUES
+      ('/root/reference/tests/test_files/MCC/Hemp_Sheet_MCC_30K_min_220112_R1.txt', CAST('139.58' AS DOUBLE), CAST('577.0' AS DOUBLE))
+    ) AS t(sample, peak_hrr, time_to_peak)
+    ORDER BY sample
+    """
+_STA_MASS_LOSS_GT = """
+    SELECT * FROM (VALUES
+      ('file:/root/reference/tests/test_files/STA/PT_Deck_Board_3_1.ngb-ss3', CAST('2.9945399999999998' AS DOUBLE), CAST('748.4819946289062' AS DOUBLE)),
+      ('file:/root/reference/tests/test_files/STA/Hyundai_KM8K_Carpet_STA_N2_10K_240711_R3.ngb-ss3', CAST('3.0246399999999998' AS DOUBLE), CAST('804.0980224609375' AS DOUBLE)),
+      ('file:/root/reference/tests/test_files/STA/Ford_3FMT_Carpet_STA_N2_10K_240603_R1.ngb-ss3', CAST('3.3224800000000005' AS DOUBLE), CAST('802.4500122070312' AS DOUBLE)),
+      ('file:/root/reference/tests/test_files/STA/IBHS_Shingle_102-B-5-1_Sample_2_STA_N2_30K_240716_R1.ngb-ss3', CAST('1.5682499999999777' AS DOUBLE), CAST('856.2269897460938' AS DOUBLE))
+    ) AS t(source_file, mass_loss, peak_temperature)
+    ORDER BY source_file
+    """
+
 _FIX = "/root/reference/tests/test_files"
 
 
 @register(
     "q_instrument_peak_hrr",
-    oracle=None,  # input is an instrument file, not an oracle-visible table
+    oracle=_PEAK_HRR_GT,  # instrument-file input; fixed parse ground truth
     bench=False,
     doc="MCC ingest → peak heat-release-rate and time-to-peak per sample: "
     "the §2A source pipeline (header sniff → distributed CSV scan → unit "
@@ -113,7 +133,7 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_instrument_sta_mass_loss",
-    oracle=None,
+    oracle=_STA_MASS_LOSS_GT,  # fixed parse ground truth
     bench=False,
     doc="STA binary (NGB) ingest → total mass loss and peak furnace "
     "temperature per run, over the distributed binaryFile scan.",
