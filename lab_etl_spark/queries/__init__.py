@@ -173,12 +173,16 @@ _LAST_GREEN = {
 
 # ROUND-9 ROTATION DUTY: regenerate _LAST_GREEN from
 # CORRECTNESS_r0{1..8}.json (tools/regen_last_green.py), front any
-# round-8 red rows plus promoted/changed oracles, then continue the
-# staleness cycle — after round 8 the oldest cohort is r4 (7 spilled
-# r4 veterans: q_forecast_revenue, q_volume_shipping,
+# round-8 red rows plus promoted/changed oracles — in particular the
+# four late-r8 literal-oracle promotions whose last driver rows were
+# rows-only (q_video_frames, q_phash_dedup, q_audio_fingerprint,
+# q_image_resize; the other three promoted binary-decode queries sat
+# inside the r8 window and get their hash row this round) —
+# then continue the staleness cycle: after round 8 the oldest cohort is
+# r4 (the spilled veterans, e.g. q_forecast_revenue, q_volume_shipping,
 # q_shipmode_priority, q_parts_supplier_count, q_potential_promotion,
-# q_commitlog_roundtrip, q_video_frames); front those, then fill from
-# the r5 cohort (~50 queries) by staleness.
+# q_commitlog_roundtrip), then the r5 cohort (~50 queries) by
+# staleness.
 
 
 def load_all() -> dict[str, Query]:
