@@ -130,9 +130,15 @@ def main() -> None:
             # blocks before the next query is timed — otherwise blocks
             # from the iterative queries (connected components, PageRank)
             # linger until a Python GC happens to run, taxing later
-            # queries' JVM memory.
+            # queries' JVM memory.  ALSO drop the SQL cache: CacheManager
+            # holds strong refs keyed by canonicalized plan, so a
+            # persisted sub-frame built in pass 1 would satisfy pass 2's
+            # identical plan from cache and min-of-N would time a WARM
+            # run (round-8 integrity finding; the noop sink and the floor
+            # probe are unaffected).
             del df
             gc.collect()
+            spark.catalog.clearCache()
         t0 = time.perf_counter()
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
             "l_orderkey", "l_quantity + 1.0 AS q1"

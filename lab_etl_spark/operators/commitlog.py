@@ -764,15 +764,20 @@ def export_delta_log(
         snap_cols, part_vals = _hive_partition_values(
             [rel for rel, _ap in files]
         )
-        if part_cols is None:
-            part_cols = snap_cols
-        elif snap_cols != part_cols:
-            raise ValueError(
-                f"snapshot {v} is partitioned by {snap_cols} but the "
-                f"exported Delta metaData declares {part_cols}; Delta "
-                f"partition columns are table-level — re-export to a "
-                f"fresh _delta_log or re-partition the snapshot"
-            )
+        # an EMPTY snapshot (overwrite with zero rows writes no part
+        # files) carries no partition evidence: its Delta encoding is
+        # removes-only, so it neither decides nor contradicts the
+        # table-level partition columns
+        if files:
+            if part_cols is None:
+                part_cols = snap_cols
+            elif snap_cols != part_cols:
+                raise ValueError(
+                    f"snapshot {v} is partitioned by {snap_cols} but the "
+                    f"exported Delta metaData declares {part_cols}; Delta "
+                    f"partition columns are table-level — re-export to a "
+                    f"fresh _delta_log or re-partition the snapshot"
+                )
         actions: list[dict] = []
         if v == 1:
             schema_json = table.read(spark, version=v).schema.json()
@@ -785,7 +790,7 @@ def export_delta_log(
                         "id": table_id or uuid.uuid4().hex,
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
-                        "partitionColumns": part_cols,
+                        "partitionColumns": part_cols or [],
                         "configuration": {},
                         "createdTime": m["ts_ms"],
                     }

@@ -9,7 +9,8 @@ Near dedup, two strategies:
     pairs that share ≥1 shingle (not the full n² cross product).
   * ``q_dedup_minhash_lsh`` — MinHash + banded LSH (operators/dedup.py), the
     100 TB-scale path: candidate generation cost is O(docs × bands), not
-    O(pairs).  Hash family is engine-specific → rows-only check.
+    O(pairs).  The md5-portable hash family makes the whole pipeline
+    oracle-replayable (value-checked, not rows-only).
 """
 
 from __future__ import annotations
@@ -116,11 +117,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(
-    num_hashes: int = 16, bands: int = 4, final: str | None = None
+    num_hashes: int = 16,
+    bands: int = 4,
+    final: str | None = None,
+    pair_pred: str = "x.doc_id < y.doc_id",
+    common_pred: str = "a.doc_id < b.doc_id",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
 ) -> str:
     """DuckDB twin of minhash_lsh_candidates(portable=True): the identical
     md5-derived permutation family and band keys, so the LSH candidate set —
-    and therefore the verified pair set — matches Spark value-for-value."""
+    and therefore the verified pair set — matches Spark value-for-value.
+
+    ``pair_pred``/``common_pred``/``col_a``/``col_b`` parameterize the pair
+    SPACE so variants (the batch-vs-index split of q_dedup_incremental)
+    share this single CTE stack — one source of truth for the signature
+    family, band keys, and shingle normalization."""
     from ..operators.dedup import (
         MINHASH_BASE_DUCK,
         _minhash_perm_sql,
@@ -164,15 +176,15 @@ def _minhash_oracle(
       {band_rows}
     ),
     cand AS (
-      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      SELECT DISTINCT x.doc_id AS {col_a}, y.doc_id AS {col_b}
       FROM buckets x JOIN buckets y
-        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        ON x.band = y.band AND x.bkey = y.bkey AND {pair_pred}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
     common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      SELECT a.doc_id AS {col_a}, b.doc_id AS {col_b}, COUNT(*) AS n_common
       FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ON a.shingle = b.shingle AND {common_pred}
       GROUP BY 1, 2
     )
     {final or _MINHASH_DEFAULT_FINAL}
@@ -208,66 +220,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_oracle() -> str:
-    """DuckDB twin of q_dedup_incremental: the same md5 MinHash family and
-    band keys computed over ALL docs, split into index (doc_id % 10 != 0)
-    and batch (% 10 == 0), batch-vs-index bucket join, exact-Jaccard
-    verify on the candidates only."""
-    from ..operators.dedup import (
-        MINHASH_BASE_DUCK,
-        _minhash_perm_sql,
-        minhash_constants,
-    )
-
-    num_hashes, bands = 16, 4
-    rows_per_band = num_hashes // bands
-    mins = ",\n             ".join(
-        f"MIN({_minhash_perm_sql(a, b, c, d, 'mh')}) AS h{i}"
-        for i, (a, b, c, d) in enumerate(minhash_constants(num_hashes))
-    )
-    band_rows = "\n      UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, MD5(concat_ws(',', {cols})) AS bkey"
-        " FROM sig".format(
-            b=b,
-            cols=", ".join(
-                f"h{b * rows_per_band + k}" for k in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    )
-    return f"""
-    WITH words AS (
-      SELECT doc_id, string_split_regex(trim({_NORM_DUCK}), ' ') AS ws
-      FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id,
-             concat_ws(' ', ws[i], ws[i + 1], ws[i + 2]) AS shingle
-      FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
-    ),
-    shingle_h AS (
-      SELECT doc_id, {MINHASH_BASE_DUCK} AS mh FROM shingles
-    ),
-    sig AS (
-      SELECT doc_id,
-             {mins}
-      FROM shingle_h GROUP BY doc_id
-    ),
-    buckets AS (
-      {band_rows}
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS new_doc, y.doc_id AS old_doc
-      FROM buckets x JOIN buckets y
-        ON x.band = y.band AND x.bkey = y.bkey
-      WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 != 0
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS new_doc, b.doc_id AS old_doc, COUNT(*) AS n_common
-      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
-      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
-      GROUP BY 1, 2
-    )
+    """DuckDB twin of q_dedup_incremental: the SAME CTE stack as
+    q_dedup_minhash_lsh's oracle (one source of truth for the signature
+    family, band keys, and shingle normalization), restricted to the
+    batch-vs-index pair space (new = doc_id % 10 == 0 probes old != 0)."""
+    return _minhash_oracle(
+        pair_pred="x.doc_id % 10 = 0 AND y.doc_id % 10 != 0",
+        common_pred="a.doc_id % 10 = 0 AND b.doc_id % 10 != 0",
+        col_a="new_doc",
+        col_b="old_doc",
+        final="""
     SELECT c.new_doc, c.old_doc,
            CAST(n_common AS DOUBLE)
                  / (sa.n_sh + sb.n_sh - n_common) AS jaccard
@@ -276,7 +238,8 @@ def _incremental_oracle() -> str:
     JOIN sizes sa ON sa.doc_id = c.new_doc
     JOIN sizes sb ON sb.doc_id = c.old_doc
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-    """
+    """,
+    )
 
 
 @register(

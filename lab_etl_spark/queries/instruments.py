@@ -51,9 +51,12 @@ def q_instrument_peak_hrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import load_mcc
 
     path = f"{_FIX}/MCC/Hemp_Sheet_MCC_30K_min_220112_R1.txt"
-    if not os.path.exists(path):  # fixture-less environment: empty result
-        return spark.createDataFrame(
-            [], "sample string, peak_hrr double, time_to_peak double"
+    if not os.path.exists(path):
+        # the oracle is a literal ground truth for this exact fixture: an
+        # empty frame would be a confusing row-count red; fail fast instead
+        raise FileNotFoundError(
+            f"instrument fixture missing: {path} — q_instrument_peak_hrr's "
+            f"literal oracle pins that file's parse"
         )
     df = load_mcc(spark, path)
     w = W.partitionBy("source_file").orderBy(
@@ -111,12 +114,9 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.sink import write_parquet
 
     if not os.path.isdir(f"{_FIX}/HFM"):
-        return spark.createDataFrame(
-            [],
-            "source_file string, run_mode string, setpoint int, "
-            "upper_temperature double, lower_temperature double, "
-            "upper_thermal_conductivity double, "
-            "lower_thermal_conductivity double, sample_id string",
+        raise FileNotFoundError(
+            f"instrument fixtures missing: {_FIX}/HFM — q_lake_roundtrip's "
+            f"oracle reads the committed lake snapshot of those parses"
         )
     df = scan_hfm(spark, f"{_FIX}/HFM/*.tst")
     # per-invocation-unique scratch (catalog.scratch_dir): a FIXED path
@@ -143,8 +143,9 @@ def q_instrument_sta_mass_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     glob = f"{_FIX}/STA/*.ngb-ss3"
     if not os.path.isdir(f"{_FIX}/STA"):
-        return spark.createDataFrame(
-            [], "source_file string, mass_loss double, peak_temperature double"
+        raise FileNotFoundError(
+            f"instrument fixtures missing: {_FIX}/STA — "
+            f"q_instrument_sta_mass_loss's literal oracle pins those parses"
         )
     df = scan_ngb(spark, glob)
     return (

@@ -274,9 +274,14 @@ def audit_file(path: str) -> list[Flag]:
 def _is_persisted(var: str, rhs: str, body_src: str) -> bool:
     if any(p in rhs for p in PERSISTERS):
         return True
-    return any(f"{var}{p}" in body_src for p in PERSISTERS) or (
-        f"persist({var}" in body_src
+    # word-boundary match: a bare substring test would let `sig` ride on
+    # `base_sig.persist(` and silently pass an unpersisted frame
+    import re
+
+    pat = re.compile(
+        rf"(?<![\w.]){re.escape(var)}\.(persist|localCheckpoint|cache)\("
     )
+    return bool(pat.search(body_src)) or f"persist({var}" in body_src
 
 
 def main() -> int:

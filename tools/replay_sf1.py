@@ -87,6 +87,7 @@ def main() -> int:
                     failed[n] = str(e).splitlines()[0][:200]
                     print(f"# FAILED {n} at {d}: {failed[n]}", file=sys.stderr)
                 gc.collect()
+                spark.catalog.clearCache()  # no warm-cache passes
             t0 = time.perf_counter()
             spark.read.parquet(f"{d}/lineitem.parquet").selectExpr(
                 "l_orderkey", "l_quantity + 1.0 AS q1"

@@ -47,6 +47,10 @@ def main() -> int:
                 rows_only += 1
         except Exception as e:  # noqa: BLE001 — report every red, keep going
             reds.append((name, str(e).splitlines()[0][:200]))
+        finally:
+            # drop cached plans between queries (CacheManager holds strong
+            # refs; 207 queries x persisted sub-frames would accumulate)
+            spark.catalog.clearCache()
         print(f"[{i}/{len(names)}] {name}: "
               f"{'RED' if reds and reds[-1][0] == name else 'ok'}",
               file=sys.stderr)
