@@ -331,7 +331,15 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE sketch per group (array percentile form): three separate
     # percentile_approx calls build three GK sketches over the same column
     # — measured 2.15x the single-sketch cost at sf0.1.
-    agg = li.groupBy("l_returnflag").agg(
+    #
+    # The EXACT countDistinct lives in its OWN aggregate: mixing a
+    # DISTINCT aggregate with percentile_approx triggers Catalyst's
+    # multi-distinct EXPAND rewrite, which funnels every expanded row
+    # through the GK merge path — measured 28.5 s vs 2.5 s for the sketch
+    # aggregate alone at sf0.1 (round-8 cold-bench finding; the warm
+    # cross-invocation cache had masked it).  Two scans + a group-sized
+    # join cost ~2 s total.
+    sk = li.groupBy("l_returnflag").agg(
         F.expr(
             f"percentile_approx(l_quantity, array(0.25, 0.5, 0.75),"
             f" {APPROX_PCT_ACCURACY})"
@@ -340,12 +348,16 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_acd"
         ),
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-    ).persist()  # |groups| rows, referenced by three consumers (pv,
-    # n_by_g, final) — without the persist the GK+HLL aggregation over
-    # the fact table runs once per consumer (Catalyst does not dedupe
-    # common subtrees; measured 1.74 s -> the sketch pass alone at sf0.1).
-    # Group-count-sized cache; the ContextCleaner reclaims it.
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts")
+    )
+    agg = sk.join(ex, "l_returnflag").persist()
+    # |groups| rows, referenced by three consumers (pv, n_by_g, final) —
+    # without the persist the GK+HLL aggregation over the fact table runs
+    # once per consumer (Catalyst does not dedupe common subtrees;
+    # measured 1.74 s -> the sketch pass alone at sf0.1).  Group-count-
+    # sized cache; the ContextCleaner reclaims it.
     # exact CDF over the distinct quantity values (~50 per group): rank
     # interval of value v in its group is [cum - c + 1, cum]
     cdf = (

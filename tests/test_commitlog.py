@@ -535,3 +535,29 @@ def test_delta_export_reads_back_through_duckdb(spark, tmp_path):
         for r in t.read(spark).orderBy("id").collect()
     ]
     assert got == [tuple(w) for w in want]
+
+
+def test_delta_export_empty_snapshot_of_partitioned_table(spark, tmp_path):
+    # overwriting a partitioned table with zero rows writes no part files;
+    # the export must encode that snapshot as removes-only (an empty
+    # snapshot carries no partition evidence) instead of raising a
+    # spurious partitioning-contradiction error and wedging the export.
+    from lab_etl_spark.operators.commitlog import (
+        DELTA_LOG_DIR,
+        export_delta_log,
+    )
+
+    t = LoggedTable(str(tmp_path / "etable"))
+    df = spark.range(30).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    t.commit(lambda d: df.write.partitionBy("k").parquet(d), op="create")
+    empty = df.filter("id < 0")
+    t.commit(
+        lambda d: empty.write.partitionBy("k").parquet(d), op="truncate"
+    )
+    written = export_delta_log(t, spark, table_id="empty-id")
+    assert len(written) == 2
+    live, _protocols, metas = _fold_delta(
+        os.path.join(t.table_dir, DELTA_LOG_DIR)
+    )
+    assert metas[0][1]["partitionColumns"] == ["k"]
+    assert live == {}, "folded log must resolve to the empty snapshot"
