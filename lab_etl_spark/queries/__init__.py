@@ -79,14 +79,27 @@ def register(
 #     veterans (q_sessionize .. q_multimodal_decode) and the r4 cohort
 #     (48 queries) by staleness; ~41 of those fit, the handful that spill
 #     stay at r4 so the post-r8 invariant is "no driver row predates r4".
+#   round 9 (this list): the 4 late-r8 literal-oracle promotions fronted
+#     (q_phash_dedup, q_audio_fingerprint, q_video_frames, q_image_resize
+#     — their new golden-pin oracles have never seen a driver row; green
+#     here makes the registry 100%-driver-hash-verified), then the 8
+#     remaining r4 veterans (q_zorder_skipping, q_forecast_revenue,
+#     q_volume_shipping, q_shipmode_priority, q_parts_supplier_count,
+#     q_potential_promotion, q_commitlog_roundtrip, q_scd2_lookup), then
+#     ~38 of the 46 non-fronted r5 cohort by staleness; the ~8 that spill
+#     stay at r5 so the post-r9 invariant is "no driver row predates r5".
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # oracle promoted / changed after its last driver row — run the new
-    # check first
-    "q_approx_distinct",
-    "q_semdedup",
+    # round 9: the four late-r8 literal-oracle promotions whose last driver
+    # rows were rows-only (err: no_oracle) — their new golden-pin oracles
+    # have never seen a driver row; front them so CORRECTNESS_r09 makes the
+    # registry 100%-driver-hash-verified.
+    "q_phash_dedup",
+    "q_audio_fingerprint",
+    "q_video_frames",
+    "q_image_resize",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
@@ -97,9 +110,9 @@ _WINDOW_FRONT = [
 _LAST_GREEN = {
     "q_dedup_exact": 6, "q_dedup_ngram_jaccard": 6, "q_dedup_minhash_lsh": 6,
     "q_dedup_clusters": 6, "q_dedup_simhash": 6, "q_dedup_embedding": 7,
-    "q_instrument_peak_hrr": 3, "q_instrument_sta_mass_loss": 3,
+    "q_instrument_peak_hrr": 8, "q_instrument_sta_mass_loss": 8,
     "q_filter_project": 6, "q_pricing_summary": 6, "q_agg_group": 6,
-    "q_agg_distinct": 6, "q_approx_distinct": 3, "q_shipping_priority": 6,
+    "q_agg_distinct": 6, "q_approx_distinct": 8, "q_shipping_priority": 6,
     "q_local_supplier_volume": 6, "q_hash_join_inner": 6,
     "q_broadcast_join": 6, "q_semi_join": 6, "q_anti_join": 7,
     "q_range_join": 6, "q_window_rank": 6, "q_window_frame": 6,
@@ -118,8 +131,8 @@ _LAST_GREEN = {
     "q_training_shuffle": 7, "q_embedding_lsh": 7, "q_embedding_stats": 7,
     "q_text_repetition": 7, "q_contamination": 7, "q_pii_redact": 7,
     "q_tfidf": 7, "q_quality_filter": 7, "q_asof_join": 7, "q_funnel": 7,
-    "q_sessionize": 3, "q_retention": 3, "q_interarrival": 3,
-    "q_stream_hourly_users": 3, "q_stream_stateful_ewma": 6,
+    "q_sessionize": 8, "q_retention": 8, "q_interarrival": 8,
+    "q_stream_hourly_users": 8, "q_stream_stateful_ewma": 6,
     "q_approx_percentile": 7, "q_hierarchical_rollup": 7,
     "q_lake_roundtrip": 7, "q_returned_items": 7, "q_promo_revenue": 7,
     "q_top_supplier": 7, "q_large_volume_customer": 7,
@@ -128,25 +141,25 @@ _LAST_GREEN = {
     "q_dedup_cross_source": 7, "q_customer_order_counts": 7,
     "q_small_qty_revenue": 7, "q_idle_customers": 7,
     "q_nation_year_profit": 7, "q_disjunctive_join": 7,
-    "q_multimodal_decode": 3, "q_window_distribution": 7,
-    "q_zorder_skipping": 4, "q_frequent_ngrams": 7, "q_argmin_join": 4,
-    "q_exists_agg": 4, "q_sole_supplier_wait": 4, "q_global_share": 4,
-    "q_scd2_build": 4, "q_vocab_oov": 4, "q_source_mix_weights": 4,
-    "q_cdc_merge": 4, "q_pagerank": 4, "q_event_pattern": 4,
-    "q_schema_evolution": 4, "q_null_semantics": 4, "q_fuzzy_match": 4,
-    "q_doc_chunking": 4, "q_group_sample": 4, "q_robust_stats": 4,
-    "q_entity_resolution": 4, "q_hll_rollup": 6, "q_forecast_revenue": 4,
+    "q_multimodal_decode": 8, "q_window_distribution": 7,
+    "q_zorder_skipping": 4, "q_frequent_ngrams": 7, "q_argmin_join": 8,
+    "q_exists_agg": 8, "q_sole_supplier_wait": 8, "q_global_share": 8,
+    "q_scd2_build": 8, "q_vocab_oov": 8, "q_source_mix_weights": 8,
+    "q_cdc_merge": 8, "q_pagerank": 8, "q_event_pattern": 8,
+    "q_schema_evolution": 8, "q_null_semantics": 8, "q_fuzzy_match": 8,
+    "q_doc_chunking": 8, "q_group_sample": 8, "q_robust_stats": 8,
+    "q_entity_resolution": 8, "q_hll_rollup": 6, "q_forecast_revenue": 4,
     "q_volume_shipping": 4, "q_shipmode_priority": 4,
     "q_parts_supplier_count": 4, "q_potential_promotion": 4,
-    "q_commitlog_roundtrip": 4, "q_heavy_hitters_cms": 4, "q_kmv_distinct": 4,
-    "q_bloom_join_prune": 4, "q_triangle_count": 4, "q_ewma_batch": 4,
-    "q_rolling_1h": 4, "q_bucketed_join": 4, "q_partition_pruning": 4,
-    "q_incremental_agg": 4, "q_linreg_trend": 4, "q_time_travel": 4,
-    "q_user_purge": 4, "q_histogram": 4, "q_data_quality": 4,
-    "q_curation_pipeline": 4, "q_stream_cms_merge": 4, "q_orc_roundtrip": 4,
-    "q_video_frames": 4, "q_sql_udf": 4, "q_scd2_lookup": 4,
-    "q_dynamic_partition_pruning": 4, "q_date_spine_fill": 4,
-    "q_rfm_segmentation": 4, "q_gini_concentration": 4,
+    "q_commitlog_roundtrip": 4, "q_heavy_hitters_cms": 8, "q_kmv_distinct": 8,
+    "q_bloom_join_prune": 8, "q_triangle_count": 8, "q_ewma_batch": 8,
+    "q_rolling_1h": 8, "q_bucketed_join": 8, "q_partition_pruning": 8,
+    "q_incremental_agg": 8, "q_linreg_trend": 8, "q_time_travel": 8,
+    "q_user_purge": 8, "q_histogram": 8, "q_data_quality": 8,
+    "q_curation_pipeline": 8, "q_stream_cms_merge": 8, "q_orc_roundtrip": 8,
+    "q_video_frames": 4, "q_sql_udf": 8, "q_scd2_lookup": 4,
+    "q_dynamic_partition_pruning": 8, "q_date_spine_fill": 8,
+    "q_rfm_segmentation": 8, "q_gini_concentration": 8,
     "q_jsonl_roundtrip": 5, "q_corrupt_records": 5, "q_setsim_join": 5,
     "q_dedup_passages": 5, "q_dedup_containment": 5, "q_bm25": 5,
     "q_cooccurrence_pmi": 5, "q_bigram_novelty": 5, "q_udtf_token_offsets": 5,
@@ -166,23 +179,16 @@ _LAST_GREEN = {
     "q_rrf_fusion": 6, "q_acf": 6, "q_arrow_roundtrip": 6,
     "q_attribution_markov": 6, "q_funnel_windowed": 6, "q_interval_merge": 6,
     "q_langid_confusion": 6, "q_ntile_binning": 6,
-    "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 6, "q_semdedup": 6,
+    "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 6, "q_semdedup": 8,
     "q_pq_adc": 6, "q_importance_resampling": 6, "q_semdedup_kmeans": 7,
-    "q_graph_ann": 7,
+    "q_graph_ann": 7, "q_dedup_incremental": 8, "q_delta_export": 8,
 }
 
-# ROUND-9 ROTATION DUTY: regenerate _LAST_GREEN from
-# CORRECTNESS_r0{1..8}.json (tools/regen_last_green.py), front any
-# round-8 red rows plus promoted/changed oracles — in particular the
-# four late-r8 literal-oracle promotions whose last driver rows were
-# rows-only (q_video_frames, q_phash_dedup, q_audio_fingerprint,
-# q_image_resize; the other three promoted binary-decode queries sat
-# inside the r8 window and get their hash row this round) —
-# then continue the staleness cycle: after round 8 the oldest cohort is
-# r4 (the spilled veterans, e.g. q_forecast_revenue, q_volume_shipping,
-# q_shipmode_priority, q_parts_supplier_count, q_potential_promotion,
-# q_commitlog_roundtrip), then the r5 cohort (~50 queries) by
-# staleness.
+# ROUND-10 ROTATION DUTY: regenerate _LAST_GREEN from
+# CORRECTNESS_r0{1..9}.json (tools/regen_last_green.py), front any
+# round-9 red rows plus promoted/changed oracles, then continue the
+# staleness cycle: after round 9 the oldest cohort is r5 (the ~8 spilled
+# veterans), then the r6 cohort (~49 queries) by staleness.
 
 
 def load_all() -> dict[str, Query]:
