@@ -664,31 +664,51 @@ def minhash_lsh_candidates(
     )
 
     # Exact verify on candidates only: semi-join the shingle stream down to
-    # candidate docs, then compute true Jaccard for candidate pairs via the
-    # same posting-list pair explosion as shingle_jaccard_pairs.
+    # candidate docs, collect each candidate's (already-distinct) shingle
+    # set into ONE array row, then compute true Jaccard per candidate pair
+    # with array_intersect — map-side set math, no shingle-keyed shuffle.
+    #
+    # vs the previous posting-list pair explosion (_shingle_postings +
+    # _pair_common_counts + semi-join + two size joins): one doc_id-keyed
+    # aggregate replaces two data-sized shuffles (by shingle, then by
+    # pair), and sizes come free as size(_sh) — measured 3.5 s -> 2.2 s
+    # cold at sf0.1, identical output.  The single consumer of the
+    # candidate shingles also retires the persist the old two-consumer
+    # shape needed.  A/B'd alternatives (min-of-4, interleaved, cold):
+    # semi-joining docs BEFORE shingling 4.0 s (breaks the bucket-exchange
+    # reuse), persisting cand 2.7 s (pair-sized cache not worth its
+    # materialization under cold policy).  Scale shape: arrays are per-doc
+    # (bounded by doc length), pairs are LSH-candidate-bounded, and
+    # cand_docs broadcasts into the semi-join — the corpus-sized shingle
+    # stream is never shuffled.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionAll(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    # lazy persist: sizes and the pair-common counts both read sh_c, and
-    # Catalyst does not dedupe common subtrees — without the persist the
-    # corpus is re-shingled once per consumer (measured 0.45 s/pass at
-    # sf0.1, ~25% of pipeline time).  sh_c is CANDIDATE-bounded (the small
-    # set by LSH design), so the cache is tiny relative to the corpus and
-    # spills to disk at worst — scale-safe at 100 TB.
-    sh_c = sh.join(cand_docs, "doc_id", "left_semi").persist()
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    common = _pair_common_counts(_shingle_postings(sh_c, None)).join(
-        cand, ["doc_a", "doc_b"], "left_semi"
+    arr = (
+        sh.join(cand_docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("_sh"))
+    )
+    j = (
+        cand.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb")),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("n_a", F.size("_sa"))
+        .withColumn("n_b", F.size("_sb"))
     )
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
-        .filter(jac >= threshold)
+        j.filter(jac >= threshold)
         # raw quotient of exact integers: bit-identical on every engine.
         # ROUND here is the cross-engine half-boundary trap (see
         # q_seasonal_decompose / q_bootstrap_ci): n/union is a small-

@@ -417,8 +417,13 @@ def semdedup_dropped(
         sig = base.persist()
         return sig, _semdedup_prune(sig, eps)
     # exact per-cell census (2**nbits rows): Catalyst prunes v/nrm off this
-    # branch, so it costs one cell-only scan; the RETURNED frame is the one
-    # persisted so callers' unpersist() releases the cache.
+    # branch, so the CENSUS side costs a cell-only scan.  `base` itself is
+    # deliberately NOT persisted, so materializing `sig` recomputes the
+    # embedding scan twice (census branch + join side) — both rescans are
+    # narrow map passes (hash-bucket expr, double-cast; no shuffle) and
+    # caching an embedding-wide corpus frame to save them would break the
+    # repo's own never-persist-data-sized rule.  The RETURNED frame is the
+    # one persisted so callers' unpersist() releases the cache.
     census = base.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
     sig = (
         base.join(F.broadcast(census), "cell")

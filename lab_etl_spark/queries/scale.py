@@ -352,12 +352,16 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts")
     )
-    agg = sk.join(ex, "l_returnflag").persist()
-    # |groups| rows, referenced by three consumers (pv, n_by_g, final) —
-    # without the persist the GK+HLL aggregation over the fact table runs
-    # once per consumer (Catalyst does not dedupe common subtrees;
-    # measured 1.74 s -> the sketch pass alone at sf0.1).  Group-count-
-    # sized cache; the ContextCleaner reclaims it.
+    # |groups| rows, TWO consumers (pv carries n_rows through the
+    # posexplode so the band check never reads agg a second time; final
+    # select is the other) — NOT persisted: under the cold policy the
+    # persist's materialization barrier costs more than it saves
+    # (interleaved min-of-4 A/B at sf0.1: 1.12 s unpersisted vs 1.20 s
+    # persisted vs 1.41 s for the r8 three-consumer persisted shape; a
+    # grouping-sets merge of the exact-distinct and CDF scans was also
+    # measured and lost, 1.76 s — the Expand doubling beats the scan it
+    # saves).
+    agg = sk.join(ex, "l_returnflag")
     # exact CDF over the distinct quantity values (~50 per group): rank
     # interval of value v in its group is [cum - c + 1, cum]
     cdf = (
@@ -379,26 +383,28 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equals predicate") and silently drop the group equality.
     pv = agg.select(
         F.col("l_returnflag").alias("_g"),
+        "n_rows",
         F.posexplode("_qs").alias("_i", "_v"),
     ).selectExpr(
         "_g",
         "_v",
+        "n_rows",
         "ELEMENT_AT(ARRAY(0.25, 0.5, 0.75), _i + 1) AS p",
     )
     eps = 1.0 / APPROX_PCT_ACCURACY
-    bands = cdf.join(
-        F.broadcast(pv),
-        (F.col("l_returnflag") == F.col("_g"))
-        & (F.col("l_quantity") == F.col("_v")),
-    ).select(
-        "l_returnflag",
-        "p",
-        F.col("cum").alias("rank_hi"),
-        (F.col("cum") - F.col("c") + 1).alias("rank_lo"),
-    )
-    n_by_g = agg.select("l_returnflag", "n_rows")
     band_ok = (
-        bands.join(F.broadcast(n_by_g), "l_returnflag")
+        cdf.join(
+            F.broadcast(pv),
+            (F.col("l_returnflag") == F.col("_g"))
+            & (F.col("l_quantity") == F.col("_v")),
+        )
+        .select(
+            "l_returnflag",
+            "p",
+            F.col("cum").alias("rank_hi"),
+            (F.col("cum") - F.col("c") + 1).alias("rank_lo"),
+            "n_rows",
+        )
         .withColumn(
             "ok",
             (

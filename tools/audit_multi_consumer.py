@@ -143,6 +143,12 @@ ALLOW: dict[tuple[str, str, str], str] = {
     ("advanced.py", "q_source_mix_weights", "per"):
         "measured 0.33s persisted vs 0.23s not; 1-row total and weight "
         "readout reuse the per-source agg's exchange",
+    # ---- A/B-measured round-9 (interleaved min-of-4 cold at sf0.1):
+    ("scale.py", "q_approx_percentile", "agg"):
+        "measured 1.12s not persisted vs 1.20s persisted (r8's "
+        "three-consumer persisted shape: 1.41s); |groups|-row join of "
+        "two group-sized aggregates — the cold materialization barrier "
+        "costs more than the downstream re-read",
 }
 
 
@@ -281,7 +287,12 @@ def _is_persisted(var: str, rhs: str, body_src: str) -> bool:
     pat = re.compile(
         rf"(?<![\w.]){re.escape(var)}\.(persist|localCheckpoint|cache)\("
     )
-    return bool(pat.search(body_src)) or f"persist({var}" in body_src
+    # the F.persist(var)-style form needs the same word boundary: a bare
+    # f"persist({var}" substring would let var='sig' ride on
+    # 'persist(sig_full)' and hide an unpersisted frame
+    return bool(pat.search(body_src)) or bool(
+        re.search(rf"persist\({re.escape(var)}\b", body_src)
+    )
 
 
 def main() -> int:
