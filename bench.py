@@ -23,12 +23,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-# Per-query seconds from BENCH_r01.json (the project's BASELINE.md
-# reference numbers — the reference publishes no timings of its own, so
-# round 1's sf0.1 run on this host is the agreed baseline).  Baked in so
-# every bench run self-reports its ratio vs baseline instead of requiring
-# cross-round JSON spelunking.  q_cube/q_rollup were merged into
-# q_rollup_cube after round 1; their baseline is the sum of the two.
+# LEGACY round-1 warm baseline (BENCH_r01.json).  Rounds 1-7 ran the
+# bench with cross-query SQL-cache reuse; round 8 made it honest-cold
+# (clearCache between queries), so the r1 numbers are NOT like-for-like
+# with cold timings — persisted plans pay their true first-run cost now.
+# The OFFICIAL gate baseline from round 9 on is therefore the committed
+# round-8 cold artifact (bench_r8_final.json, loaded below); the r1 map
+# is kept only for the legacy continuity scalar ratio_median_norm_r1.
+# q_cube/q_rollup were merged into q_rollup_cube after round 1; their
+# baseline is the sum of the two.
 BASELINE_R1 = {
     "q_agg_distinct": 0.1556, "q_agg_group": 0.467, "q_anti_join": 0.1684,
     "q_approx_distinct": 0.3592, "q_approx_percentile": 0.3726,
@@ -61,6 +64,26 @@ BASELINE_R1 = {
 # Round 1 predates the host_floor probe; its map-only canary q_unpivot
 # (scan + project + noop — the same shape the floor probe runs) stands in.
 BASELINE_R1_FLOOR = 0.0659
+
+
+def _load_cold_baseline() -> tuple[dict[str, float], float, float] | None:
+    """(per-query seconds, host_floor, canary q_unpivot seconds) from the
+    committed round-8 honest-cold artifact — the official gate baseline
+    (BASELINE.md 'Perf gate').  Returns None if the artifact is missing or
+    unreadable (a stripped checkout); the caller then falls back to the r1
+    warm map and says so, rather than killing the bench."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_r8_final.json"
+    )
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        q = {k: float(v) for k, v in d["queries"].items()}
+        return q, float(d["host_floor"]), q["q_unpivot"]
+    except (OSError, KeyError, ValueError) as e:
+        print(f"# cold baseline unavailable ({e}); gating vs r1 warm map",
+              file=sys.stderr)
+        return None
 
 
 def main() -> None:
@@ -150,22 +173,31 @@ def main() -> None:
         print(f"# {name}: {v:.3f}s", file=sys.stderr)
     print(f"# host_floor: {floor:.4f}s", file=sys.stderr)
 
-    # Self-auditing 2x-gate: per-query ratio vs the round-1 baseline, raw
-    # and host-floor-normalized (this host's CPU-steal level varies ~1.2-2x
-    # between rounds and hits every query uniformly; dividing by the floor
-    # ratio removes that).  Only queries that existed in round 1 appear.
+    # Self-auditing 2x-gate vs the OFFICIAL cold baseline (round-8 honest-
+    # cold artifact; like-for-like with this run's cold methodology), per-
+    # query raw and host-floor-normalized (this host's CPU-steal level
+    # varies ~1.2-2x between rounds and hits every query uniformly;
+    # dividing by the floor ratio removes that).  Only queries present in
+    # the baseline artifact appear.
     #
     # Floor/canary cross-check: q_unpivot is a map-only query timed the
-    # same interleaved way as the floor probe; its raw ratio vs its own r1
-    # baseline is an independent estimate of host steal.  If the two
-    # disagree by >1.5x the floor measurement is suspect — normalize by
-    # the SMALLER of the two (conservative: under-normalizing can only
+    # same interleaved way as the floor probe; its raw ratio vs its own
+    # baseline recording is an independent estimate of host steal.  If the
+    # two disagree by >1.5x the floor measurement is suspect — normalize
+    # by the SMALLER of the two (conservative: under-normalizing can only
     # make ratios look worse, never hide a regression) and flag loudly.
-    floor_ratio = floor / BASELINE_R1_FLOOR if BASELINE_R1_FLOOR else 1.0
+    cold = _load_cold_baseline()
+    if cold is not None:
+        base_map, base_floor, base_canary = cold
+        baseline_source = "bench_r8_final.json (cold, official)"
+    else:
+        base_map, base_floor, base_canary = (
+            BASELINE_R1, BASELINE_R1_FLOOR, BASELINE_R1["q_unpivot"]
+        )
+        baseline_source = "BENCH_r01.json (warm, fallback)"
+    floor_ratio = floor / base_floor if base_floor else 1.0
     canary = timings.get("q_unpivot")
-    canary_ratio = (
-        canary / BASELINE_R1["q_unpivot"] if canary else floor_ratio
-    )
+    canary_ratio = canary / base_canary if canary else floor_ratio
     hi, lo = max(floor_ratio, canary_ratio), min(floor_ratio, canary_ratio)
     floor_canary_agree = lo > 0 and hi / lo <= 1.5
     norm_div = lo if lo > 0 else 1.0
@@ -177,7 +209,7 @@ def main() -> None:
             file=sys.stderr,
         )
     ratios, ratios_norm = {}, {}
-    for name, base in BASELINE_R1.items():
+    for name, base in base_map.items():
         if name in timings and base > 0:
             r = timings[name] / base
             ratios[name] = round(r, 3)
@@ -189,6 +221,21 @@ def main() -> None:
         else None
     )
     over_gate = sorted(n for n, r in ratios_norm.items() if r > 2.0)
+
+    # Legacy continuity scalar vs the r1 WARM map (rounds 1-7 comparisons
+    # used it; methodology differs from cold, so only the median survives
+    # as a cross-era reference point, normalized by the r1 floor/canary).
+    r1_floor_ratio = floor / BASELINE_R1_FLOOR
+    r1_canary_ratio = (
+        canary / BASELINE_R1["q_unpivot"] if canary else r1_floor_ratio
+    )
+    r1_div = min(r1_floor_ratio, r1_canary_ratio) or 1.0
+    r1_norm = sorted(
+        timings[n] / b / r1_div
+        for n, b in BASELINE_R1.items()
+        if n in timings and b > 0
+    )
+    med_n_r1 = round(r1_norm[len(r1_norm) // 2], 3) if r1_norm else None
 
     total = round(sum(timings.values()), 4)
     # Key ORDER matters: the driver archives only a ~1.8 KB TAIL of stdout
@@ -205,7 +252,9 @@ def main() -> None:
         "queries": timings,
         "ratio_vs_baseline": ratios,
         "ratio_vs_baseline_norm": ratios_norm,
-        "baseline_floor": BASELINE_R1_FLOOR,
+        "baseline_source": baseline_source,
+        "ratio_median_norm_r1": med_n_r1,
+        "baseline_floor": base_floor,
         "host_floor": round(floor, 4),
         "floor_ratio": round(floor_ratio, 4),
         "canary_ratio": round(canary_ratio, 4),
