@@ -629,7 +629,11 @@ def _hive_partition_values(
         parts = [
             c.partition("=") for c in rel.split(os.sep)[1:-1] if "=" in c
         ]
-        keys = [k for k, _eq, _v in parts]
+        # Spark's escapePathName escapes the KEY as well as the value
+        # (a partition column named "a=b" writes as "a%3Db=..."), so the
+        # key must be decoded too or the partitionColumns entry would
+        # mismatch the schemaString column name.
+        keys = [unquote(k) for k, _eq, _v in parts]
         if cols is None:
             cols = keys
         elif keys != cols:
@@ -638,7 +642,7 @@ def _hive_partition_values(
                 f"{rel} has columns {keys}, earlier files {cols}"
             )
         vals[rel] = {
-            k: (None if v == _HIVE_NULL_PART else unquote(v))
+            unquote(k): (None if v == _HIVE_NULL_PART else unquote(v))
             for k, _eq, v in parts
         }
     return cols or [], vals
@@ -780,6 +784,17 @@ def export_delta_log(
                 )
         actions: list[dict] = []
         if v == 1:
+            if not files:
+                # an empty FIRST snapshot has no parquet to infer the
+                # schemaString from — table.read would die in Spark's
+                # opaque unable-to-infer-schema error; fail descriptively
+                # instead (mid-log empty snapshots are fine: removes-only)
+                raise ValueError(
+                    f"cannot export Delta version 0: snapshot 1 of "
+                    f"{table.table_dir} is empty (zero part files), so no "
+                    f"schemaString can be derived for metaData — export "
+                    f"after the first non-empty commit"
+                )
             schema_json = table.read(spark, version=v).schema.json()
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}

@@ -561,3 +561,56 @@ def test_delta_export_empty_snapshot_of_partitioned_table(spark, tmp_path):
     )
     assert metas[0][1]["partitionColumns"] == ["k"]
     assert live == {}, "folded log must resolve to the empty snapshot"
+
+
+def test_delta_export_empty_first_snapshot_raises_descriptively(
+    spark, tmp_path
+):
+    # an empty FIRST snapshot has no parquet to derive schemaString from;
+    # the export must fail with its own descriptive error, not Spark's
+    # opaque unable-to-infer-schema (round-9 advice item).
+    import pytest
+
+    from lab_etl_spark.operators.commitlog import export_delta_log
+
+    t = LoggedTable(str(tmp_path / "e1table"))
+    # a PARTITIONED empty write emits zero part files (an unpartitioned
+    # one still writes a single 0-row parquet, which exports fine)
+    empty = spark.range(5).select(
+        F.col("id"), (F.col("id") % 2).alias("k")
+    ).filter("id < 0")
+    t.commit(lambda d: empty.write.partitionBy("k").parquet(d), op="create")
+    with pytest.raises(ValueError, match="snapshot 1 .* is empty"):
+        export_delta_log(t, spark)
+
+
+def test_delta_export_percent_escaped_partition_key_and_value(
+    spark, tmp_path
+):
+    # Spark's escapePathName escapes partition KEY names as well as
+    # values; the export must percent-decode both so partitionColumns
+    # and per-file partitionValues keys match the schemaString column
+    # (round-9 advice item: a column named 'k:x' writes as 'k%3Ax=...').
+    from pyspark.sql.types import StructType
+
+    from lab_etl_spark.operators.commitlog import (
+        DELTA_LOG_DIR,
+        export_delta_log,
+    )
+
+    t = LoggedTable(str(tmp_path / "esc"))
+    df = spark.range(12).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("k:x")
+    )
+    t.commit(lambda d: df.write.partitionBy("k:x").parquet(d), op="create")
+    export_delta_log(t, spark, table_id="esc-id")
+    live, _protocols, metas = _fold_delta(
+        os.path.join(t.table_dir, DELTA_LOG_DIR)
+    )
+    meta = metas[0][1]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert meta["partitionColumns"] == ["k:x"]
+    assert "k:x" in schema.fieldNames()
+    for add in live.values():
+        assert set(add["partitionValues"]) == {"k:x"}
+        assert add["partitionValues"]["k:x"] in {"0", "1"}
