@@ -200,3 +200,104 @@ def _spark_charset(name: str | None) -> str:
     n = name.lower().replace("_", "-")
     n = _CHARSET_ALIASES.get(n, n)
     return n if n in _SPARK_CHARSETS else "utf-8"
+
+
+# --- automatic unit-consistency analyzer (SURVEY.md §4 nice-to-have) -------
+
+#: additive/comparison expression classes where mixed units are a bug.
+#: Multiplicative ops (Multiply/Divide) COMPOSE units and are excluded —
+#: mW / mg is heat-flow normalization, not a mistake.
+_ADDITIVE = {
+    "Add", "Subtract",
+    "LessThan", "LessThanOrEqual", "GreaterThan", "GreaterThanOrEqual",
+    "EqualTo", "EqualNullSafe",
+    "Least", "Greatest", "Coalesce",
+}
+
+
+def _expr_unit(expr, units_by_id) -> str | None:
+    """Unit of an expression subtree, or None when it has none / stops
+    being a single unit.  AttributeReference → its field metadata;
+    transparent wrappers (Cast, Alias, UnaryMinus, Abs) → the child's
+    unit; everything else → None (a composite has no single declared
+    unit, so it can never conflict)."""
+    cls = expr.getClass().getSimpleName()
+    if cls == "AttributeReference":
+        return units_by_id.get(expr.exprId().id())
+    if cls in {"Cast", "Alias", "UnaryMinus", "Abs", "CheckOverflow"}:
+        return _expr_unit(expr.children().apply(0), units_by_id)
+    return None
+
+
+def _walk_exprs(expr, units_by_id, errors) -> None:
+    cls = expr.getClass().getSimpleName()
+    kids = expr.children()
+    n = kids.size()
+    if cls in _ADDITIVE and n >= 2:
+        seen: dict[str, str] = {}
+        for i in range(n):
+            child = kids.apply(i)
+            u = _expr_unit(child, units_by_id)
+            if u is not None:
+                seen[child.sql()] = u
+        if len(set(seen.values())) > 1:
+            errors.append(f"{cls}({expr.sql()}) mixes units {seen}")
+    for i in range(n):
+        _walk_exprs(kids.apply(i), units_by_id, errors)
+
+
+def check_unit_consistency(df: DataFrame) -> None:
+    """Analyzer-style unit gate: walk the ANALYZED logical plan and raise
+    :class:`UnitMismatchError` if any additive arithmetic or comparison
+    combines two attributes whose ``unit`` field metadata DIFFERS
+    (``temperature_c + mass_mg`` — the bug the type system can't catch;
+    reference util.py's unit carriage makes it catchable).
+
+    Scope mirrors :func:`require_same_unit`'s philosophy but only flags
+    two *declared*, *different* units — a declared unit plus a literal or
+    unit-less expression is legitimate everywhere (``col + 1.0``), so the
+    automatic gate stays false-positive-free on plans that never opted
+    into units.  Cost is a driver-side tree walk (no Spark job); plans
+    without unit metadata exit after one schema scan.
+
+    Runs automatically on the instrument-lake egress
+    (:func:`lab_etl_spark.sources.sink.write_parquet`) and is callable as
+    a pre-flight on any frame.
+    """
+    # cheap pre-filter: no unit metadata anywhere in the lineage worth
+    # walking if the plan's attributes declare none.  Collect units per
+    # exprId from every node's output attributes.
+    jplan = df._jdf.queryExecution().analyzed()
+    units_by_id: dict[int, str] = {}
+
+    def collect(node) -> None:
+        out = node.output()
+        for i in range(out.size()):
+            attr = out.apply(i)
+            md = attr.metadata()
+            if md.contains("unit"):
+                units_by_id[attr.exprId().id()] = md.getString("unit")
+        ch = node.children()
+        for i in range(ch.size()):
+            collect(ch.apply(i))
+        # subquery expressions / nested plans are out of scope: the
+        # instrument API builds flat select/filter/write plans
+
+    collect(jplan)
+    if not units_by_id:
+        return
+    errors: list[str] = []
+
+    def walk_plan(node) -> None:
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            _walk_exprs(exprs.apply(i), units_by_id, errors)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk_plan(ch.apply(i))
+
+    walk_plan(jplan)
+    if errors:
+        raise UnitMismatchError(
+            "unit-inconsistent arithmetic in plan: " + "; ".join(errors)
+        )

@@ -22,7 +22,18 @@ def write_parquet(
     mode: str = "append",
     partition_by: list[str] | None = None,
     compression: str = "snappy",
+    unit_check: bool = True,
 ) -> None:
+    if unit_check:
+        # automatic unit-consistency gate on the instrument-lake egress:
+        # a plan that added temperature to mass fails HERE, before any
+        # executor work.  Driver-side tree walk; frames without unit
+        # metadata exit after one schema scan (meta.py
+        # check_unit_consistency), so the analytic-lake queries that
+        # never declare units pay nothing measurable.
+        from ..meta import check_unit_consistency
+
+        check_unit_consistency(df)
     writer = df.write.mode(mode).option("compression", compression)
     if partition_by is None and "instrument_type" in df.columns:
         partition_by = ["instrument_type"]
