@@ -43,18 +43,19 @@ HEAVIEST = [
 ]
 
 
-def main() -> int:
-    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    if not os.path.isdir(SF1):
-        print("sf1 lake absent — run tools/gen_sf1.py first", file=sys.stderr)
-        return 1
-
+def replay(
+    spark,
+    names: list[str] | None = None,
+    trials: int = 2,
+) -> tuple[dict[str, dict[str, float]], dict[str, str], dict[str, float]]:
+    """Measure the HEAVIEST queries at sf0.1 and sf1 on an existing
+    session; returns ({name: {sf0.1, sf1, ratio}}, failed, floor) —
+    importable by tests/test_scale_growth_sf1.py's live ceiling test so
+    the ratio enforcement and this tool can never drift apart."""
     from lab_etl_spark.queries import load_all
-    from lab_etl_spark.session import get_spark
 
-    spark = get_spark("replay_sf1")
     reg = load_all()
-    names = [n for n in HEAVIEST if n in reg]
+    names = [n for n in (names or HEAVIEST) if n in reg]
 
     # warm-up at sf0.01: compile every plan once outside the timings
     for n in names:
@@ -94,26 +95,40 @@ def main() -> int:
             ).write.format("noop").mode("overwrite").save()
             floor[d] = min(floor[d], time.perf_counter() - t0)
         print(f"# pass {p + 1}/{trials} done", file=sys.stderr)
+
+    rows = {
+        n: {
+            "sf0.1": round(t[SF01][n], 3),
+            "sf1": round(t[SF1][n], 3),
+            "ratio": round(t[SF1][n] / t[SF01][n], 2),
+        }
+        for n in names
+        if n not in failed
+    }
+    return rows, failed, {d: round(v, 4) for d, v in floor.items()}
+
+
+def main() -> int:
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    if not os.path.isdir(SF1):
+        print("sf1 lake absent — run tools/gen_sf1.py first", file=sys.stderr)
+        return 1
+
+    from lab_etl_spark.session import get_spark
+
+    spark = get_spark("replay_sf1")
+    rows, failed, floor = replay(spark, trials=trials)
     spark.stop()
 
     print("| query | sf0.1 s | sf1 s | time ratio (10x rows) |")
     print("|---|---|---|---|")
-    rows = {}
-    for n in names:
-        if n in failed:
-            print(f"| {n} | FAILED | FAILED | {failed[n]} |")
-            continue
-        r = t[SF1][n] / t[SF01][n]
-        rows[n] = {
-            "sf0.1": round(t[SF01][n], 3),
-            "sf1": round(t[SF1][n], 3),
-            "ratio": round(r, 2),
-        }
-        print(f"| {n} | {t[SF01][n]:.2f} | {t[SF1][n]:.2f} | {r:.2f}x |")
+    for n, fmsg in failed.items():
+        print(f"| {n} | FAILED | FAILED | {fmsg} |")
+    for n, r in rows.items():
+        print(f"| {n} | {r['sf0.1']:.2f} | {r['sf1']:.2f} | {r['ratio']:.2f}x |")
     print(f"| _map-only floor_ | {floor[SF01]:.2f} | {floor[SF1]:.2f} "
           f"| {floor[SF1] / floor[SF01]:.2f}x |")
-    print(json.dumps({"queries": rows, "failed": failed,
-                      "floor": {d: round(v, 4) for d, v in floor.items()}}))
+    print(json.dumps({"queries": rows, "failed": failed, "floor": floor}))
     return 0
 
 
