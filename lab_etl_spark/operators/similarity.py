@@ -492,6 +492,16 @@ def kmeans_cells(emb: DataFrame, k: int, updates: int = 1) -> DataFrame:
     the corpus keeps max |cell| bounded (measured: work 4.0×/10.0× for
     4×/10× vectors at k = n/250, max cell ~300 flat).
 
+    Scale note: with k ∝ n the ASSIGN stage's per-point work (k·d) is
+    the residual superlinear term (n·k·d total — the SemDeDup paper pays
+    the same in GPU brute force).  It is map-only here (no row
+    multiplication, no shuffle; see assign()), and at sf1 the measured
+    wall is dominated by the LINEAR Σ|cell|² prune, not assign; past
+    ~10⁶ vectors the honest fix is ANN-assisted assignment (probe the
+    IVF structure for candidate centroids), which changes the assignment
+    and therefore the oracle — out of scope until a scale point demands
+    it.
+
     Determinism (the whole pipeline is oracle-replayable):
       * seeds = the k smallest (md5('km:' || vec_id), vec_id) — a uniform
         deterministic sample, spread over the corpus no matter how ids
@@ -518,14 +528,35 @@ def kmeans_cells(emb: DataFrame, k: int, updates: int = 1) -> DataFrame:
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        scored = pts.crossJoin(F.broadcast(cents)).withColumn(
-            "dist", F.expr(KM_DIST)
+        # Centroids collapse to ONE broadcast row holding the full
+        # centroid array; the per-point argmin is a map-only
+        # transform + array_min whose struct ordering IS the (dist, cid)
+        # tie-break — same winner as the previous row_number formulation,
+        # bit-for-bit (dist is the identical sequential fold, so the
+        # oracle is unchanged).  The previous shape materialized the
+        # n·k crossJoin and shuffled it through a vec_id window — with
+        # k ∝ n that shuffle is the hidden QUADRATIC the first
+        # honest-cold sf1 replay caught (each scored row drags the
+        # 64-double v array; at sf1 n=20k, k=80 that is 1.6M wide rows
+        # per assign): q_semdedup_kmeans 24.2 s -> 3.1 s cold at sf1,
+        # isolated min-of-3.  Per-point work is still k·d inside
+        # whole-stage codegen, but rows are never multiplied and never
+        # leave their input partition.
+        carr = cents.agg(F.expr("collect_list(struct(cid, c))").alias("cs"))
+        dist_s = (
+            "aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
         )
-        w = W.partitionBy("vec_id").orderBy("dist", "cid")
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
+            pts.crossJoin(F.broadcast(carr))
+            .withColumn(
+                "_best",
+                F.expr(
+                    f"array_min(transform(cs,"
+                    f" s -> struct({dist_s} AS dist, s.cid AS cid)))"
+                ),
+            )
+            .select("vec_id", "v", F.col("_best.cid").alias("cid"))
         )
 
     cents = seeds
