@@ -262,6 +262,10 @@ _SINGLE_PARTITION_OK = {
     "q_market_basket",
     # 1-row broadcast of the corpus token grand total (KL denominator)
     "q_kl_divergence",
+    # k-row -> 1-row collect of the centroid array for the map-only
+    # argmin assign (round-9; k = n/250 stays broadcast-sized at any
+    # tested scale — the point set itself never single-partitions)
+    "q_semdedup_kmeans",
     # 1-row broadcast of the pooled CUPED sufficient statistics
     "q_abtest_cuped",
     # the final 4-counter global aggregate (q_funnel's documented shape);
@@ -480,3 +484,44 @@ def test_interval_merge_single_data_shuffle(spark, sf_dir):
         if "Arguments: hashpartitioning" in ln
     ]
     assert len(hash_ex) <= 1, p
+
+
+def test_semdedup_kmeans_assign_never_shuffles_points(spark, sf_dir):
+    # kmeans_cells' assignment must be the broadcast one-row centroid
+    # array + per-point array_min fold: no row_number window over a
+    # scored n*k frame (with k ∝ n that shuffle is quadratic — the
+    # round-9 honest-cold sf1 replay finding).  The only Window allowed
+    # in the whole query is none at all; exchanges belong to the
+    # seeding TakeOrdered, the Lloyd centroid update, the prune's
+    # cell-keyed self-join, and the readout aggregates.
+    p = _fmt(REGISTRY["q_semdedup_kmeans"].fn(spark, sf_dir))
+    assert "Window" not in p, p
+    assert "array_min" in p, p
+
+
+def test_hierarchical_rollup_single_scan_grouping_sets(spark, sf_dir):
+    # hour+day levels must come from ONE structural scan of raw events
+    # via grouping sets over the minute partials — a union of separately
+    # aggregated branches re-scans raw events per level (ReusedExchange
+    # does not fire across the union's differently-canonicalized
+    # branches; round-9 A/B).
+    import re
+
+    p = _fmt(REGISTRY["q_hierarchical_rollup"].fn(spark, sf_dir))
+    # formatted mode prints each node in the tree AND the details
+    # section — count the numbered detail entries, one per node
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p, p
+    assert "InMemoryTableScan" not in p, p  # no persist under cold policy
+
+
+def test_minhash_verify_has_no_pair_shuffle(spark, sf_dir):
+    # The exact-Jaccard verify must be the array_intersect form: one
+    # doc_id-keyed aggregate over the semi-joined shingle stream, pair
+    # joins against it — never the posting-list pair explosion, whose
+    # shingle-keyed + pair-keyed shuffles dominated the cold pipeline
+    # (round-9: 4.3 s -> 2.6 s).
+    p = _fmt(REGISTRY["q_dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "array_intersect" in p, p
+    # left_semi pushes the candidate set into the verify-side stream
+    assert "LeftSemi" in p, p
