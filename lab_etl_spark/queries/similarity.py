@@ -483,8 +483,6 @@ _KM_WCSS = "ROUND(CAST(SUM(CAST((dist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
     "first K vec_ids, so the whole run is reproducible.",
 )
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
     ).persist()  # points are scanned once per Lloyd pass + seeding; caching
@@ -495,14 +493,32 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-            "dist", F.expr(_KM_DIST_SPARK)
+        # argmin as a map-only fold over a broadcast one-row centroid
+        # array: array_min's struct ordering IS the (dist, cid)
+        # tie-break, same winner bit-for-bit as the oracle's row_number
+        # formulation — but the points are never multiplied x K nor
+        # shuffled through a vec_id window (the kmeans_cells shape,
+        # operators/similarity.py round-9)
+        carr = cents.agg(F.expr("collect_list(struct(cid, c))").alias("cs"))
+        dist_s = (
+            "aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
         )
-        w = W.partitionBy("vec_id").orderBy("dist", "cid")
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid", "dist")
+            emb.crossJoin(F.broadcast(carr))
+            .withColumn(
+                "_best",
+                F.expr(
+                    f"array_min(transform(cs,"
+                    f" s -> struct({dist_s} AS dist, s.cid AS cid)))"
+                ),
+            )
+            .select(
+                "vec_id",
+                "v",
+                F.col("_best.cid").alias("cid"),
+                F.col("_best.dist").alias("dist"),
+            )
         )
 
     a1 = assign(c0)

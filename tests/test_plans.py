@@ -453,14 +453,17 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
 
 
 def test_kmeans_assignment_is_broadcast_map_only(spark, sf_dir):
-    # Both Lloyd scoring passes must ride a broadcast of the K centroids
-    # (BroadcastNestedLoopJoin over the 4-row dim) — a shuffled join here
-    # would move the POINTS, the k-means scale killer.
+    # Both Lloyd scoring passes must ride a broadcast of the collapsed
+    # one-row centroid array (BroadcastNestedLoopJoin over 1 row) with
+    # the argmin as a map-side array_min fold — a shuffled join or a
+    # vec_id window here would move the POINTS, the k-means scale killer.
     import re
 
     p = _fmt(REGISTRY["q_kmeans_lloyd"].fn(spark, sf_dir))
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2, p
     assert "SortMergeJoin" not in p, p
+    assert "Window" not in p, p
+    assert "array_min" in p, p
 
 
 def test_bpe_argmax_uses_heap_not_global_sort(spark, sf_dir):
