@@ -80,8 +80,10 @@ def _load_cold_baseline() -> tuple[dict[str, float], float, float] | None:
             d = json.load(f)
         q = {k: float(v) for k, v in d["queries"].items()}
         return q, float(d["host_floor"]), q["q_unpivot"]
-    except (OSError, KeyError, ValueError) as e:
-        print(f"# cold baseline unavailable ({e}); gating vs r1 warm map",
+    except Exception as e:  # noqa: BLE001 — a malformed artifact (list
+        # where a dict is expected, nulls) must degrade to the fallback
+        # AFTER the measured run, never crash the bench and lose timings
+        print(f"# cold baseline unavailable ({e!r}); gating vs r1 warm map",
               file=sys.stderr)
         return None
 

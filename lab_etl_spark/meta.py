@@ -229,21 +229,26 @@ def _expr_unit(expr, units_by_id) -> str | None:
     return None
 
 
-def _walk_exprs(expr, units_by_id, errors) -> None:
-    cls = expr.getClass().getSimpleName()
-    kids = expr.children()
-    n = kids.size()
-    if cls in _ADDITIVE and n >= 2:
-        seen: dict[str, str] = {}
+def _walk_exprs(root, units_by_id, errors) -> None:
+    # iterative (explicit stack): expression trees from long fold chains
+    # can exceed Python's recursion limit
+    stack = [root]
+    while stack:
+        expr = stack.pop()
+        cls = expr.getClass().getSimpleName()
+        kids = expr.children()
+        n = kids.size()
+        if cls in _ADDITIVE and n >= 2:
+            seen: dict[str, str] = {}
+            for i in range(n):
+                child = kids.apply(i)
+                u = _expr_unit(child, units_by_id)
+                if u is not None:
+                    seen[child.sql()] = u
+            if len(set(seen.values())) > 1:
+                errors.append(f"{cls}({expr.sql()}) mixes units {seen}")
         for i in range(n):
-            child = kids.apply(i)
-            u = _expr_unit(child, units_by_id)
-            if u is not None:
-                seen[child.sql()] = u
-        if len(set(seen.values())) > 1:
-            errors.append(f"{cls}({expr.sql()}) mixes units {seen}")
-    for i in range(n):
-        _walk_exprs(kids.apply(i), units_by_id, errors)
+            stack.append(kids.apply(i))
 
 
 def check_unit_consistency(df: DataFrame) -> None:
@@ -257,8 +262,15 @@ def check_unit_consistency(df: DataFrame) -> None:
     two *declared*, *different* units — a declared unit plus a literal or
     unit-less expression is legitimate everywhere (``col + 1.0``), so the
     automatic gate stays false-positive-free on plans that never opted
-    into units.  Cost is a driver-side tree walk (no Spark job); plans
-    without unit metadata exit after one schema scan.
+    into units.  Cost is a driver-side plan walk (no Spark job):
+    O(nodes × output attributes) py4j calls to harvest unit metadata,
+    then — only if any unit was found anywhere in the lineage — the
+    expression sweep.  For the instrument frames this guards (file-sized
+    plans, a handful of nodes) that is low-ms; it is NOT free on
+    thousand-node plans, which is why the hook lives on the
+    instrument-lake egress and not inside the analytic query registry.
+    Both walks are iterative (explicit stack) — deep fold lineages
+    cannot blow Python's recursion limit.
 
     Runs automatically on the instrument-lake egress
     (:func:`lab_etl_spark.sources.sink.write_parquet`) and is callable as
@@ -270,7 +282,11 @@ def check_unit_consistency(df: DataFrame) -> None:
     jplan = df._jdf.queryExecution().analyzed()
     units_by_id: dict[int, str] = {}
 
-    def collect(node) -> None:
+    # subquery expressions / nested plans are out of scope: the
+    # instrument API builds flat select/filter/write plans
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
         out = node.output()
         for i in range(out.size()):
             attr = out.apply(i)
@@ -279,24 +295,21 @@ def check_unit_consistency(df: DataFrame) -> None:
                 units_by_id[attr.exprId().id()] = md.getString("unit")
         ch = node.children()
         for i in range(ch.size()):
-            collect(ch.apply(i))
-        # subquery expressions / nested plans are out of scope: the
-        # instrument API builds flat select/filter/write plans
+            stack.append(ch.apply(i))
 
-    collect(jplan)
     if not units_by_id:
         return
     errors: list[str] = []
 
-    def walk_plan(node) -> None:
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
         exprs = node.expressions()
         for i in range(exprs.size()):
             _walk_exprs(exprs.apply(i), units_by_id, errors)
         ch = node.children()
         for i in range(ch.size()):
-            walk_plan(ch.apply(i))
-
-    walk_plan(jplan)
+            stack.append(ch.apply(i))
     if errors:
         raise UnitMismatchError(
             "unit-inconsistent arithmetic in plan: " + "; ".join(errors)

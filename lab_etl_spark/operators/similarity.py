@@ -472,8 +472,13 @@ def _semdedup_prune(
 
 #: squared-L2 fold for k-means assignment — sequential left-to-right like
 #: DOT/SQNORM, so DuckDB's init-less list_reduce replays it bit-for-bit.
-KM_DIST = (
-    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+#: squared-L2 sequential fold over zip_with, left-to-right from 0.0 —
+#: the ONE source of the k-means distance text (both assign()
+#: implementations and the DuckDB oracles must stay bit-identical to it).
+#: ``{c}`` is the centroid array expression (e.g. ``s.c`` inside a
+#: transform lambda).
+KM_DIST_FOLD = (
+    "aggregate(zip_with(v, {c}, (x, y) -> (x - y) * (x - y)),"
     " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
 )
 #: per-dimension centroid mean: DECIMAL-exact sum (order-independent under
@@ -543,10 +548,7 @@ def kmeans_cells(emb: DataFrame, k: int, updates: int = 1) -> DataFrame:
         # whole-stage codegen, but rows are never multiplied and never
         # leave their input partition.
         carr = cents.agg(F.expr("collect_list(struct(cid, c))").alias("cs"))
-        dist_s = (
-            "aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)),"
-            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-        )
+        dist_s = KM_DIST_FOLD.format(c="s.c")
         return (
             pts.crossJoin(F.broadcast(carr))
             .withColumn(
@@ -556,6 +558,9 @@ def kmeans_cells(emb: DataFrame, k: int, updates: int = 1) -> DataFrame:
                     f" s -> struct({dist_s} AS dist, s.cid AS cid)))"
                 ),
             )
+            # empty centroid set -> empty cs array -> NULL best; dropping
+            # preserves the previous zero-centroid-rows behavior (empty)
+            .filter(F.col("_best").isNotNull())
             .select("vec_id", "v", F.col("_best.cid").alias("cid"))
         )
 

@@ -409,13 +409,10 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 KM_K = 4  #: clusters, seeded from vec_id 0..K-1 (deterministic)
 KM_DIM = 64  #: embedding dimensionality (fixed across the corpus)
 
-#: squared-L2 fold — Spark form: sequential `aggregate` over zip_with
-#: (left-to-right), starting from 0.0 (IEEE 0.0 + x == x, so the fold
-#: matches DuckDB's init-less list_reduce bit-for-bit).
-_KM_DIST_SPARK = (
-    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
-    " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-)
+#: squared-L2 fold — Spark form lives in operators/similarity.py
+#: KM_DIST_FOLD (sequential aggregate over zip_with, left-to-right from
+#: 0.0; IEEE 0.0 + x == x, so it matches DuckDB's init-less list_reduce
+#: bit-for-bit).  The DuckDB twin:
 _KM_DIST_DUCK = (
     f"list_reduce(list_transform(generate_series(1, {KM_DIM}),"
     " i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (acc, t) -> acc + t)"
@@ -470,10 +467,11 @@ _KM_WCSS = "ROUND(CAST(SUM(CAST((dist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
     "end-to-end (clustering is usually waved through as 'approximate'; "
     "here every intermediate is deterministic so DuckDB replays the "
     "IDENTICAL algorithm and the final assignment counts and WCSS match "
-    "bit-for-bit).  Design: centroids are a K-row BROADCAST — assignment "
-    "is a map-only fold per point (sequential aggregate<->list_reduce, "
-    "bit-identical), never a shuffle of the points; argmin via a "
-    "vec_id-keyed window with (dist, cid) tie-break; the centroid update "
+    "bit-for-bit).  Design: centroids collapse to a one-row BROADCAST "
+    "array — assignment is a map-only fold per point (sequential "
+    "aggregate<->list_reduce, bit-identical), never a shuffle of the "
+    "points; argmin via array_min whose struct ordering IS the oracle's "
+    "(dist, cid) row_number tie-break; the centroid update "
     "is a posexplode to (cid, dim) cells with EXACT-decimal per-dim "
     "means (order-independent under hash aggregation, one deterministic "
     "double division), rebuilt into arrays by sorted collect.  Per "
@@ -499,11 +497,10 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         # formulation — but the points are never multiplied x K nor
         # shuffled through a vec_id window (the kmeans_cells shape,
         # operators/similarity.py round-9)
+        from ..operators.similarity import KM_DIST_FOLD
+
         carr = cents.agg(F.expr("collect_list(struct(cid, c))").alias("cs"))
-        dist_s = (
-            "aggregate(zip_with(v, s.c, (x, y) -> (x - y) * (x - y)),"
-            " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-        )
+        dist_s = KM_DIST_FOLD.format(c="s.c")
         return (
             emb.crossJoin(F.broadcast(carr))
             .withColumn(
@@ -513,6 +510,11 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f" s -> struct({dist_s} AS dist, s.cid AS cid)))"
                 ),
             )
+            # empty seed set (no vec_id < K): cs is an empty array,
+            # array_min -> NULL; dropping those rows preserves the old
+            # crossJoin-with-zero-centroid-rows result (empty), which is
+            # also what the oracle's row_number formulation yields
+            .filter(F.col("_best").isNotNull())
             .select(
                 "vec_id",
                 "v",

@@ -266,6 +266,8 @@ _SINGLE_PARTITION_OK = {
     # argmin assign (round-9; k = n/250 stays broadcast-sized at any
     # tested scale — the point set itself never single-partitions)
     "q_semdedup_kmeans",
+    # same shape, K=4 fixed: two 1-row centroid collects per Lloyd pass
+    "q_kmeans_lloyd",
     # 1-row broadcast of the pooled CUPED sufficient statistics
     "q_abtest_cuped",
     # the final 4-counter global aggregate (q_funnel's documented shape);
