@@ -757,14 +757,30 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub.filter(F.col("vec_id") < PQ_K)
         .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("c"))
     )
-    scored = sub.join(F.broadcast(cb), "m").withColumn(
-        "dist", F.expr(_PQ_DIST_SPARK)
+    # encode = per-(vec_id, m) argmin over the K codewords: the codebook
+    # collapses to M broadcast rows each holding its codeword array, and
+    # array_min's struct ordering IS the (dist, cid) tie-break — same
+    # winner bit-for-bit as the oracle's row_number formulation, without
+    # multiplying the subvector stream x K and shuffling it through a
+    # window (the kmeans_cells round-9 pattern)
+    cba = cb.groupBy("m").agg(
+        F.expr("collect_list(struct(cid, c))").alias("cs")
     )
-    w_enc = W.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    _pq_dist_s = (
+        "aggregate(zip_with(sv, s.c, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
     enc = (
-        scored.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cid")
+        sub.join(F.broadcast(cba), "m")
+        .withColumn(
+            "_best",
+            F.expr(
+                f"array_min(transform(cs,"
+                f" s -> struct({_pq_dist_s} AS dist, s.cid AS cid)))"
+            ),
+        )
+        .filter(F.col("_best").isNotNull())
+        .select("vec_id", "m", F.col("_best.cid").alias("cid"))
     )
     lut = (
         sub.filter(F.col("vec_id") == 0)
