@@ -642,17 +642,31 @@ def graph_ann_topk(
         )
     )
 
-    # nearest-hub cell assignment: broadcast hubs, map-only argmin.
-    hub_cos = F.expr(DOT.format(a="v", b="hv")) / (F.col("nrm") * F.col("hnrm"))
-    w_cell = W.partitionBy("vec_id").orderBy(
-        F.desc("_hc"), F.asc("hub_id")
+    # nearest-hub cell assignment: the hub table collapses to ONE
+    # broadcast row holding the hub array; per-point argmax is a map-only
+    # transform + array_min over struct(-cosine, hub_id) — negation is an
+    # exact sign flip, so min(-cos) with the hub_id tie IS the previous
+    # row_number(desc(_hc), asc(hub_id)) winner bit-for-bit, without
+    # multiplying the point stream x n_hubs and shuffling it through a
+    # vec_id window (n_hubs ∝ n makes that shuffle the quadratic term —
+    # the kmeans_cells round-9 pattern).
+    harr = hubs.agg(
+        F.expr("collect_list(struct(hub_id, hv, hnrm))").alias("hs")
+    )
+    _hub_cos_s = (
+        f"({DOT.format(a='v', b='s.hv')}) / (nrm * s.hnrm)"
     )
     cells = (
-        base.crossJoin(F.broadcast(hubs))
-        .withColumn("_hc", hub_cos)
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("hub_id").alias("cell"))
+        base.crossJoin(F.broadcast(harr))
+        .withColumn(
+            "_best",
+            F.expr(
+                f"array_min(transform(hs, s -> struct("
+                f"-({_hub_cos_s}) AS negc, s.hub_id AS hub_id)))"
+            ),
+        )
+        .filter(F.col("_best").isNotNull())
+        .select("vec_id", "v", "nrm", F.col("_best.hub_id").alias("cell"))
         .persist()  # feeds both sides of the edge join; ContextCleaner
         # reclaims the blocks when the frame's reference dies
     )
