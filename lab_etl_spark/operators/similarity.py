@@ -32,6 +32,43 @@ SQNORM = (
 )
 
 
+def is_finite(c) -> "F.Column":
+    """True iff the double column is a real number (not NULL/NaN/±Inf).
+
+    Why every cosine DECISION in this module must check it: a zero-norm
+    embedding (empty doc, failed encoder) makes cosine 0/0 = NaN, and
+    BOTH Spark and DuckDB order NaN above every real number AND evaluate
+    ``NaN >= t`` as true — so without the guard a single zero vector
+    silently near-matches every block-mate (worst case for a dedup pass:
+    real documents dropped) and outranks every true neighbor in top-k.
+    Guarded semantics: cosine is undefined for such vectors — they never
+    pass a threshold and never appear as a ranked neighbor.  The guard
+    is enforced per SIDE via :func:`_finite_norm` on the hoisted norm
+    columns (per-row cost, see its docstring) rather than per pair;
+    purely-relative interior stages (k-means argmins, IVF probe ranking)
+    stay unguarded — deterministic on both engines, and the admission
+    gates already excluded garbage vectors.
+    """
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def _finite_norm(c) -> "F.Column":
+    """Per-SIDE vector admission test: norm is a real number > 0.
+
+    Applied to the hoisted per-vector norm column BEFORE the pair join —
+    NOT to the per-pair cosine — so the guard costs one scalar comparison
+    per ROW instead of re-evaluating the dot-product fold per PAIR (the
+    first implementation filtered is_finite(cosine) post-join and the
+    alias inlining re-ran the fold; measured ~1.4-2x on the whole
+    similarity family at sf0.1).  Equivalent semantics: a finite positive
+    norm implies every component is finite (squares cannot cancel), hence
+    the cosine of two admitted vectors is finite; conversely zero-norm /
+    NaN / Inf vectors are excluded outright, which is exactly the
+    "undefined cosine never matches, never ranks" contract of is_finite.
+    """
+    return is_finite(c) & (c > 0)
+
+
 def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
     # Norms are hoisted into the per-vector projections so each vector's
     # ||v|| fold runs once per row, not once per scored pair (same float
@@ -41,15 +78,18 @@ def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_nrm"),
-    )
+    ).filter(_finite_norm(F.col("q_nrm")))
     e = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
         F.col("label").alias("e_label"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("e_nrm"),
-    )
-    cos = F.expr(DOT.format(a="q_emb", b="e_emb")) / (
-        F.col("q_nrm") * F.col("e_nrm")
+    ).filter(_finite_norm(F.col("e_nrm")))
+    # try_divide: ANSI mode makes a bare / THROW on a zero-norm vector
+    # (one empty doc kills the whole scan); NULL is filtered by is_finite
+    cos = F.try_divide(
+        F.expr(DOT.format(a="q_emb", b="e_emb")),
+        F.col("q_nrm") * F.col("e_nrm"),
     )
     return (
         F.broadcast(q)
@@ -134,7 +174,7 @@ def ivf_assign(
     def nearest(df: DataFrame) -> DataFrame:
         dot = F.expr(DOT.format(a="emb_d", b="c_emb"))
         cnorm = F.expr(f"SQRT({SQNORM.format(v='c_emb')})")
-        cos = dot / (F.col("q_norm") * cnorm)
+        cos = F.try_divide(dot, F.col("q_norm") * cnorm)
         return (
             df.crossJoin(F.broadcast(centroids))
             .groupBy("vec_id")
@@ -189,8 +229,9 @@ def ivf_topk(
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb_d"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_norm"),
     )
-    cos_c = F.expr(DOT.format(a="emb_d", b="c_emb")) / (
-        F.col("q_norm") * F.expr(f"SQRT({SQNORM.format(v='c_emb')})")
+    cos_c = F.try_divide(
+        F.expr(DOT.format(a="emb_d", b="c_emb")),
+        F.col("q_norm") * F.expr(f"SQRT({SQNORM.format(v='c_emb')})"),
     )
     wq = W.partitionBy("query_id").orderBy(
         F.col("c_cos").desc(), F.col("cid")
@@ -207,16 +248,19 @@ def ivf_topk(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_nrm2"),
-        ).join(probes, "query_id")
+        )
+        .filter(_finite_norm(F.col("q_nrm2")))
+        .join(probes, "query_id")
     )
     e = indexed.select(
         "cid",
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("e_nrm"),
-    )
-    cos = F.expr(DOT.format(a="q_emb", b="e_emb")) / (
-        F.col("q_nrm2") * F.col("e_nrm")
+    ).filter(_finite_norm(F.col("e_nrm")))
+    cos = F.try_divide(
+        F.expr(DOT.format(a="q_emb", b="e_emb")),
+        F.col("q_nrm2") * F.col("e_nrm"),
     )
     scored = (
         q_probed.join(e, "cid")
@@ -289,14 +333,14 @@ def ivf_topk_lsh(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("e_emb"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("e_nrm"),
-    )
+    ).filter(_finite_norm(F.col("e_nrm")))
     cells = e.select("cell").distinct()
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         bucket.alias("q_cell"),
         F.col("embedding").alias("q_emb"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_nrm"),
-    )
+    ).filter(_finite_norm(F.col("q_nrm")))
     wq = W.partitionBy("query_id").orderBy(
         F.expr("bit_count(q_cell ^ cell)"), F.col("cell")
     )
@@ -306,8 +350,9 @@ def ivf_topk_lsh(
         .filter(F.col("crk") <= n_probe)
         .select("query_id", "q_emb", "q_nrm", "cell")
     )
-    cos = F.expr(DOT.format(a="q_emb", b="e_emb")) / (
-        F.col("q_nrm") * F.col("e_nrm")
+    cos = F.try_divide(
+        F.expr(DOT.format(a="q_emb", b="e_emb")),
+        F.col("q_nrm") * F.col("e_nrm"),
     )
     scored = (
         F.broadcast(probes)
@@ -336,15 +381,16 @@ def embedding_near_pairs(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("emb_a"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("nrm_a"),
-    )
+    ).filter(_finite_norm(F.col("nrm_a")))
     b = embeddings.select(
         F.col(block_col).alias("blk"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("emb_b"),
         F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("nrm_b"),
-    )
-    cos = F.expr(DOT.format(a="emb_a", b="emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
+    ).filter(_finite_norm(F.col("nrm_b")))
+    cos = F.try_divide(
+        F.expr(DOT.format(a="emb_a", b="emb_b")),
+        F.col("nrm_a") * F.col("nrm_b"),
     )
     # Threshold on the RAW cosine; round only in the projection — matching
     # the oracle exactly (filtering on the rounded value admits pairs in
@@ -453,14 +499,16 @@ def _semdedup_prune(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
-    )
+    ).filter(_finite_norm(F.col("na")))
     b = sig.select(
         *keyc,
         "vec_id",
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
+    ).filter(_finite_norm(F.col("nb")))
+    cos = F.try_divide(
+        F.expr(DOT.format(a="va", b="vb")), F.col("na") * F.col("nb")
     )
-    cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, keyc)
         .filter(F.col("ia") < F.col("vec_id"))
@@ -625,10 +673,15 @@ def graph_ann_topk(
     sequential-fold cosines with id tie-breaks, so the DuckDB oracle
     replays the whole pipeline bit-for-bit (q_graph_ann).
     """
-    base = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    ).withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+    base = (
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
+        .withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+        .filter(_finite_norm(F.col("nrm")))  # garbage vectors can be
+        # neither hubs nor neighbors — undefined cosine never ranks
+    )
     hubs = (
         base.withColumn(
             "_h", F.md5(F.concat(F.lit("hub:"), F.col("vec_id").cast("string")))
@@ -654,7 +707,7 @@ def graph_ann_topk(
         F.expr("collect_list(struct(hub_id, hv, hnrm))").alias("hs")
     )
     _hub_cos_s = (
-        f"({DOT.format(a='v', b='s.hv')}) / (nrm * s.hnrm)"
+        f"try_divide({DOT.format(a='v', b='s.hv')}, nrm * s.hnrm)"
     )
     cells = (
         base.crossJoin(F.broadcast(harr))
@@ -680,7 +733,9 @@ def graph_ann_topk(
         "cell", F.col("vec_id").alias("dst"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    e_cos = F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    e_cos = F.try_divide(
+        F.expr(DOT.format(a="va", b="vb")), F.col("na") * F.col("nb")
+    )
     w_edge = W.partitionBy("src").orderBy(F.desc("_ec"), F.asc("dst"))
     knn = (
         a.join(b, "cell")
@@ -712,13 +767,19 @@ def graph_ann_topk(
         # ContextCleaner reclaims the blocks with the frame reference
     )
 
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"),
-    ).withColumn("qnrm", F.expr(f"SQRT({SQNORM.format(v='qv')})"))
+    q = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("qv"),
+        )
+        .withColumn("qnrm", F.expr(f"SQRT({SQNORM.format(v='qv')})"))
+        .filter(_finite_norm(F.col("qnrm")))
+    )
 
     # entry points: exact top-2 hubs per query (hub layer is tiny).
-    q_cos = F.expr(DOT.format(a="qv", b="hv")) / (F.col("qnrm") * F.col("hnrm"))
+    q_cos = F.try_divide(
+        F.expr(DOT.format(a="qv", b="hv")), F.col("qnrm") * F.col("hnrm")
+    )
     w_entry = W.partitionBy("query_id").orderBy(F.desc("_qc"), F.asc("hub_id"))
     beam_df = (
         q.crossJoin(F.broadcast(hubs))
@@ -730,7 +791,9 @@ def graph_ann_topk(
 
     qb = F.broadcast(q)
     corpus = cells.select("vec_id", "v", "nrm")
-    c_cos = F.expr(DOT.format(a="qv", b="v")) / (F.col("qnrm") * F.col("nrm"))
+    c_cos = F.try_divide(
+        F.expr(DOT.format(a="qv", b="v")), F.col("qnrm") * F.col("nrm")
+    )
     w_beam = W.partitionBy("query_id").orderBy(F.desc("_cc"), F.asc("vec_id"))
     for _ in range(hops):
         expanded = beam_df.unionByName(

@@ -453,7 +453,10 @@ _SQN_D = (
                     * SQRT({_SQN_D.format(v='b.embedding')})), 6) AS cosine
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DOT_D.format(a='a.embedding', b='b.embedding')}
+    WHERE isfinite({_DOT_D.format(a='a.embedding', b='b.embedding')}
+          / (SQRT({_SQN_D.format(v='a.embedding')})
+             * SQRT({_SQN_D.format(v='b.embedding')})))
+      AND {_DOT_D.format(a='a.embedding', b='b.embedding')}
           / (SQRT({_SQN_D.format(v='a.embedding')})
              * SQRT({_SQN_D.format(v='b.embedding')})) >= 0.35
     """,
@@ -820,7 +823,8 @@ def _semdedup_oracle() -> str:
       SELECT DISTINCT b.cell, b.vec_id
       FROM nrm a JOIN nrm b
         ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
-      WHERE {dot} / (a.nrm * b.nrm) >= CAST({SD_EPS} AS DOUBLE)
+      WHERE isfinite({dot} / (a.nrm * b.nrm))
+        AND {dot} / (a.nrm * b.nrm) >= CAST({SD_EPS} AS DOUBLE)
     ),
     drops AS (
       SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped,
@@ -974,7 +978,8 @@ def _semdedup_kmeans_oracle() -> str:
       SELECT DISTINCT b.cell, b.vec_id
       FROM sig a JOIN sig b
         ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE {dot} / (a.nrm * b.nrm) >= CAST({SD_EPS} AS DOUBLE)
+      WHERE isfinite({dot} / (a.nrm * b.nrm))
+        AND {dot} / (a.nrm * b.nrm) >= CAST({SD_EPS} AS DOUBLE)
     ),
     drops AS (
       SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_dropped,

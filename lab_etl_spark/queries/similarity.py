@@ -41,7 +41,7 @@ _SQNORM_DUCK = (
     SELECT query_id, neighbor_id, cosine, rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE isfinite(cosine)
     ) WHERE rk <= 5
     """,
     doc="Brute-force exact cosine top-5 for 8 query vectors: broadcast "
@@ -67,7 +67,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, cosine, rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE isfinite(cosine)
     ) WHERE rk <= 3
     """,
     doc="IVF-style blocked ANN: score only same-label (coarse cell) pairs — "
@@ -112,7 +112,7 @@ def _ivf_lsh_oracle(nbits: int = 6, n_probe: int = 3, k: int = 5) -> str:
     SELECT query_id, neighbor_id, cosine, rk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id) AS rk
-      FROM scored
+      FROM scored WHERE isfinite(cosine)
     ) WHERE rk <= {k}
     """
 
@@ -645,7 +645,7 @@ def _wire_rrf_oracle() -> None:
     sem AS (
       SELECT doc_id, rk AS sem_rank FROM (
         SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rk
-        FROM scored
+        FROM scored WHERE isfinite(cosine)
       ) WHERE rk <= {RRF_TOPN}
     )
     SELECT doc_id, lex_rank, sem_rank,
