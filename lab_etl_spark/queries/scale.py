@@ -645,6 +645,21 @@ _LINREG_READOUT = """
        ((n * sxy - sx * sy) * (n * sxy - sx * sy))
            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
 """
+#: Spark twin of _LINREG_READOUT: ANSI mode makes a bare / THROW when the
+#: variance term is zero (a group whose x never varies — e.g. one point),
+#: killing the whole job; try_divide returns NULL there and is the exact
+#: same double division otherwise.  DuckDB's / already yields NULL on a
+#: zero double divisor, so the twins agree row-for-row on degenerate
+#: groups too (tests/test_ansi_division.py pins both properties).  The
+#: final `/ n` stays bare: n = COUNT(*) >= 1 by construction.
+_LINREG_READOUT_SPARK = """
+       CAST(n AS DOUBLE) AS n_points,
+       try_divide((n * sxy - sx * sy), (n * sxx - sx * sx)) AS slope,
+       (sy - try_divide((n * sxy - sx * sy), (n * sxx - sx * sx)) * sx) / n
+           AS intercept,
+       try_divide(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+           , ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS r2
+"""
 
 
 @register(
@@ -707,7 +722,7 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("syy"),
     )
     return sums.selectExpr("event_type", *[
-        e.strip() for e in _LINREG_READOUT.split(",\n")
+        e.strip() for e in _LINREG_READOUT_SPARK.split(",\n")
     ]).orderBy("event_type")
 
 
@@ -838,6 +853,18 @@ def _corr_readout(i: int, j: int) -> str:
     )
 
 
+def _corr_readout_spark(i: int, j: int) -> str:
+    """Spark twin of :func:`_corr_readout`: try_divide instead of a bare /
+    — in ANSI mode a constant column (zero variance → zero denominator)
+    would otherwise kill the whole job; DuckDB's / yields NULL on a zero
+    double divisor, so the twins agree on degenerate columns too."""
+    return (
+        f"try_divide((n * sp_{i}_{j} - s_{i} * s_{j}),"
+        f" sqrt((n * ss_{i} - s_{i} * s_{i})"
+        f" * (n * ss_{j} - s_{j} * s_{j})))"
+    )
+
+
 @register(
     "q_corr_matrix",
     oracle=f"""
@@ -873,7 +900,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(_CORR_COLS[i]).alias("col_a"),
                 F.lit(_CORR_COLS[j]).alias("col_b"),
-                F.expr(_corr_readout(i, j)).alias("corr"),
+                F.expr(_corr_readout_spark(i, j)).alias("corr"),
             )
             for i in range(len(_CORR_COLS))
             for j in range(i + 1, len(_CORR_COLS))

@@ -1400,7 +1400,12 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "SQRT(s2 / n - (s1 / n) * (s1 / n)) AS s_sigma",
     )
-    z = (F.col("value") - F.col("s_mean")) / F.col("s_sigma")
+    # try_divide, NOT a bare / guarded by the s_sigma > 0 conjunct below:
+    # Spark does not guarantee conjunct evaluation order (the optimizer may
+    # split/reorder Filter predicates), so in ANSI mode a zero-sigma
+    # (constant) hour bucket could still evaluate the division and kill
+    # the job; try_divide yields NULL there and abs(NULL) > 3 filters it.
+    z = F.try_divide(F.col("value") - F.col("s_mean"), F.col("s_sigma"))
     return (
         ev.withColumn("hour_of_day", F.hour("ts"))
         .join(F.broadcast(seasonal), ["event_type", "hour_of_day"])
@@ -1544,11 +1549,17 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # > 0 (not just NOT NULL): a zero or negative weekly sum would
         # divide by zero with engine-divergent inf/NULL semantics; make the
         # guard explicit instead of relying on strictly-positive values
+        # try_divide, NOT a bare / relying on the prev_revenue > 0 conjunct:
+        # Spark does not guarantee conjunct evaluation order, so in ANSI
+        # mode a zero previous week could still evaluate the division and
+        # kill the job; try_divide yields NULL → comparison NULL → filtered
         .filter(
             (F.col("prev_revenue") > 0)
             & (
-                F.abs(F.col("revenue") - F.col("prev_revenue"))
-                / F.col("prev_revenue")
+                F.try_divide(
+                    F.abs(F.col("revenue") - F.col("prev_revenue")),
+                    F.col("prev_revenue"),
+                )
                 > 0.1
             )
         )
@@ -1630,6 +1641,14 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ACF_READOUT = (
     "ROUND((n * sxy - sx * sy)"
     " / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf"
+)
+#: Spark twin: try_divide — ANSI mode makes the bare / THROW on a
+#: constant (zero-variance) series instead of yielding NULL, killing the
+#: whole job for one flat metric; DuckDB's / already NULLs on a zero
+#: double divisor, so the twins agree on degenerate series too.
+_ACF_READOUT_SPARK = (
+    "ROUND(try_divide((n * sxy - sx * sy),"
+    " SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS acf"
 )
 
 
@@ -1713,7 +1732,7 @@ def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(dsum("x * y", 6)).alias("sxy"),
     )
     return stats.selectExpr(
-        "event_type", "lag", "n", _ACF_READOUT
+        "event_type", "lag", "n", _ACF_READOUT_SPARK
     ).orderBy("event_type", "lag")
 
 
