@@ -69,6 +69,37 @@ def _finite_norm(c) -> "F.Column":
     return is_finite(c) & (c > 0)
 
 
+def embedding_quality_census(emb: DataFrame, by: str = "label") -> DataFrame:
+    """Admission census for an embedding corpus — the gate a production
+    pipeline runs BEFORE spending a cluster-day on dedup/ANN indexing.
+
+    Per ``by`` group: n_vecs, n_admitted (:func:`_finite_norm` — the same
+    test every similarity operator here applies per side), n_zero_norm
+    (norm exactly 0: empty docs / padding rows), n_nonfinite (NaN or Inf
+    components, or a NULL embedding), and the min/max admitted norm
+    (ROUND 6).  Shape: one map pass over the corpus + one hash
+    aggregation on the group key; the readout is |groups| rows —
+    broadcast-sized at any corpus scale.
+    """
+    nrm = F.expr(f"SQRT({SQNORM.format(v='embedding')})")
+    base = emb.select(F.col(by), nrm.alias("nrm"))
+    adm = _finite_norm(F.col("nrm"))
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    return base.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(adm, one).otherwise(zero)).alias("n_admitted"),
+        F.sum(F.when(F.col("nrm") == 0, one).otherwise(zero)).alias(
+            "n_zero_norm"
+        ),
+        F.sum(F.when(~is_finite(F.col("nrm")), one).otherwise(zero)).alias(
+            "n_nonfinite"
+        ),
+        F.round(F.min(F.when(adm, F.col("nrm"))), 6).alias("min_norm"),
+        F.round(F.max(F.when(adm, F.col("nrm"))), 6).alias("max_norm"),
+    )
+
+
 def _scored(queries: DataFrame, corpus: DataFrame, join_cond) -> DataFrame:
     # Norms are hoisted into the per-vector projections so each vector's
     # ||v|| fold runs once per row, not once per scored pair (same float

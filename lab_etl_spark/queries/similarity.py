@@ -9,6 +9,7 @@ from ..catalog import load_table
 from ..operators.similarity import (
     cosine_topk,
     cosine_topk_blocked,
+    embedding_quality_census,
     ivf_topk_lsh,
 )
 from . import register
@@ -240,6 +241,45 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("val"), 6).alias("min_val"),
         F.round(F.max("val"), 6).alias("max_val"),
     )
+
+
+@register(
+    "q_embedding_quality",
+    priority=1,
+    oracle=f"""
+    WITH n AS (
+      SELECT label,
+             SQRT({_SQNORM_DUCK.format(v='embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN nrm IS NOT NULL AND isfinite(nrm) AND nrm > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(SUM(CASE WHEN nrm IS NULL OR NOT isfinite(nrm)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           ROUND(MIN(CASE WHEN nrm IS NOT NULL AND isfinite(nrm) AND nrm > 0
+                          THEN nrm END), 6) AS min_norm,
+           ROUND(MAX(CASE WHEN nrm IS NOT NULL AND isfinite(nrm) AND nrm > 0
+                          THEN nrm END), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+    doc="Embedding admission census per coarse block: how many vectors the "
+    "similarity/dedup family would ADMIT (finite norm > 0, the exact "
+    "per-side test operators/similarity._finite_norm applies) vs zero-norm "
+    "(empty docs, padding rows) and NaN/Inf/NULL casualties, plus the "
+    "admitted norm range.  The pre-flight a production pipeline runs "
+    "before spending a cluster-day on dedup or ANN indexing — one corpus "
+    "map pass, one hash aggregation, |labels|-row readout.  Norm folds are "
+    "sequential (aggregate <-> list_reduce) and SQRT is IEEE "
+    "correctly-rounded, so both engines census identically; dirty-input "
+    "behavior is pinned by tests/test_nan_robustness.py.",
+)
+def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    return embedding_quality_census(em, by="label")
 
 
 @register(

@@ -118,6 +118,21 @@ def test_semdedup_never_drops_for_garbage(spark):
     assert dropped_ids <= {1, 3}
 
 
+def test_quality_census_counts_garbage(spark):
+    from lab_etl_spark.operators.similarity import embedding_quality_census
+
+    out = embedding_quality_census(_emb(spark, CLEAN + GARBAGE)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_vecs, r.n_admitted, r.n_zero_norm, r.n_nonfinite) == (
+        7,
+        4,
+        1,
+        2,
+    )
+    assert r.min_norm > 0 and r.max_norm >= r.min_norm
+
+
 def test_oracle_parity_on_dirty_input(spark):
     """Cross-engine proof: the guarded q_dedup_embedding oracle agrees with
     the guarded Spark operator ON DIRTY INPUT, not just on the clean
