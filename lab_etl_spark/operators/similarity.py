@@ -69,6 +69,29 @@ def _finite_norm(c) -> "F.Column":
     return is_finite(c) & (c > 0)
 
 
+def spread_for_compute(df: DataFrame) -> DataFrame:
+    """Give a compute-DENSE map stage (k·d flops per row: the broadcast
+    argmin scoring in kmeans_cells / graph-ANN hub assignment) at least
+    the session's core count of input splits.
+
+    Parquet splits are BYTE-based (maxPartitionBytes, and never inside a
+    row group), so a few-MB single-row-group table scans as 1-2 tasks —
+    the right call for byte-bound scans, but a ~30x parallelism loss for
+    flop-bound projections: the sf1 lake's one-row-group embeddings file
+    ran the whole n·k·d k-means assign on one core (measured 44 s; ~3 s
+    spread).  Repartitions only UP (round-robin, deterministic row-wise
+    results; all downstream aggregates here are order-independent
+    DECIMAL sums) and never touches a frame that already has enough
+    splits — at production scale a table has thousands of row groups, so
+    this is a structural no-op there and the points still never shuffle
+    more than once.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def embedding_quality_census(emb: DataFrame, by: str = "label") -> DataFrame:
     """Admission census for an embedding corpus — the gate a production
     pipeline runs BEFORE spending a cluster-day on dedup/ANN indexing.
@@ -599,8 +622,11 @@ def kmeans_cells(emb: DataFrame, k: int, updates: int = 1) -> DataFrame:
     Returns the same lazily-persisted sig shape :func:`semdedup_dropped`
     produces, ready for :func:`_semdedup_prune`.
     """
-    pts = emb.select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    pts = spread_for_compute(
+        emb.select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        )
     ).persist()  # scanned once per Lloyd pass + seeding; spills at worst
     seeds = (
         pts.withColumn(
@@ -705,9 +731,13 @@ def graph_ann_topk(
     replays the whole pipeline bit-for-bit (q_graph_ann).
     """
     base = (
-        emb.select(
-            "vec_id",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        spread_for_compute(
+            emb.select(
+                "vec_id",
+                F.expr(
+                    "transform(embedding, x -> CAST(x AS DOUBLE))"
+                ).alias("v"),
+            )
         )
         .withColumn("nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
         .filter(_finite_norm(F.col("nrm")))  # garbage vectors can be

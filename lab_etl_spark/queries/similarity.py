@@ -11,6 +11,7 @@ from ..operators.similarity import (
     cosine_topk_blocked,
     embedding_quality_census,
     ivf_topk_lsh,
+    spread_for_compute,
 )
 from . import register
 from .exact import davg
@@ -521,8 +522,10 @@ _KM_WCSS = "ROUND(CAST(SUM(CAST((dist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
     "first K vec_ids, so the whole run is reproducible.",
 )
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    emb = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+        )
     ).persist()  # points are scanned once per Lloyd pass + seeding; caching
     # the point set is the canonical k-means schedule (Spark ML does the
     # same) — MEMORY_AND_DISK spill covers the 100 TB case
@@ -784,8 +787,10 @@ _PQ_ADC = "ROUND(CAST(SUM(CAST((qdist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
 def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    pts = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+    pts = spread_for_compute(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
+        )
     )
     ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
     sub = pts.crossJoin(F.broadcast(ms)).select(
