@@ -40,6 +40,10 @@ HEAVIEST = [
     "q_dedup_simhash", "q_lang_id_ngram", "q_importance_resampling",
     "q_dedup_ngram_jaccard", "q_dedup_containment", "q_negative_sampling",
     "q_dedup_embedding", "q_dedup_cross_source", "q_pricing_summary",
+    # round-9 argmin-rewrite cohort: prototype-assignment stages whose
+    # superlinear failure mode (points x prototypes shuffle) the rewrite
+    # specifically removed — keep them measured so a regression shows
+    "q_kmeans_lloyd", "q_pq_adc",
 ]
 
 
