@@ -209,6 +209,13 @@ def ivf_assign(
     Returns ``(assigned_corpus, centroids)``: the corpus with a ``cid``
     cluster-id column, and the (cid, c_emb) centroid table.
     """
+    # admission gate first: a zero-norm/NaN seed would poison its
+    # centroid (NaN mean) and every cosine scored against it — the same
+    # _finite_norm contract as the rest of the family, applied before
+    # BOTH seeding and assignment
+    corpus = corpus.filter(
+        _finite_norm(F.expr(f"SQRT({SQNORM.format(v='embedding')})"))
+    )
     seeds = (
         corpus.orderBy(F.xxhash64("vec_id"))
         .limit(n_clusters)

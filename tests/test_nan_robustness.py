@@ -102,6 +102,22 @@ def test_ivf_lsh_excludes_garbage(spark):
     assert all(math.isfinite(r.cosine) for r in out)
 
 
+def test_ivf_assign_never_seeds_garbage(spark):
+    from lab_etl_spark.operators.similarity import ivf_assign
+
+    # n_clusters > clean-row count forces every row into the seed set if
+    # admitted — garbage must not appear among seeds or assignments
+    indexed, centroids = ivf_assign(
+        _emb(spark, CLEAN + GARBAGE), n_clusters=7, n_iter=1
+    )
+    assert {r.vec_id for r in indexed.collect()} == {0, 1, 2, 3}
+    cents = centroids.collect()
+    assert len(cents) == 4
+    assert all(
+        all(math.isfinite(x) for x in r.c_emb) for r in cents
+    )
+
+
 def test_semdedup_never_drops_for_garbage(spark):
     # eps=0.0: every finite same-cell cosine >= 0 pair drops the larger id,
     # so any garbage-vector pair admitted by a broken guard would surface
