@@ -781,7 +781,10 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "doc_id",
         "n_chars",
-        F.expr(f"LN({_WS_U_SPARK}) / n_chars").alias("k"),
+        # try_divide: an empty document (n_chars = 0) must not kill the
+        # sample job; NULL key ranks last (desc) = excluded, matching the
+        # oracle's native /0 NULL
+        F.expr(f"try_divide(LN({_WS_U_SPARK}), n_chars)").alias("k"),
     )
     w = W.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
     return (

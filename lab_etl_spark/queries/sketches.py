@@ -273,7 +273,10 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 F.col("n_seen") < KMV_K, F.col("n_seen").cast("double")
             )
-            .otherwise(F.lit(float(KMV_K - 1)) / F.col("kth"))
+            # try_divide: kth == 0 needs a hash-unit value of exactly
+            # zero (p = 2^-64 per key) but would kill the whole job under
+            # ANSI; NULL matches the oracle's native /0 NULL
+            .otherwise(F.try_divide(F.lit(float(KMV_K - 1)), F.col("kth")))
             .alias("est_distinct"),
             "exact_distinct",
         )
@@ -625,7 +628,9 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     union_est = F.when(
         F.col("n_m") < KMV_K, F.col("n_m").cast("double")
-    ).otherwise(F.lit(float(KMV_K - 1)) / F.col("theta"))
+    ).otherwise(  # try_divide: same zero-hash case as q_kmv_distinct
+        F.try_divide(F.lit(float(KMV_K - 1)), F.col("theta"))
+    )
     return (
         est.join(exact, ["type_a", "type_b"])
         .select(

@@ -375,9 +375,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_word_frac"
         ),
         (
+            # try_divide: a one-word doc has ZERO bigrams — ANSI would
+            # throw; NULL frac matches the oracle's native /0 NULL
             F.lit(1.0)
-            - F.size(F.array_distinct("bigrams")).cast("double")
-            / F.size("bigrams")
+            - F.try_divide(
+                F.size(F.array_distinct("bigrams")).cast("double"),
+                F.size("bigrams"),
+            )
         ).alias("dup_bigram_frac"),
     )
 

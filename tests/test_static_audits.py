@@ -55,3 +55,15 @@ def test_ln_only_on_integer_exact_arguments():
 def test_multi_consumer_frames_are_persisted_or_allowlisted():
     mod = _load("audit_multi_consumer")
     assert mod.main() == 0
+
+
+def test_spark_divisions_are_try_divide_safe_or_allowlisted():
+    """Round-9 session 2: ANSI mode turns a zero divisor into a
+    whole-job crash, so every Spark-side division must be try_divide, a
+    structurally-safe denominator, or allowlisted with a written
+    justification (tools/audit_ansi_division.py)."""
+    mod = _load("audit_ansi_division")
+    hits = mod.audit(pathlib.Path(mod.ROOT) / "lab_etl_spark")
+    assert not hits, "\n".join(
+        f"{r}:{ln}: unguarded division by `{d}`" for r, ln, d in hits
+    )
