@@ -189,6 +189,9 @@ _LAST_GREEN = {
 # round-9 red rows plus promoted/changed oracles, then continue the
 # staleness cycle: after round 9 the oldest cohort is r5 (the ~8 spilled
 # veterans), then the r6 cohort (~49 queries) by staleness.
+# q_embedding_quality (new in round 9, session 2) is absent from
+# _LAST_GREEN on purpose: never-checked entries sort ahead of all
+# veterans, so it enters the round-9 window right after _WINDOW_FRONT.
 
 
 def load_all() -> dict[str, Query]:
