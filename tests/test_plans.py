@@ -454,6 +454,21 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
     assert "dynamicpruning" in p.lower(), p
 
 
+def test_spread_for_compute_only_repartitions_up(spark):
+    # the flop-bound-stage spreader must be a structural no-op on frames
+    # that already have enough splits (production row-group counts) and
+    # must bring few-split scans up to the session core count
+    from lab_etl_spark.operators.similarity import spread_for_compute
+
+    few = spark.range(1000).coalesce(1)
+    assert (
+        spread_for_compute(few).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    many = spark.range(1000).repartition(64)
+    assert spread_for_compute(many) is many  # identity, no new plan node
+
+
 def test_kmeans_assignment_is_broadcast_map_only(spark, sf_dir):
     # Both Lloyd scoring passes must ride a broadcast of the collapsed
     # one-row centroid array (BroadcastNestedLoopJoin over 1 row) with
