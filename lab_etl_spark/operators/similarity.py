@@ -84,12 +84,13 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     DECIMAL sums) and never touches a frame that already has enough
     splits — at production scale a table has thousands of row groups, so
     this is a structural no-op there and the points still never shuffle
-    more than once.
+    more than once.  Delegates to :func:`..catalog.fan_out` (the same
+    guard, first measured on byte-light/compute-heavy dim scans) so the
+    two cannot drift.
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n)
+    from ..catalog import fan_out
+
+    return fan_out(df)
 
 
 def embedding_quality_census(emb: DataFrame, by: str = "label") -> DataFrame:
@@ -212,10 +213,11 @@ def ivf_assign(
     # admission gate first: a zero-norm/NaN seed would poison its
     # centroid (NaN mean) and every cosine scored against it — the same
     # _finite_norm contract as the rest of the family, applied before
-    # BOTH seeding and assignment
-    corpus = corpus.filter(
-        _finite_norm(F.expr(f"SQRT({SQNORM.format(v='embedding')})"))
-    )
+    # BOTH seeding and assignment.  The norm is hoisted so the fold runs
+    # once per row and is REUSED as prepared's q_norm below.
+    corpus = corpus.withColumn(
+        "_nrm", F.expr(f"SQRT({SQNORM.format(v='embedding')})")
+    ).filter(_finite_norm(F.col("_nrm")))
     seeds = (
         corpus.orderBy(F.xxhash64("vec_id"))
         .limit(n_clusters)
@@ -245,7 +247,7 @@ def ivf_assign(
     prepared = corpus.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb_d"),
-        F.expr(f"SQRT({SQNORM.format(v='embedding')})").alias("q_norm"),
+        F.col("_nrm").alias("q_norm"),
     )
     centroids = centroids.localCheckpoint()
     for _ in range(n_iter):
@@ -265,7 +267,7 @@ def ivf_assign(
             .localCheckpoint()
         )
     final = nearest(prepared).localCheckpoint()
-    return corpus.join(final, "vec_id"), centroids
+    return corpus.drop("_nrm").join(final, "vec_id"), centroids
 
 
 def ivf_topk(
@@ -634,6 +636,14 @@ def kmeans_cells(emb: DataFrame, k: int, updates: int = 1) -> DataFrame:
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         )
+        # admission gate (hoisted norm, ONE fold per row): a NaN/Inf
+        # component would otherwise poison KM_MEAN asymmetrically across
+        # engines (Spark ANSI CAST(NaN AS DECIMAL) -> NULL silently
+        # drops the point's contribution; DuckDB throws) — the oracles
+        # gate their pts CTE identically
+        .withColumn("_nrm", F.expr(f"SQRT({SQNORM.format(v='v')})"))
+        .filter(_finite_norm(F.col("_nrm")))
+        .drop("_nrm")
     ).persist()  # scanned once per Lloyd pass + seeding; spills at worst
     seeds = (
         pts.withColumn(

@@ -930,8 +930,14 @@ def _semdedup_kmeans_oracle() -> str:
     mean = "CAST(SUM(CAST((x) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(x)"
     return f"""
     WITH pts AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (p, q) -> p + q)) AS nrm
+        FROM embeddings
+      ) WHERE isfinite(nrm) AND nrm > 0
     ),
     seeds AS (
       SELECT vec_id AS cid, v AS c FROM (
@@ -1025,10 +1031,21 @@ def _semdedup_kmeans_oracle() -> str:
 def q_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _semdedup_prune, kmeans_cells
 
+    from ..operators.similarity import SQNORM, _finite_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     # eager 1-row count: k must track the corpus (see SDK_CELL_TARGET) and
     # the seed selection is a TakeOrderedAndProject whose limit is a plan
-    # constant — the same allowed-collect class as the file censuses
-    k = max(2, emb.count() // SDK_CELL_TARGET)
+    # constant — the same allowed-collect class as the file censuses.
+    # Counted on the ADMITTED corpus (finite norm > 0): kmeans_cells
+    # gates its points the same way and the oracle counts FROM its gated
+    # pts CTE, so all three agree on dirty input too.
+    k = max(
+        2,
+        emb.filter(
+            _finite_norm(F.expr(f"SQRT({SQNORM.format(v='embedding')})"))
+        ).count()
+        // SDK_CELL_TARGET,
+    )
     sig = kmeans_cells(emb, k=k, updates=SDK_UPDATES)
     return _semdedup_readout(sig, _semdedup_prune(sig, SD_EPS))

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.similarity import (
+    _finite_norm,
     cosine_topk,
     cosine_topk_blocked,
     embedding_quality_census,
@@ -86,7 +87,13 @@ def _ivf_lsh_oracle(nbits: int = 6, n_probe: int = 3, k: int = 5) -> str:
     cell = lsh_bucket_duck(nbits)
     return f"""
     WITH ec AS (
-      SELECT vec_id, embedding, {cell} AS cell FROM embeddings
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, {cell} AS cell,
+               sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (p, q) -> p + q)) AS nrm
+        FROM embeddings
+      ) WHERE isfinite(nrm) AND nrm > 0
     ),
     q AS (
       SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
@@ -467,9 +474,15 @@ _KM_WCSS = "ROUND(CAST(SUM(CAST((dist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
 @register(
     "q_kmeans_lloyd",
     oracle=f"""
-    WITH pts AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+WITH pts AS (
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (p, q) -> p + q)) AS nrm
+        FROM embeddings
+      ) WHERE isfinite(nrm) AND nrm > 0
     ),
     c0 AS (SELECT vec_id AS cid, v AS c FROM pts WHERE vec_id < {KM_K}),
     s1 AS (
@@ -523,9 +536,17 @@ _KM_WCSS = "ROUND(CAST(SUM(CAST((dist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
 )
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread_for_compute(
-        load_table(spark, sf_dir, "embeddings").select(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
             "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
         )
+        # admission gate, mirrored by the oracle's gated pts CTE: a
+        # NaN/Inf component diverges across engines inside the
+        # DECIMAL-exact centroid means (Spark ANSI CAST(NaN AS DECIMAL)
+        # -> NULL; DuckDB throws)
+        .withColumn("_nrm", F.expr(f"SQRT({_SQNORM_SPARK.format(v='v')})"))
+        .filter(_finite_norm(F.col("_nrm")))
+        .drop("_nrm")
     ).persist()  # points are scanned once per Lloyd pass + seeding; caching
     # the point set is the canonical k-means schedule (Spark ML does the
     # same) — MEMORY_AND_DISK spill covers the 100 TB case
@@ -730,8 +751,14 @@ _PQ_ADC = "ROUND(CAST(SUM(CAST((qdist) AS DECIMAL(30,12))) AS DOUBLE), 6)"
     "q_pq_adc",
     oracle=f"""
     WITH pts AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      SELECT vec_id, v FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                 (p, q) -> p + q)) AS nrm
+        FROM embeddings
+      ) WHERE isfinite(nrm) AND nrm > 0
     ),
     sub AS (
       SELECT vec_id, g.m,
@@ -788,9 +815,15 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     pts = spread_for_compute(
-        load_table(spark, sf_dir, "embeddings").select(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
             "vec_id", F.expr("CAST(embedding AS ARRAY<DOUBLE>)").alias("v")
         )
+        # admission gate, mirrored by the oracle's gated pts CTE (same
+        # cross-engine NaN-in-DECIMAL rationale as q_kmeans_lloyd)
+        .withColumn("_nrm", F.expr(f"SQRT({_SQNORM_SPARK.format(v='v')})"))
+        .filter(_finite_norm(F.col("_nrm")))
+        .drop("_nrm")
     )
     ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
     sub = pts.crossJoin(F.broadcast(ms)).select(
@@ -895,13 +928,15 @@ def _graph_ann_oracle() -> str:
 
     return f"""
     WITH nb AS (
-      SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-             sqrt(list_reduce(
-               list_transform(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE)), x -> x * x),
-               (p, q) -> p + q)) AS nrm
-      FROM embeddings
+      SELECT vec_id, v, nrm FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_reduce(
+                 list_transform(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE)), x -> x * x),
+                 (p, q) -> p + q)) AS nrm
+        FROM embeddings
+      ) WHERE isfinite(nrm) AND nrm > 0
     ),
     hubs AS (
       SELECT vec_id AS hub_id, v AS hv, nrm AS hnrm FROM (
@@ -998,8 +1033,19 @@ def q_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     # eager 1-row count: hub cardinality must track the corpus (see
-    # GA_CELL_TARGET); the hub selection stays a TakeOrderedAndProject
-    n_hubs = max(4, em.count() // GA_CELL_TARGET)
+    # GA_CELL_TARGET); the hub selection stays a TakeOrderedAndProject.
+    # Counted on the ADMITTED corpus (finite norm > 0) — graph_ann_topk
+    # gates its base the same way and the oracle counts FROM its gated
+    # nb CTE, so all three agree on dirty input too.
+    n_hubs = max(
+        4,
+        em.filter(
+            _finite_norm(
+                F.expr(f"SQRT({_SQNORM_SPARK.format(v='embedding')})")
+            )
+        ).count()
+        // GA_CELL_TARGET,
+    )
     return graph_ann_topk(
         em,
         em.filter(F.col("vec_id") < GA_QUERIES),

@@ -118,6 +118,23 @@ def test_ivf_assign_never_seeds_garbage(spark):
     )
 
 
+def test_kmeans_cells_admits_only_finite_vectors(spark):
+    from lab_etl_spark.operators.similarity import kmeans_cells
+
+    # NaN components diverge across engines inside the DECIMAL-exact
+    # centroid means (Spark ANSI CAST(NaN AS DECIMAL) -> NULL silently
+    # drops the term; DuckDB throws), so garbage must never reach the
+    # Lloyd update — the oracles gate their pts CTE identically
+    sig = kmeans_cells(
+        _emb(spark, CLEAN + GARBAGE).select("vec_id", "embedding"), k=2
+    )
+    try:
+        ids = {r.vec_id for r in sig.collect()}
+    finally:
+        sig.unpersist()
+    assert ids == {0, 1, 2, 3}
+
+
 def test_semdedup_never_drops_for_garbage(spark):
     # eps=0.0: every finite same-cell cosine >= 0 pair drops the larger id,
     # so any garbage-vector pair admitted by a broken guard would surface

@@ -10,10 +10,11 @@ Spark-side division must be one of
 
   * ``try_divide`` (NULL on zero, identical doubles otherwise — matches
     DuckDB's native ``/`` semantics, so oracles stay in lockstep);
-  * a STRUCTURALLY-SAFE denominator (numeric literal; ``COUNT`` — an
-    emitted group has >= 1 row, and a zero non-null-count forces a NULL
-    numerator, which short-circuits Spark's Divide before the zero
-    check);
+  * a STRUCTURALLY-SAFE denominator (numeric literal; ``COUNT(*)`` /
+    ``COUNT(1)`` — an emitted group has >= 1 row.  ``COUNT(col)`` is NOT
+    auto-safe: only when the numerator aggregates the SAME column does a
+    zero count force a NULL numerator that short-circuits Divide, so
+    those sites carry allowlist entries instead);
   * an ALLOWLISTED site carrying a written justification for why the
     denominator cannot be zero on any input (not just the test lake).
 
@@ -68,6 +69,17 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "SET-SIZE: per-doc shingle count >= 1 by sig construction",
     ("lab_etl_spark/queries/dedup.py", 'F.sum("n_words")'):
         "POSITIVE-SUM: each passage row carries n_words >= 1",
+    ("lab_etl_spark/operators/similarity.py", "COUNT(x)"):
+        "SAME-COLUMN: KM_MEAN divides SUM(CAST((x) AS DECIMAL)) by "
+        "COUNT(x) — a zero count forces a NULL numerator, which Divide "
+        "short-circuits before the ANSI zero check",
+    ("lab_etl_spark/queries/similarity.py", "COUNT(x)"):
+        "SAME-COLUMN: _KM_MEAN, identical SUM(x)/COUNT(x) shape",
+    ("lab_etl_spark/queries/relational.py",
+     'F.count("value").over(frame)'):
+        "SAME-COLUMN: the numerator is SUM of a cast of the same "
+        "'value' column over the same frame — zero count forces a NULL "
+        "numerator",
     ("lab_etl_spark/operators/graph.py", 'F.col("n")'):
         "COUNT-alias: vertex count; an empty graph emits no rows at all",
     ("lab_etl_spark/operators/graph.py", "d"):
@@ -233,8 +245,11 @@ _SAFE_SQL_DEN = re.compile(
     r"""^(
         \d+(\.\d+)?[DdLl]?                  # numeric literal
       | CAST\s*\(\s*-?\d+(\.\d+)?\s+AS\s+\w+\s*\)   # cast literal
-      | COUNT\s*\(                          # COUNT(...): see module doc
-      | \(\s*COUNT\s*\(
+      | COUNT\s*\(\s*(\*|1\s*\))            # COUNT(*) / COUNT(1) only:
+                                            # COUNT(col) with a DIFFERENT
+                                            # column than the numerator can
+                                            # be a non-null 0 divisor
+      | \(\s*COUNT\s*\(\s*(\*|1\s*\))
     )""",
     re.VERBOSE | re.IGNORECASE,
 )
@@ -242,7 +257,7 @@ _SAFE_SQL_DEN = re.compile(
 
 def _sql_hits(rel: str, lineno: int, text: str) -> list[tuple[str, int, str]]:
     hits = []
-    for m in re.finditer(r"/(?!/)", text):
+    for m in re.finditer(r"(?<!/)/(?!/)", text):
         # skip '//' (DuckDB int div never reaches here; defensive) and
         # the '/' inside 'try_divide' argument lists is fine by design —
         # only a BARE division operator is a hazard
@@ -292,7 +307,10 @@ class _Auditor(ast.NodeVisitor):
                 # the ANSI zero check
                 safe = (
                     isinstance(node.right, ast.Constant)
-                    or re.match(r"^F\.(lit|count)\(", den)
+                    # F.count(F.lit(..)) counts rows (>= 1 per emitted
+                    # group); F.count(col) of a DIFFERENT column than the
+                    # numerator can be a non-null 0 divisor -> allowlist
+                    or re.match(r"^F\.lit\(|^F\.count\(\s*F\.lit\(", den)
                     # a module-level numeric constant is a compile-time
                     # non-zero denominator (zero would be written 0)
                     or (
