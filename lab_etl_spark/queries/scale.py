@@ -651,15 +651,18 @@ _LINREG_READOUT = """
 #: same double division otherwise.  DuckDB's / already yields NULL on a
 #: zero double divisor, so the twins agree row-for-row on degenerate
 #: groups too (tests/test_ansi_division.py pins both properties).  The
-#: final `/ n` stays bare: n = COUNT(*) >= 1 by construction.
-_LINREG_READOUT_SPARK = """
-       CAST(n AS DOUBLE) AS n_points,
-       try_divide((n * sxy - sx * sy), (n * sxx - sx * sx)) AS slope,
-       (sy - try_divide((n * sxy - sx * sy), (n * sxx - sx * sx)) * sx) / n
-           AS intercept,
-       try_divide(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-           , ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS r2
-"""
+#: final `/ n` stays bare: n = COUNT(*) >= 1 by construction.  A tuple of
+#: one expression per output column (NOT one comma-joined blob split back
+#: apart at the call site — a reformat that moves a comma would silently
+#: split inside try_divide and hand selectExpr invalid fragments).
+_LINREG_READOUT_SPARK = (
+    "CAST(n AS DOUBLE) AS n_points",
+    "try_divide((n * sxy - sx * sy), (n * sxx - sx * sx)) AS slope",
+    "(sy - try_divide((n * sxy - sx * sy), (n * sxx - sx * sx)) * sx) / n"
+    " AS intercept",
+    "try_divide(((n * sxy - sx * sy) * (n * sxy - sx * sy)),"
+    " ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS r2",
+)
 
 
 @register(
@@ -721,9 +724,9 @@ def q_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS STRING) AS DOUBLE)"
         ).alias("syy"),
     )
-    return sums.selectExpr("event_type", *[
-        e.strip() for e in _LINREG_READOUT_SPARK.split(",\n")
-    ]).orderBy("event_type")
+    return sums.selectExpr(
+        "event_type", *_LINREG_READOUT_SPARK
+    ).orderBy("event_type")
 
 
 #: 52 exact uniform bits for the weighted-sample key (same scaling trick as

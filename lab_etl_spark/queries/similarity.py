@@ -27,6 +27,11 @@ _SQNORM_DUCK = (
     "list_reduce(list_transform({v},"
     " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)"
 )
+#: DuckDB admission predicate over a computed norm column — the oracle twin
+#: of operators/similarity._finite_norm.  Centralized (like _SQNORM_DUCK)
+#: so the rule can't drift between the oracle's census sites when the
+#: Spark-side admission test next changes.
+_ADMIT_DUCK = "{n} IS NOT NULL AND isfinite({n}) AND {n} > 0"
 
 
 @register(
@@ -262,15 +267,15 @@ def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(CASE WHEN nrm IS NOT NULL AND isfinite(nrm) AND nrm > 0
+           CAST(SUM(CASE WHEN {_ADMIT_DUCK.format(n='nrm')}
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
            CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_norm,
            CAST(SUM(CASE WHEN nrm IS NULL OR NOT isfinite(nrm)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
-           ROUND(MIN(CASE WHEN nrm IS NOT NULL AND isfinite(nrm) AND nrm > 0
+           ROUND(MIN(CASE WHEN {_ADMIT_DUCK.format(n='nrm')}
                           THEN nrm END), 6) AS min_norm,
-           ROUND(MAX(CASE WHEN nrm IS NOT NULL AND isfinite(nrm) AND nrm > 0
+           ROUND(MAX(CASE WHEN {_ADMIT_DUCK.format(n='nrm')}
                           THEN nrm END), 6) AS max_norm
     FROM n GROUP BY label
     """,

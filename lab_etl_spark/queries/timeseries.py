@@ -349,6 +349,48 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_running_stats",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           {dsum('value', 6)} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    bench=False,  # drains a streaming query; not a plan-timing benchmark
+    doc="Arbitrary-state streaming running stats (streaming/jobs.py "
+    "user_running_stats): per-user running count/sum/min/max with O(1) "
+    "state per key carried across micro-batches, drained via "
+    "availableNow.  Engine path is capability-gated: Spark 4's "
+    "transformWithState API (named typed ValueState column families, "
+    "TTL, timers) when the runtime carries its protobuf dependency, "
+    "else the applyInPandasWithState fold — BOTH paths share one exact "
+    "fold (_running_stats_fold) and are bit-identical by construction; "
+    "this container lacks the protobuf wheel, so the driver exercises "
+    "the legacy path and the tws path is pinned by a documented-skip "
+    "test (test_running_stats_tws_api).  The double sum is accumulated "
+    "as an exact 6-dp decimal (string-carried state), so output is "
+    "bit-identical for ANY batch arrival order and the oracle is plain "
+    "dsum algebra; multi-batch state carry-over is pinned by "
+    "tests/test_streaming_multimodal.py::"
+    "test_running_stats_batch_invariant.",
+)
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import (
+        run_available_now,
+        stream_events,
+        user_running_stats,
+    )
+
+    name = "q_running_stats_mem"
+    return run_available_now(
+        user_running_stats(stream_events(spark, sf_dir)),
+        name,
+        output_mode="update",
+    )
+
+
+@register(
     "q_interval_join",
     oracle="""
     SELECT c.user_id,
@@ -1354,7 +1396,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seasonal AS (
       SELECT event_type, hour_of_day, s_mean, n,
-             SQRT(s2 / n - (s1 / n) * (s1 / n)) AS s_sigma
+             SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS s_sigma
       FROM sums
     )
     SELECT e.event_id, e.event_type, hour(e.ts) AS hour_of_day, e.value,
@@ -1398,7 +1440,13 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_of_day",
         "s_mean",
         "n",
-        "SQRT(s2 / n - (s1 / n) * (s1 / n)) AS s_sigma",
+        # GREATEST(..., 0): fp cancellation on a near-constant stratum can
+        # make the variance identity slightly negative; Spark's SQRT would
+        # yield NaN (which passes BOTH s_sigma > 0 and abs(z) > 3 — NaN
+        # compares true in both engines) while DuckDB's sqrt(negative)
+        # throws.  Clamping in BOTH engine texts makes a degenerate bucket
+        # sigma = 0, excluded identically by the existing s_sigma > 0 gate.
+        "SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS s_sigma",
     )
     # try_divide, NOT a bare / guarded by the s_sigma > 0 conjunct below:
     # Spark does not guarantee conjunct evaluation order (the optimizer may

@@ -239,3 +239,70 @@ def test_regex_queries_handle_metacharacter_text(spark, sf_dir, tmp_path):
     ]:
         q = REGISTRY[name]
         compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), name)
+
+
+def test_anomaly_seasonal_constant_stratum_no_nan(spark, sf_dir, tmp_path):
+    """A constant-value stratum whose variance identity s2/n - (s1/n)^2
+    goes slightly NEGATIVE under fp cancellation must yield sigma = 0
+    (excluded), not sigma = NaN: NaN passes both ``s_sigma > 0`` and
+    ``abs(z) > 3`` in Spark (NaN compares true), emitting bogus anomaly
+    rows, while DuckDB's sqrt(negative) throws — so pre-clamp the two
+    engines didn't even fail the same way.  The planted value is chosen
+    so the decimal-rounded Σv² undershoots (Σv/n)²; the premise is
+    re-asserted here so a value that stops cancelling fails loudly."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lab_etl_spark.catalog import load_table
+
+    v, n = 1064127.8931, 40
+    dst = tmp_path / "const_stratum"
+    dst.mkdir()
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "events":
+            base = df.count()
+            t0 = datetime(2024, 1, 1, 5, 10, 0)
+            extra = spark.createDataFrame(
+                [
+                    (
+                        base + i,
+                        t0 + timedelta(seconds=i),
+                        1,
+                        "const_stratum",
+                        v,
+                        "{}",
+                    )
+                    for i in range(n)
+                ],
+                df.schema,
+            )
+            df = df.unionByName(extra)
+        df.toPandas().to_parquet(str(dst / f"{t}.parquet"), index=False)
+
+    # premise: the unclamped identity IS negative for the planted stratum
+    # in Spark's decimal-sum arithmetic (same expression text the query
+    # used before the GREATEST clamp)
+    inner = spark.sql(
+        f"""
+        WITH sums AS (
+          SELECT CAST(SUM(CAST((value) AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST((value * value) AS DECIMAL(30,6))) AS DOUBLE)
+                   AS s2,
+                 COUNT(*) AS n
+          FROM parquet.`{dst}/events.parquet`
+          WHERE event_type = 'const_stratum'
+        )
+        SELECT s2 / n - (s1 / n) * (s1 / n) AS inner FROM sums
+        """
+    ).first()["inner"]
+    assert inner < 0, f"planted stratum no longer cancels: inner={inner}"
+
+    q = REGISTRY["q_anomaly_seasonal"]
+    out = q.fn(spark, str(dst)).toPandas()
+    assert not out["seasonal_z"].isna().any()
+    assert (out["event_type"] != "const_stratum").all()
+    # and the oracle no longer throws on sqrt(negative): full driver compare
+    con = duck_con(str(dst))
+    compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), q.name)

@@ -61,9 +61,7 @@ def test_bare_division_by_zero_throws_here(spark):
 
 def test_linreg_readout_twin(spark):
     df = spark.createDataFrame([DEGENERATE, REGULAR], STATS_SCHEMA)
-    rows = df.selectExpr(
-        *[e.strip() for e in _LINREG_READOUT_SPARK.split(",\n")]
-    ).collect()
+    rows = df.selectExpr(*_LINREG_READOUT_SPARK).collect()
     # degenerate: NULL slope/r2, no crash
     degr = [r for r in rows if r.slope is None]
     regr = [r for r in rows if r.slope is not None]
