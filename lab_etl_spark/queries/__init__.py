@@ -88,22 +88,33 @@ def register(
 #     q_potential_promotion, q_commitlog_roundtrip, q_scd2_lookup), then
 #     ~38 of the 46 non-fronted r5 cohort by staleness; the ~8 that spill
 #     stay at r5 so the post-r9 invariant is "no driver row predates r5".
+#   round 10 (this list): the three changed-text queries fronted (see
+#     _WINDOW_FRONT), then the staleness drain continues: the 9 r5
+#     veterans (q_anomaly_seasonal is already fronted; the other 8 follow
+#     via _LAST_GREEN order), then ~39 of the 49-strong r6 cohort; the
+#     ~10 that spill stay at r6 so the post-r10 invariant is "no driver
+#     row predates r6".
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # round 9: the four late-r8 literal-oracle promotions whose last driver
-    # rows were rows-only (err: no_oracle) — their new golden-pin oracles
-    # have never seen a driver row; front them so CORRECTNESS_r09 makes the
-    # registry 100%-driver-hash-verified.
-    "q_phash_dedup",
-    "q_audio_fingerprint",
-    "q_video_frames",
-    "q_image_resize",
+    # round 10: the three queries whose engine/oracle text changed this
+    # round while closing the r9 ADVICE findings — q_anomaly_seasonal
+    # (GREATEST clamp on the variance identity, BOTH engine texts: a
+    # fp-cancelled constant stratum now yields sigma 0, not NaN rows /
+    # a DuckDB sqrt error), q_linreg_trend (readout stored as per-column
+    # expression tuple instead of a comma-split blob), and
+    # q_embedding_quality (oracle admission predicate hoisted into
+    # _ADMIT_DUCK).  All value-identical on clean corpora, but the new
+    # texts have never seen a driver row; front them so CORRECTNESS_r10
+    # re-verifies them, then drain the r5/r6 staleness tail.
+    "q_anomaly_seasonal",
+    "q_linreg_trend",
+    "q_embedding_quality",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
-# CORRECTNESS_r0{1..7}.json via tools/regen_last_green.py (hash_match
+# CORRECTNESS_r0{1..9}.json via tools/regen_last_green.py (hash_match
 # true, or rows-only with rows returned).  Orders the veteran fill of
 # the window: stalest first.  Queries absent from this map have never
 # been driver-checked and sort ahead of all veterans automatically.
@@ -142,56 +153,56 @@ _LAST_GREEN = {
     "q_small_qty_revenue": 7, "q_idle_customers": 7,
     "q_nation_year_profit": 7, "q_disjunctive_join": 7,
     "q_multimodal_decode": 8, "q_window_distribution": 7,
-    "q_zorder_skipping": 4, "q_frequent_ngrams": 7, "q_argmin_join": 8,
+    "q_zorder_skipping": 9, "q_frequent_ngrams": 7, "q_argmin_join": 8,
     "q_exists_agg": 8, "q_sole_supplier_wait": 8, "q_global_share": 8,
     "q_scd2_build": 8, "q_vocab_oov": 8, "q_source_mix_weights": 8,
     "q_cdc_merge": 8, "q_pagerank": 8, "q_event_pattern": 8,
     "q_schema_evolution": 8, "q_null_semantics": 8, "q_fuzzy_match": 8,
     "q_doc_chunking": 8, "q_group_sample": 8, "q_robust_stats": 8,
-    "q_entity_resolution": 8, "q_hll_rollup": 6, "q_forecast_revenue": 4,
-    "q_volume_shipping": 4, "q_shipmode_priority": 4,
-    "q_parts_supplier_count": 4, "q_potential_promotion": 4,
-    "q_commitlog_roundtrip": 4, "q_heavy_hitters_cms": 8, "q_kmv_distinct": 8,
+    "q_entity_resolution": 8, "q_hll_rollup": 6, "q_forecast_revenue": 9,
+    "q_volume_shipping": 9, "q_shipmode_priority": 9,
+    "q_parts_supplier_count": 9, "q_potential_promotion": 9,
+    "q_commitlog_roundtrip": 9, "q_heavy_hitters_cms": 8, "q_kmv_distinct": 8,
     "q_bloom_join_prune": 8, "q_triangle_count": 8, "q_ewma_batch": 8,
     "q_rolling_1h": 8, "q_bucketed_join": 8, "q_partition_pruning": 8,
     "q_incremental_agg": 8, "q_linreg_trend": 8, "q_time_travel": 8,
     "q_user_purge": 8, "q_histogram": 8, "q_data_quality": 8,
     "q_curation_pipeline": 8, "q_stream_cms_merge": 8, "q_orc_roundtrip": 8,
-    "q_video_frames": 4, "q_sql_udf": 8, "q_scd2_lookup": 4,
+    "q_video_frames": 9, "q_sql_udf": 8, "q_scd2_lookup": 9,
     "q_dynamic_partition_pruning": 8, "q_date_spine_fill": 8,
     "q_rfm_segmentation": 8, "q_gini_concentration": 8,
-    "q_jsonl_roundtrip": 5, "q_corrupt_records": 5, "q_setsim_join": 5,
-    "q_dedup_passages": 5, "q_dedup_containment": 5, "q_bm25": 5,
-    "q_cooccurrence_pmi": 5, "q_bigram_novelty": 5, "q_udtf_token_offsets": 5,
-    "q_stats_pruning": 5, "q_point_lookup_bloom": 5, "q_xml_roundtrip": 5,
-    "q_kmv_intersect": 5, "q_shortest_path": 5, "q_weighted_sample": 5,
-    "q_negative_sampling": 5, "q_embedding_quantize": 5, "q_corr_matrix": 5,
-    "q_changepoint": 5, "q_attribution": 5, "q_seasonal_decompose": 5,
+    "q_jsonl_roundtrip": 5, "q_corrupt_records": 5, "q_setsim_join": 9,
+    "q_dedup_passages": 9, "q_dedup_containment": 9, "q_bm25": 9,
+    "q_cooccurrence_pmi": 9, "q_bigram_novelty": 9, "q_udtf_token_offsets": 9,
+    "q_stats_pruning": 9, "q_point_lookup_bloom": 9, "q_xml_roundtrip": 9,
+    "q_kmv_intersect": 9, "q_shortest_path": 9, "q_weighted_sample": 9,
+    "q_negative_sampling": 9, "q_embedding_quantize": 9, "q_corr_matrix": 9,
+    "q_changepoint": 9, "q_attribution": 5, "q_seasonal_decompose": 5,
     "q_anomaly_seasonal": 5, "q_stream_enrich": 5, "q_top_movers": 5,
-    "q_transition_matrix": 5, "q_market_basket": 5, "q_recursive_cte": 5,
-    "q_dtw_distance": 5, "q_phash_dedup": 5, "q_audio_fingerprint": 5,
-    "q_image_resize": 5, "q_unigram_logprob": 5, "q_feature_hashing": 5,
-    "q_kl_divergence": 5, "q_bpe_train": 5, "q_stream_dedup": 5, "q_kcore": 5,
-    "q_hll_portable": 5, "q_quantile_histogram": 5, "q_label_propagation": 5,
-    "q_lsh_recall": 5, "q_dp_counts": 5, "q_bootstrap_ci": 5,
-    "q_kanonymity": 5, "q_mutual_information": 5, "q_skyline_2d": 5,
-    "q_abtest_cuped": 5, "q_random_projection": 5, "q_kmeans_lloyd": 5,
+    "q_transition_matrix": 5, "q_market_basket": 9, "q_recursive_cte": 9,
+    "q_dtw_distance": 5, "q_phash_dedup": 9, "q_audio_fingerprint": 9,
+    "q_image_resize": 9, "q_unigram_logprob": 9, "q_feature_hashing": 9,
+    "q_kl_divergence": 9, "q_bpe_train": 9, "q_stream_dedup": 9, "q_kcore": 9,
+    "q_hll_portable": 9, "q_quantile_histogram": 9, "q_label_propagation": 9,
+    "q_lsh_recall": 9, "q_dp_counts": 9, "q_bootstrap_ci": 9,
+    "q_kanonymity": 9, "q_mutual_information": 9, "q_skyline_2d": 9,
+    "q_abtest_cuped": 9, "q_random_projection": 9, "q_kmeans_lloyd": 9,
     "q_rrf_fusion": 6, "q_acf": 6, "q_arrow_roundtrip": 6,
     "q_attribution_markov": 6, "q_funnel_windowed": 6, "q_interval_merge": 6,
     "q_langid_confusion": 6, "q_ntile_binning": 6,
     "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 6, "q_semdedup": 8,
     "q_pq_adc": 6, "q_importance_resampling": 6, "q_semdedup_kmeans": 7,
     "q_graph_ann": 7, "q_dedup_incremental": 8, "q_delta_export": 8,
+    "q_embedding_quality": 9,
 }
 
-# ROUND-10 ROTATION DUTY: regenerate _LAST_GREEN from
-# CORRECTNESS_r0{1..9}.json (tools/regen_last_green.py), front any
-# round-9 red rows plus promoted/changed oracles, then continue the
-# staleness cycle: after round 9 the oldest cohort is r5 (the ~8 spilled
-# veterans), then the r6 cohort (~49 queries) by staleness.
-# q_embedding_quality (new in round 9, session 2) is absent from
-# _LAST_GREEN on purpose: never-checked entries sort ahead of all
-# veterans, so it enters the round-9 window right after _WINDOW_FRONT.
+# ROUND-11 ROTATION DUTY: regenerate _LAST_GREEN from
+# CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json (extend
+# tools/regen_last_green.py's glob if needed), front any round-10 red
+# rows plus promoted/changed oracles, then continue the staleness cycle:
+# after round 10 the oldest cohort is r6 (the ~10 spilled veterans),
+# then the r7 cohort (50 queries) by staleness.  Pre-flight with
+# tools/simulate_window.py 50 as every round.
 
 
 def load_all() -> dict[str, Query]:
