@@ -66,26 +66,32 @@ BASELINE_R1 = {
 BASELINE_R1_FLOOR = 0.0659
 
 
-def _load_cold_baseline() -> tuple[dict[str, float], float, float] | None:
-    """(per-query seconds, host_floor, canary q_unpivot seconds) from the
-    committed round-8 honest-cold artifact — the official gate baseline
-    (BASELINE.md 'Perf gate').  Returns None if the artifact is missing or
-    unreadable (a stripped checkout); the caller then falls back to the r1
-    warm map and says so, rather than killing the bench."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_r8_final.json"
-    )
-    try:
-        with open(path) as f:
-            d = json.load(f)
-        q = {k: float(v) for k, v in d["queries"].items()}
-        return q, float(d["host_floor"]), q["q_unpivot"]
-    except Exception as e:  # noqa: BLE001 — a malformed artifact (list
-        # where a dict is expected, nulls) must degrade to the fallback
-        # AFTER the measured run, never crash the bench and lose timings
-        print(f"# cold baseline unavailable ({e!r}); gating vs r1 warm map",
-              file=sys.stderr)
-        return None
+def _load_cold_baseline() -> (
+    tuple[dict[str, float], float, float, str] | None
+):
+    """(per-query seconds, host_floor, canary q_unpivot seconds, artifact
+    name) from the committed honest-cold gate artifact (BASELINE.md 'Perf
+    gate'): the round-10 recording first — it covers every benched query,
+    including the 34 added after round 8 — then the round-8 artifact for
+    stripped checkouts.  Returns None if neither is readable; the caller
+    then falls back to the r1 warm map and says so, rather than killing
+    the bench."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_err: Exception | None = None
+    for name in ("bench_r10_baseline.json", "bench_r8_final.json"):
+        try:
+            with open(os.path.join(here, name)) as f:
+                d = json.load(f)
+            q = {k: float(v) for k, v in d["queries"].items()}
+            return q, float(d["host_floor"]), q["q_unpivot"], name
+        except Exception as e:  # noqa: BLE001 — a malformed artifact
+            # (list where a dict is expected, nulls) must degrade to the
+            # next candidate / the fallback AFTER the measured run, never
+            # crash the bench and lose timings
+            last_err = e
+    print(f"# cold baseline unavailable ({last_err!r}); gating vs r1 "
+          f"warm map", file=sys.stderr)
+    return None
 
 
 def main() -> None:
@@ -175,6 +181,38 @@ def main() -> None:
         print(f"# {name}: {v:.3f}s", file=sys.stderr)
     print(f"# host_floor: {floor:.4f}s", file=sys.stderr)
 
+    # One timed COLD run for every bench-EXCLUDED query (side-effecting
+    # writes, streaming drains, media-literal reads — shapes min-of-3
+    # plan timing doesn't fit).  Not gated and not part of the 2x check;
+    # recorded in the artifact so a regression in the roundtrip /
+    # streaming / lake-layout family is at least visible round-over-round
+    # instead of invisible (round-9 verdict, "What's missing" #1).  A
+    # single trial means host steal can inflate any one number — compare
+    # trends across rounds, not single entries.  SPARK_GRAFT_BENCH_IO=0
+    # skips the pass (iteration-speed escape hatch).
+    io_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_IO", "1") != "0":
+        for name, q in sorted(registry.items()):
+            if q.bench:
+                continue
+            t0 = time.perf_counter()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                io_timings[name] = round(time.perf_counter() - t0, 4)
+                del df
+            except Exception as e:  # noqa: BLE001 — the ungated io pass
+                # must never kill the gated run's report
+                print(f"# io-family {name} failed: {e}", file=sys.stderr)
+                io_timings[name] = -1.0
+            gc.collect()
+            spark.catalog.clearCache()
+        print(
+            f"# io-family pass done ({len(io_timings)} queries, "
+            f"{sum(v for v in io_timings.values() if v > 0):.1f}s)",
+            file=sys.stderr,
+        )
+
     # Self-auditing 2x-gate vs the OFFICIAL cold baseline (round-8 honest-
     # cold artifact; like-for-like with this run's cold methodology), per-
     # query raw and host-floor-normalized (this host's CPU-steal level
@@ -190,8 +228,8 @@ def main() -> None:
     # make ratios look worse, never hide a regression) and flag loudly.
     cold = _load_cold_baseline()
     if cold is not None:
-        base_map, base_floor, base_canary = cold
-        baseline_source = "bench_r8_final.json (cold, official)"
+        base_map, base_floor, base_canary, base_name = cold
+        baseline_source = f"{base_name} (cold, official)"
     else:
         base_map, base_floor, base_canary = (
             BASELINE_R1, BASELINE_R1_FLOOR, BASELINE_R1["q_unpivot"]
@@ -252,6 +290,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "queries": timings,
+        "io_family_queries": io_timings,
         "ratio_vs_baseline": ratios,
         "ratio_vs_baseline_norm": ratios_norm,
         "baseline_source": baseline_source,
