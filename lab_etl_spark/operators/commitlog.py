@@ -335,7 +335,11 @@ def compact_logged(
     )
 
     def _write(d: str) -> None:
-        w = staged.write.mode("overwrite")
+        from ..sources.sink import ROW_GROUP_BYTES
+
+        w = staged.write.mode("overwrite").option(
+            "parquet.block.size", ROW_GROUP_BYTES
+        )
         if partition_cols:
             w = w.partitionBy(*partition_cols)
         w.parquet(d)

@@ -94,6 +94,8 @@ def write_zordered(
     z-curve of ``cols``: one range shuffle (sampled bounds, same mechanism
     as a global sort) and an in-partition sort to tighten row-group stats
     within each file."""
+    from ..sources.sink import ROW_GROUP_BYTES
+
     z = zorder_key(df, cols, bits)
     (
         df.withColumn("_z", z)
@@ -101,5 +103,6 @@ def write_zordered(
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode(mode)
+        .option("parquet.block.size", ROW_GROUP_BYTES)
         .parquet(path)
     )

@@ -15,6 +15,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Writer-side row-group bound for every parquet sink in this repo.
+#: Parquet scan splits are byte ranges, but a range only reads the row
+#: groups whose start falls inside it — so a large SINGLE-row-group file
+#: scans as one task no matter how maxPartitionBytes is tuned, serializing
+#: flop-bound downstream stages onto one core (the round-9 scan-split
+#: finding; operators/similarity.spread_for_compute is the READ-side
+#: workaround for foreign lakes).  Bounding the row group at write time
+#: fixes it structurally for repo-written lakes: any file over the bound
+#: carries >= 2 row groups, so split tuning regains leverage.  16 MiB =
+#: 8 groups per 128 MiB compacted file — fine-grained enough for a 32-way
+#: local session or a 1000-executor scan, coarse enough that per-group
+#: metadata/compression overhead stays negligible.
+ROW_GROUP_BYTES = 16 << 20
+
 
 def write_parquet(
     df: DataFrame,
@@ -23,6 +37,7 @@ def write_parquet(
     partition_by: list[str] | None = None,
     compression: str = "snappy",
     unit_check: bool = True,
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> None:
     if unit_check:
         # automatic unit-consistency gate on the instrument-lake egress:
@@ -34,7 +49,11 @@ def write_parquet(
         from ..meta import check_unit_consistency
 
         check_unit_consistency(df)
-    writer = df.write.mode(mode).option("compression", compression)
+    writer = (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("parquet.block.size", row_group_bytes)
+    )
     if partition_by is None and "instrument_type" in df.columns:
         partition_by = ["instrument_type"]
     if partition_by:
@@ -63,6 +82,7 @@ def compact_table(
     path: str,
     target_bytes: int = 128 << 20,
     partition_cols: list[str] | None = None,
+    row_group_bytes: int = ROW_GROUP_BYTES,
 ) -> dict:
     """Small-file compaction for a (possibly partitioned) parquet lake table.
 
@@ -101,7 +121,9 @@ def compact_table(
 
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
-    writer = staged.write.mode("overwrite")
+    writer = staged.write.mode("overwrite").option(
+        "parquet.block.size", row_group_bytes
+    )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)

@@ -54,3 +54,58 @@ def test_compact_unpartitioned_table(spark, sf_dir, tmp_path):
     after = _fingerprint(spark.read.parquet(path))
     assert (after["h"], after["n"]) == (before["h"], before["n"])
     assert stats["files_after"] == 1 < stats["files_before"]
+
+
+def test_repo_written_lake_has_bounded_row_groups(spark, tmp_path):
+    """Writer-side fix for the round-9 scan-split finding: a parquet scan
+    split only reads row groups whose START falls in its byte range, so a
+    large single-row-group file serializes flop-bound downstream stages
+    onto one core regardless of maxPartitionBytes
+    (operators/similarity.spread_for_compute is the read-side workaround
+    for FOREIGN lakes).  Repo-written lakes must never exhibit the
+    pathology: compact_table bounds parquet.block.size, so an sf0.1-sized
+    table lands with multiple row groups and scans as >1 non-empty split
+    once maxPartitionBytes is tuned down."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.1/lineitem.parquet"
+    if not _os.path.exists(src):
+        import pytest as _pytest
+
+        _pytest.skip("sf0.1 testdata not present")
+    path = str(tmp_path / "li_rg_lake")
+    spark.read.parquet(src).write.parquet(path)  # fresh writable copy
+    # compact to ONE file (huge target) with a 1 MiB row-group bound —
+    # the same mechanism as the 16 MiB production default, scaled to the
+    # ~10 MB sf0.1 table so the test stays fast
+    stats = compact_table(
+        spark, path, target_bytes=1 << 30, row_group_bytes=1 << 20
+    )
+    assert stats["files_after"] == 1
+    (part,) = _glob.glob(_os.path.join(path, "*.parquet"))
+    n_groups = pq.ParquetFile(part).metadata.num_row_groups
+    assert n_groups > 1, (
+        f"single-file compaction produced {n_groups} row group(s); the "
+        f"parquet.block.size bound is not reaching the writer"
+    )
+    # and the row groups give scan splits real work: with a matching
+    # maxPartitionBytes, >1 split returns rows
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(1 << 20))
+        n_busy = (
+            spark.read.parquet(path)
+            .select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .count()
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert n_busy > 1, (
+        "bounded-row-group file still scans as one non-empty split"
+    )
