@@ -841,3 +841,79 @@ def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: (name, lane) — the lineitem columns q_parquet_footer_stats censuses:
+#: every numeric/temporal column rides the DOUBLE lane (timestamps as
+#: epoch microseconds), the two flag columns ride the string lane.
+_FOOTER_COLS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_shipdate", "ts"), ("l_returnflag", "str"), ("l_linestatus", "str"),
+]
+
+
+def _footer_oracle() -> str:
+    parts = []
+    for c, lane in _FOOTER_COLS:
+        if lane == "num":
+            mn = f"CAST(MIN({c}) AS DOUBLE) + 0.0"
+            mx = f"CAST(MAX({c}) AS DOUBLE) + 0.0"
+            ms = msx = "CAST(NULL AS VARCHAR)"
+        elif lane == "ts":
+            mn = f"CAST(epoch_us(MIN({c})) AS DOUBLE) + 0.0"
+            mx = f"CAST(epoch_us(MAX({c})) AS DOUBLE) + 0.0"
+            ms = msx = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            ms, msx = f"MIN({c})", f"MAX({c})"
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT({c}) AS BIGINT) AS"
+            f" n_values, CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS"
+            f" null_count, {mn} AS min_num, {mx} AS max_num,"
+            f" {ms} AS min_str, {msx} AS max_str FROM lineitem"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@register(
+    "q_parquet_footer_stats",
+    oracle=_footer_oracle(),
+    doc="Format-native statistics census (sources/footer.py): read the "
+    "parquet FOOTER row-group stats of the lineitem table — executor-side "
+    "mapInPandas over the driver-side file listing, one few-KB footer "
+    "read per task, zero data pages — and roll them up per column "
+    "(Σ n_values, Σ null_count, min of mins, max of maxes).  The oracle "
+    "computes the same census from the DATA, so the driver check proves "
+    "the footer decode (int/double/epoch-unit/sign, the -0.0 fold, "
+    "non-null counting) against a second engine's full scan: the stats "
+    "the pruning planner trusts are the stats the rows actually have.  "
+    "This is the row-group-granular twin of the commit-log manifest "
+    "stats (q_stats_pruning prunes FILES from the manifest; "
+    "operators/footer.prune_row_groups prunes GROUPS from the footer — "
+    "tests/test_footer_stats.py pins the skip fraction on a z-ordered "
+    "multi-row-group layout).  At 100 TB this is the Iceberg planning-"
+    "phase shape: a parallel manifest/footer read in seconds, no scan.",
+    bench=False,  # one footer read + a tiny agg; timing is all task setup
+)
+def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.footer import footer_rowgroup_stats
+
+    stats = footer_rowgroup_stats(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[c for c, _lane in _FOOTER_COLS],
+    )
+    return (
+        stats.withColumnRenamed("column", "col_name").groupBy("col_name")
+        .agg(
+            F.sum("n_values").alias("n_values"),
+            F.sum("null_count").alias("null_count"),
+            (F.min("min_num") + F.lit(0.0)).alias("min_num"),
+            (F.max("max_num") + F.lit(0.0)).alias("max_num"),
+            F.min("min_str").alias("min_str"),
+            F.max("max_str").alias("max_str"),
+        )
+        .orderBy("col_name")
+    )

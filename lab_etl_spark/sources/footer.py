@@ -1,0 +1,204 @@
+"""Parquet footer / row-group statistics reader — format-native data
+skipping, the complement of the commit-log manifest stats
+(operators/commitlog.py ``stats_cols``).
+
+The commit log prunes at FILE granularity from the manifest; the parquet
+footer carries the same min/max/null-count evidence one level finer — per
+ROW GROUP — written by every parquet writer on earth.  Reading it back as
+a DataFrame gives the engine (and its users) three things:
+
+  * a pruning planner: which row groups of which files can a range
+    predicate touch (``prune_row_groups``) — the decision Spark's own
+    parquet reader makes internally, exposed as data so layouts can be
+    AUDITED (is the z-order actually clustering? how much would this
+    predicate skip?) instead of trusted;
+  * a zero-scan table census (rows/bytes/nulls per column per file) for
+    lake health dashboards;
+  * a second decode path for correctness: ``q_parquet_footer_stats``
+    cross-checks footer values against DuckDB aggregating the DATA, so a
+    footer-decode bug (sign, epoch unit, truncation) diverges loudly.
+
+Scale shape: footers are listed driver-side (a file LISTING is
+manifest-sized — same budget as operators/commitlog.py), then read on
+EXECUTORS via an Arrow-batched ``mapInPandas`` kernel — one footer
+(a few KB at the file tail) per task row, no data pages touched.  At
+100 TB / ~100k files this is exactly the parallel manifest-read pattern
+of an Iceberg planning phase: seconds, not a scan.
+
+Stats typing: parquet stores min/max in the column's physical type.  To
+keep one stable output schema the reader splits them into ``min_num`` /
+``max_num`` (DOUBLE: ints, floats, bools, dates as epoch days,
+timestamps as epoch microseconds) and ``min_str`` / ``max_str`` (UTF-8
+strings).  ``+ 0.0`` normalizes IEEE ``-0.0`` to ``0.0`` so footer
+values compare bit-identical to engine MIN/MAX over the data.  String
+min/max may be TRUNCATED bounds in the general case (parquet writers may
+shorten long byte arrays to any valid bound); ``prune_row_groups`` only
+ever uses them as bounds, which truncation preserves.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+from datetime import date, datetime, timezone
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: one row per (file, row group, leaf column)
+STATS_SCHEMA = (
+    "file STRING, row_group INT, column STRING, physical_type STRING, "
+    "n_values BIGINT, null_count BIGINT, "
+    "min_num DOUBLE, max_num DOUBLE, min_str STRING, max_str STRING, "
+    "rg_rows BIGINT, rg_bytes BIGINT"
+)
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _to_num(v) -> float | None:
+    """Map a typed parquet stat to the DOUBLE lane (None => string lane)."""
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        # + 0.0 folds -0.0 to 0.0 (footer may store the signed zero the
+        # engines' MIN/MAX normalize away)
+        return float(v) + 0.0
+    if isinstance(v, datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return (v - _EPOCH).total_seconds() * 1e6  # epoch microseconds
+    if isinstance(v, date):
+        return float((v - _EPOCH.date()).days)  # epoch days
+    return None
+
+
+def _to_str(v) -> str | None:
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def list_part_files(path: str) -> list[str]:
+    """Driver-side listing of the parquet part files under ``path`` (or
+    ``[path]`` for a single file) — manifest-sized, like every listing in
+    operators/commitlog.py; the footer READS happen on executors."""
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def footer_rowgroup_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Per-(file, row group, column) footer statistics as a DataFrame.
+
+    One executor task per footer via ``mapInPandas`` over the driver-side
+    file listing; each task reads only the footer bytes (pyarrow
+    ``ParquetFile.metadata`` — no data pages, no row materialization).
+    ``columns=None`` reads stats for every leaf column.
+    """
+    files = list_part_files(path)
+    if not files:
+        raise FileNotFoundError(f"no parquet part files under {path}")
+    wanted = set(columns) if columns is not None else None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for fp in pdf["file"]:
+                meta = pq.ParquetFile(fp).metadata
+                for g in range(meta.num_row_groups):
+                    rg = meta.row_group(g)
+                    for i in range(rg.num_columns):
+                        col = rg.column(i)
+                        name = col.path_in_schema
+                        if wanted is not None and name not in wanted:
+                            continue
+                        s = col.statistics
+                        has = s is not None and s.has_min_max
+                        rows.append(
+                            {
+                                "file": fp,
+                                "row_group": g,
+                                "column": name,
+                                "physical_type": col.physical_type,
+                                "n_values": (
+                                    s.num_values if s is not None else None
+                                ),
+                                "null_count": (
+                                    s.null_count
+                                    if s is not None and s.has_null_count
+                                    else None
+                                ),
+                                "min_num": _to_num(s.min) if has else None,
+                                "max_num": _to_num(s.max) if has else None,
+                                "min_str": _to_str(s.min) if has else None,
+                                "max_str": _to_str(s.max) if has else None,
+                                "rg_rows": rg.num_rows,
+                                "rg_bytes": col.total_compressed_size,
+                            }
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file", "row_group", "column", "physical_type",
+                    "n_values", "null_count", "min_num", "max_num",
+                    "min_str", "max_str", "rg_rows", "rg_bytes",
+                ],
+            )
+
+    # one task row per FILE, spread so ~every footer read runs in parallel
+    # (no exchange for a single file — a 1-row local relation is already
+    # one partition, and the repartition would only add a SinglePartition
+    # shuffle to the plan)
+    paths = spark.createDataFrame([(f,) for f in files], "file STRING")
+    if len(files) > 1:
+        paths = paths.repartition(min(len(files), 256))
+    return paths.mapInPandas(kernel, STATS_SCHEMA)
+
+
+def prune_row_groups(
+    stats: DataFrame,
+    column: str,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Format-native range pruning decision over ``footer_rowgroup_stats``
+    output: per (file, row_group), can rows with ``column`` in [lo, hi)
+    exist there?  NULL footer bounds keep the group (no evidence ==
+    cannot skip — the same conservative rule the commit-log pruner and
+    every engine's row-group filter apply).
+
+    Returns (file, row_group, rg_rows, rg_bytes, keep) — aggregate
+    ``keep`` for the skip fraction, or join it back to drive an audited
+    scan.  The inputs are numeric-lane bounds (epoch micros for
+    timestamps, epoch days for dates), matching ``min_num``/``max_num``.
+    """
+    s = stats.filter(F.col("column") == column)
+    overlap: Column = F.lit(True)
+    if lo is not None:
+        overlap = overlap & (F.col("max_num") >= F.lit(float(lo)))
+    if hi is not None:
+        overlap = overlap & (F.col("min_num") < F.lit(float(hi)))
+    keep = (
+        F.col("min_num").isNull() | F.col("max_num").isNull() | overlap
+    )
+    return s.select(
+        "file", "row_group", "rg_rows", "rg_bytes", keep.alias("keep")
+    )

@@ -1,0 +1,126 @@
+"""Parquet footer statistics reader (sources/footer.py): row-group
+granularity, format-native pruning against the actual data, and the
+null-count lane.  The per-column VALUE correctness of the census is
+driver-checked by the q_parquet_footer_stats oracle (DuckDB aggregates
+the data; Spark reads the footer)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lab_etl_spark.catalog import load_table
+from lab_etl_spark.sources.footer import (
+    footer_rowgroup_stats,
+    list_part_files,
+    prune_row_groups,
+)
+
+SF01 = "/root/testdata/sf0.1"
+
+# epoch-microsecond bounds for the pruning predicate: Q1-1996 shipdates
+LO_US = 820454400000000.0  # 1996-01-01
+HI_US = 828316800000000.0  # 1996-04-01
+
+
+@pytest.fixture(scope="module")
+def sorted_lake(spark, tmp_path_factory):
+    """sf0.1 lineitem written SORTED by l_shipdate into one file with
+    ~1 MiB row groups — the layout where footer pruning should shine."""
+    if not os.path.exists(os.path.join(SF01, "lineitem.parquet")):
+        pytest.skip("sf0.1 testdata not present")
+    path = str(tmp_path_factory.mktemp("footer") / "li_sorted")
+    (
+        load_table(spark, SF01, "lineitem")
+        .repartition(1)
+        .sortWithinPartitions("l_shipdate")
+        .write.option("parquet.block.size", 1 << 20)
+        .parquet(path)
+    )
+    return path
+
+
+def test_rowgroup_granularity(spark, sorted_lake):
+    stats = footer_rowgroup_stats(
+        spark, sorted_lake, columns=["l_shipdate"]
+    ).toPandas()
+    assert stats["row_group"].nunique() > 1, (
+        "bounded-block-size write produced a single row group; the "
+        "granularity premise of footer pruning is gone"
+    )
+    # sorted layout => per-group [min, max] ranges are (weakly) ordered
+    s = stats.sort_values("row_group")
+    mins, maxs = list(s["min_num"]), list(s["max_num"])
+    assert all(a <= b for a, b in zip(mins, maxs))
+    assert mins == sorted(mins)
+
+
+def test_prune_decision_matches_data(spark, sorted_lake):
+    """No SKIPPED row group may contain an in-range row (checked against
+    the actual pages via pyarrow), and on the sorted layout a 3-month
+    predicate must skip a real fraction of the groups."""
+    import pyarrow.parquet as pq
+
+    stats = footer_rowgroup_stats(spark, sorted_lake)
+    decision = prune_row_groups(
+        stats, "l_shipdate", lo=LO_US, hi=HI_US
+    ).toPandas()
+    kept = decision[decision["keep"]]
+    skipped = decision[~decision["keep"]]
+    assert len(skipped) > 0, "sorted 6-year layout skipped nothing"
+    assert len(kept) < len(decision) / 2, (
+        f"3-month predicate kept {len(kept)}/{len(decision)} groups of a "
+        f"sorted layout — clustering or bounds are broken"
+    )
+    (part,) = list_part_files(sorted_lake)
+    pf = pq.ParquetFile(part)
+    for _, row in skipped.iterrows():
+        tbl = pf.read_row_group(int(row["row_group"]), ["l_shipdate"])
+        us = tbl.column(0).cast("int64").to_pandas()
+        in_range = ((us >= LO_US) & (us < HI_US)).sum()
+        assert in_range == 0, (
+            f"row group {row['row_group']} was pruned but holds "
+            f"{in_range} in-range rows"
+        )
+    # and the kept groups cover every in-range row: total in-range count
+    # equals the full-scan count
+    full = (
+        spark.read.parquet(sorted_lake)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .count()
+    )
+    in_kept = 0
+    for _, row in kept.iterrows():
+        tbl = pf.read_row_group(int(row["row_group"]), ["l_shipdate"])
+        us = tbl.column(0).cast("int64").to_pandas()
+        in_kept += int(((us >= LO_US) & (us < HI_US)).sum())
+    assert in_kept == full
+
+
+def test_null_counts_reach_the_stats(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ),
+    )
+    path = str(tmp_path / "ev_nulls")
+    ev.coalesce(1).write.parquet(path)
+    expected = ev.filter(F.col("value").isNull()).count()
+    stats = (
+        footer_rowgroup_stats(spark, path, columns=["value"])
+        .agg(F.sum("null_count").alias("nc"), F.sum("n_values").alias("nv"))
+        .first()
+    )
+    assert stats["nc"] == expected
+    assert stats["nv"] == ev.count() - expected
+
+
+def test_unreadable_path_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        footer_rowgroup_stats(spark, str(tmp_path / "nope"))
