@@ -284,6 +284,155 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
     )
 
 
+def has_transform_with_state() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` runs a driver-side state
+    client that imports ``google.protobuf``; on a runtime without the
+    protobuf wheel the streaming query dies at first micro-batch with an
+    opaque 'driver worker exited unexpectedly'.  Probe the dependency up
+    front so callers can choose the legacy API instead of crashing."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_RUNNING_STATS_OUT = (
+    "user_id bigint, n_events bigint, sum_value double, "
+    "min_value double, max_value double"
+)
+
+
+def _running_stats_fold(n, acc, min_v, max_v, values):
+    """Shared exact fold for BOTH running-stats engine paths: count every
+    row; sum finite values as exact 6-dp decimals (the same HALF_UP
+    rounding Spark's double→DECIMAL(30,6) cast applies, so the oracle
+    twin is ``dsum(value, 6)`` and the result is independent of
+    accumulation order and batch boundaries); min/max over finite
+    values."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    for v in values:
+        n += 1
+        if v is None or not math.isfinite(v):
+            continue
+        v = float(v)
+        acc += Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP)
+        min_v = v if min_v is None else min(min_v, v)
+        max_v = v if max_v is None else max(max_v, v)
+    return n, acc, min_v, max_v
+
+
+def user_running_stats(events: DataFrame, api: str = "auto") -> DataFrame:
+    """Per-user running (count, exact sum, min, max) with O(1) state per
+    key carried across micro-batches.
+
+    ``api="tws"`` uses ``transformWithStateInPandas`` — Spark 4's
+    arbitrary-state API, the modern successor of
+    ``applyInPandasWithState``: named TYPED state handles
+    (ValueState/ListState/MapState as separate state-store column
+    families instead of one opaque tuple), per-state TTL, and timers —
+    the Flink-KeyedProcessFunction building blocks of production
+    stateful pipelines.  ``api="legacy"`` runs the IDENTICAL exact fold
+    on ``applyInPandasWithState``.  ``api="auto"`` picks tws when the
+    runtime carries its protobuf dependency (:func:`has_transform_with_
+    state`) and the legacy path otherwise — this container lacks the
+    protobuf wheel, so auto resolves to legacy here; both paths share
+    ``_running_stats_fold`` and are bit-identical by construction
+    (the tws path is pinned by tests/test_streaming_multimodal.py::
+    test_running_stats_tws_api, skipped where protobuf is absent).
+
+    Determinism: the double sum is accumulated as an EXACT decimal,
+    carried across micro-batches as a STRING in the state, so any
+    file/batch arrival order yields bit-identical output — the
+    exact.py algebra property, extended into the state store.
+    """
+    if api == "auto":
+        api = "tws" if has_transform_with_state() else "legacy"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class _RunningStats(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._stats = handle.getValueState(
+                    "stats",
+                    "n bigint, sum_str string, min_v double, max_v double",
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                from decimal import Decimal
+
+                import pandas as pd
+
+                if self._stats.exists():
+                    n, sum_str, min_v, max_v = self._stats.get()
+                    acc = Decimal(sum_str)
+                else:
+                    n, acc, min_v, max_v = 0, Decimal(0), None, None
+                for pdf in rows:
+                    n, acc, min_v, max_v = _running_stats_fold(
+                        n, acc, min_v, max_v, pdf["value"]
+                    )
+                self._stats.update((n, str(acc), min_v, max_v))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "sum_value": [float(acc)],
+                        "min_value": [min_v],
+                        "max_value": [max_v],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return events.groupBy("user_id").transformWithStateInPandas(
+            _RunningStats(), _RUNNING_STATS_OUT, "update", "none"
+        )
+
+    from decimal import Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            n, sum_str, min_v, max_v = state.get
+            acc = Decimal(sum_str)
+        else:
+            n, acc, min_v, max_v = 0, Decimal(0), None, None
+        for pdf in pdf_iter:
+            n, acc, min_v, max_v = _running_stats_fold(
+                n, acc, min_v, max_v, pdf["value"]
+            )
+        state.update((n, str(acc), min_v, max_v))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [float(acc)],
+                "min_value": [min_v],
+                "max_value": [max_v],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        _RUNNING_STATS_OUT,
+        "n bigint, sum_str string, min_v double, max_v double",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 #: binaryFile source schema (fixed by the format; streaming file sources
 #: require it declared up front)
 BINARY_FILE_SCHEMA = StructType(

@@ -307,6 +307,7 @@ _SINGLE_PARTITION_OK = {
 # dedicated tests.
 _SWEEP_SKIP = {
     "q_stream_stateful_ewma",
+    "q_stream_running_stats",  # drains a streaming query at build time
     "q_stream_cms_merge",  # drains a streaming query at build time
     "q_stream_dedup",  # drains a streaming query at build time
     "q_dedup_clusters",
