@@ -917,3 +917,76 @@ def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col_name")
     )
+
+
+#: Q1-1996 shipdate window for the footer-pruned scan, as epoch
+#: microseconds (the stats reader's numeric lane for timestamps)
+_FP_LO_US = 820454400000000.0  # 1996-01-01
+_FP_HI_US = 828316800000000.0  # 1996-04-01
+
+
+@register(
+    "q_footer_pruned_scan",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {dsum('l_extendedprice', 2)} AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_returnflag
+    """,
+    doc="Format-native data skipping as a READ PATH (sources/footer.py "
+    "pruned_scan): lineitem is rewritten shipdate-sorted with bounded "
+    "row groups (the ROW_GROUP_BYTES writer discipline, scaled down to "
+    "the test corpus), the footer census plans which row groups can "
+    "hold Q1-1996 rows, and ONLY those groups' pages are read — "
+    "skipped groups' bytes are never fetched — before the exact "
+    "predicate runs on the survivors.  The row-group-granular twin of "
+    "q_stats_pruning (manifest prunes files; footer prunes groups "
+    "inside files), and the operator form of what Spark's parquet "
+    "reader does internally for pushed filters — exposed so skipping "
+    "is auditable and usable for predicates Spark cannot push.  The "
+    "oracle is the plain full-scan filter, so the driver check proves "
+    "pruning loses no rows; skip effectiveness is pinned by "
+    "tests/test_footer_stats.py::test_pruned_scan_reads_fewer_groups.",
+    bench=False,  # dominated by the eager scratch-lake write
+)
+def q_footer_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.footer import pruned_scan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_extendedprice"
+    )
+    path = scratch_dir("footerprune_li", sf_dir)
+    (
+        li.repartition(1)
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        # tiny bounds (64 KiB groups / 16 KiB pages): the production
+        # ROW_GROUP_BYTES discipline scaled to the hundreds-of-KB test
+        # corpus so the scratch lake carries MULTIPLE row groups and the
+        # pruning path is actually exercised at sf0.001/sf0.01
+        .option("parquet.block.size", 64 << 10)
+        .option("parquet.page.size", 16 << 10)
+        .parquet(path)
+    )
+    rows = pruned_scan(
+        spark,
+        path,
+        "l_shipdate",
+        _FP_LO_US,
+        _FP_HI_US,
+        ["l_shipdate", "l_returnflag", "l_extendedprice"],
+    )
+    return (
+        rows.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(dsum("l_extendedprice", 2)).alias("sum_price"),
+        )
+    )

@@ -202,3 +202,91 @@ def prune_row_groups(
     return s.select(
         "file", "row_group", "rg_rows", "rg_bytes", keep.alias("keep")
     )
+
+
+_ARROW_TO_DDL = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int",
+    "int64": "bigint", "float": "float", "double": "double",
+    "bool": "boolean", "string": "string", "large_string": "string",
+    "date32[day]": "date", "timestamp[us]": "timestamp",
+    "timestamp[ms]": "timestamp", "timestamp[ns]": "timestamp",
+}
+
+
+def pruned_scan(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo: float | None,
+    hi: float | None,
+    read_columns: list[str],
+) -> DataFrame:
+    """Format-native data-skipping READ: materialize only the row groups
+    whose footer stats admit ``column`` ∈ [lo, hi) — the read path that
+    :func:`prune_row_groups` plans.
+
+    Three stages, all bounded by metadata except the final read:
+
+      1. footer census on executors (:func:`footer_rowgroup_stats`);
+      2. the pruning decision collected DRIVER-side — one row per row
+         group, manifest-sized (a 100 TB table is ~10⁵-10⁶ groups of
+         numbers, the same budget as an Iceberg planning phase), never
+         row data;
+      3. an Arrow-batched ``mapInPandas`` kernel over the KEPT
+         (file, row_group) pairs, each task reading exactly its group's
+         pages for ``read_columns`` via pyarrow — skipped groups' bytes
+         are never fetched.
+
+    Callers still apply the exact row predicate to the survivors (footer
+    bounds admit false positives, never false negatives — the same
+    contract as commit-log manifest pruning).  Spark's own parquet
+    reader does this internally when filters are pushed; exposing it as
+    an operator makes the skipping AUDITABLE (the kept/total ratio is a
+    first-class result) and works for predicates Spark cannot push
+    (e.g. bounds computed at runtime from another table).
+
+    ``read_columns`` must be primitive-typed (the stats lanes' type
+    universe); nested columns raise rather than silently mis-map.
+    """
+    import pyarrow.parquet as pq
+
+    files = list_part_files(path)
+    # schema from ONE footer, driver-side (files of one table share it)
+    schema_arrow = pq.ParquetFile(files[0]).schema_arrow
+    fields = []
+    for c in read_columns:
+        t = str(schema_arrow.field(c).type)
+        if t not in _ARROW_TO_DDL:
+            raise TypeError(
+                f"pruned_scan reads primitive columns only; {c}: {t}"
+            )
+        fields.append(f"{c} {_ARROW_TO_DDL[t]}")
+    out_schema = ", ".join(fields)
+
+    decision = prune_row_groups(
+        footer_rowgroup_stats(spark, path, columns=[column]),
+        column,
+        lo,
+        hi,
+    )
+    kept = [
+        (r["file"], r["row_group"])
+        for r in decision.filter("keep").select("file", "row_group").collect()
+    ]  # one tuple per KEPT row group — metadata-sized, never row data
+    if not kept:
+        return spark.createDataFrame([], out_schema)
+
+    cols = list(read_columns)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq  # executor-side import
+
+        for pdf in batches:
+            for fp, g in zip(pdf["file"], pdf["row_group"]):
+                tbl = pq.ParquetFile(fp).read_row_group(int(g), cols)
+                yield tbl.to_pandas()[cols]
+
+    pairs = spark.createDataFrame(kept, "file STRING, row_group INT")
+    if len(kept) > 1:
+        pairs = pairs.repartition(min(len(kept), 256))
+    return pairs.mapInPandas(kernel, out_schema)

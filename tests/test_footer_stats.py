@@ -124,3 +124,56 @@ def test_null_counts_reach_the_stats(spark, sf_dir, tmp_path):
 def test_unreadable_path_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         footer_rowgroup_stats(spark, str(tmp_path / "nope"))
+
+
+def test_pruned_scan_reads_fewer_groups(spark, sorted_lake):
+    """The pruned READ path: bit-identical rows to a full scan + filter,
+    while planning strictly fewer row groups than the file holds."""
+    from lab_etl_spark.sources.footer import (
+        footer_rowgroup_stats,
+        pruned_scan,
+    )
+
+    got = pruned_scan(
+        spark,
+        sorted_lake,
+        "l_shipdate",
+        LO_US,
+        HI_US,
+        ["l_orderkey", "l_shipdate", "l_quantity"],
+    ).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    want = (
+        spark.read.parquet(sorted_lake)
+        .select("l_orderkey", "l_shipdate", "l_quantity")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert a == b and len(a) > 0
+    # and it actually skipped: kept groups < total groups
+    stats = footer_rowgroup_stats(spark, sorted_lake, ["l_shipdate"])
+    total = stats.count()
+    from lab_etl_spark.sources.footer import prune_row_groups
+
+    kept = prune_row_groups(stats, "l_shipdate", LO_US, HI_US).filter(
+        "keep"
+    ).count()
+    assert 0 < kept < total
+
+
+def test_pruned_scan_empty_range(spark, sorted_lake):
+    """A predicate outside the data range prunes EVERYTHING and returns
+    an empty frame with the declared schema, not an error."""
+    from lab_etl_spark.sources.footer import pruned_scan
+
+    out = pruned_scan(
+        spark, sorted_lake, "l_shipdate", 1e18, 2e18, ["l_orderkey"]
+    )
+    assert out.columns == ["l_orderkey"]
+    assert out.count() == 0

@@ -326,6 +326,7 @@ _SWEEP_SKIP = {
     "q_webdataset_roundtrip",
     "q_arrow_roundtrip",
     "q_stats_pruning",
+    "q_footer_pruned_scan",  # eager scratch-lake write at build time
     "q_point_lookup_bloom",
     "q_dynamic_partition_pruning",
     "q_time_travel",
