@@ -310,6 +310,7 @@ def compact_logged(
     partition_cols: list[str] | None = None,
     stats_cols: list[str] | None = None,
     keep_versions: int | None = None,
+    row_group_bytes: int | None = None,
 ) -> dict:
     """Compaction as a log commit: the same single-shuffle salted rewrite
     plan as ``sources/sink.py compact_table`` (shared via its
@@ -337,8 +338,11 @@ def compact_logged(
     def _write(d: str) -> None:
         from ..sources.sink import ROW_GROUP_BYTES
 
+        # same tunable bound as sink.compact_table's row_group_bytes so
+        # the two compaction paths cannot diverge on writer discipline
         w = staged.write.mode("overwrite").option(
-            "parquet.block.size", ROW_GROUP_BYTES
+            "parquet.block.size",
+            ROW_GROUP_BYTES if row_group_bytes is None else row_group_bytes,
         )
         if partition_cols:
             w = w.partitionBy(*partition_cols)

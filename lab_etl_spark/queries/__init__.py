@@ -111,6 +111,11 @@ _WINDOW_FRONT = [
     "q_anomaly_seasonal",
     "q_linreg_trend",
     "q_embedding_quality",
+    # the round-10 self-review extended the variance clamp to the two
+    # sibling sites with the same NaN/throw hazard: q_acf would otherwise
+    # sit in the r6 spill with a changed oracle text (q_bootstrap_ci, the
+    # other sibling, enters via the r5 cohort on staleness alone)
+    "q_acf",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from

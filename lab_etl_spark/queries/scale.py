@@ -1144,8 +1144,15 @@ _BOOT_IN_DUCK = (
 _BOOT_MEAN_READOUT = (
     "CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE) / n AS boot_mean"
 )
+#: GREATEST clamp (same class as q_anomaly_seasonal's fixed NaN-sigma
+#: gap): when every replicate mean is identical the true variance is 0
+#: but ssq - s*s/n can cancel slightly NEGATIVE in doubles — Spark SQRT
+#: would emit a NaN boot_sd row while DuckDB sqrt(negative) throws, so
+#: the engines wouldn't even fail the same way.  Clamped identically in
+#: both texts (this constant feeds both), a degenerate group reads 0.
 _BOOT_SD_READOUT = (
-    "SQRT((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+    "SQRT(GREATEST(CAST(ssq AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 0)"
     " / (n - 1)) / CAST(1000000 AS DOUBLE) AS boot_sd"
 )
 #: replicate mean quantized to integer microunits: one deterministic IEEE

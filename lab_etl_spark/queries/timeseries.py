@@ -1686,9 +1686,15 @@ def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Each variance factor is GREATEST-clamped at 0 (the q_anomaly_seasonal
+#: NaN-sigma class): a constant series cancels n*sxx - sx*sx slightly
+#: negative in doubles, making the product negative — Spark SQRT yields
+#: NaN while DuckDB sqrt(negative) THROWS, so without the clamp the
+#: engines fail differently.  Clamped, a flat series divides by 0.
 _ACF_READOUT = (
     "ROUND((n * sxy - sx * sy)"
-    " / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf"
+    " / SQRT(GREATEST(n * sxx - sx * sx, 0)"
+    " * GREATEST(n * syy - sy * sy, 0)), 6) AS acf"
 )
 #: Spark twin: try_divide — ANSI mode makes the bare / THROW on a
 #: constant (zero-variance) series instead of yielding NULL, killing the
@@ -1696,7 +1702,8 @@ _ACF_READOUT = (
 #: double divisor, so the twins agree on degenerate series too.
 _ACF_READOUT_SPARK = (
     "ROUND(try_divide((n * sxy - sx * sy),"
-    " SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))), 6) AS acf"
+    " SQRT(GREATEST(n * sxx - sx * sx, 0)"
+    " * GREATEST(n * syy - sy * sy, 0))), 6) AS acf"
 )
 
 

@@ -68,7 +68,16 @@ def _to_num(v) -> float | None:
     if isinstance(v, datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=timezone.utc)
-        return (v - _EPOCH).total_seconds() * 1e6  # epoch microseconds
+        # integer microseconds from the timedelta COMPONENTS:
+        # total_seconds() * 1e6 is inexact for ~2.5% of us-resolution
+        # epochs (float division then multiplication), which would put a
+        # footer bound a fraction of a us off and let prune_row_groups
+        # drop a boundary row group — breaking the never-false-negative
+        # contract
+        d = v - _EPOCH
+        return float(
+            (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
+        )  # epoch microseconds
     if isinstance(v, date):
         return float((v - _EPOCH.date()).days)  # epoch days
     return None
@@ -114,6 +123,17 @@ def footer_rowgroup_stats(
     files = list_part_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet part files under {path}")
+    if columns is not None:
+        # one driver-side footer open (same budget as the listing): a
+        # misspelled column would otherwise yield ZERO stats rows, which
+        # downstream pruning would read as nothing-to-keep and silently
+        # drop every row group
+        import pyarrow.parquet as pq
+
+        names = pq.ParquetFile(files[0]).schema_arrow.names
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise KeyError(f"columns {missing} not in schema {names}")
     wanted = set(columns) if columns is not None else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -151,7 +171,11 @@ def footer_rowgroup_stats(
                                 "min_str": _to_str(s.min) if has else None,
                                 "max_str": _to_str(s.max) if has else None,
                                 "rg_rows": rg.num_rows,
-                                "rg_bytes": col.total_compressed_size,
+                                # whole-GROUP bytes, not this column's
+                                # chunk: pruning skips the group, so the
+                                # byte-weighted skip fraction must weigh
+                                # every column's pages
+                                "rg_bytes": rg.total_byte_size,
                             }
                         )
             yield pd.DataFrame(
@@ -208,9 +232,21 @@ _ARROW_TO_DDL = {
     "int8": "tinyint", "int16": "smallint", "int32": "int",
     "int64": "bigint", "float": "float", "double": "double",
     "bool": "boolean", "string": "string", "large_string": "string",
-    "date32[day]": "date", "timestamp[us]": "timestamp",
-    "timestamp[ms]": "timestamp", "timestamp[ns]": "timestamp",
+    "date32[day]": "date",
 }
+
+
+def _arrow_ddl(t) -> str | None:
+    """Spark DDL for a primitive arrow type, or None if unsupported.
+    Timestamps are matched STRUCTURALLY (pyarrow.types.is_timestamp), not
+    by string form: Spark's TimestampType writes isAdjustedToUTC=true
+    parquet, which pyarrow reports as 'timestamp[us, tz=UTC]' — a
+    string-keyed map would reject every tz-aware lake."""
+    import pyarrow.types as pat
+
+    if pat.is_timestamp(t):
+        return "timestamp"
+    return _ARROW_TO_DDL.get(str(t))
 
 
 def pruned_scan(
@@ -251,16 +287,28 @@ def pruned_scan(
     import pyarrow.parquet as pq
 
     files = list_part_files(path)
+    if not files:
+        # same error (and message shape) footer_rowgroup_stats raises, not
+        # an opaque IndexError from the schema probe below
+        raise FileNotFoundError(f"no parquet part files under {path}")
     # schema from ONE footer, driver-side (files of one table share it)
     schema_arrow = pq.ParquetFile(files[0]).schema_arrow
+    if column not in schema_arrow.names:
+        # a misspelled prune column would otherwise yield ZERO stats rows
+        # -> empty decision -> every row silently dropped, which is
+        # indistinguishable from a legitimately all-pruned range
+        raise KeyError(
+            f"prune column {column!r} not in schema {schema_arrow.names}"
+        )
     fields = []
     for c in read_columns:
-        t = str(schema_arrow.field(c).type)
-        if t not in _ARROW_TO_DDL:
+        ddl = _arrow_ddl(schema_arrow.field(c).type)
+        if ddl is None:
             raise TypeError(
-                f"pruned_scan reads primitive columns only; {c}: {t}"
+                f"pruned_scan reads primitive columns only; "
+                f"{c}: {schema_arrow.field(c).type}"
             )
-        fields.append(f"{c} {_ARROW_TO_DDL[t]}")
+        fields.append(f"{c} {ddl}")
     out_schema = ", ".join(fields)
 
     decision = prune_row_groups(

@@ -306,3 +306,77 @@ def test_anomaly_seasonal_constant_stratum_no_nan(spark, sf_dir, tmp_path):
     # and the oracle no longer throws on sqrt(negative): full driver compare
     con = duck_con(str(dst))
     compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), q.name)
+
+
+def test_acf_and_bootstrap_flat_series_no_nan(spark, sf_dir, tmp_path):
+    """Round-10 self-review: the variance clamp belongs to a CLASS, not
+    one call site.  A flat hourly series makes q_acf's n*sxx - sx*sx
+    cancel negative (premise re-asserted below) — pre-clamp, Spark
+    emitted NaN acf rows while DuckDB's sqrt(negative) killed the
+    oracle.  q_bootstrap_ci shares the identity; with B=32 (power of
+    two) the double arithmetic happens to cancel exactly to 0, so its
+    clamp is defense-in-depth — the compare still pins both engines
+    agreeing on the constant corpus."""
+    from datetime import datetime, timedelta
+
+    from lab_etl_spark.catalog import load_table
+
+    v, hours = 2368736.0533, 40
+    dst = tmp_path / "flat_series"
+    dst.mkdir()
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        if t == "events":
+            base = df.count()
+            t0 = datetime(2024, 2, 1, 0, 30, 0)
+            extra = spark.createDataFrame(
+                [
+                    (
+                        base + i,
+                        t0 + timedelta(hours=i),
+                        2,
+                        "flat_series",
+                        v,
+                        "{}",
+                    )
+                    for i in range(hours)
+                ],
+                df.schema,
+            )
+            df = df.unionByName(extra)
+        df.toPandas().to_parquet(str(dst / f"{t}.parquet"), index=False)
+
+    # premise: the UNCLAMPED variance factor n*sxx - sx*sx is negative
+    # for the planted flat series.  Computed in pure Python mirroring the
+    # engines' arithmetic step-for-step (each step is ONE IEEE double op
+    # or an exact decimal sum, identical in Spark/DuckDB/CPython): the
+    # hourly value is dec6(v) (one event per hour), and for each lag the
+    # pair stats are n copies of that constant.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    x = float(Decimal(repr(v)).quantize(q6, rounding=ROUND_HALF_UP))
+    xq = Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP)
+    xxq = Decimal(repr(x * x)).quantize(q6, rounding=ROUND_HALF_UP)
+    inners = []
+    for lag in (1, 2, 3):
+        n = hours - lag
+        sxx = float(xxq * n)
+        sx = float(xq * n)
+        inners.append(n * sxx - sx * sx)
+    assert any(i < 0 for i in inners), (
+        f"planted flat series no longer cancels ({inners}); pick a new "
+        f"value"
+    )
+
+    con = duck_con(str(dst))
+    for name in ["q_acf", "q_bootstrap_ci"]:
+        q = REGISTRY[name]
+        out = q.fn(spark, str(dst)).toPandas()
+        for col in ("acf", "boot_sd"):
+            if col in out.columns:
+                import numpy as np
+
+                vals = out[col].dropna()
+                assert not np.isnan(vals).any(), f"{name}.{col} has NaN"
+        compare(q.fn(spark, str(dst)), con.execute(q.oracle).df(), name)

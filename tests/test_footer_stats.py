@@ -177,3 +177,16 @@ def test_pruned_scan_empty_range(spark, sorted_lake):
     )
     assert out.columns == ["l_orderkey"]
     assert out.count() == 0
+
+
+def test_misspelled_column_raises(spark, sf_dir, tmp_path):
+    """A wrong column name must raise, not yield zero stats rows that
+    downstream pruning would read as drop-everything."""
+    from lab_etl_spark.sources.footer import pruned_scan
+
+    path = str(tmp_path / "ev")
+    load_table(spark, sf_dir, "events").coalesce(1).write.parquet(path)
+    with pytest.raises(KeyError):
+        footer_rowgroup_stats(spark, path, columns=["no_such_col"])
+    with pytest.raises(KeyError):
+        pruned_scan(spark, path, "ship_date", 0, 1, ["event_id"])
