@@ -88,12 +88,14 @@ def register(
 #     q_potential_promotion, q_commitlog_roundtrip, q_scd2_lookup), then
 #     ~38 of the 46 non-fronted r5 cohort by staleness; the ~8 that spill
 #     stay at r5 so the post-r9 invariant is "no driver row predates r5".
-#   round 10 (this list): the three changed-text queries fronted (see
-#     _WINDOW_FRONT), then the staleness drain continues: the 9 r5
+#   round 10 (this list): the four changed-text queries fronted (see
+#     _WINDOW_FRONT; q_acf joined after the self-review extended the
+#     variance clamp), then the three round-10 additions enter as
+#     never-checked, then the staleness drain continues: the 9 r5
 #     veterans (q_anomaly_seasonal is already fronted; the other 8 follow
-#     via _LAST_GREEN order), then ~39 of the 49-strong r6 cohort; the
-#     ~10 that spill stay at r6 so the post-r10 invariant is "no driver
-#     row predates r6".
+#     via _LAST_GREEN order), then the r6 cohort by staleness; the 13
+#     that spill stay at r6 so the post-r10 invariant is "no driver row
+#     predates r6".
 #
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
