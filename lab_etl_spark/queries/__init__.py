@@ -100,7 +100,7 @@ def register(
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # round 10: the three queries whose engine/oracle text changed this
+    # round 10: the queries whose engine/oracle text changed this
     # round while closing the r9 ADVICE findings — q_anomaly_seasonal
     # (GREATEST clamp on the variance identity, BOTH engine texts: a
     # fp-cancelled constant stratum now yields sigma 0, not NaN rows /
