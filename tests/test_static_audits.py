@@ -67,3 +67,36 @@ def test_spark_divisions_are_try_divide_safe_or_allowlisted():
     assert not hits, "\n".join(
         f"{r}:{ln}: unguarded division by `{d}`" for r, ln, d in hits
     )
+
+
+def test_variance_identities_clamped_under_sqrt():
+    """Round-10: SQRT over a top-level subtraction in any engine/oracle
+    text must wrap the identity in GREATEST(.., 0) — a (near-)constant
+    group cancels s2/n - (s1/n)^2 / n*sxx - sx*sx slightly negative in
+    doubles, and the engines then fail DIFFERENTLY (Spark NaN rows that
+    pass > 0 gates vs a DuckDB sqrt error).  Found three times before
+    this gate existed (tools/audit_variance_clamp.py)."""
+    mod = _load("audit_variance_clamp")
+    hits = mod.audit()
+    assert not hits, "\n".join(
+        f"{r}:{ln}: unclamped SQRT subtraction: {s!r}" for r, ln, s in hits
+    )
+    # the gate must keep CATCHING the pre-fix forms it was built from
+    pre_fix = [
+        "SQRT(s2 / n - (s1 / n) * (s1 / n)) AS s_sigma",
+        "SQRT((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE)"
+        " * CAST(s AS DOUBLE) / n) / (n - 1))",
+        "ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx)"
+        " * (n * syy - sy * sy)), 6) AS acf",
+    ]
+    for t in pre_fix:
+        args = mod._sqrt_args(t)
+        assert args and any(mod._has_binary_minus(a) for a in args), t
+    # and never flag the clamped/benign forms
+    benign = [
+        "SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS s_sigma",
+        "sqrt(list_reduce(list_transform(v, x -> x * x), (p, q) -> p + q))",
+        "SQRT(GREATEST(x, 0) / (n - 1))",
+    ]
+    for t in benign:
+        assert not any(mod._has_binary_minus(a) for a in mod._sqrt_args(t)), t
