@@ -31,6 +31,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Write TimestampType (LTZ) as INT64 TIMESTAMP_MICROS, not Spark
+    # 4.1's INT96 default: INT96 is deprecated in the parquet spec and
+    # carries NO usable column statistics (pyarrow has_min_max=False,
+    # verified empirically), so an LTZ column in a repo-written lake
+    # would be invisible to every stats-based pruner — the commit-log
+    # manifest stats, the footer census (sources/footer.py), and Spark's
+    # own row-group filters.  TIMESTAMP_NTZ columns (the testdata-derived
+    # tables) already wrote INT64 regardless; this closes the LTZ gap.
+    # Found by the footer ground-truth pin (tests/test_footer_stats.py).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

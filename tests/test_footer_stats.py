@@ -190,3 +190,43 @@ def test_misspelled_column_raises(spark, sf_dir, tmp_path):
         footer_rowgroup_stats(spark, path, columns=["no_such_col"])
     with pytest.raises(KeyError):
         pruned_scan(spark, path, "ship_date", 0, 1, ["event_id"])
+
+
+def test_footer_stats_literal_ground_truth(spark, tmp_path):
+    """Direction pin against HAND-COMPUTED constants, not a second
+    engine: the q_parquet_footer_stats oracle re-derives stats from the
+    data, so a shared misunderstanding (epoch unit, sign fold, null
+    counting) could pass engine-vs-engine.  Here every expected number
+    is written down by a human: a -0.0 min folds to 0.0, the timestamp
+    lane is exact integer epoch microseconds (sub-second component
+    included — the round-10 self-review found total_seconds()*1e6
+    inexact), and nulls are counted out of n_values."""
+    from datetime import datetime
+
+    rows = [
+        (5, 2.5, datetime(2020, 3, 4, 5, 6, 7, 123456), "b"),
+        (1, -0.0, datetime(2020, 3, 4, 5, 6, 7, 123457), "a"),
+        (9, None, datetime(2021, 1, 1, 0, 0, 0, 1), "c"),
+    ]
+    path = str(tmp_path / "truth")
+    spark.createDataFrame(
+        rows, "k BIGINT, v DOUBLE, ts TIMESTAMP, s STRING"
+    ).coalesce(1).write.parquet(path)
+    got = {
+        r["column"]: r
+        for r in footer_rowgroup_stats(spark, path).collect()
+    }
+    assert (got["k"]["min_num"], got["k"]["max_num"]) == (1.0, 9.0)
+    assert (got["k"]["n_values"], got["k"]["null_count"]) == (3, 0)
+    v = got["v"]
+    assert (v["min_num"], v["max_num"]) == (0.0, 2.5)  # -0.0 folded
+    assert str(v["min_num"]) == "0.0"  # positively signed zero
+    assert (v["n_values"], v["null_count"]) == (2, 1)
+    ts = got["ts"]
+    # 2020-03-04T05:06:07.123456Z = 1583298367123456 us (hand-computed:
+    # 18325 days * 86400 + 18367 s, * 1e6, + 123456 us)
+    assert ts["min_num"] == 1583298367123456.0
+    # 2021-01-01T00:00:00.000001Z = 1609459200000001 us
+    assert ts["max_num"] == 1609459200000001.0
+    assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "c")
+    assert got["s"]["min_num"] is None
