@@ -851,11 +851,17 @@ def _corr_sums(engine: str) -> list[str]:
 
 def _corr_readout(i: int, j: int) -> str:
     """Identical double-expression text on both engines (sqrt is correctly
-    rounded by IEEE in both JVMs and libm, so the read-out is bit-stable)."""
+    rounded by IEEE in both JVMs and libm, so the read-out is bit-stable).
+    Each variance factor is GREATEST-clamped at 0 (the q_anomaly_seasonal
+    NaN-sigma class, 4th live instance — found by the strengthened
+    tools/audit_variance_clamp.py): a (near-)constant measure column
+    cancels n*ss - s*s slightly negative in doubles, and unclamped the
+    engines fail differently (Spark NaN corr rows vs a DuckDB sqrt
+    error).  Clamped, a constant column divides by 0 -> NULL on both."""
     return (
         f"(n * sp_{i}_{j} - s_{i} * s_{j})"
-        f" / sqrt((n * ss_{i} - s_{i} * s_{i})"
-        f" * (n * ss_{j} - s_{j} * s_{j}))"
+        f" / sqrt(GREATEST(n * ss_{i} - s_{i} * s_{i}, 0)"
+        f" * GREATEST(n * ss_{j} - s_{j} * s_{j}, 0))"
     )
 
 
@@ -866,8 +872,8 @@ def _corr_readout_spark(i: int, j: int) -> str:
     double divisor, so the twins agree on degenerate columns too."""
     return (
         f"try_divide((n * sp_{i}_{j} - s_{i} * s_{j}),"
-        f" sqrt((n * ss_{i} - s_{i} * s_{i})"
-        f" * (n * ss_{j} - s_{j} * s_{j})))"
+        f" sqrt(GREATEST(n * ss_{i} - s_{i} * s_{i}, 0)"
+        f" * GREATEST(n * ss_{j} - s_{j} * s_{j}, 0)))"
     )
 
 

@@ -88,6 +88,14 @@ def test_variance_identities_clamped_under_sqrt():
         " * CAST(s AS DOUBLE) / n) / (n - 1))",
         "ROUND((n * sxy - sx * sy) / SQRT((n * sxx - sx * sx)"
         " * (n * syy - sy * sy)), 6) AS acf",
+        # the q_corr_matrix form (4th live instance, hidden by the
+        # f-string blind spot until the gate reassembled JoinedStr)
+        "sqrt((n * ss_0 - s_0 * s_0) * (n * ss_1 - s_1 * s_1))",
+        # review-found false negatives: constant-coefficient expansion,
+        # and MISPLACED clamps that do not cover the subtraction
+        "SQRT(ssq - 2 * m * s + n * m * m)",
+        "SQRT(GREATEST(a, b) - c)",
+        "SQRT(x - GREATEST(y, 0))",
     ]
     for t in pre_fix:
         args = mod._sqrt_args(t)
@@ -97,6 +105,8 @@ def test_variance_identities_clamped_under_sqrt():
         "SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS s_sigma",
         "sqrt(list_reduce(list_transform(v, x -> x * x), (p, q) -> p + q))",
         "SQRT(GREATEST(x, 0) / (n - 1))",
+        "sqrt(GREATEST(n * ss_0 - s_0 * s_0, 0)"
+        " * GREATEST(n * ss_1 - s_1 * s_1, 0))",
     ]
     for t in benign:
         assert not any(mod._has_binary_minus(a) for a in mod._sqrt_args(t)), t

@@ -59,8 +59,12 @@ def _sqrt_args(text: str) -> list[str]:
 
 
 def _strip_greatest_spans(arg: str) -> str:
-    """Remove every GREATEST(...) span (balanced) — minuses inside the
-    clamp are the FIX, not the hazard."""
+    """Replace every GREATEST(...) span (balanced) with a PLACEHOLDER
+    identifier — minuses inside the clamp are the FIX, not the hazard,
+    but the span must keep its operand ROLE: deleting it outright would
+    turn ``GREATEST(a, b) - c`` / ``x - GREATEST(y, 0)`` (misplaced
+    clamps that do NOT cover the subtraction) into unary-looking forms
+    the minus detector misses."""
     while True:
         m = re.search(r"\bGREATEST\s*\(", arg, flags=re.IGNORECASE)
         if not m:
@@ -72,19 +76,53 @@ def _strip_greatest_spans(arg: str) -> str:
             elif arg[i] == ")":
                 depth -= 1
             i += 1
-        arg = arg[: m.start()] + arg[i:]
+        arg = arg[: m.start()] + "GSPAN" + arg[i:]
 
 
 def _has_binary_minus(arg: str) -> bool:
     # drop lambda arrows first: '->' is not a subtraction
     s = _strip_greatest_spans(arg).replace("->", "  ")
-    # subtracting a bare INTEGER literal (Bessel's n - 1 and friends) is
-    # not the cancellation class: the identity that cancels subtracts two
-    # near-equal COMPUTED quantities, never a constant
-    s = re.sub(r"([\w)\]])\s*-\s*\d+(?![\w.])", r"\1", s)
+    # subtracting a bare INTEGER literal at the END of a term (Bessel's
+    # n - 1 and friends, i.e. followed by ')' ',' or end-of-text) is not
+    # the cancellation class; a constant COEFFICIENT ('ssq - 2 * m * s',
+    # the expanded sum((x-m)^2)) very much is, so the literal must not
+    # be erased when something follows it
+    s = re.sub(r"([\w)\]])\s*-\s*\d+(?![\w.])(?=\s*(?:[),]|$))", r"\1", s)
     # binary minus: '-' preceded (ignoring spaces) by an identifier char,
     # ')' or digit — leading unary minus / negative literals don't count
     return re.search(r"[\w)\]]\s*-\s*[\w($]", s) is not None
+
+
+def _string_templates(tree: ast.AST):
+    """Yield (lineno, text) for every string in the module: bare
+    constants, and f-strings REASSEMBLED into one template with each
+    interpolation replaced by a placeholder identifier — an f-string's
+    fragments have unbalanced parens, so scanning them standalone finds
+    no SQRT argument at all (the blind spot that hid q_corr_matrix; the
+    same technique as audit_ansi_division's JoinedStr handling)."""
+    fstr_parts = {
+        id(part)
+        for n in ast.walk(tree)
+        if isinstance(n, ast.JoinedStr)
+        for part in n.values
+    }
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Constant)
+            and isinstance(node.value, str)
+            and id(node) not in fstr_parts
+        ):
+            yield node.lineno, node.value
+        elif isinstance(node, ast.JoinedStr):
+            parts = []
+            for part in node.values:
+                if isinstance(part, ast.Constant) and isinstance(
+                    part.value, str
+                ):
+                    parts.append(part.value)
+                else:
+                    parts.append("FVAL")  # placeholder keeps parens sane
+            yield node.lineno, "".join(parts)
 
 
 def audit() -> list[tuple[str, int, str]]:
@@ -92,19 +130,14 @@ def audit() -> list[tuple[str, int, str]]:
     for path in sorted(glob.glob(SCAN, recursive=True)):
         rel = os.path.relpath(path, ROOT)
         tree = ast.parse(open(path).read(), filename=path)
-        for node in ast.walk(tree):
-            if not (
-                isinstance(node, ast.Constant)
-                and isinstance(node.value, str)
-            ):
-                continue
-            for arg in _sqrt_args(node.value):
+        for lineno, text in _string_templates(tree):
+            for arg in _sqrt_args(text):
                 if not _has_binary_minus(arg):
                     continue
                 snip = re.sub(r"\s+", " ", arg.strip())[:60]
                 if (os.path.basename(path), snip) in ALLOW:
                     continue
-                hits.append((rel, node.lineno, snip))
+                hits.append((rel, lineno, snip))
     return hits
 
 
