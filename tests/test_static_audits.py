@@ -96,6 +96,11 @@ def test_variance_identities_clamped_under_sqrt():
         "SQRT(ssq - 2 * m * s + n * m * m)",
         "SQRT(GREATEST(a, b) - c)",
         "SQRT(x - GREATEST(y, 0))",
+        # third-pass gaps: integer RHS after a clamp/ratio/product is
+        # still catastrophic cancellation, not a Bessel denominator
+        "SQRT(GREATEST(a, b) - 1)",
+        "SQRT(ssq/(n*m*m) - 1)",
+        "SQRT(x/y - 1)",
     ]
     for t in pre_fix:
         args = mod._sqrt_args(t)

@@ -76,36 +76,82 @@ def _strip_greatest_spans(arg: str) -> str:
             elif arg[i] == ")":
                 depth -= 1
             i += 1
-        arg = arg[: m.start()] + "GSPAN" + arg[i:]
+        # the placeholder ends in ')' so a following binary minus keeps a
+        # close-paren LHS and is never mistaken for a Bessel identifier
+        arg = arg[: m.start()] + "GSPAN()" + arg[i:]
 
 
 def _has_binary_minus(arg: str) -> bool:
     # drop lambda arrows first: '->' is not a subtraction
     s = _strip_greatest_spans(arg).replace("->", "  ")
-    # subtracting a bare INTEGER literal at the END of a term (Bessel's
-    # n - 1 and friends, i.e. followed by ')' ',' or end-of-text) is not
-    # the cancellation class; a constant COEFFICIENT ('ssq - 2 * m * s',
-    # the expanded sum((x-m)^2)) very much is, so the literal must not
-    # be erased when something follows it
-    s = re.sub(r"([\w)\]])\s*-\s*\d+(?![\w.])(?=\s*(?:[),]|$))", r"\1", s)
+    # the ONLY exempted subtraction: a BARE identifier minus an integer
+    # literal at the end of a term ('(n - 1)' Bessel denominators).  The
+    # identifier must open its own term ('(', ',', whitespace, or start)
+    # — an LHS ending in ')' (GREATEST(a, b) - 1), a ratio ('x/y - 1',
+    # catastrophic cancellation when x≈y), or a product ('s*n - 1') all
+    # keep their minus and get flagged; so does a constant COEFFICIENT
+    # ('ssq - 2 * m * s', the expanded sum((x-m)^2)), because something
+    # follows the literal
+    s = re.sub(
+        r"(^|[(\s,])(\w+)\s*-\s*\d+(?![\w.])(?=\s*(?:[),]|$))",
+        r"\1\2",
+        s,
+    )
     # binary minus: '-' preceded (ignoring spaces) by an identifier char,
     # ')' or digit — leading unary minus / negative literals don't count
     return re.search(r"[\w)\]]\s*-\s*[\w($]", s) is not None
 
 
+def _module_str_consts(tree: ast.AST) -> dict[str, str]:
+    """NAME -> value for module-level string-constant assignments, so an
+    interpolation of a module constant is scanned with its real text."""
+    out: dict[str, str] = {}
+    for node in getattr(tree, "body", []):
+        tgt = None
+        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+            tgt = node.targets[0]
+        elif isinstance(node, ast.AnnAssign):
+            tgt = node.target
+        if (
+            isinstance(tgt, ast.Name)
+            and isinstance(getattr(node, "value", None), ast.Constant)
+            and isinstance(node.value.value, str)
+        ):
+            out[tgt.id] = node.value.value
+    return out
+
+
 def _string_templates(tree: ast.AST):
     """Yield (lineno, text) for every string in the module: bare
-    constants, and f-strings REASSEMBLED into one template with each
-    interpolation replaced by a placeholder identifier — an f-string's
-    fragments have unbalanced parens, so scanning them standalone finds
-    no SQRT argument at all (the blind spot that hid q_corr_matrix; the
-    same technique as audit_ansi_division's JoinedStr handling)."""
+    constants, and f-strings REASSEMBLED into one template — an
+    f-string's fragments have unbalanced parens, so scanning them
+    standalone finds no SQRT argument at all (the blind spot that hid
+    q_corr_matrix; the same technique as audit_ansi_division's JoinedStr
+    handling).  An interpolation that references a module-level string
+    constant (bare NAME or NAME.format(...)) is inlined with the
+    constant's text so e.g. f"SQRT({IDENT})" is scanned with IDENT's
+    real body; anything else becomes a placeholder identifier."""
+    consts = _module_str_consts(tree)
     fstr_parts = {
         id(part)
         for n in ast.walk(tree)
         if isinstance(n, ast.JoinedStr)
         for part in n.values
     }
+
+    def _inline(v: ast.AST) -> str:
+        if isinstance(v, ast.Name) and v.id in consts:
+            return consts[v.id]
+        if (  # NAME.format(...) — the SQNORM.format(v=..) idiom
+            isinstance(v, ast.Call)
+            and isinstance(v.func, ast.Attribute)
+            and v.func.attr == "format"
+            and isinstance(v.func.value, ast.Name)
+            and v.func.value.id in consts
+        ):
+            return consts[v.func.value.id]
+        return "FVAL"  # placeholder keeps parens sane
+
     for node in ast.walk(tree):
         if (
             isinstance(node, ast.Constant)
@@ -120,8 +166,10 @@ def _string_templates(tree: ast.AST):
                     part.value, str
                 ):
                     parts.append(part.value)
+                elif isinstance(part, ast.FormattedValue):
+                    parts.append(_inline(part.value))
                 else:
-                    parts.append("FVAL")  # placeholder keeps parens sane
+                    parts.append("FVAL")
             yield node.lineno, "".join(parts)
 
 
