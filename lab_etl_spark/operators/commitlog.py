@@ -50,6 +50,7 @@ import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: subdirectory holding the manifest log
 LOG_DIR = "_log"
@@ -110,8 +111,48 @@ class LoggedTable:
                 raise FileNotFoundError(f"no commits in {self.log_dir}")
         else:
             m = self.manifest(version)
-        return spark.read.parquet(
+        df = spark.read.parquet(
             os.path.join(self.table_dir, m["data_dir"])
+        )
+        return self._apply_dv(spark, df, m)
+
+    def _apply_dv(
+        self, spark: SparkSession, df: DataFrame, m: dict
+    ) -> DataFrame:
+        """Merge-on-read: subtract the manifest's deletion vector (if any)
+        from a snapshot scan — an anti-join on (file basename, row index
+        within file), both exposed by Spark's parquet ``_metadata``
+        struct, so deleted rows vanish from EVERY reader that resolves
+        the manifest without any data file having been rewritten.
+
+        The DV side is broadcast when small (its row count is recorded in
+        the manifest at commit time — no extra job to decide), which
+        keeps the subtraction a map-side hash anti-join: zero shuffle of
+        the table.  A DV grown past broadcast size falls back to a
+        shuffled anti-join — the signal that :func:`compact_dv` is due.
+        """
+        dv_rel = m.get("dv_dir")
+        if not dv_rel:
+            return df
+        dv = spark.read.parquet(os.path.join(self.table_dir, dv_rel))
+        if m.get("dv_rows", 0) <= 5_000_000:
+            dv = F.broadcast(dv)
+        src = df.withColumns(
+            {
+                "_dv_file": F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        return (
+            src.join(
+                dv,
+                (src["_dv_file"] == dv["file"])
+                & (src["_dv_pos"] == dv["pos"]),
+                "left_anti",
+            )
+            .drop("_dv_file", "_dv_pos")
         )
 
     def read_pruned(
@@ -142,7 +183,7 @@ class LoggedTable:
         files = m.get("files")
         base = os.path.join(self.table_dir, m["data_dir"])
         if not files:
-            return spark.read.parquet(base)
+            return self._apply_dv(spark, spark.read.parquet(base), m)
         # manifests written since stats were typed carry the list of
         # temporal stats columns; older manifests (None) fall back to
         # ISO-sniffing every string, the legacy behavior
@@ -170,16 +211,19 @@ class LoggedTable:
             return spark.read.parquet(base).filter("1 = 0")
         # basePath keeps partition-directory columns (p=0/...) visible
         # when scanning an explicit file subset
-        return spark.read.option("basePath", base).parquet(*keep)
+        return self._apply_dv(
+            spark, spark.read.option("basePath", base).parquet(*keep), m
+        )
 
     def commit(
         self,
-        write_fn: Callable[[str], None],
+        write_fn: Callable[[str], None] | None,
         op: str = "overwrite",
         meta: dict | None = None,
         spark: SparkSession | None = None,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        data_dir: str | None = None,
     ) -> dict:
         """Run ``write_fn(new_snapshot_dir)`` and atomically publish it.
 
@@ -195,11 +239,23 @@ class LoggedTable:
         Readers then call :meth:`read_pruned` to skip whole files whose
         stats range cannot satisfy an interval predicate — skipping
         happens at MANIFEST level, before any parquet footer is opened.
+
+        ``data_dir`` (relative, with ``write_fn=None``) publishes a
+        manifest REUSING an existing snapshot directory instead of
+        writing one — the metadata-only commit deletion vectors need
+        (:func:`purge_dv`: same immutable data files, new sidecar), and
+        the commit shape of :func:`compact_dv` (whose data dir was
+        assembled out-of-band from hardlinks + rewritten files).
         """
-        data_rel = f"v_{uuid.uuid4().hex[:12]}"
-        abs_dir = os.path.join(self.table_dir, data_rel)
-        write_fn(abs_dir)
-        if spark is not None and (stats_cols or bloom_cols):
+        if data_dir is not None:
+            data_rel = data_dir
+        else:
+            data_rel = f"v_{uuid.uuid4().hex[:12]}"
+            abs_dir = os.path.join(self.table_dir, data_rel)
+            write_fn(abs_dir)
+        if data_dir is None and spark is not None and (
+            stats_cols or bloom_cols
+        ):
             files, temporal = _file_stats(spark, abs_dir, stats_cols or [])
             if bloom_cols:
                 blooms = _file_blooms(spark, abs_dir, bloom_cols)
@@ -249,11 +305,16 @@ class LoggedTable:
         """
         vs = self.versions()
         keep = max(keep, 1)
-        live = {self.manifest(v)["data_dir"] for v in vs[-keep:]}
+        live: set[str] = set()
+        for v in vs[-keep:]:
+            m = self.manifest(v)
+            live.add(m["data_dir"])
+            if m.get("dv_dir"):
+                live.add(m["dv_dir"])
         removed = []
         for name in os.listdir(self.table_dir):
             if (
-                name.startswith("v_")
+                name.startswith(("v_", "dv_"))
                 and name not in live
                 and os.path.isdir(os.path.join(self.table_dir, name))
             ):
@@ -301,6 +362,135 @@ def purge_logged(
         },
     )
     return m
+
+
+def purge_dv(
+    spark: SparkSession,
+    table: LoggedTable,
+    predicate,
+) -> dict:
+    """Row-level delete WITHOUT rewriting the table: a deletion-vector
+    commit (Delta deletion vectors / Iceberg position deletes — the
+    merge-on-read half of DELETE).
+
+    :func:`purge_logged` implements right-to-be-forgotten as a filtered
+    full-snapshot rewrite — at 100 TB a single-user purge rewriting the
+    whole table is the scale-killer of compliance ops.  This commits only
+    METADATA-plus-matches instead:
+
+      1. one filtered scan finds the matching rows' (file basename,
+         row index) via the parquet ``_metadata`` struct — the predicate
+         pushes down, so only matching row groups' pages are decoded and
+         only the tiny match set moves;
+      2. the positions (unioned with any existing DV — deletes
+         accumulate) are written as a parquet sidecar ``dv_*`` dir,
+         bytes ∝ deleted rows, never ∝ table size;
+      3. the manifest commit REUSES the previous snapshot's immutable
+         ``data_dir`` and records ``dv_dir``/``dv_rows`` — every reader
+         (:meth:`LoggedTable.read`, :meth:`read_pruned`) then subtracts
+         the DV via a broadcast anti-join at scan time.
+
+    Readers pinned to earlier versions still see the rows, and the BYTES
+    remain in the data files until :func:`compact_dv` rewrites the
+    affected files and :meth:`LoggedTable.vacuum` reclaims the old
+    snapshot — the same DELETE → REWRITE → VACUUM compliance ladder as
+    Delta's, with the expensive rung now optional and lazy."""
+    m = table.latest()
+    if m is None:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    base = os.path.join(table.table_dir, m["data_dir"])
+    scan = spark.read.parquet(base)
+    matches = scan.filter(predicate).select(
+        F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        ).alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    old_rows = int(m.get("dv_rows", 0))
+    if m.get("dv_dir"):
+        old_dv = spark.read.parquet(
+            os.path.join(table.table_dir, m["dv_dir"])
+        )
+        matches = matches.unionByName(old_dv).distinct()
+    dv_rel = f"dv_{uuid.uuid4().hex[:12]}"
+    dv_abs = os.path.join(table.table_dir, dv_rel)
+    # coalesce(1): a DV is deleted-row-count sized (compliance deletes
+    # are a vanishing fraction of the table); one file keeps the read
+    # side a single broadcast build.  A bulk-delete DV that outgrows
+    # this is exactly the compact_dv trigger.
+    matches.coalesce(1).write.parquet(dv_abs)
+    dv_rows = spark.read.parquet(dv_abs).count()
+    return table.commit(
+        None,
+        op="purge_dv",
+        meta={
+            "dv_dir": dv_rel,
+            "dv_rows": dv_rows,
+            "rows_purged": dv_rows - old_rows,
+        },
+        data_dir=m["data_dir"],
+    )
+
+
+def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
+    """Lazy materialization of accumulated deletion vectors: rewrite ONLY
+    the files the DV touches, hardlink every untouched file into the new
+    snapshot, and commit a DV-free manifest.
+
+    Bytes rewritten scale with AFFECTED FILES, not table size (pinned by
+    tests/test_commitlog.py: untouched files keep their inode — zero
+    bytes copied; on an object store the hardlink step becomes the new
+    manifest referencing the old objects, as Delta/Iceberg manifests
+    do).  After this commit the purged rows' bytes still exist in the
+    OLD snapshot's affected files until :meth:`LoggedTable.vacuum`
+    drops it — vacuum remains the actual compliance deletion."""
+    m = table.latest()
+    if m is None:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    dv_rel = m.get("dv_dir")
+    if not dv_rel:
+        return m  # nothing to materialize
+    base = os.path.join(table.table_dir, m["data_dir"])
+    dv = spark.read.parquet(os.path.join(table.table_dir, dv_rel))
+    affected = {
+        r["file"] for r in dv.select("file").distinct().collect()
+    }  # one basename per affected FILE — manifest-sized, never row data
+    new_rel = f"v_{uuid.uuid4().hex[:12]}"
+    new_abs = os.path.join(table.table_dir, new_rel)
+    os.makedirs(new_abs)
+    linked = 0
+    parts = sorted(
+        n for n in os.listdir(base)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    for name in parts:
+        if name not in affected:
+            # zero-copy carry-over: same inode, no bytes moved (the
+            # POSIX analogue of a manifest referencing existing objects)
+            os.link(os.path.join(base, name), os.path.join(new_abs, name))
+            linked += 1
+    rewrite = sorted(affected)
+    if rewrite:
+        src = spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, n) for n in rewrite]
+        )
+        kept = table._apply_dv(spark, src, m)
+        tmp = os.path.join(table.table_dir, f".compact.{uuid.uuid4().hex[:8]}")
+        kept.write.parquet(tmp)
+        for n in os.listdir(tmp):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                # fresh write-job UUIDs cannot collide with linked names
+                os.rename(os.path.join(tmp, n), os.path.join(new_abs, n))
+        shutil.rmtree(tmp, ignore_errors=True)
+    return table.commit(
+        None,
+        op="compact_dv",
+        meta={
+            "files_rewritten": len(rewrite),
+            "files_linked": linked,
+        },
+        data_dir=new_rel,
+    )
 
 
 def compact_logged(

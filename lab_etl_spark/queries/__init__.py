@@ -100,49 +100,47 @@ def register(
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # round 10: the queries whose engine/oracle text changed this
-    # round while closing the r9 ADVICE findings — q_anomaly_seasonal
-    # (GREATEST clamp on the variance identity, BOTH engine texts: a
-    # fp-cancelled constant stratum now yields sigma 0, not NaN rows /
-    # a DuckDB sqrt error), q_linreg_trend (readout stored as per-column
-    # expression tuple instead of a comma-split blob), and
-    # q_embedding_quality (oracle admission predicate hoisted into
-    # _ADMIT_DUCK).  All value-identical on clean corpora, but the new
-    # texts have never seen a driver row; front them so CORRECTNESS_r10
-    # re-verifies them, then drain the r5/r6 staleness tail.
-    "q_anomaly_seasonal",
-    "q_linreg_trend",
-    "q_embedding_quality",
-    # the round-10 self-review extended the variance clamp to the two
-    # sibling sites with the same NaN/throw hazard: q_acf would otherwise
-    # sit in the r6 spill with a changed oracle text (q_bootstrap_ci, the
-    # other sibling, enters via the r5 cohort on staleness alone)
-    "q_acf",
+    # round 11: the queries whose ENGINE text changed this round while
+    # closing the r10 ADVICE findings — the two update-mode streaming
+    # drains now reduce the memory sink to the final state per key
+    # (final_state: max-n_events row), so correctness no longer depends
+    # on the availableNow drain being a single micro-batch, and the two
+    # footer queries ride the reworked stats kernel (schema-evolution
+    # placeholder rows, shared _keep_expr, ns-conservative max bounds).
+    # All four are value-identical on the driver corpus (single-batch
+    # drains / homogeneous lake), but the new texts have never seen a
+    # driver row; front them so CORRECTNESS_r11 re-verifies them, then
+    # drain the 13 r6 veterans and the r7 cohort by staleness.
+    "q_stream_running_stats",
+    "q_stream_stateful_ewma",
+    "q_parquet_footer_stats",
+    "q_footer_pruned_scan",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
-# CORRECTNESS_r0{1..9}.json via tools/regen_last_green.py (hash_match
+# CORRECTNESS_r01..r10.json via tools/regen_last_green.py (hash_match
 # true, or rows-only with rows returned).  Orders the veteran fill of
 # the window: stalest first.  Queries absent from this map have never
 # been driver-checked and sort ahead of all veterans automatically.
 _LAST_GREEN = {
-    "q_dedup_exact": 6, "q_dedup_ngram_jaccard": 6, "q_dedup_minhash_lsh": 6,
-    "q_dedup_clusters": 6, "q_dedup_simhash": 6, "q_dedup_embedding": 7,
-    "q_instrument_peak_hrr": 8, "q_instrument_sta_mass_loss": 8,
-    "q_filter_project": 6, "q_pricing_summary": 6, "q_agg_group": 6,
-    "q_agg_distinct": 6, "q_approx_distinct": 8, "q_shipping_priority": 6,
-    "q_local_supplier_volume": 6, "q_hash_join_inner": 6,
-    "q_broadcast_join": 6, "q_semi_join": 6, "q_anti_join": 7,
-    "q_range_join": 6, "q_window_rank": 6, "q_window_frame": 6,
-    "q_sort_limit_topk": 6, "q_set_ops": 6, "q_scalar_fns": 6,
-    "q_array_fns": 6, "q_map_fns": 6, "q_skew_join_salted": 6,
-    "q_shuffle_hash_join": 6, "q_outer_join": 6, "q_scalar_subquery": 6,
-    "q_pivot_wide": 6, "q_unpivot": 6, "q_grouping_sets": 6,
-    "q_percentile_exact": 6, "q_deterministic_sample": 6,
-    "q_similarity_topk": 6, "q_similarity_blocked": 6, "q_similarity_ivf": 7,
+    "q_dedup_exact": 10, "q_dedup_ngram_jaccard": 10,
+    "q_dedup_minhash_lsh": 10, "q_dedup_clusters": 10, "q_dedup_simhash": 10,
+    "q_dedup_embedding": 7, "q_instrument_peak_hrr": 8,
+    "q_instrument_sta_mass_loss": 8, "q_filter_project": 10,
+    "q_pricing_summary": 10, "q_agg_group": 10, "q_agg_distinct": 10,
+    "q_approx_distinct": 8, "q_shipping_priority": 10,
+    "q_local_supplier_volume": 10, "q_hash_join_inner": 10,
+    "q_broadcast_join": 10, "q_semi_join": 10, "q_anti_join": 7,
+    "q_range_join": 10, "q_window_rank": 10, "q_window_frame": 10,
+    "q_sort_limit_topk": 10, "q_set_ops": 10, "q_scalar_fns": 10,
+    "q_array_fns": 10, "q_map_fns": 10, "q_skew_join_salted": 10,
+    "q_shuffle_hash_join": 10, "q_outer_join": 10, "q_scalar_subquery": 10,
+    "q_pivot_wide": 10, "q_unpivot": 10, "q_grouping_sets": 10,
+    "q_percentile_exact": 10, "q_deterministic_sample": 10,
+    "q_similarity_topk": 10, "q_similarity_blocked": 6, "q_similarity_ivf": 7,
     "q_text_stats": 6, "q_text_quality": 7, "q_text_fingerprint": 7,
     "q_token_histogram": 7, "q_text_tokens_bpe": 7, "q_text_rolling_hash": 7,
-    "q_lang_id_ngram": 7, "q_stream_tumbling": 7, "q_rollup_cube": 6,
+    "q_lang_id_ngram": 7, "q_stream_tumbling": 7, "q_rollup_cube": 10,
     "q_stream_session": 7, "q_stream_sliding": 7, "q_asof_align": 7,
     "q_interp_linear": 7, "q_interp_by_key": 7, "q_interval_join": 7,
     "q_zscore_anomaly": 7, "q_stratified_sample": 7, "q_seq_packing": 7,
@@ -166,49 +164,52 @@ _LAST_GREEN = {
     "q_cdc_merge": 8, "q_pagerank": 8, "q_event_pattern": 8,
     "q_schema_evolution": 8, "q_null_semantics": 8, "q_fuzzy_match": 8,
     "q_doc_chunking": 8, "q_group_sample": 8, "q_robust_stats": 8,
-    "q_entity_resolution": 8, "q_hll_rollup": 6, "q_forecast_revenue": 9,
+    "q_entity_resolution": 8, "q_hll_rollup": 10, "q_forecast_revenue": 9,
     "q_volume_shipping": 9, "q_shipmode_priority": 9,
     "q_parts_supplier_count": 9, "q_potential_promotion": 9,
     "q_commitlog_roundtrip": 9, "q_heavy_hitters_cms": 8, "q_kmv_distinct": 8,
     "q_bloom_join_prune": 8, "q_triangle_count": 8, "q_ewma_batch": 8,
     "q_rolling_1h": 8, "q_bucketed_join": 8, "q_partition_pruning": 8,
-    "q_incremental_agg": 8, "q_linreg_trend": 8, "q_time_travel": 8,
+    "q_incremental_agg": 8, "q_linreg_trend": 10, "q_time_travel": 8,
     "q_user_purge": 8, "q_histogram": 8, "q_data_quality": 8,
     "q_curation_pipeline": 8, "q_stream_cms_merge": 8, "q_orc_roundtrip": 8,
     "q_video_frames": 9, "q_sql_udf": 8, "q_scd2_lookup": 9,
     "q_dynamic_partition_pruning": 8, "q_date_spine_fill": 8,
     "q_rfm_segmentation": 8, "q_gini_concentration": 8,
-    "q_jsonl_roundtrip": 5, "q_corrupt_records": 5, "q_setsim_join": 9,
+    "q_jsonl_roundtrip": 10, "q_corrupt_records": 10, "q_setsim_join": 9,
     "q_dedup_passages": 9, "q_dedup_containment": 9, "q_bm25": 9,
     "q_cooccurrence_pmi": 9, "q_bigram_novelty": 9, "q_udtf_token_offsets": 9,
     "q_stats_pruning": 9, "q_point_lookup_bloom": 9, "q_xml_roundtrip": 9,
     "q_kmv_intersect": 9, "q_shortest_path": 9, "q_weighted_sample": 9,
     "q_negative_sampling": 9, "q_embedding_quantize": 9, "q_corr_matrix": 9,
-    "q_changepoint": 9, "q_attribution": 5, "q_seasonal_decompose": 5,
-    "q_anomaly_seasonal": 5, "q_stream_enrich": 5, "q_top_movers": 5,
-    "q_transition_matrix": 5, "q_market_basket": 9, "q_recursive_cte": 9,
-    "q_dtw_distance": 5, "q_phash_dedup": 9, "q_audio_fingerprint": 9,
+    "q_changepoint": 9, "q_attribution": 10, "q_seasonal_decompose": 10,
+    "q_anomaly_seasonal": 10, "q_stream_enrich": 10, "q_top_movers": 10,
+    "q_transition_matrix": 10, "q_market_basket": 9, "q_recursive_cte": 9,
+    "q_dtw_distance": 10, "q_phash_dedup": 9, "q_audio_fingerprint": 9,
     "q_image_resize": 9, "q_unigram_logprob": 9, "q_feature_hashing": 9,
     "q_kl_divergence": 9, "q_bpe_train": 9, "q_stream_dedup": 9, "q_kcore": 9,
     "q_hll_portable": 9, "q_quantile_histogram": 9, "q_label_propagation": 9,
     "q_lsh_recall": 9, "q_dp_counts": 9, "q_bootstrap_ci": 9,
     "q_kanonymity": 9, "q_mutual_information": 9, "q_skyline_2d": 9,
     "q_abtest_cuped": 9, "q_random_projection": 9, "q_kmeans_lloyd": 9,
-    "q_rrf_fusion": 6, "q_acf": 6, "q_arrow_roundtrip": 6,
+    "q_rrf_fusion": 6, "q_acf": 10, "q_arrow_roundtrip": 6,
     "q_attribution_markov": 6, "q_funnel_windowed": 6, "q_interval_merge": 6,
     "q_langid_confusion": 6, "q_ntile_binning": 6,
-    "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 6, "q_semdedup": 8,
+    "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 10, "q_semdedup": 8,
     "q_pq_adc": 6, "q_importance_resampling": 6, "q_semdedup_kmeans": 7,
     "q_graph_ann": 7, "q_dedup_incremental": 8, "q_delta_export": 8,
-    "q_embedding_quality": 9,
+    "q_embedding_quality": 10, "q_parquet_footer_stats": 10,
+    "q_footer_pruned_scan": 10, "q_stream_running_stats": 10,
 }
 
-# ROUND-11 ROTATION DUTY: regenerate _LAST_GREEN from
-# CORRECTNESS_r0{1..9}.json + CORRECTNESS_r10.json (extend
-# tools/regen_last_green.py's glob if needed), front any round-10 red
-# rows plus promoted/changed oracles, then continue the staleness cycle:
-# after round 10 the oldest cohort is r6 (the ~10 spilled veterans),
-# then the r7 cohort (50 queries) by staleness.  Pre-flight with
+# ROUND-12 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r11
+# (tools/regen_last_green.py), front any round-11 red rows plus
+# promoted/changed oracles, then continue the staleness cycle: after
+# round 11 the oldest cohort is r7 (the ~17 spilled veterans), then the
+# r8 cohort (49) by staleness.  The invariant is now SELF-ENFORCING:
+# tests/test_static_audits.py::test_window_staleness_invariant fails if
+# any registered query too stale to wait another round is left outside
+# the upcoming 50-entry window.  Pre-flight with
 # tools/simulate_window.py 50 as every round.
 
 

@@ -407,6 +407,52 @@ def q_user_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_purge_dv",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum('value', 6)} AS sum_value
+    FROM events
+    WHERE user_id % 97 != 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Row-level delete WITHOUT table rewrite (operators/commitlog.py "
+    "purge_dv): commit events as a multi-file snapshot, then delete every "
+    "user_id ≡ 0 (mod 97) as a DELETION VECTOR — one filtered scan "
+    "records the matches' (file, row_index) positions from the parquet "
+    "_metadata struct into a sidecar, and the manifest commit REUSES the "
+    "immutable data files (bytes written ∝ deleted rows, never ∝ table "
+    "size — q_user_purge's full rewrite is the 100 TB scale-killer this "
+    "replaces).  The read then subtracts the DV via a broadcast "
+    "anti-join at scan time (merge-on-read).  The oracle filters the "
+    "source directly, proving the DV read path drops exactly the "
+    "targeted rows; compact_dv equivalence + the bytes-rewritten-scale-"
+    "with-affected-files pin live in tests/test_commitlog.py.",
+    bench=False,  # dominated by the eager snapshot write
+)
+def q_purge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable, purge_dv
+
+    ev = load_table(spark, sf_dir, "events")
+    table = LoggedTable(scratch_dir("purge_dv_events", sf_dir))
+    # multi-file snapshot so the DV actually exercises per-file positions
+    table.commit(lambda d: ev.repartition(8).write.parquet(d), op="ingest")
+    purge_dv(spark, table, F.col("user_id") % 97 == 0)
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: histogram bin width over events.value (fixed so both engines bin alike)
 HIST_BIN_W = 100.0
 
@@ -960,6 +1006,12 @@ def q_footer_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = scratch_dir("footerprune_li", sf_dir)
     (
+        # FIXTURE-ONLY layout: repartition(1) + sortWithinPartitions is a
+        # single-partition global sort — fine for a hundreds-of-KB test
+        # corpus, a scale-killer if pattern-copied.  A production sorted
+        # rewrite uses the range-partitioned z-order writer
+        # (operators/zorder.py write_zordered) or compact_table, which
+        # sort WITHIN bounded tasks.
         li.repartition(1)
         .sortWithinPartitions("l_shipdate")
         .write.mode("overwrite")

@@ -333,6 +333,7 @@ def q_interp_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import (
+        final_state,
         run_available_now,
         stream_events,
         user_value_ewma,
@@ -341,10 +342,15 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Fixed name: run_available_now drops any previous drain's memory table
     # first, so repeated invocations don't leak temp views.
     name = "q_ewma_mem"
-    return run_available_now(
-        user_value_ewma(stream_events(spark, sf_dir), alpha=0.3),
-        name,
-        output_mode="update",
+    # final_state: an update sink holds one row per key per micro-batch;
+    # reduce to the max-n_events (final) row so correctness never depends
+    # on the drain being a single batch (ADVICE r10).
+    return final_state(
+        run_available_now(
+            user_value_ewma(stream_events(spark, sf_dir), alpha=0.3),
+            name,
+            output_mode="update",
+        )
     )
 
 
@@ -377,16 +383,22 @@ def q_stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import (
+        final_state,
         run_available_now,
         stream_events,
         user_running_stats,
     )
 
     name = "q_running_stats_mem"
-    return run_available_now(
-        user_running_stats(stream_events(spark, sf_dir)),
-        name,
-        output_mode="update",
+    # final_state: an update sink holds one row per key per micro-batch;
+    # reduce to the max-n_events (final) row so correctness never depends
+    # on the drain being a single batch (ADVICE r10).
+    return final_state(
+        run_available_now(
+            user_running_stats(stream_events(spark, sf_dir)),
+            name,
+            output_mode="update",
+        )
     )
 
 

@@ -57,8 +57,14 @@ STATS_SCHEMA = (
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
-def _to_num(v) -> float | None:
-    """Map a typed parquet stat to the DOUBLE lane (None => string lane)."""
+def _to_num(v, round_up: bool = False) -> float | None:
+    """Map a typed parquet stat to the DOUBLE lane (None => string lane).
+
+    ``round_up`` is set for MAX bounds: truncation of sub-microsecond
+    components must stay CONSERVATIVE for pruning (floor the min, ceil
+    the max), else a bound reported low can falsely skip a boundary row
+    group — the never-false-negative contract.
+    """
     if isinstance(v, bool):
         return float(v)
     if isinstance(v, (int, float)):
@@ -75,9 +81,16 @@ def _to_num(v) -> float | None:
         # drop a boundary row group — breaking the never-false-negative
         # contract
         d = v - _EPOCH
-        return float(
-            (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
-        )  # epoch microseconds
+        us = (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
+        # nanosecond-unit lakes: pyarrow yields pandas Timestamps whose
+        # sub-microsecond component the timedelta arithmetic FLOORS — a
+        # floored max can sit up to 999 ns below the true maximum, so a
+        # fractional-microsecond predicate bound could falsely prune the
+        # boundary group.  Round the max bound up instead (min floors,
+        # which is already the conservative direction).
+        if round_up and getattr(v, "nanosecond", 0):
+            us += 1
+        return float(us)  # epoch microseconds
     if isinstance(v, date):
         return float((v - _EPOCH.date()).days)  # epoch days
     return None
@@ -119,21 +132,22 @@ def footer_rowgroup_stats(
     file listing; each task reads only the footer bytes (pyarrow
     ``ParquetFile.metadata`` — no data pages, no row materialization).
     ``columns=None`` reads stats for every leaf column.
+
+    Schema-evolved / heterogeneous lakes: a wanted column absent from a
+    file's footer still yields one PLACEHOLDER row per row group
+    (``physical_type`` NULL, all stats NULL, real ``rg_rows``/
+    ``rg_bytes``), so every (file, row_group) stays visible to the
+    keep/skip decision and the NULL-bounds rule retains it — a file
+    written before the column existed is unprunable evidence, not an
+    invisible drop.  A column present in NO file therefore yields
+    all-placeholder rows rather than an error here (a lazy
+    transformation cannot raise at call time without probing every
+    footer driver-side); :func:`pruned_scan`, which runs an action
+    anyway, raises ``KeyError`` on that case.
     """
     files = list_part_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet part files under {path}")
-    if columns is not None:
-        # one driver-side footer open (same budget as the listing): a
-        # misspelled column would otherwise yield ZERO stats rows, which
-        # downstream pruning would read as nothing-to-keep and silently
-        # drop every row group
-        import pyarrow.parquet as pq
-
-        names = pq.ParquetFile(files[0]).schema_arrow.names
-        missing = [c for c in columns if c not in names]
-        if missing:
-            raise KeyError(f"columns {missing} not in schema {names}")
     wanted = set(columns) if columns is not None else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -145,11 +159,13 @@ def footer_rowgroup_stats(
                 meta = pq.ParquetFile(fp).metadata
                 for g in range(meta.num_row_groups):
                     rg = meta.row_group(g)
+                    present: set[str] = set()
                     for i in range(rg.num_columns):
                         col = rg.column(i)
                         name = col.path_in_schema
                         if wanted is not None and name not in wanted:
                             continue
+                        present.add(name)
                         s = col.statistics
                         has = s is not None and s.has_min_max
                         rows.append(
@@ -167,7 +183,11 @@ def footer_rowgroup_stats(
                                     else None
                                 ),
                                 "min_num": _to_num(s.min) if has else None,
-                                "max_num": _to_num(s.max) if has else None,
+                                "max_num": (
+                                    _to_num(s.max, round_up=True)
+                                    if has
+                                    else None
+                                ),
                                 "min_str": _to_str(s.min) if has else None,
                                 "max_str": _to_str(s.max) if has else None,
                                 "rg_rows": rg.num_rows,
@@ -178,6 +198,28 @@ def footer_rowgroup_stats(
                                 "rg_bytes": rg.total_byte_size,
                             }
                         )
+                    if wanted is not None:
+                        # placeholder rows for wanted-but-absent columns
+                        # (schema evolution): NULL bounds == unprunable,
+                        # so the group survives the keep rule instead of
+                        # vanishing from the decision entirely
+                        for name in sorted(wanted - present):
+                            rows.append(
+                                {
+                                    "file": fp,
+                                    "row_group": g,
+                                    "column": name,
+                                    "physical_type": None,
+                                    "n_values": None,
+                                    "null_count": None,
+                                    "min_num": None,
+                                    "max_num": None,
+                                    "min_str": None,
+                                    "max_str": None,
+                                    "rg_rows": rg.num_rows,
+                                    "rg_bytes": rg.total_byte_size,
+                                }
+                            )
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -195,6 +237,21 @@ def footer_rowgroup_stats(
     if len(files) > 1:
         paths = paths.repartition(min(len(files), 256))
     return paths.mapInPandas(kernel, STATS_SCHEMA)
+
+
+def _keep_expr(lo: float | None, hi: float | None) -> Column:
+    """The ONE keep rule both the audit API (:func:`prune_row_groups`)
+    and the read path (:func:`pruned_scan`) apply: a row group survives
+    when its bounds overlap [lo, hi) OR it has no bounds (NULL stats —
+    including the placeholder rows schema-evolved files emit: no
+    evidence == cannot skip, the same conservative rule the commit-log
+    pruner and every engine's row-group filter apply)."""
+    overlap: Column = F.lit(True)
+    if lo is not None:
+        overlap = overlap & (F.col("max_num") >= F.lit(float(lo)))
+    if hi is not None:
+        overlap = overlap & (F.col("min_num") < F.lit(float(hi)))
+    return F.col("min_num").isNull() | F.col("max_num").isNull() | overlap
 
 
 def prune_row_groups(
@@ -215,16 +272,12 @@ def prune_row_groups(
     timestamps, epoch days for dates), matching ``min_num``/``max_num``.
     """
     s = stats.filter(F.col("column") == column)
-    overlap: Column = F.lit(True)
-    if lo is not None:
-        overlap = overlap & (F.col("max_num") >= F.lit(float(lo)))
-    if hi is not None:
-        overlap = overlap & (F.col("min_num") < F.lit(float(hi)))
-    keep = (
-        F.col("min_num").isNull() | F.col("max_num").isNull() | overlap
-    )
     return s.select(
-        "file", "row_group", "rg_rows", "rg_bytes", keep.alias("keep")
+        "file",
+        "row_group",
+        "rg_rows",
+        "rg_bytes",
+        _keep_expr(lo, hi).alias("keep"),
     )
 
 
@@ -282,7 +335,14 @@ def pruned_scan(
     (e.g. bounds computed at runtime from another table).
 
     ``read_columns`` must be primitive-typed (the stats lanes' type
-    universe); nested columns raise rather than silently mis-map.
+    universe) and present in EVERY file (types are probed from one
+    footer; a file missing a read column fails loudly in the read
+    kernel).  The PRUNE column, by contrast, may be absent from some
+    files (schema evolution): those files' groups carry placeholder
+    NULL bounds and are conservatively KEPT, never dropped.  A prune
+    column present in no file at all raises ``KeyError`` — that is a
+    misspelling, and silently keeping (or dropping) everything would
+    hide it.
     """
     import pyarrow.parquet as pq
 
@@ -291,15 +351,9 @@ def pruned_scan(
         # same error (and message shape) footer_rowgroup_stats raises, not
         # an opaque IndexError from the schema probe below
         raise FileNotFoundError(f"no parquet part files under {path}")
-    # schema from ONE footer, driver-side (files of one table share it)
+    # read-column types from ONE footer, driver-side (read_columns must
+    # exist everywhere, so any file's footer answers)
     schema_arrow = pq.ParquetFile(files[0]).schema_arrow
-    if column not in schema_arrow.names:
-        # a misspelled prune column would otherwise yield ZERO stats rows
-        # -> empty decision -> every row silently dropped, which is
-        # indistinguishable from a legitimately all-pruned range
-        raise KeyError(
-            f"prune column {column!r} not in schema {schema_arrow.names}"
-        )
     fields = []
     for c in read_columns:
         ddl = _arrow_ddl(schema_arrow.field(c).type)
@@ -311,15 +365,23 @@ def pruned_scan(
         fields.append(f"{c} {ddl}")
     out_schema = ", ".join(fields)
 
-    decision = prune_row_groups(
-        footer_rowgroup_stats(spark, path, columns=[column]),
-        column,
-        lo,
-        hi,
-    )
+    # ONE census job collects the keep decision AND column presence —
+    # one row per row group, manifest-sized, never row data.  Presence
+    # (physical_type non-NULL on at least one row) distinguishes a
+    # schema-evolved lake (some placeholder rows — keep those groups)
+    # from a misspelled prune column (ALL placeholders — raise).
+    decision = footer_rowgroup_stats(spark, path, columns=[column]).select(
+        "file",
+        "row_group",
+        _keep_expr(lo, hi).alias("keep"),
+        F.col("physical_type").isNotNull().alias("present"),
+    ).collect()
+    if not any(r["present"] for r in decision):
+        raise KeyError(
+            f"prune column {column!r} not in any file's schema under {path}"
+        )
     kept = [
-        (r["file"], r["row_group"])
-        for r in decision.filter("keep").select("file", "row_group").collect()
+        (r["file"], r["row_group"]) for r in decision if r["keep"]
     ]  # one tuple per KEPT row group — metadata-sized, never row data
     if not kept:
         return spark.createDataFrame([], out_schema)

@@ -289,13 +289,51 @@ def has_transform_with_state() -> bool:
     client that imports ``google.protobuf``; on a runtime without the
     protobuf wheel the streaming query dies at first micro-batch with an
     opaque 'driver worker exited unexpectedly'.  Probe the dependency up
-    front so callers can choose the legacy API instead of crashing."""
+    front so callers can choose the legacy API instead of crashing.
+
+    Both legs matter: protobuf alone is not enough (a runtime can carry
+    the wheel but run an older pyspark without the API — ``api="auto"``
+    would then die with AttributeError instead of falling back), and the
+    API alone is not enough (this container: pyspark 4.1 has the method,
+    protobuf is absent).
+
+    Round-11 note on flipping the gate here: installing protobuf is not
+    possible in this sandbox — package installs are disallowed by the
+    environment contract, and a filesystem sweep found no vendorable
+    ``google.protobuf`` runtime anywhere (only typeshed stubs and
+    pyspark's own .proto compiler output, neither of which is the
+    runtime the tws state client imports).  The tws path therefore
+    stays capability-gated with the bit-identical legacy fallback; on
+    any protobuf-equipped deployment ``api="auto"`` selects it
+    automatically."""
     try:
         from google.protobuf import descriptor  # noqa: F401
-
-        return True
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
     except ImportError:
         return False
+    from pyspark.sql.group import GroupedData
+
+    return hasattr(GroupedData, "transformWithStateInPandas")
+
+
+def final_state(table: DataFrame, key: str = "user_id") -> DataFrame:
+    """Reduce an update-mode memory-sink drain to the FINAL state row per
+    key.  An update sink appends one row per key per micro-batch that
+    touched it; a single-file availableNow drain happens to be one batch,
+    but correctness must not depend on that (a multi-file source or
+    ``maxFilesPerTrigger`` splits the drain and the sink then holds
+    intermediate states too).  ``n_events`` strictly increases per key
+    across batches, so the final state is the max-``n_events`` row — the
+    same idxmax reduce test_running_stats_batch_invariant applies, now
+    applied by the registered queries themselves."""
+    others = [c for c in table.columns if c != key]
+    return (
+        table.groupBy(key)
+        .agg(F.max_by(F.struct(*others), F.col("n_events")).alias("_s"))
+        .select(key, "_s.*")
+    )
 
 
 _RUNNING_STATS_OUT = (

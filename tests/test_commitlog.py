@@ -614,3 +614,147 @@ def test_delta_export_percent_escaped_partition_key_and_value(
     for add in live.values():
         assert set(add["partitionValues"]) == {"k:x"}
         assert add["partitionValues"]["k:x"] in {"0", "1"}
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (round 11): purge_dv / compact_dv — row-level deletes
+# whose write cost scales with deleted rows / affected files, not table size
+
+
+def _dv_events(spark, tmp_path, n_files=8):
+    """A multi-file logged snapshot of a small synthetic events table where
+    user_id hash-routes rows to files (repartition on user_id), so a
+    single-user delete touches FEW files — the compliance-op shape."""
+    from lab_etl_spark.operators.commitlog import LoggedTable
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 40).alias("user_id"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    table = LoggedTable(str(tmp_path / "dv_tbl"))
+    table.commit(
+        lambda d: df.repartition(n_files, "user_id").write.parquet(d),
+        op="ingest",
+    )
+    return table, df
+
+
+def test_purge_dv_read_equivalence_without_rewrite(spark, tmp_path):
+    """The DV read path must equal the filtered source AND the
+    purge_logged rewrite, while the data_dir stays byte-identical (no
+    data file written, moved, or touched)."""
+    from lab_etl_spark.operators.commitlog import purge_dv
+
+    table, df = _dv_events(spark, tmp_path)
+    m1 = table.latest()
+    base = os.path.join(table.table_dir, m1["data_dir"])
+    before = {
+        n: os.stat(os.path.join(base, n)).st_mtime_ns
+        for n in os.listdir(base)
+        if n.endswith(".parquet")
+    }
+    m2 = purge_dv(spark, table, F.col("user_id") == 7)
+    assert m2["data_dir"] == m1["data_dir"], "DV commit rewrote the data"
+    assert m2["rows_purged"] == df.filter("user_id = 7").count() > 0
+    after = {
+        n: os.stat(os.path.join(base, n)).st_mtime_ns
+        for n in os.listdir(base)
+        if n.endswith(".parquet")
+    }
+    assert before == after, "data files were modified by a DV commit"
+    got = sorted(map(tuple, table.read(spark).collect()))
+    want = sorted(map(tuple, df.filter("user_id != 7").collect()))
+    assert got == want
+    # time travel still sees the pre-purge rows
+    assert table.read(spark, version=1).count() == df.count()
+
+
+def test_purge_dv_accumulates_and_read_pruned_applies_dv(spark, tmp_path):
+    """Consecutive DV commits union their positions, and the stats-pruned
+    read path subtracts the DV too (a purged row must not resurrect
+    through read_pruned)."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_dv
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("user_id"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    table = LoggedTable(str(tmp_path / "dv_acc"))
+    table.commit(
+        lambda d: df.repartition(4, "user_id").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+    )
+    purge_dv(spark, table, F.col("user_id") == 3)
+    purge_dv(spark, table, F.col("user_id") == 11)
+    m = table.latest()
+    assert m["dv_rows"] == df.filter("user_id in (3, 11)").count()
+    want = sorted(
+        map(tuple, df.filter("user_id not in (3, 11)").collect())
+    )
+    assert sorted(map(tuple, table.read(spark).collect())) == want
+    # stats carry over from the ingest manifest? they don't (DV manifest
+    # has no files list) — read_pruned must fall back to full scan MINUS
+    # the DV, never resurrect purged rows
+    pruned = table.read_pruned(spark, {"k": (0, 100)})
+    got = sorted(
+        map(tuple, pruned.filter("k <= 100").collect())
+    )
+    assert got == [t for t in want if t[0] <= 100]
+
+
+def test_compact_dv_bytes_scale_with_affected_files(spark, tmp_path):
+    """THE 100 TB pin: materializing a single-user DV rewrites only the
+    files holding that user's rows — every other file is hardlinked
+    (same inode, zero bytes copied) — and the compacted DV-free read
+    equals the merge-on-read result."""
+    from lab_etl_spark.operators.commitlog import compact_dv, purge_dv
+
+    table, df = _dv_events(spark, tmp_path, n_files=8)
+    purge_dv(spark, table, F.col("user_id") == 7)
+    dv_read = sorted(map(tuple, table.read(spark).collect()))
+    m_before = table.latest()
+    old_base = os.path.join(table.table_dir, m_before["data_dir"])
+    old_inodes = {
+        n: os.stat(os.path.join(old_base, n)).st_ino
+        for n in os.listdir(old_base)
+        if n.endswith(".parquet")
+    }
+    m = compact_dv(spark, table)
+    assert "dv_dir" not in m, "compacted manifest still carries a DV"
+    # user 7 hash-routes to exactly ONE of the 8 repartition(user_id)
+    # files: rewritten must be a small fraction, linked the rest
+    assert m["files_rewritten"] >= 1
+    assert m["files_linked"] == len(old_inodes) - m["files_rewritten"]
+    assert m["files_rewritten"] < m["files_linked"], (
+        "single-user purge rewrote most of the table — the DV compaction "
+        "is not scaling with affected files"
+    )
+    new_base = os.path.join(table.table_dir, m["data_dir"])
+    same_inode = sum(
+        1
+        for n in os.listdir(new_base)
+        if n.endswith(".parquet")
+        and old_inodes.get(n) == os.stat(os.path.join(new_base, n)).st_ino
+    )
+    assert same_inode == m["files_linked"], (
+        "linked files were copied, not hardlinked — bytes no longer "
+        "scale with affected files"
+    )
+    assert sorted(map(tuple, table.read(spark).collect())) == dv_read
+    # vacuum now reclaims the pre-compaction snapshot AND the dv sidecar
+    removed = table.vacuum(keep=1)
+    assert any(r.startswith("dv_") for r in removed)
+    assert sorted(map(tuple, table.read(spark).collect())) == dv_read
+
+
+def test_compact_dv_without_dv_is_a_noop(spark, tmp_path):
+    from lab_etl_spark.operators.commitlog import compact_dv
+
+    table, _df = _dv_events(spark, tmp_path)
+    m = table.latest()
+    assert compact_dv(spark, table) == m

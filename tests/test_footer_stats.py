@@ -180,16 +180,116 @@ def test_pruned_scan_empty_range(spark, sorted_lake):
 
 
 def test_misspelled_column_raises(spark, sf_dir, tmp_path):
-    """A wrong column name must raise, not yield zero stats rows that
-    downstream pruning would read as drop-everything."""
+    """A wrong prune column must fail LOUDLY on the read path, and the
+    census must never yield zero stats rows that downstream pruning
+    would read as drop-everything: a wanted-but-absent column emits one
+    placeholder row per row group (NULL bounds, NULL physical_type),
+    which the keep rule retains (ADVICE r10 — schema-evolved lakes)."""
     from lab_etl_spark.sources.footer import pruned_scan
 
     path = str(tmp_path / "ev")
     load_table(spark, sf_dir, "events").coalesce(1).write.parquet(path)
-    with pytest.raises(KeyError):
-        footer_rowgroup_stats(spark, path, columns=["no_such_col"])
+    # pruned_scan runs an action, so it can (and must) distinguish a
+    # column present in NO file from schema evolution — KeyError.
     with pytest.raises(KeyError):
         pruned_scan(spark, path, "ship_date", 0, 1, ["event_id"])
+    # the lazy census yields VISIBLE placeholder rows, not zero rows
+    rows = footer_rowgroup_stats(
+        spark, path, columns=["no_such_col"]
+    ).collect()
+    assert len(rows) > 0
+    assert all(r["physical_type"] is None for r in rows)
+    assert all(r["min_num"] is None and r["max_num"] is None for r in rows)
+    assert all(r["rg_rows"] > 0 for r in rows)
+    # and the keep rule retains every placeholder group
+    dec = prune_row_groups(
+        footer_rowgroup_stats(spark, path, columns=["no_such_col"]),
+        "no_such_col",
+        lo=0.0,
+        hi=1.0,
+    ).collect()
+    assert len(dec) > 0 and all(r["keep"] for r in dec)
+
+
+def test_schema_evolved_lake_keeps_columnless_files(spark, tmp_path):
+    """A lake where LATER files lack the prune column (schema evolution)
+    must keep those files' row groups — the ADVICE r10 medium finding:
+    the old census emitted no stats row for them, so the decision never
+    saw them and their rows were silently lost, violating the
+    never-false-negative contract (and the old files[0]-only guard
+    missed it entirely)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lab_etl_spark.sources.footer import pruned_scan
+
+    path = tmp_path / "evolved"
+    path.mkdir()
+    # a.parquet carries (k, v); b.parquet predates the v column
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([10.0, 20.0], pa.float64())}),
+        str(path / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([3, 4], pa.int64())}),
+        str(path / "b.parquet"),
+    )
+    stats = footer_rowgroup_stats(spark, str(path), columns=["v"])
+    rows = {r["file"]: r for r in stats.collect()}
+    assert len(rows) == 2, "the v-less file vanished from the census"
+    # pruning on v with a range matching NOTHING in a.parquet: b.parquet's
+    # groups have no evidence and must survive
+    dec = {
+        r["file"]: r["keep"]
+        for r in prune_row_groups(stats, "v", lo=100.0, hi=200.0).collect()
+    }
+    assert dec[str(path / "a.parquet")] is False  # bounds prove no match
+    assert dec[str(path / "b.parquet")] is True  # no bounds -> unprunable
+    got = sorted(
+        r["k"] for r in pruned_scan(
+            spark, str(path), "v", 100.0, 200.0, ["k"]
+        ).collect()
+    )
+    assert got == [3, 4], (
+        f"pruned_scan dropped the column-less file's rows (got {got})"
+    )
+
+
+def test_ns_unit_lake_max_bound_rounds_up(spark, tmp_path):
+    """Nanosecond-unit foreign lakes: the timedelta decode floors sub-us
+    components, so a max bound could sit up to 999 ns LOW and falsely
+    prune a boundary row group (ADVICE r10).  The max bound must round
+    UP (min keeps flooring — already conservative)."""
+    import pandas as pd_
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lab_etl_spark.sources.footer import pruned_scan
+
+    path = tmp_path / "ns_lake"
+    path.mkdir()
+    # one row at epoch + 999 ns: true value 0.999 us
+    pq.write_table(
+        pa.table({
+            "k": pa.array([7], pa.int64()),
+            "ts": pa.array(
+                [pd_.Timestamp("1970-01-01 00:00:00.000000999")],
+                pa.timestamp("ns"),
+            ),
+        }),
+        str(path / "part.parquet"),
+    )
+    stats = footer_rowgroup_stats(spark, str(path), columns=["ts"])
+    row = stats.collect()[0]
+    assert row["min_num"] == 0.0  # floored — conservative for min
+    assert row["max_num"] == 1.0  # rounded UP — conservative for max
+    # predicate [0.9, 2.0) us contains the 0.999-us row; a floored max
+    # (0.0) would have pruned the group
+    got = pruned_scan(
+        spark, str(path), "ts", 0.9, 2.0, ["k"]
+    ).collect()
+    assert [r["k"] for r in got] == [7]
 
 
 def test_footer_stats_literal_ground_truth(spark, tmp_path):

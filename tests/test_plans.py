@@ -331,6 +331,7 @@ _SWEEP_SKIP = {
     "q_dynamic_partition_pruning",
     "q_time_travel",
     "q_user_purge",
+    "q_purge_dv",  # eager snapshot write + DV commit at build time
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
     "q_shortest_path",

@@ -115,3 +115,87 @@ def test_variance_identities_clamped_under_sqrt():
     ]
     for t in benign:
         assert not any(mod._has_binary_minus(a) for a in mod._sqrt_args(t)), t
+
+
+def test_window_staleness_invariant():
+    """The rotation mechanism, self-enforcing (VERDICT r10 item 2): the
+    driver hash-checks only the FIRST 50 registry entries per round, so
+    coverage is kept cumulative by rotating the window.  Five rounds of
+    correct hand-rotation is not a mechanism — this is: any registered
+    query whose newest driver-green row would be MORE than MAX_STALE
+    rounds old after the upcoming round must sit INSIDE the upcoming
+    50-entry window (so the driver re-verifies it this round).  A
+    forgotten front/drain now fails the suite instead of surfacing as a
+    judge reconciliation footnote."""
+    import glob
+    import re
+
+    rounds = [
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(str(ROOT / "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "no CORRECTNESS artifacts — cannot locate the round"
+    # the round whose window THIS tree orders is one past the newest
+    # recorded driver artifact
+    current = max(rounds) + 1
+    from lab_etl_spark.queries import _LAST_GREEN, load_all
+
+    reg = load_all()
+    window = set(list(reg)[:50])
+    MAX_STALE = 4  # full rotation of ~211 queries / 50 slots is 5 rounds
+    violations = [
+        (n, _LAST_GREEN.get(n, 0))
+        for n in reg
+        if current - _LAST_GREEN.get(n, 0) > MAX_STALE and n not in window
+    ]
+    assert not violations, (
+        f"round {current} window leaves {len(violations)} over-stale "
+        f"queries outside the checked prefix: {sorted(violations)}"
+    )
+
+
+def test_last_green_map_is_regenerated():
+    """_LAST_GREEN must BE tools/regen_last_green.py's output over the
+    CORRECTNESS artifacts on disk — a stale hand-maintained map would
+    order the rotation on wrong staleness and silently starve queries.
+    (This also forces the per-round regeneration chore: landing a new
+    CORRECTNESS_r{N}.json without regenerating the map fails here.)"""
+    mod = _load("regen_last_green")
+    want = {
+        n: r for n, r in mod.last_green().items()
+        if n in mod.registered_names()
+    }
+    from lab_etl_spark.queries import _LAST_GREEN
+
+    assert _LAST_GREEN == want, (
+        "stale _LAST_GREEN: run `python tools/regen_last_green.py` and "
+        "paste the emitted map into lab_etl_spark/queries/__init__.py "
+        f"(diff keys: { {k for k in set(_LAST_GREEN) ^ set(want)} }, "
+        f"changed: { {k: (_LAST_GREEN.get(k), want.get(k)) for k in set(_LAST_GREEN) & set(want) if _LAST_GREEN[k] != want[k]} })"
+    )
+
+
+def test_bench_continuity_under_ceiling():
+    """Cross-era drift guard (VERDICT r10 item 5): the 2x perf gate
+    re-baselines on a recent tree each round, so compounding ~10%
+    regressions could hide under successive re-baselines.  The
+    ratio_median_norm_r1 scalar is anchored to the immutable round-1
+    recording (~1.08 for two rounds); >= 1.5 is real compounded drift
+    and fails the suite (threshold recorded in BASELINE.md; bench.py
+    emits the same alarm as continuity_ok=false)."""
+    import json
+
+    import pytest
+
+    p = ROOT / "bench_last_run.json"
+    if not p.exists():
+        pytest.skip("no bench artifact on this checkout")
+    d = json.loads(p.read_text())
+    r = d.get("ratio_median_norm_r1")
+    if r is None:
+        pytest.skip("artifact predates the continuity scalar")
+    assert r < 1.5, (
+        f"ratio_median_norm_r1 {r} >= 1.5: compounded drift vs the "
+        f"immutable r1 anchor — find the regressing rounds before "
+        f"re-baselining the 2x gate"
+    )

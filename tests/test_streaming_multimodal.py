@@ -435,6 +435,18 @@ def test_running_stats_batch_invariant(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+    # the registered queries no longer depend on a single-batch drain:
+    # final_state applies this same max-n_events reduce Spark-side
+    # (ADVICE r10) — pin it on this genuinely multi-batch sink
+    from lab_etl_spark.streaming.jobs import final_state
+
+    fs = {
+        int(r["user_id"]): (
+            int(r["n_events"]), r["sum_value"], r["min_value"], r["max_value"]
+        )
+        for r in final_state(spark.table(name)).collect()
+    }
+    assert fs == want
 
 
 def test_running_stats_tws_api(spark, sf_dir):
