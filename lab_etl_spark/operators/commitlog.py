@@ -55,8 +55,25 @@ from pyspark.sql import functions as F
 #: subdirectory holding the manifest log
 LOG_DIR = "_log"
 
+#: commitInfo operation marker for exported deletion-vector no-op versions
+#: (merge-on-read state: files unchanged, delete materializes at the next
+#: compaction commit) — prev_snapshot_rels walks past these on reconstruction
+_DV_NOOP_OP = "PURGE DV (merge-on-read; materialized at a later commit)"
+
 #: zero-padded width of manifest filenames (lexicographic == numeric order)
 _W = 20
+
+
+def _dv_file_expr(data_rel: str):
+    """Deletion-vector file key: the path RELATIVE to the snapshot dir,
+    not the basename — one partitioned write job reuses the SAME
+    part-file basename in every partition directory (part-00000-<job
+    uuid> under p=0/ and p=1/), so basename keying would conflate rows
+    across partitions and delete innocents.  ``data_rel`` is the
+    manifest's ``v_<hex>`` name — regex-inert by construction."""
+    return F.regexp_replace(
+        F.col("_metadata.file_path"), f".*/{data_rel}/", ""
+    )
 
 
 class LoggedTable:
@@ -139,9 +156,7 @@ class LoggedTable:
             dv = F.broadcast(dv)
         src = df.withColumns(
             {
-                "_dv_file": F.element_at(
-                    F.split(F.col("_metadata.file_path"), "/"), -1
-                ),
+                "_dv_file": _dv_file_expr(m["data_dir"]),
                 "_dv_pos": F.col("_metadata.row_index"),
             }
         )
@@ -401,9 +416,7 @@ def purge_dv(
     base = os.path.join(table.table_dir, m["data_dir"])
     scan = spark.read.parquet(base)
     matches = scan.filter(predicate).select(
-        F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1
-        ).alias("file"),
+        _dv_file_expr(m["data_dir"]).alias("file"),
         F.col("_metadata.row_index").alias("pos"),
     )
     old_rows = int(m.get("dv_rows", 0))
@@ -420,14 +433,22 @@ def purge_dv(
     # this is exactly the compact_dv trigger.
     matches.coalesce(1).write.parquet(dv_abs)
     dv_rows = spark.read.parquet(dv_abs).count()
+    meta: dict = {
+        "dv_dir": dv_rel,
+        "dv_rows": dv_rows,
+        "rows_purged": dv_rows - old_rows,
+    }
+    # inherit the snapshot's per-file skipping stats/blooms: the data
+    # files are unchanged, so their min/max remain (conservative) bounds
+    # — read_pruned keeps skipping files under merge-on-read instead of
+    # degrading to a full scan after every purge
+    for k in ("files", "stats_temporal"):
+        if k in m:
+            meta[k] = m[k]
     return table.commit(
         None,
         op="purge_dv",
-        meta={
-            "dv_dir": dv_rel,
-            "dv_rows": dv_rows,
-            "rows_purged": dv_rows - old_rows,
-        },
+        meta=meta,
         data_dir=m["data_dir"],
     )
 
@@ -454,34 +475,54 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
     dv = spark.read.parquet(os.path.join(table.table_dir, dv_rel))
     affected = {
         r["file"] for r in dv.select("file").distinct().collect()
-    }  # one basename per affected FILE — manifest-sized, never row data
+    }  # one snapshot-relative path per affected FILE — manifest-sized
     new_rel = f"v_{uuid.uuid4().hex[:12]}"
     new_abs = os.path.join(table.table_dir, new_rel)
     os.makedirs(new_abs)
     linked = 0
-    parts = sorted(
-        n for n in os.listdir(base)
-        if n.endswith(".parquet") and not n.startswith(("_", "."))
-    )
-    for name in parts:
-        if name not in affected:
-            # zero-copy carry-over: same inode, no bytes moved (the
-            # POSIX analogue of a manifest referencing existing objects)
-            os.link(os.path.join(base, name), os.path.join(new_abs, name))
-            linked += 1
-    rewrite = sorted(affected)
-    if rewrite:
+    for root, _dirs, names in os.walk(base):
+        for n in sorted(names):
+            if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(os.path.join(root, n), base)
+            if rel not in affected:
+                # zero-copy carry-over: same inode, no bytes moved (the
+                # POSIX analogue of a manifest referencing existing
+                # objects); partition subdirs are preserved
+                dst = os.path.join(new_abs, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(root, n), dst)
+                linked += 1
+    # rewrite grouped by partition DIRECTORY: each affected dir's
+    # survivors are written back INTO that dir (partition-dir columns
+    # dropped from the data — they stay dir-encoded, so the compacted
+    # snapshot reads identically to the original layout).  Deletes
+    # usually touch few partitions, so few jobs.
+    by_dir: dict[str, list[str]] = {}
+    for rel in sorted(affected):
+        by_dir.setdefault(os.path.dirname(rel), []).append(rel)
+    for d, rels in sorted(by_dir.items()):
         src = spark.read.option("basePath", base).parquet(
-            *[os.path.join(base, n) for n in rewrite]
+            *[os.path.join(base, r) for r in rels]
         )
         kept = table._apply_dv(spark, src, m)
+        part_cols = [
+            seg.split("=", 1)[0]
+            for seg in (d.split(os.sep) if d else [])
+            if "=" in seg
+        ]
+        if part_cols:
+            kept = kept.drop(*part_cols)
         tmp = os.path.join(table.table_dir, f".compact.{uuid.uuid4().hex[:8]}")
         kept.write.parquet(tmp)
+        dest = os.path.join(new_abs, d) if d else new_abs
+        os.makedirs(dest, exist_ok=True)
         for n in os.listdir(tmp):
             if n.endswith(".parquet") and not n.startswith(("_", ".")):
                 # fresh write-job UUIDs cannot collide with linked names
-                os.rename(os.path.join(tmp, n), os.path.join(new_abs, n))
+                os.rename(os.path.join(tmp, n), os.path.join(dest, n))
         shutil.rmtree(tmp, ignore_errors=True)
+    rewrite = sorted(affected)
     return table.commit(
         None,
         op="compact_dv",
@@ -520,6 +561,12 @@ def compact_logged(
     m0 = table.latest()
     if m0 is None:
         raise FileNotFoundError(f"no commits in {table.log_dir}")
+    if m0.get("dv_dir"):
+        # compaction_plan reads the RAW snapshot directory, where
+        # DV-deleted rows still physically exist — materialize the DV
+        # first so the layout rewrite cannot resurrect them
+        compact_dv(spark, table)
+        m0 = table.latest()
     snap = os.path.join(table.table_dir, m0["data_dir"])
     staged, files_before, total_bytes = compaction_plan(
         spark, snap, target_bytes, partition_cols
@@ -777,7 +824,7 @@ def read_point_pruned(
     base = os.path.join(table.table_dir, m["data_dir"])
     files = m.get("files")
     if not files or not any(f.get("bloom", {}).get(col) for f in files):
-        return spark.read.parquet(base)
+        return table._apply_dv(spark, spark.read.parquet(base), m)
     pos = _fbloom_positions(value)
     keep = []
     for f in files:
@@ -795,8 +842,15 @@ def read_point_pruned(
             keep.append(f["path"])
     if not keep:
         return spark.read.parquet(base).filter("1 = 0")
-    return spark.read.option("basePath", base).parquet(
-        *[os.path.join(base, p) for p in keep]
+    # merge-on-read: subtract any deletion vector — a point lookup is
+    # exactly where a purged row resurfacing would be worst (the purged
+    # user IS the probe value in the compliance scenario)
+    return table._apply_dv(
+        spark,
+        spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, p) for p in keep]
+        ),
+        m,
     )
 
 
@@ -895,6 +949,18 @@ def export_delta_log(
     versions = table.versions()
     if not versions:
         raise FileNotFoundError(f"no commits in {table.log_dir}")
+    if table.manifest(versions[-1]).get("dv_dir"):
+        # checked BEFORE any delta file is written (atomic refusal): the
+        # CURRENT version's data files still contain DV-deleted rows, so
+        # exporting would hand every external reader a table that
+        # resurrects them — the Delta protocol's own answer (DV tables
+        # demand reader v3; older readers must refuse)
+        raise ValueError(
+            f"version {versions[-1]} (current) carries a deletion vector "
+            f"(merge-on-read state); run compact_dv before "
+            f"export_delta_log so the exported snapshot's files no "
+            f"longer hold deleted rows"
+        )
     delta_dir = os.path.join(table.table_dir, DELTA_LOG_DIR)
     os.makedirs(delta_dir, exist_ok=True)
 
@@ -920,19 +986,32 @@ def export_delta_log(
     def prev_snapshot_rels(v: int) -> list[str]:
         """Relative paths of snapshot v-1's files — from its manifest when
         the log still has it, else reconstructed from its already-exported
-        delta file's add actions (full-rewrite snapshots: adds = files)."""
+        delta file's add actions (full-rewrite snapshots: adds = files).
+        DV no-op versions carry no adds but reference their predecessor's
+        files unchanged, so reconstruction walks past them."""
         if v - 1 in versions:
             return [rel for rel, _ap in snapshot_files(table.manifest(v - 1))]
-        prior = os.path.join(delta_dir, delta_name(v - 1))
-        if not os.path.exists(prior):
-            raise FileNotFoundError(
-                f"cannot emit removes for Delta version {v - 1}: snapshot "
-                f"{v - 1} is neither in {table.log_dir} (vacuumed?) nor "
-                f"already exported to {delta_dir}"
-            )
-        return sorted(
-            a["add"]["path"] for a in exported_actions(v - 1) if "add" in a
-        )
+        w = v - 1
+        while w >= 1:
+            prior = os.path.join(delta_dir, delta_name(w))
+            if not os.path.exists(prior):
+                raise FileNotFoundError(
+                    f"cannot emit removes for Delta version {w}: snapshot "
+                    f"{w} is neither in {table.log_dir} (vacuumed?) nor "
+                    f"already exported to {delta_dir}"
+                )
+            acts = exported_actions(w)
+            adds = sorted(a["add"]["path"] for a in acts if "add" in a)
+            if adds:
+                return adds
+            if any(
+                a.get("commitInfo", {}).get("operation") == _DV_NOOP_OP
+                for a in acts
+            ):
+                w -= 1  # merge-on-read no-op: same files as ITS predecessor
+                continue
+            return []  # genuinely empty snapshot (removes-only)
+        return []
 
     missing = [
         v for v in versions
@@ -962,6 +1041,23 @@ def export_delta_log(
     written = []
     for v in missing:
         m = table.manifest(v)
+        if m.get("dv_dir"):
+            # A HISTORICAL DV manifest (the up-front gate guarantees a
+            # later commit — compact_dv / purge_logged / compaction —
+            # already materialized it) exports as a marked no-op
+            # version: same files as its predecessor, the delete
+            # becomes visible to external readers at the materializing
+            # commit.  Merge-on-read state is engine-private by nature;
+            # the export documents that honestly instead of lying about
+            # the bytes.
+            path = os.path.join(delta_dir, delta_name(v))
+            with open(path, "w") as f:
+                f.write(json.dumps({"commitInfo": {
+                    "operation": _DV_NOOP_OP,
+                    "timestamp": m["ts_ms"],
+                }}) + "\n")
+            written.append(delta_name(v))
+            continue
         files = snapshot_files(m)
         snap_cols, part_vals = _hive_partition_values(
             [rel for rel, _ap in files]

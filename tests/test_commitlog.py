@@ -697,9 +697,11 @@ def test_purge_dv_accumulates_and_read_pruned_applies_dv(spark, tmp_path):
         map(tuple, df.filter("user_id not in (3, 11)").collect())
     )
     assert sorted(map(tuple, table.read(spark).collect())) == want
-    # stats carry over from the ingest manifest? they don't (DV manifest
-    # has no files list) — read_pruned must fall back to full scan MINUS
-    # the DV, never resurrect purged rows
+    # the DV manifest INHERITS the ingest manifest's per-file stats
+    # (same files, bounds stay conservative), so read_pruned keeps
+    # skipping files under merge-on-read — and must subtract the DV,
+    # never resurrect purged rows
+    assert "files" in m and m["files"], "stats were not inherited"
     pruned = table.read_pruned(spark, {"k": (0, 100)})
     got = sorted(
         map(tuple, pruned.filter("k <= 100").collect())
@@ -758,3 +760,163 @@ def test_compact_dv_without_dv_is_a_noop(spark, tmp_path):
     table, _df = _dv_events(spark, tmp_path)
     m = table.latest()
     assert compact_dv(spark, table) == m
+
+
+def test_purge_dv_partitioned_basename_collision(spark, tmp_path):
+    """One partitioned write job reuses the SAME part-file basename in
+    every partition directory — the DV must key rows by snapshot-
+    relative path, or a delete in p=0 also kills the rows at the same
+    positions in p=1's same-named file."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable,
+        compact_dv,
+        purge_dv,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    table = LoggedTable(str(tmp_path / "dv_part"))
+    table.commit(
+        lambda d: df.repartition(1).write.partitionBy("p").parquet(d),
+        op="ingest",
+    )
+    base = os.path.join(table.table_dir, table.latest()["data_dir"])
+    names = {
+        p: [n for n in os.listdir(os.path.join(base, f"p={p}"))
+            if n.endswith(".parquet")]
+        for p in (0, 1)
+    }
+    assert names[0] == names[1], (
+        "fixture premise gone: partition dirs no longer share basenames"
+    )
+    purge_dv(spark, table, (F.col("p") == 0) & (F.col("k") < 20))
+    want = sorted(
+        map(tuple, df.filter("NOT (p = 0 AND k < 20)").collect())
+    )
+    # partitioned reads surface the partition column LAST: re-select
+    # the source order before tuple comparison
+    got = sorted(
+        map(tuple, table.read(spark).select("k", "p", "v").collect())
+    )
+    assert got == want, (
+        "rows in the OTHER partition's same-named file were deleted — "
+        "basename collision in the DV key"
+    )
+    # and compaction preserves the partitioned layout: only p=0's file
+    # is rewritten, p=1's is hardlinked in place under its subdir
+    old_ino = os.stat(
+        os.path.join(base, "p=1", names[1][0])
+    ).st_ino
+    m = compact_dv(spark, table)
+    assert m["files_rewritten"] == 1 and m["files_linked"] == 1
+    new_base = os.path.join(table.table_dir, m["data_dir"])
+    linked = [
+        n for n in os.listdir(os.path.join(new_base, "p=1"))
+        if n.endswith(".parquet")
+    ]
+    assert os.stat(
+        os.path.join(new_base, "p=1", linked[0])
+    ).st_ino == old_ino
+    assert sorted(
+        map(tuple, table.read(spark).select("k", "p", "v").collect())
+    ) == want
+
+
+def test_compact_logged_materializes_dv_first(spark, tmp_path):
+    """A layout rewrite over a DV manifest must not resurrect deleted
+    rows: compact_logged reads the raw snapshot dir, so it materializes
+    the DV (compact_dv) before compacting."""
+    from lab_etl_spark.operators.commitlog import compact_logged, purge_dv
+
+    table, df = _dv_events(spark, tmp_path)
+    purge_dv(spark, table, F.col("user_id") == 7)
+    m = compact_logged(spark, table, target_bytes=1 << 20)
+    assert "dv_dir" not in m
+    got = sorted(map(tuple, table.read(spark).collect()))
+    assert got == sorted(map(tuple, df.filter("user_id != 7").collect()))
+
+
+def test_delta_export_refuses_current_dv_and_noops_history(spark, tmp_path):
+    """A CURRENT deletion vector cannot be exported (external readers
+    would resurrect deleted rows — the Delta protocol's own answer:
+    refuse); once materialized by compact_dv, the historical DV version
+    exports as a marked no-op (same files, delete visible at the
+    materializing commit) and the replayed live set equals the
+    compacted snapshot."""
+    import pytest
+
+    from lab_etl_spark.operators.commitlog import (
+        _DV_NOOP_OP,
+        compact_dv,
+        export_delta_log,
+        purge_dv,
+    )
+
+    table, df = _dv_events(spark, tmp_path, n_files=2)
+    purge_dv(spark, table, F.col("user_id") == 7)
+    with pytest.raises(ValueError, match="deletion vector"):
+        export_delta_log(table, spark)
+    compact_dv(spark, table)
+    names = export_delta_log(table, spark)
+    assert len(names) == 3
+    delta_dir = os.path.join(table.table_dir, "_delta_log")
+    dv_actions = [
+        json.loads(line)
+        for line in open(os.path.join(delta_dir, names[1]))
+        if line.strip()
+    ]
+    assert len(dv_actions) == 1
+    assert dv_actions[0]["commitInfo"]["operation"] == _DV_NOOP_OP
+    # replay all three deltas: live set == the compacted snapshot's files
+    live: dict[str, bool] = {}
+    for n in names:
+        for line in open(os.path.join(delta_dir, n)):
+            a = json.loads(line)
+            if "add" in a:
+                live[a["add"]["path"]] = True
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    m = table.latest()
+    assert all(p.startswith(m["data_dir"]) for p in live)
+    got = spark.read.parquet(
+        *[os.path.join(table.table_dir, p) for p in sorted(live)]
+    )
+    want = sorted(map(tuple, df.filter("user_id != 7").collect()))
+    assert sorted(map(tuple, got.collect())) == want
+
+
+def test_point_lookup_respects_dv(spark, tmp_path):
+    """The compliance nightmare scenario: after a user purge, a bloom
+    point-lookup FOR THAT USER must return nothing — read_point_pruned
+    reads raw snapshot files, so it must subtract the DV too."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable,
+        purge_dv,
+        read_point_pruned,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 25).alias("user_id"),
+    )
+    table = LoggedTable(str(tmp_path / "dv_bloom"))
+    table.commit(
+        lambda d: df.repartition(4, "user_id").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        bloom_cols=["user_id"],
+    )
+    purge_dv(spark, table, F.col("user_id") == 7)
+    # the DV manifest inherits blooms, so the lookup still prunes files —
+    # and the surviving file's purged rows must be subtracted
+    hits = read_point_pruned(spark, table, "user_id", 7).filter(
+        "user_id = 7"
+    )
+    assert hits.count() == 0, "purged user visible through point lookup"
+    other = read_point_pruned(spark, table, "user_id", 8).filter(
+        "user_id = 8"
+    )
+    assert other.count() == df.filter("user_id = 8").count()
