@@ -920,3 +920,26 @@ def test_point_lookup_respects_dv(spark, tmp_path):
         "user_id = 8"
     )
     assert other.count() == df.filter("user_id = 8").count()
+
+
+def test_apply_dv_is_broadcast_anti_join(spark, tmp_path):
+    """The 100 TB shape of merge-on-read: the DV subtraction must be a
+    BROADCAST hash anti-join — zero shuffle of the table side.  A plan
+    that shuffle-exchanges the scan to subtract a kilobyte-sized DV
+    would turn every post-purge read into a full-table shuffle."""
+    import contextlib
+    import io
+
+    from lab_etl_spark.operators.commitlog import purge_dv
+
+    table, _df = _dv_events(spark, tmp_path)
+    purge_dv(spark, table, F.col("user_id") == 7)
+    df = table.read(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "DV subtraction shuffle-exchanges the table side:\n" + plan
+    )
