@@ -534,6 +534,76 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
     )
 
 
+def table_changes(
+    spark: SparkSession,
+    table: LoggedTable,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Row-level changes between two committed versions — the Delta
+    change-data-feed shape: data columns plus ``_change_type`` in
+    {'delete', 'insert'} describing how to advance a consumer from
+    ``v_from`` to ``v_to``.  An updated row appears as delete+insert.
+
+    FAST PATH: when both versions share a ``data_dir`` (everything in
+    between was deletion-vector commits), the changes are EXACTLY the
+    DV positions added since ``v_from`` — one broadcast semi-join pulls
+    those rows' content out of the shared files.  Cost scales with
+    DELETED ROWS, not table size: this is why incremental consumers at
+    100 TB want DV commits — the nightly "what changed" query costs
+    kilobytes of metadata instead of a two-sided table diff.
+
+    GENERAL PATH (rewrite commits): two ``exceptAll`` diffs.  Honest
+    cost: each is a full shuffle of both snapshots — unavoidable when a
+    rewrite may have changed anything, and the reason the fast path
+    exists."""
+    m_from = table.manifest(v_from)
+    m_to = table.manifest(v_to)
+    if m_to["data_dir"] == m_from["data_dir"]:
+        base = os.path.join(table.table_dir, m_to["data_dir"])
+        dv_to_rel = m_to.get("dv_dir")
+        if not dv_to_rel or m_to.get("dv_rows", 0) == int(
+            m_from.get("dv_rows", 0)
+        ):
+            # identical files, identical (or absent) DV: no changes —
+            # schema-stable empty frame with the tag column
+            return (
+                table.read(spark, version=v_to)
+                .filter("1 = 0")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        dv_to = spark.read.parquet(os.path.join(table.table_dir, dv_to_rel))
+        if m_from.get("dv_dir"):
+            dv_from = spark.read.parquet(
+                os.path.join(table.table_dir, m_from["dv_dir"])
+            )
+            # DVs accumulate (purge_dv unions), so to-minus-from is the
+            # positions deleted in (v_from, v_to]
+            dv_to = dv_to.join(dv_from, ["file", "pos"], "left_anti")
+        scan = spark.read.parquet(base).withColumns(
+            {
+                "_dv_file": _dv_file_expr(m_to["data_dir"]),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        deleted = scan.join(
+            F.broadcast(dv_to),
+            (scan["_dv_file"] == dv_to["file"])
+            & (scan["_dv_pos"] == dv_to["pos"]),
+            "left_semi",
+        ).drop("_dv_file", "_dv_pos")
+        return deleted.withColumn("_change_type", F.lit("delete"))
+    a = table.read(spark, version=v_from)
+    b = table.read(spark, version=v_to)
+    return (
+        a.exceptAll(b)
+        .withColumn("_change_type", F.lit("delete"))
+        .unionByName(
+            b.exceptAll(a).withColumn("_change_type", F.lit("insert"))
+        )
+    )
+
+
 def compact_logged(
     spark: SparkSession,
     table: LoggedTable,

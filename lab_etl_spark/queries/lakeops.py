@@ -453,6 +453,52 @@ def q_purge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_version_diff",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_deleted,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum('value', 6)} AS sum_value
+    FROM events
+    WHERE user_id % 97 = 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Change-data-feed between table versions (operators/commitlog.py "
+    "table_changes): ingest events as v1, deletion-vector-purge user_id "
+    "≡ 0 (mod 97) as v2, then ask 'what changed from v1 to v2' and "
+    "aggregate the delete rows.  FAST PATH exercised: both versions "
+    "share the data_dir, so the diff is exactly the DV positions added "
+    "since v1 — one broadcast semi-join pulls those rows' content, cost "
+    "∝ deleted rows, never a two-sided table diff.  This is how an "
+    "incremental consumer at 100 TB advances between versions without "
+    "re-reading snapshots (Delta CDF shape).  The oracle computes the "
+    "deleted set directly from the source, so the driver check proves "
+    "the diff is exactly the purged rows; general-path (rewrite commit) "
+    "equivalence is pinned in tests/test_commitlog.py.",
+    bench=False,  # dominated by the eager snapshot write
+)
+def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable, purge_dv, table_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    table = LoggedTable(scratch_dir("vdiff_events", sf_dir))
+    table.commit(lambda d: ev.repartition(8).write.parquet(d), op="ingest")
+    purge_dv(spark, table, F.col("user_id") % 97 == 0)
+    changes = table_changes(spark, table, 1, 2)
+    return (
+        changes.filter(F.col("_change_type") == "delete")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_deleted"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: histogram bin width over events.value (fixed so both engines bin alike)
 HIST_BIN_W = 100.0
 

@@ -943,3 +943,57 @@ def test_apply_dv_is_broadcast_anti_join(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan, (
         "DV subtraction shuffle-exchanges the table side:\n" + plan
     )
+
+
+def test_table_changes_fast_path_equals_general(spark, tmp_path):
+    """The DV fast path (broadcast semi-join on new DV positions) must
+    return the same delete set as the general exceptAll diff computed
+    over the two versions' reads — and detect inserts on a rewrite."""
+    from lab_etl_spark.operators.commitlog import (
+        purge_dv,
+        table_changes,
+    )
+
+    table, df = _dv_events(spark, tmp_path)
+    purge_dv(spark, table, F.col("user_id") == 7)
+    fast = table_changes(spark, table, 1, 2)
+    # fast path confirmed: v1/v2 share the data_dir
+    assert table.manifest(1)["data_dir"] == table.manifest(2)["data_dir"]
+    cols = df.columns
+    want_del = sorted(map(tuple, df.filter("user_id = 7").collect()))
+    got = fast.collect()
+    assert all(r["_change_type"] == "delete" for r in got)
+    assert sorted(tuple(r[c] for c in cols) for r in got) == want_del
+    # general path: same answer via exceptAll over the two reads
+    a, b = table.read(spark, version=1), table.read(spark, version=2)
+    gen_del = sorted(map(tuple, a.exceptAll(b).collect()))
+    assert gen_del == want_del
+    # a rewrite commit (new data_dir) takes the general path and can
+    # also report inserts
+    extra = spark.range(100000, 100003).select(
+        F.col("id").alias("event_id"),
+        F.lit(999).alias("user_id"),
+        F.lit("9").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    snap = table.read(spark)
+    table.commit(
+        lambda d: snap.unionByName(extra).write.parquet(d), op="append"
+    )
+    ch = table_changes(spark, table, 2, 3)
+    ins = sorted(
+        tuple(r[c] for c in cols)
+        for r in ch.collect()
+        if r["_change_type"] == "insert"
+    )
+    assert ins == sorted(map(tuple, extra.collect()))
+    assert not [r for r in ch.collect() if r["_change_type"] == "delete"]
+
+
+def test_table_changes_same_version_is_empty(spark, tmp_path):
+    from lab_etl_spark.operators.commitlog import purge_dv, table_changes
+
+    table, _df = _dv_events(spark, tmp_path)
+    purge_dv(spark, table, F.col("user_id") == 7)
+    assert table_changes(spark, table, 2, 2).count() == 0
+    assert table_changes(spark, table, 1, 1).count() == 0

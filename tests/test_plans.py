@@ -332,6 +332,7 @@ _SWEEP_SKIP = {
     "q_time_travel",
     "q_user_purge",
     "q_purge_dv",  # eager snapshot write + DV commit at build time
+    "q_version_diff",  # eager snapshot write + DV commit at build time
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
     "q_shortest_path",
