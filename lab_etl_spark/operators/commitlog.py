@@ -60,6 +60,18 @@ LOG_DIR = "_log"
 #: compaction commit) — prev_snapshot_rels walks past these on reconstruction
 _DV_NOOP_OP = "PURGE DV (merge-on-read; materialized at a later commit)"
 
+
+class CommitConflict(RuntimeError):
+    """The table advanced between a read-modify-write's READ and its
+    COMMIT: the inputs the new version was computed from are stale, and
+    claiming the next slot anyway would silently DROP the intervening
+    commit's changes (a purge_dv that unioned an outdated DV, a
+    compaction of a superseded snapshot).  Callers retry the whole
+    read-modify-write, exactly Delta/Iceberg optimistic concurrency.
+    Blind appends (full-rewrite overwrites, where last-writer-wins IS
+    the semantic) keep the plain bump-and-retry path by not passing
+    ``expect_version``."""
+
 #: zero-padded width of manifest filenames (lexicographic == numeric order)
 _W = 20
 
@@ -239,6 +251,7 @@ class LoggedTable:
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         data_dir: str | None = None,
+        expect_version: int | None = None,
     ) -> dict:
         """Run ``write_fn(new_snapshot_dir)`` and atomically publish it.
 
@@ -261,6 +274,15 @@ class LoggedTable:
         (:func:`purge_dv`: same immutable data files, new sidecar), and
         the commit shape of :func:`compact_dv` (whose data dir was
         assembled out-of-band from hardlinks + rewritten files).
+
+        ``expect_version`` declares a READ-MODIFY-WRITE: the caller
+        computed this commit from the table as of version
+        ``expect_version - 1`` and must land exactly at
+        ``expect_version``; if the table advanced in between, the claim
+        raises :class:`CommitConflict` instead of silently publishing a
+        version that drops the intervening commit's changes.  Omit it
+        for blind full-rewrite appends, where bump-and-retry
+        (last-writer-wins) is the intended semantic.
         """
         if data_dir is not None:
             data_rel = data_dir
@@ -286,6 +308,14 @@ class LoggedTable:
         os.makedirs(self.log_dir, exist_ok=True)
         while True:
             version = (self.versions() or [0])[-1] + 1
+            if expect_version is not None and version != expect_version:
+                raise CommitConflict(
+                    f"read-modify-write computed from version "
+                    f"{expect_version - 1} but the table is now at "
+                    f"{version - 1}: recompute from the current latest "
+                    f"(landing anyway would drop the intervening "
+                    f"commit's changes)"
+                )
             m = {
                 "version": version,
                 "data_dir": data_rel,
@@ -363,7 +393,10 @@ def purge_logged(
     rewriting."""
     from pyspark.sql import functions as F
 
-    df = table.read(spark)
+    m0 = table.latest()
+    if m0 is None:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    df = table.read(spark, version=m0["version"])
     counts = df.groupBy().agg(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(predicate, 1)).alias("purged"),
@@ -375,6 +408,9 @@ def purge_logged(
             "rows_before": counts["total"],
             "rows_purged": counts["purged"],
         },
+        # read-modify-write: the filtered rewrite was computed from
+        # m0 — landing later would drop an intervening commit
+        expect_version=m0["version"] + 1,
     )
     return m
 
@@ -410,46 +446,59 @@ def purge_dv(
     affected files and :meth:`LoggedTable.vacuum` reclaims the old
     snapshot — the same DELETE → REWRITE → VACUUM compliance ladder as
     Delta's, with the expensive rung now optional and lazy."""
-    m = table.latest()
-    if m is None:
-        raise FileNotFoundError(f"no commits in {table.log_dir}")
-    base = os.path.join(table.table_dir, m["data_dir"])
-    scan = spark.read.parquet(base)
-    matches = scan.filter(predicate).select(
-        _dv_file_expr(m["data_dir"]).alias("file"),
-        F.col("_metadata.row_index").alias("pos"),
-    )
-    old_rows = int(m.get("dv_rows", 0))
-    if m.get("dv_dir"):
-        old_dv = spark.read.parquet(
-            os.path.join(table.table_dir, m["dv_dir"])
+    for _attempt in range(5):
+        m = table.latest()
+        if m is None:
+            raise FileNotFoundError(f"no commits in {table.log_dir}")
+        base = os.path.join(table.table_dir, m["data_dir"])
+        scan = spark.read.parquet(base)
+        matches = scan.filter(predicate).select(
+            _dv_file_expr(m["data_dir"]).alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
         )
-        matches = matches.unionByName(old_dv).distinct()
-    dv_rel = f"dv_{uuid.uuid4().hex[:12]}"
-    dv_abs = os.path.join(table.table_dir, dv_rel)
-    # coalesce(1): a DV is deleted-row-count sized (compliance deletes
-    # are a vanishing fraction of the table); one file keeps the read
-    # side a single broadcast build.  A bulk-delete DV that outgrows
-    # this is exactly the compact_dv trigger.
-    matches.coalesce(1).write.parquet(dv_abs)
-    dv_rows = spark.read.parquet(dv_abs).count()
-    meta: dict = {
-        "dv_dir": dv_rel,
-        "dv_rows": dv_rows,
-        "rows_purged": dv_rows - old_rows,
-    }
-    # inherit the snapshot's per-file skipping stats/blooms: the data
-    # files are unchanged, so their min/max remain (conservative) bounds
-    # — read_pruned keeps skipping files under merge-on-read instead of
-    # degrading to a full scan after every purge
-    for k in ("files", "stats_temporal"):
-        if k in m:
-            meta[k] = m[k]
-    return table.commit(
-        None,
-        op="purge_dv",
-        meta=meta,
-        data_dir=m["data_dir"],
+        old_rows = int(m.get("dv_rows", 0))
+        if m.get("dv_dir"):
+            old_dv = spark.read.parquet(
+                os.path.join(table.table_dir, m["dv_dir"])
+            )
+            matches = matches.unionByName(old_dv).distinct()
+        dv_rel = f"dv_{uuid.uuid4().hex[:12]}"
+        dv_abs = os.path.join(table.table_dir, dv_rel)
+        # coalesce(1): a DV is deleted-row-count sized (compliance deletes
+        # are a vanishing fraction of the table); one file keeps the read
+        # side a single broadcast build.  A bulk-delete DV that outgrows
+        # this is exactly the compact_dv trigger.
+        matches.coalesce(1).write.parquet(dv_abs)
+        dv_rows = spark.read.parquet(dv_abs).count()
+        meta: dict = {
+            "dv_dir": dv_rel,
+            "dv_rows": dv_rows,
+            "rows_purged": dv_rows - old_rows,
+        }
+        # inherit the snapshot's per-file skipping stats/blooms: the data
+        # files are unchanged, so their min/max remain (conservative)
+        # bounds — read_pruned keeps skipping files under merge-on-read
+        # instead of degrading to a full scan after every purge
+        for k in ("files", "stats_temporal"):
+            if k in m:
+                meta[k] = m[k]
+        try:
+            # read-modify-write: the DV was UNIONED with version
+            # m.version's DV over m.version's files — landing on any
+            # later version would drop a concurrent commit's changes
+            return table.commit(
+                None,
+                op="purge_dv",
+                meta=meta,
+                data_dir=m["data_dir"],
+                expect_version=m["version"] + 1,
+            )
+        except CommitConflict:
+            # a concurrent commit won: drop this attempt's sidecar and
+            # recompute against the new latest
+            shutil.rmtree(dv_abs, ignore_errors=True)
+    raise CommitConflict(
+        f"purge_dv lost the commit race 5 times in {table.log_dir}"
     )
 
 
@@ -523,15 +572,26 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
                 os.rename(os.path.join(tmp, n), os.path.join(dest, n))
         shutil.rmtree(tmp, ignore_errors=True)
     rewrite = sorted(affected)
-    return table.commit(
-        None,
-        op="compact_dv",
-        meta={
-            "files_rewritten": len(rewrite),
-            "files_linked": linked,
-        },
-        data_dir=new_rel,
-    )
+    try:
+        # read-modify-write: the new snapshot materializes version
+        # m.version's DV over m.version's files
+        return table.commit(
+            None,
+            op="compact_dv",
+            meta={
+                "files_rewritten": len(rewrite),
+                "files_linked": linked,
+            },
+            data_dir=new_rel,
+            expect_version=m["version"] + 1,
+        )
+    except CommitConflict:
+        # a concurrent commit superseded the snapshot this compaction
+        # was computed from — publishing it would drop those changes.
+        # Remove the assembled directory and let the caller retry
+        # against the new latest.
+        shutil.rmtree(new_abs, ignore_errors=True)
+        raise
 
 
 def table_changes(
@@ -661,6 +721,8 @@ def compact_logged(
         meta={"files_before": files_before, "bytes": total_bytes},
         spark=spark if stats_cols else None,
         stats_cols=stats_cols,
+        # read-modify-write: the staged plan reads m0's snapshot dir
+        expect_version=m0["version"] + 1,
     )
     if keep_versions is not None:
         table.vacuum(keep=keep_versions)
@@ -684,7 +746,10 @@ def zorder_logged(
     tightened stats that :meth:`LoggedTable.read_pruned` consumes)."""
     from ..operators.zorder import DEFAULT_BITS, write_zordered
 
-    df = table.read(spark)
+    m0 = table.latest()
+    if m0 is None:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    df = table.read(spark, version=m0["version"])
     m = table.commit(
         lambda d: write_zordered(
             df, d, cols, n_files=n_files, bits=bits or DEFAULT_BITS
@@ -692,6 +757,8 @@ def zorder_logged(
         op="zorder",
         spark=spark,
         stats_cols=cols,
+        # read-modify-write: the re-clustered layout is computed from m0
+        expect_version=m0["version"] + 1,
     )
     if keep_versions is not None:
         table.vacuum(keep=keep_versions)

@@ -997,3 +997,81 @@ def test_table_changes_same_version_is_empty(spark, tmp_path):
     purge_dv(spark, table, F.col("user_id") == 7)
     assert table_changes(spark, table, 2, 2).count() == 0
     assert table_changes(spark, table, 1, 1).count() == 0
+
+
+def test_read_modify_write_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency done right: a read-modify-write commit
+    (purge/compact/zorder/DV) computed from version N must land at N+1
+    or raise CommitConflict — blindly claiming a later slot would
+    silently drop the intervening commit's changes.  Blind appends keep
+    bump-and-retry (last-writer-wins is their semantic)."""
+    import pytest
+
+    from lab_etl_spark.operators.commitlog import CommitConflict, LoggedTable
+
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    table = LoggedTable(str(tmp_path / "occ"))
+    table.commit(lambda d: df.write.parquet(d), op="ingest")
+    m = table.latest()
+    # interloper advances the table after our read
+    table.commit(lambda d: df.write.parquet(d), op="overwrite")
+    with pytest.raises(CommitConflict):
+        table.commit(
+            None,
+            op="stale_rmw",
+            data_dir=m["data_dir"],
+            expect_version=m["version"] + 1,
+        )
+    # a blind append (no expect_version) still lands fine
+    assert table.commit(
+        lambda d: df.write.parquet(d), op="overwrite"
+    )["version"] == 3
+
+
+def test_purge_dv_retries_after_conflict(spark, tmp_path):
+    """purge_dv's read-modify-write loop: when the commit conflicts, it
+    recomputes the DV against the new latest and retries — the final
+    state must reflect BOTH the interloper's commit and the purge."""
+    from lab_etl_spark.operators.commitlog import (
+        CommitConflict,
+        LoggedTable,
+        purge_dv,
+    )
+
+    table, df = _dv_events(spark, tmp_path)
+    real_commit = table.commit
+    fired = {"n": 0}
+
+    def racing_commit(*args, **kwargs):
+        # first purge_dv attempt: an interloper rewrites the table
+        # (dropping user 3) between the DV computation and the claim
+        if kwargs.get("op") == "purge_dv" and fired["n"] == 0:
+            fired["n"] = 1
+            real_commit(
+                lambda d: df.filter("user_id != 3").write.parquet(d),
+                op="interloper",
+            )
+        return real_commit(*args, **kwargs)
+
+    table.commit = racing_commit
+    try:
+        m = purge_dv(spark, table, F.col("user_id") == 7)
+    finally:
+        table.commit = real_commit
+    assert fired["n"] == 1
+    # purge landed AFTER the interloper (version 4: ingest, interloper,
+    # then the retried DV commit on the interloper's snapshot)
+    assert m["version"] == 3
+    got = sorted(map(tuple, table.read(spark).collect()))
+    want = sorted(
+        map(tuple, df.filter("user_id NOT IN (3, 7)").collect())
+    )
+    assert got == want, "the interloper's delete or the purge was lost"
+    # and no stale DV sidecar leaked past vacuum
+    table.vacuum(keep=1)
+    import os as _os
+
+    dv_dirs = [
+        n for n in _os.listdir(table.table_dir) if n.startswith("dv_")
+    ]
+    assert dv_dirs == [m["dv_dir"]]
