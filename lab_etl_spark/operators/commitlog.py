@@ -594,6 +594,141 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
         raise
 
 
+def upsert_dv(
+    spark: SparkSession,
+    table: LoggedTable,
+    updates: DataFrame,
+    key: str,
+) -> dict:
+    """MERGE-on-read UPSERT: supersede rows whose ``key`` appears in
+    ``updates`` and append the update batch — WITHOUT rewriting a single
+    existing data file.  Completes the no-rewrite DML trio
+    (:func:`purge_dv` DELETE, this UPDATE/INSERT, :func:`compact_dv`
+    the lazy materializer).
+
+      1. one broadcast semi-join records matched rows' (file, row_index)
+         into the cumulative deletion vector — the update batch is
+         CDC-sized, so the probe side broadcasts;
+      2. the new snapshot directory is assembled from HARDLINKS of every
+         existing data file (metadata-only, zero data bytes — the POSIX
+         analogue of Delta add-actions referencing existing objects;
+         O(file count) namespace ops is the honest cost of the
+         dir-per-snapshot model) plus the update batch written as fresh
+         part files;
+      3. the manifest commit carries the grown DV (link-preserved
+         relative paths keep its keys valid) and lands with
+         ``expect_version`` conflict detection, retrying the whole
+         read-modify-write on a lost race.
+
+    Readers resolve the manifest as always: scan (old files + update
+    files), subtract the DV — old versions of updated keys vanish, the
+    batch's rows appear.  Bytes written scale with the UPDATE BATCH,
+    never the table.  Flat snapshots only: appending root-level files
+    into a hive-partitioned directory tree breaks Spark's partition
+    discovery, so partitioned tables raise (route updates through
+    ``compact_logged(partition_cols=...)``'s rewrite instead).
+
+    Inherited per-file skipping stats stay valid for linked files; the
+    update files join the manifest's ``files`` list with freshly
+    computed stats when the snapshot carries stats at all, so
+    ``read_pruned`` keeps skipping and cannot drop the new rows."""
+    updates = updates.persist()
+    try:
+        for _attempt in range(5):
+            m = table.latest()
+            if m is None:
+                raise FileNotFoundError(f"no commits in {table.log_dir}")
+            base = os.path.join(table.table_dir, m["data_dir"])
+            # hidden _metadata columns resolve only on the scan relation:
+            # project them BEFORE the join, not after
+            scan = spark.read.parquet(base).select(
+                F.col(key),
+                _dv_file_expr(m["data_dir"]).alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            matches = scan.join(
+                F.broadcast(updates.select(key).distinct()), key, "left_semi"
+            ).select("file", "pos")
+            old_rows = int(m.get("dv_rows", 0))
+            if m.get("dv_dir"):
+                old_dv = spark.read.parquet(
+                    os.path.join(table.table_dir, m["dv_dir"])
+                )
+                matches = matches.unionByName(old_dv).distinct()
+            dv_rel = f"dv_{uuid.uuid4().hex[:12]}"
+            dv_abs = os.path.join(table.table_dir, dv_rel)
+            matches.coalesce(1).write.parquet(dv_abs)
+            dv_rows = spark.read.parquet(dv_abs).count()
+
+            new_rel = f"v_{uuid.uuid4().hex[:12]}"
+            new_abs = os.path.join(table.table_dir, new_rel)
+            os.makedirs(new_abs)
+            for root, _dirs, names in os.walk(base):
+                if root != base and any(
+                    n.endswith(".parquet") for n in names
+                ):
+                    shutil.rmtree(new_abs, ignore_errors=True)
+                    shutil.rmtree(dv_abs, ignore_errors=True)
+                    raise ValueError(
+                        "upsert_dv supports flat snapshots only: "
+                        f"{m['data_dir']} is hive-partitioned, and mixing "
+                        "root-level update files into a partitioned tree "
+                        "breaks partition discovery — use "
+                        "compact_logged(partition_cols=...) for "
+                        "partitioned upserts"
+                    )
+                for n in sorted(names):
+                    if n.endswith(".parquet") and not n.startswith(
+                        ("_", ".")
+                    ):
+                        os.link(
+                            os.path.join(root, n), os.path.join(new_abs, n)
+                        )
+            tmp = os.path.join(
+                table.table_dir, f".upsert.{uuid.uuid4().hex[:8]}"
+            )
+            updates.write.parquet(tmp)
+            meta: dict = {
+                "dv_dir": dv_rel,
+                "dv_rows": dv_rows,
+                "rows_matched": dv_rows - old_rows,
+            }
+            if "files" in m:
+                stats_cols = sorted(
+                    {c for f in m["files"] for c in f.get("min", {})}
+                )
+                new_files, temporal = _file_stats(spark, tmp, stats_cols)
+                meta["files"] = m["files"] + new_files
+                meta["stats_temporal"] = sorted(
+                    set(m.get("stats_temporal", [])) | temporal
+                )
+            moved = 0
+            for n in os.listdir(tmp):
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    os.rename(
+                        os.path.join(tmp, n), os.path.join(new_abs, n)
+                    )
+                    moved += 1
+            shutil.rmtree(tmp, ignore_errors=True)
+            meta["files_appended"] = moved
+            try:
+                return table.commit(
+                    None,
+                    op="upsert_dv",
+                    meta=meta,
+                    data_dir=new_rel,
+                    expect_version=m["version"] + 1,
+                )
+            except CommitConflict:
+                shutil.rmtree(dv_abs, ignore_errors=True)
+                shutil.rmtree(new_abs, ignore_errors=True)
+        raise CommitConflict(
+            f"upsert_dv lost the commit race 5 times in {table.log_dir}"
+        )
+    finally:
+        updates.unpersist()
+
+
 def table_changes(
     spark: SparkSession,
     table: LoggedTable,

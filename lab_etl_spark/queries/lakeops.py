@@ -499,6 +499,77 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_upsert_dv",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {dsum('value', 6)} AS sum_value
+    FROM (
+        SELECT event_type, user_id, value
+        FROM events WHERE event_id % 101 != 0
+        UNION ALL
+        SELECT 'updated' AS event_type, user_id, value + 1000.0 AS value
+        FROM events WHERE event_id % 101 = 0
+        UNION ALL
+        SELECT 'new' AS event_type, CAST(-1 AS BIGINT) AS user_id,
+               1.5 AS value
+        FROM range(5)
+    )
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="MERGE-on-read upsert (operators/commitlog.py upsert_dv): ingest "
+    "events as a multi-file snapshot, then apply a CDC batch — every "
+    "event_id ≡ 0 (mod 101) updated (value + 1000, type 'updated') plus "
+    "5 brand-new rows — WITHOUT rewriting a single existing file: "
+    "matched rows join the deletion vector via one broadcast semi-join, "
+    "existing files are hardlinked into the new snapshot (metadata-only), "
+    "and the batch lands as fresh part files; readers subtract the DV so "
+    "old versions of updated keys vanish.  Bytes written scale with the "
+    "batch, never the table — at 100 TB this is the difference between a "
+    "nightly CDC merge costing minutes and one costing a full rewrite.  "
+    "The oracle recomputes the post-merge table from the source with the "
+    "same transformation, so the driver check proves update, insert, and "
+    "no-op rows all land exactly; conflict/retry and the stats-inherit "
+    "path are pinned in tests/test_commitlog.py.",
+    bench=False,  # dominated by the eager snapshot write
+)
+def q_upsert_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable, upsert_dv
+
+    ev = load_table(spark, sf_dir, "events")
+    table = LoggedTable(scratch_dir("upsert_events", sf_dir))
+    table.commit(lambda d: ev.repartition(8).write.parquet(d), op="ingest")
+    upd = (
+        ev.filter(F.col("event_id") % 101 == 0)
+        .withColumn("value", F.col("value") + F.lit(1000.0))
+        .withColumn("event_type", F.lit("updated"))
+    )
+    new = spark.range(5).select(
+        (-F.col("id") - 1).alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast(ev.schema["ts"].dataType).alias(
+            "ts"
+        ),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("new").alias("event_type"),
+        F.lit(1.5).alias("value"),
+        F.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+    )
+    upsert_dv(spark, table, upd.unionByName(new), key="event_id")
+    return (
+        table.read(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 #: histogram bin width over events.value (fixed so both engines bin alike)
 HIST_BIN_W = 100.0
 

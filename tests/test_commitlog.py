@@ -1075,3 +1075,107 @@ def test_purge_dv_retries_after_conflict(spark, tmp_path):
         n for n in _os.listdir(table.table_dir) if n.startswith("dv_")
     ]
     assert dv_dirs == [m["dv_dir"]]
+
+
+def test_upsert_dv_updates_inserts_without_rewrite(spark, tmp_path):
+    """Merge-on-read upsert: matched keys superseded, batch appended,
+    and EVERY pre-existing data file is hardlink-carried (same inode —
+    zero data bytes rewritten)."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 20).alias("g"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    table = LoggedTable(str(tmp_path / "ups"))
+    table.commit(
+        lambda d: df.repartition(4, "k").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+    )
+    base = os.path.join(table.table_dir, table.latest()["data_dir"])
+    old_inodes = {
+        n: os.stat(os.path.join(base, n)).st_ino
+        for n in os.listdir(base)
+        if n.endswith(".parquet")
+    }
+    updates = spark.createDataFrame(
+        [(3, 99, -3.0), (7, 99, -7.0), (5000, 99, 50.0)], "k long, g long, v double"
+    )
+    m = upsert_dv(spark, table, updates, key="k")
+    assert m["rows_matched"] == 2 and m["files_appended"] >= 1
+    got = {r["k"]: (r["g"], r["v"]) for r in table.read(spark).collect()}
+    assert len(got) == 1001  # 1000 - 2 + 2 updated + 1 new
+    assert got[3] == (99, -3.0) and got[7] == (99, -7.0)
+    assert got[5000] == (99, 50.0)
+    assert got[4] == (4, 4.0)  # untouched row intact
+    new_base = os.path.join(table.table_dir, m["data_dir"])
+    for n, ino in old_inodes.items():
+        assert os.stat(os.path.join(new_base, n)).st_ino == ino, (
+            f"pre-existing file {n} was copied/rewritten, not linked"
+        )
+    # inherited + appended stats: read_pruned must find the NEW row
+    # (k=5000 lives only in an appended file) and never resurrect the
+    # superseded k=3 original
+    pruned = table.read_pruned(spark, {"k": (4000, 6000)})
+    assert [r["k"] for r in pruned.collect()] == [5000]
+    assert table.read_pruned(spark, {"k": (3, 3)}).filter(
+        "v = 3.0"
+    ).count() == 0
+
+
+def test_upsert_dv_partitioned_raises(spark, tmp_path):
+    import pytest
+
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    )
+    table = LoggedTable(str(tmp_path / "ups_part"))
+    table.commit(
+        lambda d: df.write.partitionBy("p").parquet(d), op="ingest"
+    )
+    upd = spark.createDataFrame([(3, 0)], "k long, p long")
+    with pytest.raises(ValueError, match="flat snapshots only"):
+        upsert_dv(spark, table, upd, key="k")
+
+
+def test_upsert_dv_then_purge_then_compact_compose(spark, tmp_path):
+    """The DML ladder end-to-end: upsert → purge → compact → vacuum,
+    value-checked at every rung against plain DataFrame algebra."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable,
+        compact_dv,
+        purge_dv,
+        upsert_dv,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("u"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    table = LoggedTable(str(tmp_path / "ladder"))
+    table.commit(
+        lambda d: df.repartition(4, "k").write.parquet(d), op="ingest"
+    )
+    updates = spark.createDataFrame([(42, 7, 0.5)], "k long, u long, v double")
+    upsert_dv(spark, table, updates, key="k")
+    expect = df.filter("k != 42").unionByName(updates)
+    assert sorted(map(tuple, table.read(spark).collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    purge_dv(spark, table, F.col("u") == 3)
+    expect = expect.filter("u != 3")
+    assert sorted(map(tuple, table.read(spark).collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    m = compact_dv(spark, table)
+    assert "dv_dir" not in m
+    table.vacuum(keep=1)
+    assert sorted(map(tuple, table.read(spark).collect())) == sorted(
+        map(tuple, expect.collect())
+    )
