@@ -205,8 +205,9 @@ _LAST_GREEN = {
 # ROUND-12 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r11
 # (tools/regen_last_green.py), front any round-11 red rows plus
 # promoted/changed oracles, then continue the staleness cycle: after
-# round 11 the oldest cohort is r7 (the ~17 spilled veterans), then the
-# r8 cohort (49) by staleness.  The invariant is now SELF-ENFORCING:
+# round 11 the oldest cohort is r7 (the ~20 spilled veterans — the three
+# round-11 DV/CDF adds took window slots), then the r8 cohort (49) by
+# staleness.  The invariant is now SELF-ENFORCING:
 # tests/test_static_audits.py::test_window_staleness_invariant fails if
 # any registered query too stale to wait another round is left outside
 # the upcoming 50-entry window.  Pre-flight with
