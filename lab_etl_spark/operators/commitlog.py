@@ -163,6 +163,13 @@ class LoggedTable:
         dv_rel = m.get("dv_dir")
         if not dv_rel:
             return df
+        if "_dv_file" in df.columns or "_dv_pos" in df.columns:
+            # withColumns would silently OVERWRITE a user column of the
+            # same name and drop it after the join — data loss; refuse
+            raise ValueError(
+                "table columns _dv_file/_dv_pos collide with the "
+                "deletion-vector reader's internal names"
+            )
         dv = spark.read.parquet(os.path.join(self.table_dir, dv_rel))
         if m.get("dv_rows", 0) <= 5_000_000:
             dv = F.broadcast(dv)

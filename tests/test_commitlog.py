@@ -1179,3 +1179,82 @@ def test_upsert_dv_then_purge_then_compact_compose(spark, tmp_path):
     assert sorted(map(tuple, table.read(spark).collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_purge_dv_null_predicate_rows_survive(spark, tmp_path):
+    """SQL WHERE semantics for the delete predicate: rows where it
+    evaluates NULL are NOT deleted (matching every engine's DELETE) —
+    a purge on user_id must leave NULL-user rows untouched."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_dv
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id") % 5)
+        .alias("user_id"),
+    )
+    table = LoggedTable(str(tmp_path / "dv_null"))
+    table.commit(lambda d: df.repartition(3).write.parquet(d), op="ingest")
+    m = purge_dv(spark, table, F.col("user_id") == 2)
+    assert m["rows_purged"] == df.filter("user_id = 2").count()
+    got = table.read(spark)
+    assert got.filter("user_id IS NULL").count() == 10
+    assert got.filter("user_id = 2").count() == 0
+    assert got.count() == 100 - m["rows_purged"]
+
+
+def test_upsert_dv_duplicate_and_multirow_keys(spark, tmp_path):
+    """Documented append semantics: ALL table rows matching a batch key
+    are superseded, and the batch lands verbatim (a key duplicated in
+    the batch yields both batch rows — callers dedup upstream if MERGE
+    one-row semantics are wanted)."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    table = LoggedTable(str(tmp_path / "ups_dup"))
+    table.commit(lambda d: df.repartition(2).write.parquet(d), op="ingest")
+    batch = spark.createDataFrame(
+        [(1, -1.0), (1, -2.0), (9, 90.0)], "k long, v double"
+    )
+    m = upsert_dv(spark, table, batch, key="k")
+    assert m["rows_matched"] == 2  # both k=1 table rows superseded
+    got = sorted(map(tuple, table.read(spark).collect()))
+    assert got == sorted(
+        [(1, -1.0), (1, -2.0), (2, 20.0), (3, 30.0), (9, 90.0)]
+    )
+
+
+def test_apply_dv_refuses_reserved_column_names(spark, tmp_path):
+    import pytest
+
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_dv
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.col("id").alias("_dv_file")
+    )
+    table = LoggedTable(str(tmp_path / "dv_clash"))
+    table.commit(lambda d: df.write.parquet(d), op="ingest")
+    purge_dv(spark, table, F.col("k") == 1)
+    with pytest.raises(ValueError, match="_dv_file"):
+        table.read(spark).collect()
+
+
+def test_table_changes_fast_path_is_broadcast_semi(spark, tmp_path):
+    """The CDF fast path must stay a broadcast semi-join — shuffling the
+    table to extract a kilobyte-sized delta would defeat its purpose."""
+    import contextlib
+    import io
+
+    from lab_etl_spark.operators.commitlog import purge_dv, table_changes
+
+    table, _df = _dv_events(spark, tmp_path)
+    purge_dv(spark, table, F.col("user_id") == 7)
+    df = table_changes(spark, table, 1, 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
