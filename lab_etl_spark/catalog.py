@@ -64,6 +64,15 @@ _WAREHOUSE = os.path.join(
 #: generous vs the seconds-scale window between plan build and collection
 _SCRATCH_TTL_S = 1800.0
 
+#: ANY-pid orphan horizon: dirs from other (usually dead) processes are
+#: pruned past this age.  Round-11 finding: the same-pid-only rule leaked
+#: every predecessor process's dirs for an entire round (2267 dirs /
+#: ~900 MB of write-back pressure by late round — the io-family trend
+#: gate flagged the drift).  Two hours is an order of magnitude beyond
+#: any single run here, so a concurrent process cannot still be holding
+#: a lazy plan over a dir this old.
+_SCRATCH_ORPHAN_TTL_S = 7200.0
+
 
 def scratch_dir(family: str, sf_dir: str) -> str:
     """Unique per-invocation scratch directory under the repo warehouse.
@@ -78,25 +87,31 @@ def scratch_dir(family: str, sf_dir: str) -> str:
     (same-named basenames or different scale factors can't collide) plus a
     fresh uuid per call (concurrent bench/correctness runs can't either).
     Stale same-family siblings are pruned best-effort after
-    ``_SCRATCH_TTL_S``, but ONLY those created by THIS process (the pid is
-    part of the dir name): a concurrent run holding a lazy DataFrame over
-    its own scratch dir for longer than the TTL must never have it swept
-    from under the plan by another process (round-4 verdict item #4).
-    Dirs orphaned by dead processes are cleaned the next time a process
-    with the same pid-slot runs — or by deleting ``spark-warehouse/``,
-    which is gitignored runtime state.
+    ``_SCRATCH_TTL_S``, but within that window ONLY those created by THIS
+    process (the pid is part of the dir name): a concurrent run holding a
+    lazy DataFrame over its own scratch dir for longer than the TTL must
+    never have it swept from under the plan by another process (round-4
+    verdict item #4).  Dirs from OTHER pids are pruned only past the much
+    longer ``_SCRATCH_ORPHAN_TTL_S`` — without this second horizon, every
+    short-lived process leaked its dirs for the whole round (round-11:
+    2267 orphans / ~900 MB of filesystem pressure, caught by the
+    io-family trend gate).  ``spark-warehouse/`` stays gitignored runtime
+    state either way.
     """
     now = time.time()
     mine = f"{family}_p{os.getpid()}_"
     try:
         for entry in os.listdir(_WAREHOUSE):
-            if entry.startswith(mine):
-                path = os.path.join(_WAREHOUSE, entry)
-                try:
+            path = os.path.join(_WAREHOUSE, entry)
+            try:
+                if entry.startswith(mine):
                     if now - os.path.getmtime(path) > _SCRATCH_TTL_S:
                         shutil.rmtree(path, ignore_errors=True)
-                except OSError:
-                    pass
+                elif "_p" in entry:
+                    if now - os.path.getmtime(path) > _SCRATCH_ORPHAN_TTL_S:
+                        shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
     except OSError:
         pass
     key = hashlib.sha1(os.path.realpath(sf_dir).encode()).hexdigest()[:8]

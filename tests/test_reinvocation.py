@@ -46,22 +46,34 @@ def test_second_invocation_does_not_disturb_first(spark, sf_dir, name):
 
 
 def test_scratch_ttl_prunes_only_own_pid_dirs(tmp_path, monkeypatch):
-    # A concurrent process holding a lazy DataFrame over ITS scratch dir
-    # past the TTL must never have it swept by this process's sweep.
+    # Two horizons (round 11): within the short TTL window only THIS
+    # process's stale dirs are swept — a concurrent process holding a
+    # lazy DataFrame over ITS dir past the short TTL must survive.  But
+    # a foreign dir past the ORPHAN horizon (2h — beyond any plausible
+    # live run) is a dead process's leak and must be reclaimed, else
+    # every short-lived process leaks its lakes for a whole round.
     import os
     import time
 
     from lab_etl_spark import catalog
 
     monkeypatch.setattr(catalog, "_WAREHOUSE", str(tmp_path))
-    old = time.time() - 10_000
-    foreign = tmp_path / "fam_p99999999_deadbeef_cafe0000"
-    foreign.mkdir()
-    os.utime(foreign, (old, old))
+    now = time.time()
+    mid = now - catalog._SCRATCH_TTL_S - 600  # stale, but under 2h
+    ancient = now - catalog._SCRATCH_ORPHAN_TTL_S - 600
+    foreign_live = tmp_path / "fam_p99999999_deadbeef_cafe0000"
+    foreign_live.mkdir()
+    os.utime(foreign_live, (mid, mid))
+    foreign_dead = tmp_path / "fam_p99999998_deadbeef_cafe0001"
+    foreign_dead.mkdir()
+    os.utime(foreign_dead, (ancient, ancient))
     mine_old = tmp_path / f"fam_p{os.getpid()}_deadbeef_cafe0000"
     mine_old.mkdir()
-    os.utime(mine_old, (old, old))
+    os.utime(mine_old, (mid, mid))
     p = catalog.scratch_dir("fam", "/root/testdata/sf0.001")
-    assert foreign.exists(), "foreign-pid scratch dir must survive the sweep"
+    assert foreign_live.exists(), (
+        "foreign dir inside the orphan horizon must survive the sweep"
+    )
+    assert not foreign_dead.exists(), "dead process's ancient dir leaked"
     assert not mine_old.exists(), "own stale scratch dir must be pruned"
     assert f"_p{os.getpid()}_" in os.path.basename(p)

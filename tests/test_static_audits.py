@@ -199,3 +199,32 @@ def test_bench_continuity_under_ceiling():
         f"immutable r1 anchor — find the regressing rounds before "
         f"re-baselining the 2x gate"
     )
+
+
+def test_scratch_orphans_are_pruned():
+    """Round-11 finding: same-pid-only TTL pruning leaked every dead
+    process's scratch dirs for the whole round (2267 dirs / ~900 MB —
+    enough filesystem pressure that the io-family trend gate flagged
+    eager-write queries).  Any-pid dirs past the orphan horizon must be
+    swept by the next scratch_dir call; young foreign dirs and live
+    same-pid dirs must survive."""
+    import os
+    import time
+
+    from lab_etl_spark import catalog
+
+    wh = catalog._WAREHOUSE
+    os.makedirs(wh, exist_ok=True)
+    old_foreign = os.path.join(wh, "famx_p99999_deadbeef_old")
+    young_foreign = os.path.join(wh, "famx_p99998_deadbeef_new")
+    os.makedirs(old_foreign, exist_ok=True)
+    os.makedirs(young_foreign, exist_ok=True)
+    past = time.time() - catalog._SCRATCH_ORPHAN_TTL_S - 60
+    os.utime(old_foreign, (past, past))
+    fresh = catalog.scratch_dir("famy", "/root/testdata/sf0.001")
+    assert not os.path.exists(old_foreign), "dead process's dir leaked"
+    assert os.path.exists(young_foreign), (
+        "young foreign dir swept — a concurrent run could lose its lake"
+    )
+    os.rmdir(young_foreign)
+    assert not os.path.exists(fresh)  # scratch_dir only names, never mkdirs
