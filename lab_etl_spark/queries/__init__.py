@@ -100,62 +100,54 @@ def register(
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # round 11: the queries whose ENGINE text changed this round while
-    # closing the r10 ADVICE findings — the two update-mode streaming
-    # drains now reduce the memory sink to the final state per key
-    # (final_state: max-n_events row), so correctness no longer depends
-    # on the availableNow drain being a single micro-batch, and the two
-    # footer queries ride the reworked stats kernel (schema-evolution
-    # placeholder rows, shared _keep_expr, ns-conservative max bounds).
-    # All four are value-identical on the driver corpus (single-batch
-    # drains / homogeneous lake), but the new texts have never seen a
-    # driver row; front them so CORRECTNESS_r11 re-verifies them, then
-    # drain the 13 r6 veterans and the r7 cohort by staleness.
-    "q_stream_running_stats",
-    "q_stream_stateful_ewma",
-    "q_parquet_footer_stats",
-    "q_footer_pruned_scan",
+    # round 12: no r11 reds (seventh consecutive 50/50) and no
+    # changed-oracle promotions yet — the window is a pure staleness
+    # drain: the 19 r7 veterans (q_asof_join .. q_zscore_anomaly) enter
+    # via _LAST_GREEN order, then 31 of the r8 cohort (49) by staleness;
+    # the ~18 r8 spillovers wait for round 13.  Entries appended here
+    # during the round are queries whose ENGINE or ORACLE text changed
+    # (never-checked texts must see a driver row before the round ends).
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
-# CORRECTNESS_r01..r10.json via tools/regen_last_green.py (hash_match
+# CORRECTNESS_r01..r11.json via tools/regen_last_green.py (hash_match
 # true, or rows-only with rows returned).  Orders the veteran fill of
 # the window: stalest first.  Queries absent from this map have never
 # been driver-checked and sort ahead of all veterans automatically.
 _LAST_GREEN = {
     "q_dedup_exact": 10, "q_dedup_ngram_jaccard": 10,
     "q_dedup_minhash_lsh": 10, "q_dedup_clusters": 10, "q_dedup_simhash": 10,
-    "q_dedup_embedding": 7, "q_instrument_peak_hrr": 8,
+    "q_dedup_embedding": 11, "q_instrument_peak_hrr": 8,
     "q_instrument_sta_mass_loss": 8, "q_filter_project": 10,
     "q_pricing_summary": 10, "q_agg_group": 10, "q_agg_distinct": 10,
     "q_approx_distinct": 8, "q_shipping_priority": 10,
     "q_local_supplier_volume": 10, "q_hash_join_inner": 10,
-    "q_broadcast_join": 10, "q_semi_join": 10, "q_anti_join": 7,
+    "q_broadcast_join": 10, "q_semi_join": 10, "q_anti_join": 11,
     "q_range_join": 10, "q_window_rank": 10, "q_window_frame": 10,
     "q_sort_limit_topk": 10, "q_set_ops": 10, "q_scalar_fns": 10,
     "q_array_fns": 10, "q_map_fns": 10, "q_skew_join_salted": 10,
     "q_shuffle_hash_join": 10, "q_outer_join": 10, "q_scalar_subquery": 10,
     "q_pivot_wide": 10, "q_unpivot": 10, "q_grouping_sets": 10,
     "q_percentile_exact": 10, "q_deterministic_sample": 10,
-    "q_similarity_topk": 10, "q_similarity_blocked": 6, "q_similarity_ivf": 7,
-    "q_text_stats": 6, "q_text_quality": 7, "q_text_fingerprint": 7,
-    "q_token_histogram": 7, "q_text_tokens_bpe": 7, "q_text_rolling_hash": 7,
-    "q_lang_id_ngram": 7, "q_stream_tumbling": 7, "q_rollup_cube": 10,
-    "q_stream_session": 7, "q_stream_sliding": 7, "q_asof_align": 7,
-    "q_interp_linear": 7, "q_interp_by_key": 7, "q_interval_join": 7,
-    "q_zscore_anomaly": 7, "q_stratified_sample": 7, "q_seq_packing": 7,
-    "q_training_shuffle": 7, "q_embedding_lsh": 7, "q_embedding_stats": 7,
-    "q_text_repetition": 7, "q_contamination": 7, "q_pii_redact": 7,
-    "q_tfidf": 7, "q_quality_filter": 7, "q_asof_join": 7, "q_funnel": 7,
-    "q_sessionize": 8, "q_retention": 8, "q_interarrival": 8,
-    "q_stream_hourly_users": 8, "q_stream_stateful_ewma": 6,
-    "q_approx_percentile": 7, "q_hierarchical_rollup": 7,
-    "q_lake_roundtrip": 7, "q_returned_items": 7, "q_promo_revenue": 7,
-    "q_top_supplier": 7, "q_large_volume_customer": 7,
-    "q_region_market_share": 7, "q_json_functions": 7,
-    "q_doc_source_stats": 7, "q_sequence_budget": 7,
-    "q_dedup_cross_source": 7, "q_customer_order_counts": 7,
-    "q_small_qty_revenue": 7, "q_idle_customers": 7,
+    "q_similarity_topk": 10, "q_similarity_blocked": 11,
+    "q_similarity_ivf": 11, "q_text_stats": 11, "q_text_quality": 11,
+    "q_text_fingerprint": 11, "q_token_histogram": 11,
+    "q_text_tokens_bpe": 11, "q_text_rolling_hash": 11, "q_lang_id_ngram": 7,
+    "q_stream_tumbling": 11, "q_rollup_cube": 10, "q_stream_session": 11,
+    "q_stream_sliding": 11, "q_asof_align": 11, "q_interp_linear": 11,
+    "q_interp_by_key": 11, "q_interval_join": 11, "q_zscore_anomaly": 7,
+    "q_stratified_sample": 7, "q_seq_packing": 7, "q_training_shuffle": 7,
+    "q_embedding_lsh": 7, "q_embedding_stats": 7, "q_text_repetition": 7,
+    "q_contamination": 7, "q_pii_redact": 7, "q_tfidf": 7,
+    "q_quality_filter": 7, "q_asof_join": 7, "q_funnel": 7, "q_sessionize": 8,
+    "q_retention": 8, "q_interarrival": 8, "q_stream_hourly_users": 8,
+    "q_stream_stateful_ewma": 11, "q_approx_percentile": 11,
+    "q_hierarchical_rollup": 11, "q_lake_roundtrip": 11,
+    "q_returned_items": 11, "q_promo_revenue": 11, "q_top_supplier": 11,
+    "q_large_volume_customer": 11, "q_region_market_share": 11,
+    "q_json_functions": 11, "q_doc_source_stats": 11, "q_sequence_budget": 11,
+    "q_dedup_cross_source": 7, "q_customer_order_counts": 11,
+    "q_small_qty_revenue": 11, "q_idle_customers": 11,
     "q_nation_year_profit": 7, "q_disjunctive_join": 7,
     "q_multimodal_decode": 8, "q_window_distribution": 7,
     "q_zorder_skipping": 9, "q_frequent_ngrams": 7, "q_argmin_join": 8,
@@ -192,22 +184,22 @@ _LAST_GREEN = {
     "q_lsh_recall": 9, "q_dp_counts": 9, "q_bootstrap_ci": 9,
     "q_kanonymity": 9, "q_mutual_information": 9, "q_skyline_2d": 9,
     "q_abtest_cuped": 9, "q_random_projection": 9, "q_kmeans_lloyd": 9,
-    "q_rrf_fusion": 6, "q_acf": 10, "q_arrow_roundtrip": 6,
-    "q_attribution_markov": 6, "q_funnel_windowed": 6, "q_interval_merge": 6,
-    "q_langid_confusion": 6, "q_ntile_binning": 6,
-    "q_webdataset_roundtrip": 6, "q_bottomk_quantile": 10, "q_semdedup": 8,
-    "q_pq_adc": 6, "q_importance_resampling": 6, "q_semdedup_kmeans": 7,
-    "q_graph_ann": 7, "q_dedup_incremental": 8, "q_delta_export": 8,
-    "q_embedding_quality": 10, "q_parquet_footer_stats": 10,
-    "q_footer_pruned_scan": 10, "q_stream_running_stats": 10,
+    "q_rrf_fusion": 11, "q_acf": 10, "q_arrow_roundtrip": 11,
+    "q_attribution_markov": 11, "q_funnel_windowed": 11,
+    "q_interval_merge": 11, "q_langid_confusion": 11, "q_ntile_binning": 11,
+    "q_webdataset_roundtrip": 11, "q_bottomk_quantile": 10, "q_semdedup": 8,
+    "q_pq_adc": 11, "q_importance_resampling": 11, "q_semdedup_kmeans": 11,
+    "q_graph_ann": 11, "q_dedup_incremental": 8, "q_delta_export": 8,
+    "q_embedding_quality": 10, "q_parquet_footer_stats": 11,
+    "q_footer_pruned_scan": 11, "q_stream_running_stats": 11,
+    "q_purge_dv": 11, "q_version_diff": 11, "q_upsert_dv": 11,
 }
 
-# ROUND-12 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r11
-# (tools/regen_last_green.py), front any round-11 red rows plus
+# ROUND-13 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r12
+# (tools/regen_last_green.py), front any round-12 red rows plus
 # promoted/changed oracles, then continue the staleness cycle: after
-# round 11 the oldest cohort is r7 (the ~20 spilled veterans — the three
-# round-11 DV/CDF adds took window slots), then the r8 cohort (49) by
-# staleness.  The invariant is now SELF-ENFORCING:
+# round 12 the oldest cohort is the ~18 r8 spillovers, then r9 (49) by
+# staleness.  The invariant is SELF-ENFORCING:
 # tests/test_static_audits.py::test_window_staleness_invariant fails if
 # any registered query too stale to wait another round is left outside
 # the upcoming 50-entry window.  Pre-flight with
