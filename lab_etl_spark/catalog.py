@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 import time
 import uuid
@@ -109,6 +110,20 @@ def scratch_dir(family: str, sf_dir: str) -> str:
                         shutil.rmtree(path, ignore_errors=True)
                 elif "_p" in entry:
                     if now - os.path.getmtime(path) > _SCRATCH_ORPHAN_TTL_S:
+                        # Age alone isn't proof of orphanhood: a long soak
+                        # session can hold a lazy plan over a dir older than
+                        # the horizon.  Sweep only when the owning pid is
+                        # provably dead (kill -0 raises ProcessLookupError);
+                        # unparsable names fall back to the age horizon.
+                        m = re.search(r"_p(\d+)_", entry)
+                        if m is not None:
+                            try:
+                                os.kill(int(m.group(1)), 0)
+                                continue  # owner alive — never sweep
+                            except ProcessLookupError:
+                                pass  # truly dead: sweep below
+                            except PermissionError:
+                                continue  # alive, other uid — never sweep
                         shutil.rmtree(path, ignore_errors=True)
             except OSError:
                 pass

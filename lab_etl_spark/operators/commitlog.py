@@ -44,6 +44,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -82,7 +83,11 @@ def _dv_file_expr(data_rel: str):
     part-file basename in every partition directory (part-00000-<job
     uuid> under p=0/ and p=1/), so basename keying would conflate rows
     across partitions and delete innocents.  ``data_rel`` is the
-    manifest's ``v_<hex>`` name — regex-inert by construction."""
+    manifest's ``v_<hex>`` name — regex-inert by construction for
+    internally-generated names, and ENFORCED regex-inert for
+    caller-supplied ones by ``commit()``'s ``[A-Za-z0-9_.-]+``
+    validation; the greedy ``.*`` anchors on the LAST occurrence, so a
+    same-named segment earlier in the absolute path cannot mis-key."""
     return F.regexp_replace(
         F.col("_metadata.file_path"), f".*/{data_rel}/", ""
     )
@@ -292,6 +297,21 @@ class LoggedTable:
         (last-writer-wins) is the intended semantic.
         """
         if data_dir is not None:
+            # The relative name is later interpolated into the DV file-key
+            # regex (_dv_file_expr) and joined under table_dir; restrict it
+            # to a single regex-inert path segment so a caller-supplied
+            # name can neither mis-key DV rows (metachars, or a segment
+            # that also appears earlier in the absolute path) nor escape
+            # the table directory.
+            if not re.fullmatch(r"[A-Za-z0-9_.-]+", data_dir) or (
+                data_dir in (".", "..")
+            ):
+                raise ValueError(
+                    f"data_dir {data_dir!r} must be a single relative "
+                    f"path segment matching [A-Za-z0-9_.-]+ (it is "
+                    f"interpolated into the deletion-vector file-key "
+                    f"regex and must stay regex-inert)"
+                )
             data_rel = data_dir
         else:
             data_rel = f"v_{uuid.uuid4().hex[:12]}"
@@ -579,16 +599,31 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
                 os.rename(os.path.join(tmp, n), os.path.join(dest, n))
         shutil.rmtree(tmp, ignore_errors=True)
     rewrite = sorted(affected)
+    meta: dict = {"files_rewritten": len(rewrite), "files_linked": linked}
+    if m.get("files"):
+        # A stats-bearing table must not silently lose read_pruned /
+        # read_point_pruned skipping across materialization (results
+        # would stay correct but every scan would touch every file).
+        # Recompute per-file stats/blooms for the NEW snapshot with the
+        # same column sets the prior manifest carried — the linked
+        # files' entries are recomputed too (their min/max are unchanged
+        # but their snapshot-relative paths now live under new_rel).
+        prior = m["files"][0]
+        stats_cols = sorted(prior.get("min", {}))
+        bloom_cols = sorted(prior.get("bloom", {}))
+        files, temporal = _file_stats(spark, new_abs, stats_cols)
+        if bloom_cols:
+            blooms = _file_blooms(spark, new_abs, bloom_cols)
+            for f in files:
+                f["bloom"] = blooms.get(f["path"], {})
+        meta.update(files=files, stats_temporal=sorted(temporal))
     try:
         # read-modify-write: the new snapshot materializes version
         # m.version's DV over m.version's files
         return table.commit(
             None,
             op="compact_dv",
-            meta={
-                "files_rewritten": len(rewrite),
-                "files_linked": linked,
-            },
+            meta=meta,
             data_dir=new_rel,
             expect_version=m["version"] + 1,
         )
@@ -1240,6 +1275,20 @@ def export_delta_log(
             f"export_delta_log so the exported snapshot's files no "
             f"longer hold deleted rows"
         )
+    if 1 in versions and table.manifest(1).get("dv_dir"):
+        # also atomic-refused up front: a first commit can never be
+        # merge-on-read state through the supported purge_dv/upsert_dv
+        # paths (both require an existing snapshot), but commit(
+        # data_dir=..., meta=...) is public — exporting such a manifest
+        # through the DV no-op branch would emit Delta version 0 as a
+        # commitInfo-only file with no protocol/metaData, an invalid log
+        # off-the-shelf readers reject with an opaque error
+        raise ValueError(
+            "version 1 carries a deletion vector (dv_dir); a first "
+            "commit cannot be merge-on-read state, and Delta version 0 "
+            "must carry protocol/metaData — rebuild the table through "
+            "purge_dv/upsert_dv"
+        )
     delta_dir = os.path.join(table.table_dir, DELTA_LOG_DIR)
     os.makedirs(delta_dir, exist_ok=True)
 
@@ -1321,6 +1370,21 @@ def export_delta_log(
     for v in missing:
         m = table.manifest(v)
         if m.get("dv_dir"):
+            if v == 1:
+                # A first commit can never carry a DV through the
+                # supported purge_dv/upsert_dv paths (both require an
+                # existing snapshot), but commit(data_dir=..., meta=...)
+                # is public: exporting such a manifest as the no-op
+                # branch would emit Delta version 0 as a
+                # commitInfo-only file with no protocol/metaData — an
+                # invalid Delta log off-the-shelf readers reject with
+                # an opaque error.  Refuse descriptively instead.
+                raise ValueError(
+                    "version 1 carries a deletion vector (dv_dir); a "
+                    "first commit cannot be merge-on-read state, and "
+                    "Delta version 0 must carry protocol/metaData — "
+                    "rebuild the table through purge_dv/upsert_dv"
+                )
             # A HISTORICAL DV manifest (the up-front gate guarantees a
             # later commit — compact_dv / purge_logged / compaction —
             # already materialized it) exports as a marked no-op

@@ -215,16 +215,34 @@ def test_scratch_orphans_are_pruned():
 
     wh = catalog._WAREHOUSE
     os.makedirs(wh, exist_ok=True)
-    old_foreign = os.path.join(wh, "famx_p99999_deadbeef_old")
+    dead_pid = 99999
+    try:  # vanishingly unlikely, but make the dead-pid premise explicit
+        os.kill(dead_pid, 0)
+        pytest.skip("pid 99999 is live on this host")
+    except ProcessLookupError:
+        pass
+    old_foreign = os.path.join(wh, f"famx_p{dead_pid}_deadbeef_old")
     young_foreign = os.path.join(wh, "famx_p99998_deadbeef_new")
+    # Round-12 advice: age alone must not condemn a dir whose owner is
+    # still alive (a soak session holding a lazy plan >2h).  An old dir
+    # owned by THIS pid but under a different family must survive the
+    # any-pid sweep via the liveness probe.
+    old_live = os.path.join(wh, f"famz_p{os.getpid()}_deadbeef_old")
     os.makedirs(old_foreign, exist_ok=True)
     os.makedirs(young_foreign, exist_ok=True)
+    os.makedirs(old_live, exist_ok=True)
     past = time.time() - catalog._SCRATCH_ORPHAN_TTL_S - 60
     os.utime(old_foreign, (past, past))
+    os.utime(old_live, (past, past))
     fresh = catalog.scratch_dir("famy", "/root/testdata/sf0.001")
     assert not os.path.exists(old_foreign), "dead process's dir leaked"
     assert os.path.exists(young_foreign), (
         "young foreign dir swept — a concurrent run could lose its lake"
     )
+    assert os.path.exists(old_live), (
+        "old dir with a LIVE owner swept — soak sessions would lose "
+        "their lazy plans"
+    )
     os.rmdir(young_foreign)
+    os.rmdir(old_live)
     assert not os.path.exists(fresh)  # scratch_dir only names, never mkdirs
