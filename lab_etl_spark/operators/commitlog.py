@@ -76,6 +76,13 @@ class CommitConflict(RuntimeError):
 #: zero-padded width of manifest filenames (lexicographic == numeric order)
 _W = 20
 
+#: DV rows under this bound broadcast in _apply_dv (a few hundred MB of
+#: (string, long) pairs at the top end); a DV past it falls back to a
+#: shuffled anti-join — the compact_dv signal.  The DV writers shard
+#: their sidecar files on the same bound so no single write task ever
+#: has to serialize a bulk-delete DV alone.
+_DV_BROADCAST_ROWS = 5_000_000
+
 
 def _dv_file_expr(data_rel: str):
     """Deletion-vector file key: the path RELATIVE to the snapshot dir,
@@ -176,7 +183,7 @@ class LoggedTable:
                 "deletion-vector reader's internal names"
             )
         dv = spark.read.parquet(os.path.join(self.table_dir, dv_rel))
-        if m.get("dv_rows", 0) <= 5_000_000:
+        if m.get("dv_rows", 0) <= _DV_BROADCAST_ROWS:
             dv = F.broadcast(dv)
         src = df.withColumns(
             {
@@ -442,6 +449,45 @@ def purge_logged(
     return m
 
 
+def _write_dv(
+    spark: SparkSession, table_dir: str, matches: DataFrame
+) -> tuple[str, str, int]:
+    """Write a deletion-vector sidecar with a row-count-aware shard
+    count and return ``(dv_rel, dv_abs, dv_rows)``.
+
+    The matches join runs ONCE, into a staging dir with its natural task
+    parallelism (no coalesce(1) choke: a bulk-delete DV must not
+    serialize through one write task).  The staged files are then
+    footer-counted (metadata-only — no second evaluation of the join)
+    and re-sharded to ``ceil(rows / _DV_BROADCAST_ROWS)`` files: one
+    file for the common compliance-delete-sized DV (a single broadcast
+    build on the read side), N balanced files for a bulk delete that
+    outgrows the broadcast bound — whose read side falls back to the
+    shuffled anti-join anyway, and which is exactly the compact_dv
+    trigger.  Re-shard bytes are ∝ DV size, never ∝ table size."""
+    tmp = os.path.join(table_dir, f".dv.{uuid.uuid4().hex[:8]}")
+    matches.write.parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    dv_rows = staged.count()  # parquet footer count: no recompute
+    shards = max(1, -(-dv_rows // _DV_BROADCAST_ROWS))
+    n_files = sum(
+        1
+        for n in os.listdir(tmp)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    dv_rel = f"dv_{uuid.uuid4().hex[:12]}"
+    dv_abs = os.path.join(table_dir, dv_rel)
+    if n_files == shards:
+        os.rename(tmp, dv_abs)
+    else:
+        # repartition (not coalesce) so bulk shards balance; the input
+        # is the just-written sidecar, so the extra pass moves DV bytes
+        # only
+        staged.repartition(shards).write.parquet(dv_abs)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dv_rel, dv_abs, dv_rows
+
+
 def purge_dv(
     spark: SparkSession,
     table: LoggedTable,
@@ -489,14 +535,7 @@ def purge_dv(
                 os.path.join(table.table_dir, m["dv_dir"])
             )
             matches = matches.unionByName(old_dv).distinct()
-        dv_rel = f"dv_{uuid.uuid4().hex[:12]}"
-        dv_abs = os.path.join(table.table_dir, dv_rel)
-        # coalesce(1): a DV is deleted-row-count sized (compliance deletes
-        # are a vanishing fraction of the table); one file keeps the read
-        # side a single broadcast build.  A bulk-delete DV that outgrows
-        # this is exactly the compact_dv trigger.
-        matches.coalesce(1).write.parquet(dv_abs)
-        dv_rows = spark.read.parquet(dv_abs).count()
+        dv_rel, dv_abs, dv_rows = _write_dv(spark, table.table_dir, matches)
         meta: dict = {
             "dv_dir": dv_rel,
             "dv_rows": dv_rows,
@@ -665,10 +704,17 @@ def upsert_dv(
     Readers resolve the manifest as always: scan (old files + update
     files), subtract the DV — old versions of updated keys vanish, the
     batch's rows appear.  Bytes written scale with the UPDATE BATCH,
-    never the table.  Flat snapshots only: appending root-level files
-    into a hive-partitioned directory tree breaks Spark's partition
-    discovery, so partitioned tables raise (route updates through
-    ``compact_logged(partition_cols=...)``'s rewrite instead).
+    never the table.
+
+    Hive-partitioned snapshots upsert the same way: every existing file
+    is hardlinked PRESERVING its partition subpath (the DV's
+    snapshot-relative keys stay valid verbatim), and the update batch
+    is written ``partitionBy`` the same columns so its files land in
+    matching (or new) ``key=value`` directories — partition discovery
+    sees one consistent tree.  The batch must carry every partition
+    column (raises descriptively otherwise).  A key whose update moves
+    it to a DIFFERENT partition is still handled: the DV probe scans
+    the whole table, so the old row is superseded wherever it lives.
 
     Inherited per-file skipping stats stay valid for linked files; the
     update files join the manifest's ``files`` list with freshly
@@ -697,39 +743,59 @@ def upsert_dv(
                     os.path.join(table.table_dir, m["dv_dir"])
                 )
                 matches = matches.unionByName(old_dv).distinct()
-            dv_rel = f"dv_{uuid.uuid4().hex[:12]}"
-            dv_abs = os.path.join(table.table_dir, dv_rel)
-            matches.coalesce(1).write.parquet(dv_abs)
-            dv_rows = spark.read.parquet(dv_abs).count()
+            dv_rel, dv_abs, dv_rows = _write_dv(
+                spark, table.table_dir, matches
+            )
 
-            new_rel = f"v_{uuid.uuid4().hex[:12]}"
-            new_abs = os.path.join(table.table_dir, new_rel)
-            os.makedirs(new_abs)
+            # discover the snapshot's layout: every parquet file's path
+            # relative to the snapshot dir, and the hive partition
+            # columns its directory tree encodes (empty list = flat)
+            snap_rels: list[str] = []
             for root, _dirs, names in os.walk(base):
-                if root != base and any(
-                    n.endswith(".parquet") for n in names
-                ):
-                    shutil.rmtree(new_abs, ignore_errors=True)
-                    shutil.rmtree(dv_abs, ignore_errors=True)
-                    raise ValueError(
-                        "upsert_dv supports flat snapshots only: "
-                        f"{m['data_dir']} is hive-partitioned, and mixing "
-                        "root-level update files into a partitioned tree "
-                        "breaks partition discovery — use "
-                        "compact_logged(partition_cols=...) for "
-                        "partitioned upserts"
-                    )
                 for n in sorted(names):
                     if n.endswith(".parquet") and not n.startswith(
                         ("_", ".")
                     ):
-                        os.link(
-                            os.path.join(root, n), os.path.join(new_abs, n)
+                        snap_rels.append(
+                            os.path.relpath(os.path.join(root, n), base)
                         )
+            # prefix a dummy snapshot segment: the decoder skips [0]
+            part_cols, _vals = _hive_partition_values(
+                [os.path.join("x", r) for r in snap_rels]
+            )
+            if part_cols and any(
+                c not in updates.columns for c in part_cols
+            ):
+                shutil.rmtree(dv_abs, ignore_errors=True)
+                raise ValueError(
+                    f"snapshot {m['data_dir']} is hive-partitioned by "
+                    f"{part_cols} but the update batch is missing "
+                    f"{sorted(set(part_cols) - set(updates.columns))}; "
+                    f"partitioned upserts must carry every partition "
+                    f"column so the batch lands in matching key=value "
+                    f"directories"
+                )
+            new_rel = f"v_{uuid.uuid4().hex[:12]}"
+            new_abs = os.path.join(table.table_dir, new_rel)
+            os.makedirs(new_abs)
+            for rel in snap_rels:
+                # zero-copy carry-over preserving partition subdirs:
+                # link-preserved RELATIVE paths keep the DV's
+                # snapshot-relative keys valid in the new snapshot
+                dst = os.path.join(new_abs, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.link(os.path.join(base, rel), dst)
             tmp = os.path.join(
                 table.table_dir, f".upsert.{uuid.uuid4().hex[:8]}"
             )
-            updates.write.parquet(tmp)
+            if part_cols:
+                # the batch lands partitioned by the SAME columns, so
+                # its files join the tree under matching (possibly new)
+                # key=value dirs and partition discovery sees one
+                # consistent table; bytes written stay ∝ the batch
+                updates.write.partitionBy(*part_cols).parquet(tmp)
+            else:
+                updates.write.parquet(tmp)
             meta: dict = {
                 "dv_dir": dv_rel,
                 "dv_rows": dv_rows,
@@ -745,12 +811,18 @@ def upsert_dv(
                     set(m.get("stats_temporal", [])) | temporal
                 )
             moved = 0
-            for n in os.listdir(tmp):
-                if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                    os.rename(
-                        os.path.join(tmp, n), os.path.join(new_abs, n)
-                    )
-                    moved += 1
+            for root, _dirs, names in os.walk(tmp):
+                for n in sorted(names):
+                    if n.endswith(".parquet") and not n.startswith(
+                        ("_", ".")
+                    ):
+                        rel = os.path.relpath(os.path.join(root, n), tmp)
+                        dst = os.path.join(new_abs, rel)
+                        # fresh write-job UUIDs cannot collide with
+                        # linked names; partition subdirs may be new
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        os.rename(os.path.join(root, n), dst)
+                        moved += 1
             shutil.rmtree(tmp, ignore_errors=True)
             meta["files_appended"] = moved
             try:
@@ -769,6 +841,108 @@ def upsert_dv(
         )
     finally:
         updates.unpersist()
+
+
+def _snapshot_inodes(base: str) -> dict[str, int]:
+    """{snapshot-relative path: inode} for every parquet file — the
+    mechanical containment evidence the CDF link fast path keys on."""
+    out: dict[str, int] = {}
+    for root, _dirs, names in os.walk(base):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                p = os.path.join(root, n)
+                out[os.path.relpath(p, base)] = os.stat(p).st_ino
+    return out
+
+
+def _linked_superset_changes(
+    spark: SparkSession, table: LoggedTable, m_from: dict, m_to: dict
+) -> DataFrame | None:
+    """CDF link fast path (see :func:`table_changes`): None when the
+    snapshots aren't link-related or a DV outgrew the broadcast bound —
+    the caller then falls back to the general exceptAll diff."""
+    if (
+        int(m_from.get("dv_rows", 0)) > _DV_BROADCAST_ROWS
+        or int(m_to.get("dv_rows", 0)) > _DV_BROADCAST_ROWS
+    ):
+        return None
+    base_from = os.path.join(table.table_dir, m_from["data_dir"])
+    base_to = os.path.join(table.table_dir, m_to["data_dir"])
+    if not (os.path.isdir(base_from) and os.path.isdir(base_to)):
+        return None  # vacuumed endpoint: only the general path can try
+    f_from = _snapshot_inodes(base_from)
+    f_to = _snapshot_inodes(base_to)
+    if not all(f_to.get(rel) == ino for rel, ino in f_from.items()):
+        return None  # not a pure link carry-over: rewrite happened
+    added = sorted(set(f_to) - set(f_from))
+
+    def _tagged_empty() -> DataFrame:
+        return (
+            table.read(spark, version=m_to["version"])
+            .filter("1 = 0")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+
+    new_dv = None
+    if m_to.get("dv_dir"):
+        new_dv = spark.read.parquet(
+            os.path.join(table.table_dir, m_to["dv_dir"])
+        )
+        if m_from.get("dv_dir"):
+            dv_from = spark.read.parquet(
+                os.path.join(table.table_dir, m_from["dv_dir"])
+            )
+            # DVs accumulate, so to-minus-from = deletions in the window;
+            # files appended WITHIN the window can only appear here (they
+            # didn't exist at v_from), so one delta serves both branches
+            new_dv = new_dv.join(dv_from, ["file", "pos"], "left_anti")
+        new_dv = F.broadcast(new_dv)
+    out = _tagged_empty()
+    if new_dv is not None:
+        # deletes: new DV positions over the SHARED files — the from-
+        # snapshot scan holds exactly those, and entries referencing
+        # appended files simply never match it
+        scan = spark.read.parquet(base_from).withColumns(
+            {
+                "_dv_file": _dv_file_expr(m_from["data_dir"]),
+                "_dv_pos": F.col("_metadata.row_index"),
+            }
+        )
+        deleted = (
+            scan.join(
+                new_dv,
+                (scan["_dv_file"] == new_dv["file"])
+                & (scan["_dv_pos"] == new_dv["pos"]),
+                "left_semi",
+            )
+            .drop("_dv_file", "_dv_pos")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        out = out.unionByName(deleted)
+    if added:
+        # inserts: the appended files' rows, minus any window-DV entry
+        # already covering them (insert-then-delete nets out); basePath
+        # keeps hive partition columns materialized
+        ins = spark.read.option("basePath", base_to).parquet(
+            *[os.path.join(base_to, r) for r in added]
+        )
+        if new_dv is not None:
+            ins = ins.withColumns(
+                {
+                    "_dv_file": _dv_file_expr(m_to["data_dir"]),
+                    "_dv_pos": F.col("_metadata.row_index"),
+                }
+            )
+            ins = ins.join(
+                new_dv,
+                (ins["_dv_file"] == new_dv["file"])
+                & (ins["_dv_pos"] == new_dv["pos"]),
+                "left_anti",
+            ).drop("_dv_file", "_dv_pos")
+        out = out.unionByName(
+            ins.withColumn("_change_type", F.lit("insert"))
+        )
+    return out
 
 
 def table_changes(
@@ -790,12 +964,28 @@ def table_changes(
     100 TB want DV commits — the nightly "what changed" query costs
     kilobytes of metadata instead of a two-sided table diff.
 
+    LINK FAST PATH: when ``v_to``'s snapshot CONTAINS ``v_from``'s files
+    verbatim (same relative path, same inode — the hardlink carry-over
+    :func:`upsert_dv` performs), the diff is still DV-and-appends-sized:
+    deletes are the new DV positions pulled from the SHARED files,
+    inserts are the APPENDED files' rows minus any DV entry already
+    covering them (an insert-then-delete inside the window nets out).
+    The inode check makes the containment exact on the POSIX lake —
+    rewritten files always get fresh write-job UUID names, so a name
+    collision with different content is impossible, but the inode
+    equality asserts it mechanically.  Falls back whenever either DV is
+    past the broadcast bound (compact_dv territory).
+
     GENERAL PATH (rewrite commits): two ``exceptAll`` diffs.  Honest
     cost: each is a full shuffle of both snapshots — unavoidable when a
     rewrite may have changed anything, and the reason the fast path
     exists."""
     m_from = table.manifest(v_from)
     m_to = table.manifest(v_to)
+    if m_to["data_dir"] != m_from["data_dir"]:
+        linked = _linked_superset_changes(spark, table, m_from, m_to)
+        if linked is not None:
+            return linked
     if m_to["data_dir"] == m_from["data_dir"]:
         base = os.path.join(table.table_dir, m_to["data_dir"])
         dv_to_rel = m_to.get("dv_dir")

@@ -107,6 +107,10 @@ _WINDOW_FRONT = [
     # the ~18 r8 spillovers wait for round 13.  Entries appended here
     # during the round are queries whose ENGINE or ORACLE text changed
     # (never-checked texts must see a driver row before the round ends).
+    # q_upsert_dv's engine text changed this round: the snapshot is now
+    # hive-partitioned by event_type and updated keys move partitions —
+    # the partitioned merge-on-read path must see a driver row.
+    "q_upsert_dv",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from

@@ -530,6 +530,12 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "old versions of updated keys vanish.  Bytes written scale with the "
     "batch, never the table — at 100 TB this is the difference between a "
     "nightly CDC merge costing minutes and one costing a full rewrite.  "
+    "The snapshot is hive-partitioned by event_type and every updated "
+    "key MOVES partition (its type becomes 'updated'), so the driver "
+    "check also proves the round-12 partitioned merge-on-read path: "
+    "untouched partition dirs carry over as hardlinks, the batch lands "
+    "partitionBy into matching/new key=value dirs, and the DV "
+    "supersedes moved keys in their OLD partitions.  "
     "The oracle recomputes the post-merge table from the source with the "
     "same transformation, so the driver check proves update, insert, and "
     "no-op rows all land exactly; conflict/retry and the stats-inherit "
@@ -541,7 +547,12 @@ def q_upsert_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     table = LoggedTable(scratch_dir("upsert_events", sf_dir))
-    table.commit(lambda d: ev.repartition(8).write.parquet(d), op="ingest")
+    table.commit(
+        lambda d: ev.repartition(8)
+        .write.partitionBy("event_type")
+        .parquet(d),
+        op="ingest",
+    )
     upd = (
         ev.filter(F.col("event_id") % 101 == 0)
         .withColumn("value", F.col("value") + F.lit(1000.0))

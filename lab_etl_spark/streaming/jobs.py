@@ -558,6 +558,10 @@ def upsert_latest(events: DataFrame, table_dir: str, checkpoint_dir: str):
     The swap is the single-filesystem stand-in for a table format's commit
     protocol (Delta/Iceberg); state size is O(|users|), not O(stream), and
     every step is a narrow window over user_id — one shuffle per batch.
+
+    Kept as the manifest-free fallback (plain-directory consumers);
+    prefer :func:`upsert_latest_dv`, whose per-batch write cost is ∝ the
+    batch instead of this variant's full-state rewrite.
     """
     import os
     import shutil
@@ -624,6 +628,62 @@ def upsert_latest_logged(
         table.commit(
             lambda d: out.write.parquet(d), op="upsert"
         )
+        table.vacuum(keep=2)
+
+    return (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def upsert_latest_dv(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    compact_every: int | None = 8,
+):
+    """``upsert_latest`` through the no-rewrite DML layer: each
+    micro-batch lands as one :func:`~..operators.commitlog.upsert_dv`
+    commit — existing rows of touched users are superseded by deletion
+    vector, untouched files carry over as hardlinks, and the bytes
+    WRITTEN per batch are ∝ the batch (plus DV growth ∝ touched keys),
+    never ∝ the accumulated table.  This is the streaming-CDC economics
+    the swap/logged variants lack: both rewrite the FULL state table
+    every micro-batch, which at 100 TB of accumulated state makes each
+    batch cost the table, not the batch.
+
+    Correct under out-of-order delivery across batches: the batch's
+    per-user winner is first merged against the CURRENT stored row of
+    each touched user (a broadcast semi-join — touched keys are
+    batch-sized), so a replayed older event can never regress the
+    stored state.  Every ``compact_every`` commits the accumulated DV
+    is materialized (:func:`compact_dv`) and old snapshots vacuumed to
+    a 2-version grace window, bounding both read-side anti-join work
+    and namespace growth.  Partitioned state tables ride the same path
+    — ``upsert_dv`` handles hive-partitioned snapshots natively."""
+    from ..operators.commitlog import LoggedTable, compact_dv, upsert_dv
+
+    table = LoggedTable(table_dir)
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        spark = batch.sparkSession
+        out = latest_per_user(batch)
+        if not out.take(1):
+            return  # empty micro-batch: no commit, no empty-file litter
+        if table.latest() is None:
+            table.commit(lambda d: out.write.parquet(d), op="ingest")
+            return
+        cur = table.read(spark).join(
+            F.broadcast(out.select("user_id").distinct()),
+            "user_id",
+            "left_semi",
+        )
+        eff = latest_per_user(cur.unionByName(out))
+        upsert_dv(spark, table, eff, key="user_id")
+        if compact_every and table.latest()["version"] % compact_every == 0:
+            compact_dv(spark, table)
         table.vacuum(keep=2)
 
     return (

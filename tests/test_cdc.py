@@ -210,3 +210,85 @@ def test_merge_upsert_null_op_acts_as_upsert(spark):
     )
     got = {r["k"]: r["v"] for r in merge_upsert(base, changes, key="k").collect()}
     assert got == {1: 1.0, 2: 9.0, 3: 3.0}
+
+
+def test_streaming_upsert_dv_matches_batch_latest(spark, sf_dir, tmp_path):
+    """Round-12: the DV-backed streaming upsert equals the batch twin —
+    same pin as the swap variant, through merge-on-read commits."""
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.operators.commitlog import LoggedTable
+    from lab_etl_spark.streaming.jobs import (
+        latest_per_user,
+        stream_events,
+        upsert_latest_dv,
+    )
+
+    table_dir = str(tmp_path / "latest_dv")
+    q = upsert_latest_dv(
+        stream_events(spark, sf_dir),
+        table_dir,
+        str(tmp_path / "ckpt_dv"),
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+        for r in LoggedTable(table_dir).read(spark).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["event_id"], r["event_type"], r["value"])
+        for r in latest_per_user(ev).collect()
+    }
+    assert len(want) > 0 and got == want
+
+
+def test_streaming_upsert_dv_incremental_batches(spark, sf_dir, tmp_path):
+    """Two successive availableNow runs over a growing directory converge
+    to the batch answer through DV commits — out-of-order across the
+    split included (event_id parity does not order ts, so some users'
+    winners arrive in the FIRST half) — and the second run's commits
+    hardlink the first run's untouched files instead of rewriting."""
+    import os
+
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.operators.commitlog import LoggedTable
+    from lab_etl_spark.streaming.jobs import latest_per_user, upsert_latest_dv
+
+    ev = load_table(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src_dv")
+    table_dir = str(tmp_path / "state_dv")
+    ckpt = str(tmp_path / "ckpt_dv2")
+
+    half1.write.mode("overwrite").parquet(src + "/b1")
+    q = upsert_latest_dv(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"),
+        table_dir,
+        ckpt,
+        compact_every=None,
+    )
+    assert q.awaitTermination(300)
+    table = LoggedTable(table_dir)
+    v1 = table.latest()["version"]
+    half2.write.mode("overwrite").parquet(src + "/b2")
+    q = upsert_latest_dv(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"),
+        table_dir,
+        ckpt,
+        compact_every=None,
+    )
+    assert q.awaitTermination(300)
+    m = table.latest()
+    assert m["version"] > v1 and m["op"] == "upsert_dv"
+    # merge-on-read economics: the second run linked, not rewrote —
+    # every appended file is batch-sized, and the manifest records a DV
+    assert m.get("dv_dir") and m["files_appended"] >= 1
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in table.read(spark).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
+    }
+    assert got == want

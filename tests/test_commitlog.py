@@ -1126,7 +1126,84 @@ def test_upsert_dv_updates_inserts_without_rewrite(spark, tmp_path):
     ).count() == 0
 
 
-def test_upsert_dv_partitioned_raises(spark, tmp_path):
+def test_upsert_dv_partitioned_no_rewrite(spark, tmp_path):
+    """Round-12: merge-on-read upsert over a hive-partitioned snapshot —
+    untouched PARTITION DIRS carry over as hardlinks (zero data bytes),
+    the batch lands partitioned into matching key=value dirs (including
+    a NEW partition value), a key that MOVES partitions is superseded in
+    its old partition, and bytes written scale with the batch + affected
+    partitions only."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    table = LoggedTable(str(tmp_path / "ups_part"))
+    table.commit(
+        lambda d: df.repartition(2).write.partitionBy("p").parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+    )
+    base = os.path.join(table.table_dir, table.latest()["data_dir"])
+    inodes_before = {}
+    for root, _dirs, names in os.walk(base):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), base)
+                inodes_before[rel] = os.stat(os.path.join(root, n)).st_ino
+    # k=5 stays in p=1; k=6 MOVES p 2 -> 1; k=1000 is a fresh insert
+    # into a NEW partition value p=9
+    upd = spark.createDataFrame(
+        [(5, 1, -5.0), (6, 1, -6.0), (1000, 9, -1.0)],
+        "k long, p long, v double",
+    )
+    m = upsert_dv(spark, table, upd, key="k")
+    assert m["rows_matched"] == 2 and m["files_appended"] >= 2
+    new_base = os.path.join(table.table_dir, m["data_dir"])
+    inodes_after = {}
+    appended = []
+    for root, _dirs, names in os.walk(new_base):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), new_base)
+                if rel in inodes_before:
+                    inodes_after[rel] = os.stat(
+                        os.path.join(root, n)
+                    ).st_ino
+                else:
+                    appended.append(rel)
+    assert inodes_after == inodes_before, (
+        "an existing partition file was rewritten instead of hardlinked"
+    )
+    # appended files live ONLY under the batch's partitions (p=1, p=9)
+    assert appended and all(
+        r.split(os.sep)[0] in {"p=1", "p=9"} for r in appended
+    ), appended
+    got = sorted(map(tuple, table.read(spark).select("k", "p", "v").collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.filter("k not in (5, 6)")
+            .unionByName(upd)
+            .select("k", "p", "v")
+            .collect(),
+        )
+    )
+    assert got == want
+    # the moved key's OLD row (p=2) is gone; exactly one k=6 row remains
+    assert table.read(spark).filter("k = 6").collect()[0]["p"] == 1
+    # time travel still sees the pre-upsert rows
+    assert table.read(spark, version=1).count() == 400
+    # inherited + fresh stats keep read_pruned skipping
+    assert m.get("files") and len(m["files"]) > len(inodes_before)
+
+
+def test_upsert_dv_partitioned_missing_partition_col_raises(
+    spark, tmp_path
+):
     import pytest
 
     from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
@@ -1134,12 +1211,12 @@ def test_upsert_dv_partitioned_raises(spark, tmp_path):
     df = spark.range(0, 100).select(
         F.col("id").alias("k"), (F.col("id") % 2).alias("p")
     )
-    table = LoggedTable(str(tmp_path / "ups_part"))
+    table = LoggedTable(str(tmp_path / "ups_part_miss"))
     table.commit(
         lambda d: df.write.partitionBy("p").parquet(d), op="ingest"
     )
-    upd = spark.createDataFrame([(3, 0)], "k long, p long")
-    with pytest.raises(ValueError, match="flat snapshots only"):
+    upd = spark.createDataFrame([(3,)], "k long")
+    with pytest.raises(ValueError, match="partition column"):
         upsert_dv(spark, table, upd, key="k")
 
 
@@ -1351,3 +1428,133 @@ def test_delta_export_refuses_dv_at_version_1(spark, tmp_path):
     from lab_etl_spark.operators.commitlog import DELTA_LOG_DIR
 
     assert not os.path.exists(os.path.join(t.table_dir, DELTA_LOG_DIR))
+
+
+def test_bulk_dv_write_shards_past_broadcast_bound(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12: a bulk-delete DV must neither single-task its write
+    (the old unconditional coalesce(1)) nor silently broadcast past the
+    bound on the read side.  The bound is monkeypatched small so the
+    boundary is crossable at test scale; the writer and reader share the
+    same module constant, so the patched behavior IS the production
+    behavior at 5M rows."""
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("user_id")
+    )
+    table = cl.LoggedTable(str(tmp_path / "dv_bulk"))
+    table.commit(
+        lambda d: df.repartition(4).write.parquet(d), op="ingest"
+    )
+    monkeypatch.setattr(cl, "_DV_BROADCAST_ROWS", 100)
+    # bulk delete: 500 rows >> the (patched) 100-row bound -> 5 shards
+    m = cl.purge_dv(spark, table, F.col("user_id") < 5)
+    assert m["dv_rows"] == 500
+    dv_abs = os.path.join(table.table_dir, m["dv_dir"])
+    n_files = sum(
+        1
+        for n in os.listdir(dv_abs)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    assert n_files == 5, f"expected 5 DV shards, got {n_files}"
+    # read side: past the bound the subtraction must not FORCE the
+    # broadcast hint (the hint overrides Spark's size-based planning —
+    # at a real 5M+ rows that means building a multi-hundred-MB hash
+    # relation on every executor).  At this patched test scale Catalyst
+    # may still CHOOSE broadcast from the tiny actual size — that's
+    # size-based planning working, so assert on the hint, not the join.
+    plan = (
+        table.read(spark)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "hint" not in plan.lower(), plan
+    # under the bound the hint IS pinned (no size estimation needed)
+    small = cl.LoggedTable(str(tmp_path / "dv_small"))
+    small.commit(lambda d: df.write.parquet(d), op="ingest")
+    cl.purge_dv(spark, small, F.col("k") == 0)
+    plan_small = (
+        small.read(spark)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "hint" in plan_small.lower(), plan_small
+    # and the answer is still exact
+    assert table.read(spark).count() == 500
+    got = sorted(r["k"] for r in table.read(spark).collect())
+    assert got == sorted(
+        r["k"] for r in df.filter("user_id >= 5").collect()
+    )
+    # a later single-row purge UNIONS into the accumulated DV, which
+    # stays sharded on the same bound
+    m2 = cl.purge_dv(spark, table, F.col("k") == 999)
+    dv2 = os.path.join(table.table_dir, m2["dv_dir"])
+    n2 = sum(
+        1
+        for n in os.listdir(dv2)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+    # accumulated DV is 501 rows -> 6 shards under the patched bound
+    assert n2 == 6, f"expected 6 shards for the accumulated DV, got {n2}"
+
+
+def test_table_changes_upsert_chain_stays_fast(spark, tmp_path):
+    """Round-12: CDF over upsert_dv commits rides the LINK fast path —
+    deletes from the window's DV delta, inserts from the appended files
+    — with no exceptAll (no two-sided table shuffle) in the plan, and
+    an insert-then-delete inside the window netting out."""
+    import contextlib
+    import io
+
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, purge_dv, table_changes, upsert_dv,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    table = LoggedTable(str(tmp_path / "cdf_ups"))
+    table.commit(
+        lambda d: df.repartition(2).write.partitionBy("p").parquet(d),
+        op="ingest",
+    )
+    upd = spark.createDataFrame(
+        [(7, 1, -7.0), (900, 0, -9.0)], "k long, p long, v double"
+    )
+    upsert_dv(spark, table, upd, key="k")           # v2
+    purge_dv(spark, table, F.col("k") == 900)        # v3: kills the insert
+
+    # v1 -> v2: one update (delete+insert) and one pure insert
+    ch = table_changes(spark, table, 1, 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ch.explain("formatted")
+    plan = buf.getvalue()
+    assert "Except" not in plan, plan
+    rows = {
+        (r["k"], r["p"], r["v"], r["_change_type"])
+        for r in ch.collect()
+    }
+    assert rows == {
+        (7, 1, 7.0, "delete"),
+        (7, 1, -7.0, "insert"),
+        (900, 0, -9.0, "insert"),
+    }
+    # v1 -> v3 nets out the k=900 insert (deleted within the window) and
+    # still reports the k=7 update
+    rows13 = {
+        (r["k"], r["p"], r["v"], r["_change_type"])
+        for r in table_changes(spark, table, 1, 3).collect()
+    }
+    assert rows13 == {(7, 1, 7.0, "delete"), (7, 1, -7.0, "insert")}
+    # replaying the changes onto v1 reproduces v3 exactly
+    v1 = table.read(spark, version=1)
+    ch13 = table_changes(spark, table, 1, 3)
+    dels = ch13.filter("_change_type = 'delete'").drop("_change_type")
+    ins = ch13.filter("_change_type = 'insert'").drop("_change_type")
+    replayed = v1.exceptAll(
+        dels.select(*v1.columns)
+    ).unionByName(ins.select(*v1.columns))
+    got = sorted(map(tuple, replayed.collect()))
+    want = sorted(map(tuple, table.read(spark, version=3).collect()))
+    assert got == want

@@ -46,12 +46,14 @@ def test_second_invocation_does_not_disturb_first(spark, sf_dir, name):
 
 
 def test_scratch_ttl_prunes_only_own_pid_dirs(tmp_path, monkeypatch):
-    # Two horizons (round 11): within the short TTL window only THIS
-    # process's stale dirs are swept — a concurrent process holding a
-    # lazy DataFrame over ITS dir past the short TTL must survive.  But
-    # a foreign dir past the ORPHAN horizon (2h — beyond any plausible
-    # live run) is a dead process's leak and must be reclaimed, else
-    # every short-lived process leaks its lakes for a whole round.
+    # Liveness-first sweep (round 12, refining round 11's two age
+    # horizons): a foreign dir is judged by whether its owning pid is
+    # ALIVE — a live owner's dirs survive regardless of age (it may hold
+    # a lazy DataFrame over them indefinitely), a provably-dead owner's
+    # dirs sweep on the short TTL (no plan outlives its JVM; leaving
+    # them for the 2h horizon let dead test processes' dirs inflate io
+    # timings 2-4x within one hour), and unparsable names keep the 2h
+    # age-only fallback.
     import os
     import time
 
@@ -61,19 +63,37 @@ def test_scratch_ttl_prunes_only_own_pid_dirs(tmp_path, monkeypatch):
     now = time.time()
     mid = now - catalog._SCRATCH_TTL_S - 600  # stale, but under 2h
     ancient = now - catalog._SCRATCH_ORPHAN_TTL_S - 600
-    foreign_live = tmp_path / "fam_p99999999_deadbeef_cafe0000"
+    # pid 1 is always alive (init) and never ours: the concurrent-run case
+    foreign_live = tmp_path / "fam_p1_deadbeef_cafe0000"
     foreign_live.mkdir()
-    os.utime(foreign_live, (mid, mid))
-    foreign_dead = tmp_path / "fam_p99999998_deadbeef_cafe0001"
-    foreign_dead.mkdir()
-    os.utime(foreign_dead, (ancient, ancient))
+    os.utime(foreign_live, (ancient, ancient))
+    foreign_dead_mid = tmp_path / "fam_p99999998_deadbeef_cafe0001"
+    foreign_dead_mid.mkdir()
+    os.utime(foreign_dead_mid, (mid, mid))
+    foreign_dead_young = tmp_path / "fam_p99999997_deadbeef_cafe0002"
+    foreign_dead_young.mkdir()  # dead owner but fresh: inside short TTL
+    unparsable_mid = tmp_path / "fam_pxx_deadbeef_cafe0003"
+    unparsable_mid.mkdir()
+    os.utime(unparsable_mid, (mid, mid))
+    unparsable_old = tmp_path / "fam_pyy_deadbeef_cafe0004"
+    unparsable_old.mkdir()
+    os.utime(unparsable_old, (ancient, ancient))
     mine_old = tmp_path / f"fam_p{os.getpid()}_deadbeef_cafe0000"
     mine_old.mkdir()
     os.utime(mine_old, (mid, mid))
     p = catalog.scratch_dir("fam", "/root/testdata/sf0.001")
     assert foreign_live.exists(), (
-        "foreign dir inside the orphan horizon must survive the sweep"
+        "a LIVE process's dir must survive the sweep at any age"
     )
-    assert not foreign_dead.exists(), "dead process's ancient dir leaked"
+    assert not foreign_dead_mid.exists(), (
+        "dead process's dir survived the short TTL"
+    )
+    assert foreign_dead_young.exists(), (
+        "dead process's dir inside the short TTL must get its grace"
+    )
+    assert unparsable_mid.exists(), (
+        "unparsable name must keep the conservative 2h horizon"
+    )
+    assert not unparsable_old.exists(), "unparsable ancient dir leaked"
     assert not mine_old.exists(), "own stale scratch dir must be pruned"
     assert f"_p{os.getpid()}_" in os.path.basename(p)

@@ -222,6 +222,9 @@ def test_scratch_orphans_are_pruned():
     except ProcessLookupError:
         pass
     old_foreign = os.path.join(wh, f"famx_p{dead_pid}_deadbeef_old")
+    # dead owner + past the SHORT ttl only: must also be swept (round-12:
+    # dead test processes' dirs inflated io timings within one hour)
+    mid_dead = os.path.join(wh, f"famx_p{dead_pid}_deadbeef_mid")
     young_foreign = os.path.join(wh, "famx_p99998_deadbeef_new")
     # Round-12 advice: age alone must not condemn a dir whose owner is
     # still alive (a soak session holding a lazy plan >2h).  An old dir
@@ -229,13 +232,19 @@ def test_scratch_orphans_are_pruned():
     # any-pid sweep via the liveness probe.
     old_live = os.path.join(wh, f"famz_p{os.getpid()}_deadbeef_old")
     os.makedirs(old_foreign, exist_ok=True)
+    os.makedirs(mid_dead, exist_ok=True)
     os.makedirs(young_foreign, exist_ok=True)
     os.makedirs(old_live, exist_ok=True)
     past = time.time() - catalog._SCRATCH_ORPHAN_TTL_S - 60
+    mid = time.time() - catalog._SCRATCH_TTL_S - 60
     os.utime(old_foreign, (past, past))
+    os.utime(mid_dead, (mid, mid))
     os.utime(old_live, (past, past))
     fresh = catalog.scratch_dir("famy", "/root/testdata/sf0.001")
     assert not os.path.exists(old_foreign), "dead process's dir leaked"
+    assert not os.path.exists(mid_dead), (
+        "dead process's dir survived the short TTL — io-pressure leak"
+    )
     assert os.path.exists(young_foreign), (
         "young foreign dir swept — a concurrent run could lose its lake"
     )

@@ -12,6 +12,14 @@ documents; less for queries dominated by fixed-size readouts) scales
 linearly; a ratio near 100x means something quadratic is hiding.
 
 Usage: python tools/replay_sf1.py [trials=2]   # prints a markdown table
+
+Round-12 skip check (third consecutive skip, justification re-verified):
+`git diff r11..r12 -- lab_etl_spark/queries/` touches only
+lakeops.py::q_upsert_dv (not in REPLAY below); the round's engine
+changes (commitlog DML, catalog sweep, streaming upsert_latest_dv) are
+outside every REPLAY query's plan, so replay_sf1_result.json remains
+representative.  Regenerate when any REPLAY-listed query's module diff
+is non-empty.
 """
 
 from __future__ import annotations
