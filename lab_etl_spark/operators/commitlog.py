@@ -391,16 +391,29 @@ class LoggedTable:
             if m.get("dv_dir"):
                 live.add(m["dv_dir"])
         removed = []
+        now = time.time()
         for name in os.listdir(self.table_dir):
+            path = os.path.join(self.table_dir, name)
             if (
                 name.startswith(("v_", "dv_"))
                 and name not in live
-                and os.path.isdir(os.path.join(self.table_dir, name))
+                and os.path.isdir(path)
             ):
-                shutil.rmtree(
-                    os.path.join(self.table_dir, name), ignore_errors=True
-                )
+                shutil.rmtree(path, ignore_errors=True)
                 removed.append(name)
+            elif name.startswith((".dv.", ".upsert.", ".compact.")):
+                # crashed-operation staging: never referenced by any
+                # manifest, but a CONCURRENT writer's in-flight staging
+                # looks identical — reclaim only past a 2h horizon (no
+                # single DML operation legitimately stages that long)
+                try:
+                    if os.path.isdir(path) and (
+                        now - os.path.getmtime(path) > 7200.0
+                    ):
+                        shutil.rmtree(path, ignore_errors=True)
+                        removed.append(name)
+                except OSError:
+                    pass
         for v in vs[:-keep] if len(vs) > keep else []:
             try:
                 os.unlink(os.path.join(self.log_dir, f"{v:0{_W}d}.json"))

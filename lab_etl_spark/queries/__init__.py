@@ -111,6 +111,10 @@ _WINDOW_FRONT = [
     # hive-partitioned by event_type and updated keys move partitions —
     # the partitioned merge-on-read path must see a driver row.
     "q_upsert_dv",
+    # q_version_diff's oracle AND engine changed: the CDF chain now runs
+    # purge -> upsert and diffs v1 -> v3 through the round-12 LINK fast
+    # path (deletes from the DV delta, inserts from appended files).
+    "q_version_diff",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from

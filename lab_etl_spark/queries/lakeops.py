@@ -456,46 +456,72 @@ def q_purge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_version_diff",
     oracle=f"""
-    SELECT event_type,
-           COUNT(*) AS n_deleted,
-           COUNT(DISTINCT user_id) AS n_users,
-           {dsum('value', 6)} AS sum_value
-    FROM events
-    WHERE user_id % 97 = 0
-    GROUP BY event_type
-    ORDER BY event_type
+    SELECT * FROM (
+        SELECT 'delete' AS change_type,
+               event_type,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS n_users,
+               {dsum('value', 6)} AS sum_value
+        FROM events
+        WHERE user_id % 97 = 0 OR event_id % 103 = 0
+        GROUP BY event_type
+        UNION ALL
+        SELECT 'insert' AS change_type,
+               'patched' AS event_type,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS n_users,
+               {dsum('value + 500.0', 6)} AS sum_value
+        FROM events
+        WHERE event_id % 103 = 0
+    )
+    ORDER BY change_type, event_type
     """,
-    doc="Change-data-feed between table versions (operators/commitlog.py "
-    "table_changes): ingest events as v1, deletion-vector-purge user_id "
-    "≡ 0 (mod 97) as v2, then ask 'what changed from v1 to v2' and "
-    "aggregate the delete rows.  FAST PATH exercised: both versions "
-    "share the data_dir, so the diff is exactly the DV positions added "
-    "since v1 — one broadcast semi-join pulls those rows' content, cost "
-    "∝ deleted rows, never a two-sided table diff.  This is how an "
-    "incremental consumer at 100 TB advances between versions without "
-    "re-reading snapshots (Delta CDF shape).  The oracle computes the "
-    "deleted set directly from the source, so the driver check proves "
-    "the diff is exactly the purged rows; general-path (rewrite commit) "
+    doc="Change-data-feed across a DELETE + UPSERT chain "
+    "(operators/commitlog.py table_changes): ingest events as v1, "
+    "deletion-vector-purge user_id ≡ 0 (mod 97) as v2, merge-on-read "
+    "upsert every event_id ≡ 0 (mod 103) (value + 500, type 'patched') "
+    "as v3, then ask 'what changed from v1 to v3' and aggregate deletes "
+    "and inserts.  LINK FAST PATH exercised (round 12): v3's snapshot "
+    "contains v1's files verbatim (purge reuses the data_dir, upsert "
+    "hardlinks), so deletes come from the window's DV delta over the "
+    "shared files (one broadcast semi-join — a row both purged AND "
+    "superseded counts once, the DV is a position SET) and inserts from "
+    "the appended batch files, with no exceptAll table shuffle: cost ∝ "
+    "changed rows, never a two-sided diff.  This is how an incremental "
+    "consumer at 100 TB advances between versions without re-reading "
+    "snapshots (Delta CDF shape).  The oracle recomputes both change "
+    "sets directly from the source; general-path (rewrite commit) "
     "equivalence is pinned in tests/test_commitlog.py.",
     bench=False,  # dominated by the eager snapshot write
 )
 def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.commitlog import LoggedTable, purge_dv, table_changes
+    from ..operators.commitlog import (
+        LoggedTable,
+        purge_dv,
+        table_changes,
+        upsert_dv,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     table = LoggedTable(scratch_dir("vdiff_events", sf_dir))
     table.commit(lambda d: ev.repartition(8).write.parquet(d), op="ingest")
     purge_dv(spark, table, F.col("user_id") % 97 == 0)
-    changes = table_changes(spark, table, 1, 2)
+    upd = (
+        ev.filter(F.col("event_id") % 103 == 0)
+        .withColumn("value", F.col("value") + F.lit(500.0))
+        .withColumn("event_type", F.lit("patched"))
+    )
+    upsert_dv(spark, table, upd, key="event_id")
+    changes = table_changes(spark, table, 1, 3)
     return (
-        changes.filter(F.col("_change_type") == "delete")
-        .groupBy("event_type")
+        changes.withColumnRenamed("_change_type", "change_type")
+        .groupBy("change_type", "event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_deleted"),
+            F.count(F.lit(1)).alias("n_rows"),
             F.count_distinct("user_id").alias("n_users"),
             F.expr(dsum("value", 6)).alias("sum_value"),
         )
-        .orderBy("event_type")
+        .orderBy("change_type", "event_type")
     )
 
 

@@ -1558,3 +1558,22 @@ def test_table_changes_upsert_chain_stays_fast(spark, tmp_path):
     got = sorted(map(tuple, replayed.collect()))
     want = sorted(map(tuple, table.read(spark, version=3).collect()))
     assert got == want
+
+
+def test_vacuum_reclaims_crashed_staging_dirs(spark, tmp_path):
+    """A crashed DML operation's dot-staging dir (.dv./.upsert./.compact.)
+    is reclaimed by vacuum past a 2h horizon; a YOUNG staging dir — a
+    concurrent writer's in-flight work — must survive."""
+    import time as _time
+
+    t = _mk(spark, tmp_path)
+    old = os.path.join(t.table_dir, ".upsert.deadbeef")
+    young = os.path.join(t.table_dir, ".dv.cafebabe")
+    os.makedirs(old)
+    os.makedirs(young)
+    past = _time.time() - 7300
+    os.utime(old, (past, past))
+    removed = t.vacuum(keep=2)
+    assert ".upsert.deadbeef" in removed and not os.path.exists(old)
+    assert os.path.exists(young), "in-flight staging swept"
+    os.rmdir(young)
