@@ -740,9 +740,64 @@ def upsert_dv(
             if m is None:
                 raise FileNotFoundError(f"no commits in {table.log_dir}")
             base = os.path.join(table.table_dir, m["data_dir"])
+            snap = spark.read.parquet(base)
+            # discover the snapshot's layout up front: every parquet
+            # file's path relative to the snapshot dir, and the hive
+            # partition columns its directory tree encodes (empty list =
+            # flat); the gate below and the link carry-over both need it
+            snap_rels: list[str] = []
+            for root, _dirs, names in os.walk(base):
+                for n in sorted(names):
+                    if n.endswith(".parquet") and not n.startswith(
+                        ("_", ".")
+                    ):
+                        snap_rels.append(
+                            os.path.relpath(os.path.join(root, n), base)
+                        )
+            # prefix a dummy snapshot segment: the decoder skips [0]
+            part_cols, _vals = _hive_partition_values(
+                [os.path.join("x", r) for r in snap_rels]
+            )
+            # schema gate BEFORE any write: Spark's default parquet read
+            # resolves the table schema from ONE footer, so a divergent
+            # batch would not error — it would silently drop its extra
+            # columns and read its missing ones as NULL for every
+            # upserted row (measured: a batch lacking column v left
+            # v=NULL on the merged row).  Exact name->type equality
+            # (order and nullability aside), relaxed ONLY for integral-
+            # family pairs on PARTITION columns: discovery re-infers
+            # "p=1" as int whatever integral width wrote it, and every
+            # integral stringifies to the same path segment, so the
+            # round-trip is lossless there and nowhere else.
+            want = {f.name: f.dataType for f in snap.schema.fields}
+            got = {f.name: f.dataType for f in updates.schema.fields}
+            integral = {"byte", "short", "integer", "long"}
+
+            def _ok(c: str) -> bool:
+                if c not in want or c not in got:
+                    return False
+                if want[c] == got[c]:
+                    return True
+                return (
+                    c in part_cols
+                    and want[c].typeName() in integral
+                    and got[c].typeName() in integral
+                )
+
+            if set(want) != set(got) or not all(_ok(c) for c in want):
+                raise ValueError(
+                    f"upsert batch schema diverges from snapshot "
+                    f"{m['data_dir']}: missing "
+                    f"{sorted(set(want) - set(got))}, unexpected "
+                    f"{sorted(set(got) - set(want))}, type-mismatched "
+                    f"{sorted(c for c in set(want) & set(got) if not _ok(c))}"
+                    f" — a divergent batch would silently read back as "
+                    f"NULLs/dropped columns; align the batch (or evolve "
+                    f"the schema through a rewrite commit) first"
+                )
             # hidden _metadata columns resolve only on the scan relation:
             # project them BEFORE the join, not after
-            scan = spark.read.parquet(base).select(
+            scan = snap.select(
                 F.col(key),
                 _dv_file_expr(m["data_dir"]).alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
@@ -760,34 +815,6 @@ def upsert_dv(
                 spark, table.table_dir, matches
             )
 
-            # discover the snapshot's layout: every parquet file's path
-            # relative to the snapshot dir, and the hive partition
-            # columns its directory tree encodes (empty list = flat)
-            snap_rels: list[str] = []
-            for root, _dirs, names in os.walk(base):
-                for n in sorted(names):
-                    if n.endswith(".parquet") and not n.startswith(
-                        ("_", ".")
-                    ):
-                        snap_rels.append(
-                            os.path.relpath(os.path.join(root, n), base)
-                        )
-            # prefix a dummy snapshot segment: the decoder skips [0]
-            part_cols, _vals = _hive_partition_values(
-                [os.path.join("x", r) for r in snap_rels]
-            )
-            if part_cols and any(
-                c not in updates.columns for c in part_cols
-            ):
-                shutil.rmtree(dv_abs, ignore_errors=True)
-                raise ValueError(
-                    f"snapshot {m['data_dir']} is hive-partitioned by "
-                    f"{part_cols} but the update batch is missing "
-                    f"{sorted(set(part_cols) - set(updates.columns))}; "
-                    f"partitioned upserts must carry every partition "
-                    f"column so the batch lands in matching key=value "
-                    f"directories"
-                )
             new_rel = f"v_{uuid.uuid4().hex[:12]}"
             new_abs = os.path.join(table.table_dir, new_rel)
             os.makedirs(new_abs)

@@ -1201,23 +1201,53 @@ def test_upsert_dv_partitioned_no_rewrite(spark, tmp_path):
     assert m.get("files") and len(m["files"]) > len(inodes_before)
 
 
-def test_upsert_dv_partitioned_missing_partition_col_raises(
-    spark, tmp_path
-):
+def test_upsert_dv_schema_gate(spark, tmp_path):
+    """Round-12: a batch whose schema diverges from the snapshot must be
+    refused BEFORE any write — Spark's one-footer schema resolution
+    would otherwise silently drop the batch's extra columns and read its
+    missing ones back as NULL on every merged row.  Covers the
+    partitioned case too: partition columns are part of the discovered
+    schema, so a batch lacking one fails the same gate."""
     import pytest
 
     from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
 
     df = spark.range(0, 100).select(
-        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
     )
-    table = LoggedTable(str(tmp_path / "ups_part_miss"))
+    table = LoggedTable(str(tmp_path / "ups_schema"))
     table.commit(
         lambda d: df.write.partitionBy("p").parquet(d), op="ingest"
     )
-    upd = spark.createDataFrame([(3,)], "k long")
-    with pytest.raises(ValueError, match="partition column"):
-        upsert_dv(spark, table, upd, key="k")
+    v1 = table.latest()["version"]
+    # missing columns (v and the partition column p)
+    with pytest.raises(ValueError, match="diverges"):
+        upsert_dv(spark, table, spark.createDataFrame([(3,)], "k long"),
+                  key="k")
+    # extra column
+    with pytest.raises(ValueError, match="unexpected"):
+        upsert_dv(
+            spark, table,
+            spark.createDataFrame(
+                [(3, 1, -3.0, "x")], "k long, p long, v double, extra string"
+            ),
+            key="k",
+        )
+    # type mismatch
+    with pytest.raises(ValueError, match="type-mismatched"):
+        upsert_dv(
+            spark, table,
+            spark.createDataFrame([(3, 1, -3)], "k long, p long, v long"),
+            key="k",
+        )
+    # no phantom commit or sidecar litter from the refused attempts
+    assert table.latest()["version"] == v1
+    assert not [
+        n for n in os.listdir(table.table_dir)
+        if n.startswith((".dv.", ".upsert.", "dv_"))
+    ]
 
 
 def test_upsert_dv_then_purge_then_compact_compose(spark, tmp_path):
