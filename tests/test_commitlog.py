@@ -1607,3 +1607,91 @@ def test_vacuum_reclaims_crashed_staging_dirs(spark, tmp_path):
     assert ".upsert.deadbeef" in removed and not os.path.exists(old)
     assert os.path.exists(young), "in-flight staging swept"
     os.rmdir(young)
+
+
+def test_dml_chain_property_random_ops(spark, tmp_path):
+    """Property (fixed seeds): a random purge/upsert/compact chain over a
+    PARTITIONED logged table matches a plain dict replay after every
+    operation, and table_changes between random version pairs replays
+    one snapshot into the other exactly — the composed guarantee the
+    individual DML tests pin piecewise."""
+    import random
+
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable,
+        compact_dv,
+        purge_dv,
+        table_changes,
+        upsert_dv,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        model = {
+            k: (k % 3, float(k)) for k in range(120)
+        }  # k -> (p, v)
+        df = spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in model.items()],
+            "k long, p long, v double",
+        )
+        table = LoggedTable(str(tmp_path / f"chain_{seed}"))
+        table.commit(
+            lambda d: df.repartition(2).write.partitionBy("p").parquet(d),
+            op="ingest",
+        )
+        checkpoints = [dict(model)]  # model state as of version i+1
+
+        def assert_matches(tag):
+            got = sorted(
+                (r["k"], r["p"], r["v"])
+                for r in table.read(spark).collect()
+            )
+            want = sorted((k, p, v) for k, (p, v) in model.items())
+            assert got == want, f"seed {seed} {tag}: table != model"
+
+        for step in range(6):
+            op = rng.choice(["purge", "upsert", "upsert", "compact"])
+            if op == "purge":
+                mod, rem = rng.choice([(7, 3), (5, 0), (11, 4)])
+                purge_dv(spark, table, F.col("k") % mod == rem)
+                model = {
+                    k: pv for k, pv in model.items() if k % mod != rem
+                }
+            elif op == "upsert":
+                keys = rng.sample(range(200), rng.randint(1, 12))
+                batch = [
+                    (k, rng.randint(0, 4), rng.uniform(-100, 100))
+                    for k in keys
+                ]
+                upd = spark.createDataFrame(
+                    batch, "k long, p long, v double"
+                )
+                upsert_dv(spark, table, upd, key="k")
+                for k, p, v in batch:
+                    model[k] = (p, v)
+            else:
+                compact_dv(spark, table)  # no semantic change
+            checkpoints.append(dict(model))
+            assert_matches(f"step {step} ({op})")
+
+        # CDF replay identity over random version pairs (1-based)
+        n_vs = len(table.versions())
+        for _ in range(3):
+            i = rng.randint(1, n_vs - 1)
+            j = rng.randint(i + 1, n_vs)
+            ch = table_changes(spark, table, i, j)
+            vi = table.read(spark, version=i)
+            dels = ch.filter("_change_type = 'delete'").drop(
+                "_change_type"
+            )
+            ins = ch.filter("_change_type = 'insert'").drop(
+                "_change_type"
+            )
+            replayed = vi.exceptAll(
+                dels.select(*vi.columns)
+            ).unionByName(ins.select(*vi.columns))
+            got = sorted(map(tuple, replayed.collect()))
+            want = sorted(
+                map(tuple, table.read(spark, version=j).collect())
+            )
+            assert got == want, f"seed {seed}: CDF replay {i}->{j}"
