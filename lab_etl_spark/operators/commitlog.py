@@ -795,9 +795,63 @@ def upsert_dv(
                     f"NULLs/dropped columns; align the batch (or evolve "
                     f"the schema through a rewrite commit) first"
                 )
+            # DV-probe source: when the manifest carries membership
+            # blooms for the key column, skip files that cannot contain
+            # ANY batch key (no false negatives: a key present in a file
+            # was recorded in its bloom at commit time; files appended
+            # by earlier upserts carry no bloom and are kept
+            # unconditionally).  At 100 TB this turns the per-batch
+            # probe from a full table scan into candidate files only —
+            # the difference between CDC merges costing the batch and
+            # costing the table.  Python-side probing is capped at
+            # ~2M (key x file) big-int AND ops (~1-2 s); a batch past
+            # the cap touches most files anyway, so it full-scans.
+            probe, probe_files = snap, None
+            files_meta = m.get("files")
+            if files_meta and any(
+                f.get("bloom", {}).get(key) for f in files_meta
+            ):
+                key_rows = (
+                    updates.select(key)
+                    .distinct()
+                    .limit(10_001)
+                    .collect()
+                )
+                if (
+                    len(key_rows) <= 10_000
+                    and len(key_rows) * len(files_meta) <= 2_000_000
+                ):
+                    masks = []
+                    for r in key_rows:
+                        mk = 0
+                        for p in _fbloom_positions(r[key]):
+                            mk |= 1 << p
+                        masks.append(mk)
+                    keep = []
+                    for f in files_meta:
+                        hexmap = f.get("bloom", {}).get(key)
+                        if hexmap is None:
+                            keep.append(f["path"])
+                            continue
+                        b = 0
+                        for i in range(len(hexmap) // 16):
+                            b |= int(
+                                hexmap[i * 16 : (i + 1) * 16], 16
+                            ) << (64 * i)
+                        if any((b & mk) == mk for mk in masks):
+                            keep.append(f["path"])
+                    probe_files = (len(keep), len(files_meta))
+                    if not keep:
+                        probe = snap.filter("1 = 0")
+                    elif len(keep) < len(files_meta):
+                        probe = spark.read.option(
+                            "basePath", base
+                        ).parquet(
+                            *[os.path.join(base, p) for p in keep]
+                        )
             # hidden _metadata columns resolve only on the scan relation:
             # project them BEFORE the join, not after
-            scan = snap.select(
+            scan = probe.select(
                 F.col(key),
                 _dv_file_expr(m["data_dir"]).alias("file"),
                 F.col("_metadata.row_index").alias("pos"),
@@ -841,6 +895,12 @@ def upsert_dv(
                 "dv_rows": dv_rows,
                 "rows_matched": dv_rows - old_rows,
             }
+            if probe_files is not None:
+                # observability: how much of the table the bloom-pruned
+                # DV probe actually scanned (candidates, total)
+                meta["probe_files_scanned"], meta["probe_files_total"] = (
+                    probe_files
+                )
             if "files" in m:
                 stats_cols = sorted(
                     {c for f in m["files"] for c in f.get("min", {})}

@@ -1695,3 +1695,48 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
                 map(tuple, table.read(spark, version=j).collect())
             )
             assert got == want, f"seed {seed}: CDF replay {i}->{j}"
+
+
+def test_upsert_dv_bloom_pruned_probe(spark, tmp_path):
+    """Round-12: when the manifest carries key-column blooms, the upsert
+    DV probe scans only candidate files — the manifest records the
+    pruning, the skipped files' rows survive untouched, and the merged
+    result is exact (bloom false negatives are impossible: present keys
+    were recorded at commit time)."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    table = LoggedTable(str(tmp_path / "ups_bloom"))
+    table.commit(
+        lambda d: df.repartition(8, "k").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    upd = spark.createDataFrame(
+        [(17, -17.0), (400, -400.0), (5000, 1.0)], "k long, v double"
+    )
+    m = upsert_dv(spark, table, upd, key="k")
+    assert m["probe_files_total"] == 8
+    assert 0 < m["probe_files_scanned"] < 8, m
+    assert m["rows_matched"] == 2  # 5000 is a pure insert
+    got = sorted(map(tuple, table.read(spark).collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.filter("k not in (17, 400)").unionByName(upd).collect(),
+        )
+    )
+    assert got == want
+    # a second upsert probes the grown snapshot: the appended (bloom-
+    # less) files are kept unconditionally, so a key living only in an
+    # appended file is still found and superseded
+    upd2 = spark.createDataFrame([(5000, 2.0)], "k long, v double")
+    m2 = upsert_dv(spark, table, upd2, key="k")
+    assert m2["rows_matched"] == 1
+    assert [
+        r["v"] for r in table.read(spark).filter("k = 5000").collect()
+    ] == [2.0]
