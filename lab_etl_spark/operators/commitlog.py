@@ -462,6 +462,53 @@ def purge_logged(
     return m
 
 
+#: caps on the Python-side bloom candidate computation: distinct probe
+#: values, and (value x file) big-int AND operations (~1-2 s at the cap)
+_BLOOM_PROBE_VALUE_CAP = 10_000
+_BLOOM_PROBE_PAIR_CAP = 2_000_000
+
+
+def _bloom_candidates(
+    m: dict, col: str, values: list
+) -> tuple[list[str], int] | None:
+    """Manifest-level candidate files for a point-set probe on ``col``:
+    files whose recorded bloom passes for AT LEAST one value, plus every
+    file without a bloom for the column (appended by an upsert, or
+    committed before blooms — cannot skip).  Returns ``(paths, total)``,
+    or None when the manifest carries no blooms for the column or the
+    probe exceeds the Python-side caps (a probe that large touches most
+    files anyway).  No false negatives: a value present in a file was
+    recorded in its bloom at commit time."""
+    files_meta = m.get("files")
+    if not files_meta or not any(
+        f.get("bloom", {}).get(col) for f in files_meta
+    ):
+        return None
+    if (
+        len(values) > _BLOOM_PROBE_VALUE_CAP
+        or len(values) * len(files_meta) > _BLOOM_PROBE_PAIR_CAP
+    ):
+        return None
+    masks = []
+    for v in values:
+        mk = 0
+        for p in _fbloom_positions(v):
+            mk |= 1 << p
+        masks.append(mk)
+    keep = []
+    for f in files_meta:
+        hexmap = f.get("bloom", {}).get(col)
+        if hexmap is None:
+            keep.append(f["path"])
+            continue
+        b = 0
+        for i in range(len(hexmap) // 16):
+            b |= int(hexmap[i * 16 : (i + 1) * 16], 16) << (64 * i)
+        if any((b & mk) == mk for mk in masks):
+            keep.append(f["path"])
+    return keep, len(files_meta)
+
+
 def _write_dv(
     spark: SparkSession, table_dir: str, matches: DataFrame
 ) -> tuple[str, str, int]:
@@ -505,6 +552,7 @@ def purge_dv(
     spark: SparkSession,
     table: LoggedTable,
     predicate,
+    point: tuple | None = None,
 ) -> dict:
     """Row-level delete WITHOUT rewriting the table: a deletion-vector
     commit (Delta deletion vectors / Iceberg position deletes — the
@@ -531,13 +579,31 @@ def purge_dv(
     remain in the data files until :func:`compact_dv` rewrites the
     affected files and :meth:`LoggedTable.vacuum` reclaims the old
     snapshot — the same DELETE → REWRITE → VACUUM compliance ladder as
-    Delta's, with the expensive rung now optional and lazy."""
+    Delta's, with the expensive rung now optional and lazy.
+
+    ``point=(col, value)`` declares the compliance shape ("delete THIS
+    user"): when the manifest carries membership blooms for ``col``,
+    the probe scans only candidate files instead of the whole table
+    (:func:`_bloom_candidates` — no false negatives; the predicate
+    still applies exactly, so bloom false positives only cost an extra
+    file scan).  The manifest records probe_files_scanned/total."""
     for _attempt in range(5):
         m = table.latest()
         if m is None:
             raise FileNotFoundError(f"no commits in {table.log_dir}")
         base = os.path.join(table.table_dir, m["data_dir"])
-        scan = spark.read.parquet(base)
+        scan, probe_files = spark.read.parquet(base), None
+        if point is not None:
+            cand = _bloom_candidates(m, point[0], [point[1]])
+            if cand is not None:
+                keep, total = cand
+                probe_files = (len(keep), total)
+                if not keep:
+                    scan = scan.filter("1 = 0")
+                elif len(keep) < total:
+                    scan = spark.read.option("basePath", base).parquet(
+                        *[os.path.join(base, p) for p in keep]
+                    )
         matches = scan.filter(predicate).select(
             _dv_file_expr(m["data_dir"]).alias("file"),
             F.col("_metadata.row_index").alias("pos"),
@@ -550,6 +616,10 @@ def purge_dv(
             matches = matches.unionByName(old_dv).distinct()
         dv_rel, dv_abs, dv_rows = _write_dv(spark, table.table_dir, matches)
         meta: dict = {
+            "probe_files_scanned": probe_files[0],
+            "probe_files_total": probe_files[1],
+        } if probe_files is not None else {}
+        meta |= {
             "dv_dir": dv_rel,
             "dv_rows": dv_rows,
             "rows_purged": dv_rows - old_rows,
@@ -807,43 +877,24 @@ def upsert_dv(
             # ~2M (key x file) big-int AND ops (~1-2 s); a batch past
             # the cap touches most files anyway, so it full-scans.
             probe, probe_files = snap, None
-            files_meta = m.get("files")
-            if files_meta and any(
-                f.get("bloom", {}).get(key) for f in files_meta
+            if m.get("files") and any(
+                f.get("bloom", {}).get(key) for f in m["files"]
             ):
                 key_rows = (
                     updates.select(key)
                     .distinct()
-                    .limit(10_001)
+                    .limit(_BLOOM_PROBE_VALUE_CAP + 1)
                     .collect()
                 )
-                if (
-                    len(key_rows) <= 10_000
-                    and len(key_rows) * len(files_meta) <= 2_000_000
-                ):
-                    masks = []
-                    for r in key_rows:
-                        mk = 0
-                        for p in _fbloom_positions(r[key]):
-                            mk |= 1 << p
-                        masks.append(mk)
-                    keep = []
-                    for f in files_meta:
-                        hexmap = f.get("bloom", {}).get(key)
-                        if hexmap is None:
-                            keep.append(f["path"])
-                            continue
-                        b = 0
-                        for i in range(len(hexmap) // 16):
-                            b |= int(
-                                hexmap[i * 16 : (i + 1) * 16], 16
-                            ) << (64 * i)
-                        if any((b & mk) == mk for mk in masks):
-                            keep.append(f["path"])
-                    probe_files = (len(keep), len(files_meta))
+                cand = _bloom_candidates(
+                    m, key, [r[key] for r in key_rows]
+                )
+                if cand is not None:
+                    keep, total = cand
+                    probe_files = (len(keep), total)
                     if not keep:
                         probe = snap.filter("1 = 0")
-                    elif len(keep) < len(files_meta):
+                    elif len(keep) < total:
                         probe = spark.read.option(
                             "basePath", base
                         ).parquet(
@@ -1449,6 +1500,41 @@ def read_point_pruned(
     # merge-on-read: subtract any deletion vector — a point lookup is
     # exactly where a purged row resurfacing would be worst (the purged
     # user IS the probe value in the compliance scenario)
+    return table._apply_dv(
+        spark,
+        spark.read.option("basePath", base).parquet(
+            *[os.path.join(base, p) for p in keep]
+        ),
+        m,
+    )
+
+
+def read_points_pruned(
+    spark: SparkSession,
+    table: "LoggedTable",
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """:func:`read_point_pruned` for a value SET — candidate files are
+    those whose bloom passes for at least one value
+    (:func:`_bloom_candidates`), the CDC-batch shape: "the current rows
+    of THESE keys".  Falls back to the full snapshot when blooms are
+    absent or the set exceeds the probe caps.  The caller's exact
+    key predicate/join keeps the answer precise; merge-on-read DVs are
+    subtracted either way."""
+    m = table.latest() if version is None else table.manifest(version)
+    if m is None:
+        raise FileNotFoundError(f"no commits in {table.log_dir}")
+    base = os.path.join(table.table_dir, m["data_dir"])
+    cand = _bloom_candidates(m, col, values)
+    if cand is None:
+        return table._apply_dv(spark, spark.read.parquet(base), m)
+    keep, total = cand
+    if not keep:
+        return spark.read.parquet(base).filter("1 = 0")
+    if len(keep) == total:
+        return table._apply_dv(spark, spark.read.parquet(base), m)
     return table._apply_dv(
         spark,
         spark.read.option("basePath", base).parquet(

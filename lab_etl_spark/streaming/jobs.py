@@ -663,7 +663,12 @@ def upsert_latest_dv(
     a 2-version grace window, bounding both read-side anti-join work
     and namespace growth.  Partitioned state tables ride the same path
     — ``upsert_dv`` handles hive-partitioned snapshots natively."""
-    from ..operators.commitlog import LoggedTable, compact_dv, upsert_dv
+    from ..operators.commitlog import (
+        LoggedTable,
+        compact_dv,
+        read_points_pruned,
+        upsert_dv,
+    )
 
     table = LoggedTable(table_dir)
 
@@ -675,7 +680,11 @@ def upsert_latest_dv(
         if table.latest() is None:
             table.commit(lambda d: out.write.parquet(d), op="ingest")
             return
-        cur = table.read(spark).join(
+        # touched keys are batch-sized; when the table carries user_id
+        # blooms the current-row fetch reads candidate files only (the
+        # semi-join keeps it exact either way)
+        keys = [r["user_id"] for r in out.select("user_id").distinct().collect()]
+        cur = read_points_pruned(spark, table, "user_id", keys).join(
             F.broadcast(out.select("user_id").distinct()),
             "user_id",
             "left_semi",

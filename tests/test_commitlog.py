@@ -1740,3 +1740,65 @@ def test_upsert_dv_bloom_pruned_probe(spark, tmp_path):
     assert [
         r["v"] for r in table.read(spark).filter("k = 5000").collect()
     ] == [2.0]
+
+
+def test_purge_dv_point_path_prunes_probe(spark, tmp_path):
+    """purge_dv(point=(col, value)) scans only bloom-candidate files for
+    the compliance-delete shape, records the pruning in the manifest,
+    and the answer equals the unpruned predicate purge."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_dv
+
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("user_id")
+    )
+    table = LoggedTable(str(tmp_path / "purge_pt"))
+    table.commit(
+        lambda d: df.repartition(8, "user_id").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+        bloom_cols=["user_id"],
+    )
+    m = purge_dv(
+        spark, table, F.col("user_id") == 7, point=("user_id", 7)
+    )
+    assert m["probe_files_total"] == 8
+    assert 0 < m["probe_files_scanned"] < 8, m
+    assert m["rows_purged"] == 16
+    got = sorted(r["k"] for r in table.read(spark).collect())
+    assert got == sorted(
+        r["k"] for r in df.filter("user_id != 7").collect()
+    )
+
+
+def test_read_points_pruned_matches_full_scan(spark, tmp_path):
+    """read_points_pruned over a value set equals the full-scan filter,
+    prunes files, and still subtracts merge-on-read DVs."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, purge_dv, read_points_pruned,
+    )
+
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("user_id")
+    )
+    table = LoggedTable(str(tmp_path / "pts"))
+    table.commit(
+        lambda d: df.repartition(8, "user_id").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+        bloom_cols=["user_id"],
+    )
+    purge_dv(spark, table, F.col("k") == 107)  # k=107 has user_id 7
+    got = read_points_pruned(
+        spark, table, "user_id", [7, 13]
+    ).filter("user_id in (7, 13)")
+    n_scanned = got.select("_metadata.file_path").distinct().count()
+    assert n_scanned < 8
+    want = sorted(
+        r["k"]
+        for r in df.filter(
+            "user_id in (7, 13) and k != 107"
+        ).collect()
+    )
+    assert sorted(r["k"] for r in got.collect()) == want
