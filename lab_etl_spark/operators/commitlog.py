@@ -758,6 +758,117 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
         raise
 
 
+def _snapshot_layout(base: str) -> tuple[list[str], list[str]]:
+    """(snapshot-relative parquet paths, hive partition columns) of a
+    snapshot directory — empty column list means flat."""
+    rels: list[str] = []
+    for root, _dirs, names in os.walk(base):
+        for n in sorted(names):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                rels.append(os.path.relpath(os.path.join(root, n), base))
+    # prefix a dummy snapshot segment: the decoder skips [0]
+    part_cols, _vals = _hive_partition_values(
+        [os.path.join("x", r) for r in rels]
+    )
+    return rels, part_cols
+
+
+def _gate_batch_schema(
+    snap: DataFrame, batch: DataFrame, part_cols: list[str], data_rel: str
+) -> None:
+    """Refuse a batch whose schema diverges from the snapshot BEFORE any
+    write: Spark's default parquet read resolves the table schema from
+    ONE footer, so a divergent batch would not error — it would silently
+    drop its extra columns and read its missing ones as NULL for every
+    landed row (measured).  Exact name->type equality (order and
+    nullability aside), relaxed ONLY for integral-family pairs on
+    PARTITION columns: discovery re-infers "p=1" as int whatever
+    integral width wrote it, and every integral stringifies to the same
+    path segment, so the round-trip is lossless there and nowhere
+    else."""
+    want = {f.name: f.dataType for f in snap.schema.fields}
+    got = {f.name: f.dataType for f in batch.schema.fields}
+    integral = {"byte", "short", "integer", "long"}
+
+    def _ok(c: str) -> bool:
+        if c not in want or c not in got:
+            return False
+        if want[c] == got[c]:
+            return True
+        return (
+            c in part_cols
+            and want[c].typeName() in integral
+            and got[c].typeName() in integral
+        )
+
+    if set(want) != set(got) or not all(_ok(c) for c in want):
+        raise ValueError(
+            f"batch schema diverges from snapshot {data_rel}: missing "
+            f"{sorted(set(want) - set(got))}, unexpected "
+            f"{sorted(set(got) - set(want))}, type-mismatched "
+            f"{sorted(c for c in set(want) & set(got) if not _ok(c))}"
+            f" — a divergent batch would silently read back as "
+            f"NULLs/dropped columns; align the batch (or evolve the "
+            f"schema through a rewrite commit) first"
+        )
+
+
+def _assemble_linked_snapshot(
+    spark: SparkSession,
+    table: LoggedTable,
+    m: dict,
+    batch: DataFrame,
+    snap_rels: list[str],
+    part_cols: list[str],
+    staging: str,
+) -> tuple[str, str, dict]:
+    """Assemble a new snapshot dir = hardlinks of every existing file
+    (zero data bytes; RELATIVE paths preserved so snapshot-relative DV
+    keys stay valid verbatim) + the batch landed as fresh part files
+    (``partitionBy`` the snapshot's columns when partitioned, so the
+    files join matching or new key=value dirs).  Returns ``(new_rel,
+    new_abs, meta_patch)`` where meta_patch carries files_appended and,
+    when the prior manifest bore stats, the extended ``files`` /
+    ``stats_temporal`` entries.  Bytes written are ∝ the batch."""
+    base = os.path.join(table.table_dir, m["data_dir"])
+    new_rel = f"v_{uuid.uuid4().hex[:12]}"
+    new_abs = os.path.join(table.table_dir, new_rel)
+    os.makedirs(new_abs)
+    for rel in snap_rels:
+        dst = os.path.join(new_abs, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(os.path.join(base, rel), dst)
+    tmp = os.path.join(table.table_dir, f".{staging}.{uuid.uuid4().hex[:8]}")
+    if part_cols:
+        batch.write.partitionBy(*part_cols).parquet(tmp)
+    else:
+        batch.write.parquet(tmp)
+    patch: dict = {}
+    if "files" in m:
+        stats_cols = sorted(
+            {c for f in m["files"] for c in f.get("min", {})}
+        )
+        new_files, temporal = _file_stats(spark, tmp, stats_cols)
+        patch["files"] = m["files"] + new_files
+        patch["stats_temporal"] = sorted(
+            set(m.get("stats_temporal", [])) | temporal
+        )
+    moved = 0
+    for root, _dirs, names in os.walk(tmp):
+        for n in sorted(names):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                rel = os.path.relpath(os.path.join(root, n), tmp)
+                dst = os.path.join(new_abs, rel)
+                # fresh write-job UUIDs cannot collide with linked
+                # names; partition subdirs may be new
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(os.path.join(root, n), dst)
+                moved += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    patch["files_appended"] = moved
+    return new_rel, new_abs, patch
+
+
 def upsert_dv(
     spark: SparkSession,
     table: LoggedTable,
@@ -811,60 +922,8 @@ def upsert_dv(
                 raise FileNotFoundError(f"no commits in {table.log_dir}")
             base = os.path.join(table.table_dir, m["data_dir"])
             snap = spark.read.parquet(base)
-            # discover the snapshot's layout up front: every parquet
-            # file's path relative to the snapshot dir, and the hive
-            # partition columns its directory tree encodes (empty list =
-            # flat); the gate below and the link carry-over both need it
-            snap_rels: list[str] = []
-            for root, _dirs, names in os.walk(base):
-                for n in sorted(names):
-                    if n.endswith(".parquet") and not n.startswith(
-                        ("_", ".")
-                    ):
-                        snap_rels.append(
-                            os.path.relpath(os.path.join(root, n), base)
-                        )
-            # prefix a dummy snapshot segment: the decoder skips [0]
-            part_cols, _vals = _hive_partition_values(
-                [os.path.join("x", r) for r in snap_rels]
-            )
-            # schema gate BEFORE any write: Spark's default parquet read
-            # resolves the table schema from ONE footer, so a divergent
-            # batch would not error — it would silently drop its extra
-            # columns and read its missing ones as NULL for every
-            # upserted row (measured: a batch lacking column v left
-            # v=NULL on the merged row).  Exact name->type equality
-            # (order and nullability aside), relaxed ONLY for integral-
-            # family pairs on PARTITION columns: discovery re-infers
-            # "p=1" as int whatever integral width wrote it, and every
-            # integral stringifies to the same path segment, so the
-            # round-trip is lossless there and nowhere else.
-            want = {f.name: f.dataType for f in snap.schema.fields}
-            got = {f.name: f.dataType for f in updates.schema.fields}
-            integral = {"byte", "short", "integer", "long"}
-
-            def _ok(c: str) -> bool:
-                if c not in want or c not in got:
-                    return False
-                if want[c] == got[c]:
-                    return True
-                return (
-                    c in part_cols
-                    and want[c].typeName() in integral
-                    and got[c].typeName() in integral
-                )
-
-            if set(want) != set(got) or not all(_ok(c) for c in want):
-                raise ValueError(
-                    f"upsert batch schema diverges from snapshot "
-                    f"{m['data_dir']}: missing "
-                    f"{sorted(set(want) - set(got))}, unexpected "
-                    f"{sorted(set(got) - set(want))}, type-mismatched "
-                    f"{sorted(c for c in set(want) & set(got) if not _ok(c))}"
-                    f" — a divergent batch would silently read back as "
-                    f"NULLs/dropped columns; align the batch (or evolve "
-                    f"the schema through a rewrite commit) first"
-                )
+            snap_rels, part_cols = _snapshot_layout(base)
+            _gate_batch_schema(snap, updates, part_cols, m["data_dir"])
             # DV-probe source: when the manifest carries membership
             # blooms for the key column, skip files that cannot contain
             # ANY batch key (no false negatives: a key present in a file
@@ -920,31 +979,14 @@ def upsert_dv(
                 spark, table.table_dir, matches
             )
 
-            new_rel = f"v_{uuid.uuid4().hex[:12]}"
-            new_abs = os.path.join(table.table_dir, new_rel)
-            os.makedirs(new_abs)
-            for rel in snap_rels:
-                # zero-copy carry-over preserving partition subdirs:
-                # link-preserved RELATIVE paths keep the DV's
-                # snapshot-relative keys valid in the new snapshot
-                dst = os.path.join(new_abs, rel)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.link(os.path.join(base, rel), dst)
-            tmp = os.path.join(
-                table.table_dir, f".upsert.{uuid.uuid4().hex[:8]}"
+            new_rel, new_abs, patch = _assemble_linked_snapshot(
+                spark, table, m, updates, snap_rels, part_cols, "upsert"
             )
-            if part_cols:
-                # the batch lands partitioned by the SAME columns, so
-                # its files join the tree under matching (possibly new)
-                # key=value dirs and partition discovery sees one
-                # consistent table; bytes written stay ∝ the batch
-                updates.write.partitionBy(*part_cols).parquet(tmp)
-            else:
-                updates.write.parquet(tmp)
             meta: dict = {
                 "dv_dir": dv_rel,
                 "dv_rows": dv_rows,
                 "rows_matched": dv_rows - old_rows,
+                **patch,
             }
             if probe_files is not None:
                 # observability: how much of the table the bloom-pruned
@@ -952,30 +994,6 @@ def upsert_dv(
                 meta["probe_files_scanned"], meta["probe_files_total"] = (
                     probe_files
                 )
-            if "files" in m:
-                stats_cols = sorted(
-                    {c for f in m["files"] for c in f.get("min", {})}
-                )
-                new_files, temporal = _file_stats(spark, tmp, stats_cols)
-                meta["files"] = m["files"] + new_files
-                meta["stats_temporal"] = sorted(
-                    set(m.get("stats_temporal", [])) | temporal
-                )
-            moved = 0
-            for root, _dirs, names in os.walk(tmp):
-                for n in sorted(names):
-                    if n.endswith(".parquet") and not n.startswith(
-                        ("_", ".")
-                    ):
-                        rel = os.path.relpath(os.path.join(root, n), tmp)
-                        dst = os.path.join(new_abs, rel)
-                        # fresh write-job UUIDs cannot collide with
-                        # linked names; partition subdirs may be new
-                        os.makedirs(os.path.dirname(dst), exist_ok=True)
-                        os.rename(os.path.join(root, n), dst)
-                        moved += 1
-            shutil.rmtree(tmp, ignore_errors=True)
-            meta["files_appended"] = moved
             try:
                 return table.commit(
                     None,
@@ -992,6 +1010,68 @@ def upsert_dv(
         )
     finally:
         updates.unpersist()
+
+
+def append_logged(
+    spark: SparkSession,
+    table: LoggedTable,
+    batch: DataFrame,
+) -> dict:
+    """Pure APPEND — the most common lake mutation at 100 TB — without
+    rewriting or even probing the table: every existing file hardlinks
+    into the new snapshot (zero data bytes, partition subpaths
+    preserved) and the batch lands as fresh part files (``partitionBy``
+    the snapshot's columns when partitioned).  No deletion vector, no
+    key probe: unlike :func:`upsert_dv` there is nothing to supersede,
+    so the only Spark job is the batch write — bytes AND compute ∝ the
+    batch.
+
+    Any accumulated DV carries over by reference (link-preserved
+    relative paths keep its keys valid; the batch's fresh files have no
+    DV entries by construction).  Per-file skipping stats extend with
+    the batch's files when the table bears stats.  The commit is a
+    read-modify-write (``expect_version``) so a concurrent mutation
+    can't be dropped; a lost race re-derives from the new latest and
+    retries — an append composes with any intervening commit.
+
+    CDF: :func:`table_changes` resolves an append through the LINK fast
+    path as pure inserts (the appended files), no table shuffle.
+    :func:`export_delta_log` surfaces appended rows at the next
+    materializing commit when a DV is in flight, immediately otherwise.
+    """
+    batch = batch.persist()
+    try:
+        for _attempt in range(5):
+            m = table.latest()
+            if m is None:
+                raise FileNotFoundError(f"no commits in {table.log_dir}")
+            base = os.path.join(table.table_dir, m["data_dir"])
+            snap = spark.read.parquet(base)
+            snap_rels, part_cols = _snapshot_layout(base)
+            _gate_batch_schema(snap, batch, part_cols, m["data_dir"])
+            new_rel, new_abs, patch = _assemble_linked_snapshot(
+                spark, table, m, batch, snap_rels, part_cols, "append"
+            )
+            meta: dict = dict(patch)
+            for k in ("dv_dir", "dv_rows"):
+                if k in m:
+                    meta[k] = m[k]
+            try:
+                return table.commit(
+                    None,
+                    op="append",
+                    meta=meta,
+                    data_dir=new_rel,
+                    expect_version=m["version"] + 1,
+                )
+            except CommitConflict:
+                shutil.rmtree(new_abs, ignore_errors=True)
+        raise CommitConflict(
+            f"append_logged lost the commit race 5 times in "
+            f"{table.log_dir}"
+        )
+    finally:
+        batch.unpersist()
 
 
 def _snapshot_inodes(base: str) -> dict[str, int]:

@@ -1619,6 +1619,7 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
 
     from lab_etl_spark.operators.commitlog import (
         LoggedTable,
+        append_logged,
         compact_dv,
         purge_dv,
         table_changes,
@@ -1649,9 +1650,25 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
             want = sorted((k, p, v) for k, (p, v) in model.items())
             assert got == want, f"seed {seed} {tag}: table != model"
 
+        fresh_key = 10_000
         for step in range(6):
-            op = rng.choice(["purge", "upsert", "upsert", "compact"])
-            if op == "purge":
+            op = rng.choice(
+                ["purge", "upsert", "upsert", "compact", "append"]
+            )
+            if op == "append":
+                batch = [
+                    (fresh_key + i, rng.randint(0, 4),
+                     rng.uniform(-100, 100))
+                    for i in range(rng.randint(1, 8))
+                ]
+                fresh_key += len(batch)
+                append_logged(
+                    spark, table,
+                    spark.createDataFrame(batch, "k long, p long, v double"),
+                )
+                for k, p, v in batch:
+                    model[k] = (p, v)
+            elif op == "purge":
                 mod, rem = rng.choice([(7, 3), (5, 0), (11, 4)])
                 purge_dv(spark, table, F.col("k") % mod == rem)
                 model = {
@@ -1802,3 +1819,78 @@ def test_read_points_pruned_matches_full_scan(spark, tmp_path):
         ).collect()
     )
     assert sorted(r["k"] for r in got.collect()) == want
+
+
+def test_append_logged_links_and_composes(spark, tmp_path):
+    """Round-12 pure append: zero existing bytes move (inode-pinned),
+    the only Spark job is the batch write, an in-flight DV carries over
+    by reference (purged rows stay gone), CDF reports the append as
+    pure inserts through the link fast path, and stats extend."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, append_logged, purge_dv, table_changes,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    table = LoggedTable(str(tmp_path / "app"))
+    table.commit(
+        lambda d: df.repartition(2).write.partitionBy("p").parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+    )
+    purge_dv(spark, table, F.col("k") % 50 == 0)  # v2: DV in flight
+    base = os.path.join(table.table_dir, table.latest()["data_dir"])
+    inodes = {}
+    for root, _dirs, names in os.walk(base):
+        for n in names:
+            if n.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, n), base)
+                inodes[rel] = os.stat(os.path.join(root, n)).st_ino
+    batch = spark.createDataFrame(
+        [(1000, 9, -1.0), (1001, 0, -2.0)], "k long, p long, v double"
+    )
+    m = append_logged(spark, table, batch)  # v3
+    assert m["op"] == "append" and m["files_appended"] >= 2
+    assert m["dv_rows"] == table.manifest(2)["dv_rows"]
+    new_base = os.path.join(table.table_dir, m["data_dir"])
+    for rel, ino in inodes.items():
+        assert os.stat(os.path.join(new_base, rel)).st_ino == ino
+    got = sorted(
+        map(tuple, table.read(spark).select("k", "p", "v").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.filter("k % 50 != 0")
+            .unionByName(batch)
+            .select("k", "p", "v")
+            .collect(),
+        )
+    )
+    assert got == want
+    # stats extended: more file entries than the ingest had
+    assert len(m["files"]) > len(inodes)
+    # CDF v2 -> v3: pure inserts, link fast path (no exceptAll)
+    import contextlib
+    import io
+
+    ch = table_changes(spark, table, 2, 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ch.explain("formatted")
+    assert "Except" not in buf.getvalue()
+    rows = sorted(
+        (r["k"], r["_change_type"]) for r in ch.collect()
+    )
+    assert rows == [(1000, "insert"), (1001, "insert")]
+    # schema gate applies to appends too
+    import pytest
+
+    with pytest.raises(ValueError, match="diverges"):
+        append_logged(
+            spark, table, spark.createDataFrame([(1,)], "k long")
+        )
