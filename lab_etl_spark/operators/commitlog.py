@@ -849,6 +849,17 @@ def _assemble_linked_snapshot(
             {c for f in m["files"] for c in f.get("min", {})}
         )
         new_files, temporal = _file_stats(spark, tmp, stats_cols)
+        # keep bloom coverage from decaying across append/upsert chains:
+        # a batch file without a bloom is unprunable forever (until the
+        # next compact_dv), so when the table bears blooms the batch's
+        # files get theirs at landing time — one batch-sized aggregate
+        bloom_cols = sorted(
+            {c for f in m["files"] for c in f.get("bloom", {})}
+        )
+        if bloom_cols:
+            blooms = _file_blooms(spark, tmp, bloom_cols)
+            for f in new_files:
+                f["bloom"] = blooms.get(f["path"], {})
         patch["files"] = m["files"] + new_files
         patch["stats_temporal"] = sorted(
             set(m.get("stats_temporal", [])) | temporal

@@ -678,7 +678,17 @@ def upsert_latest_dv(
         if not out.take(1):
             return  # empty micro-batch: no commit, no empty-file litter
         if table.latest() is None:
-            table.commit(lambda d: out.write.parquet(d), op="ingest")
+            # seed user_id blooms at ingest so every later batch's
+            # current-row fetch AND upsert DV probe prune to candidate
+            # files; the assembly step keeps batch files bloomed and
+            # compact_dv re-blooms, so coverage never decays
+            table.commit(
+                lambda d: out.write.parquet(d),
+                op="ingest",
+                spark=spark,
+                stats_cols=["user_id"],
+                bloom_cols=["user_id"],
+            )
             return
         # touched keys are batch-sized; when the table carries user_id
         # blooms the current-row fetch reads candidate files only (the

@@ -1894,3 +1894,45 @@ def test_append_logged_links_and_composes(spark, tmp_path):
         append_logged(
             spark, table, spark.createDataFrame([(1,)], "k long")
         )
+
+
+def test_bloom_coverage_survives_append_chain(spark, tmp_path):
+    """Batch files landed by append/upsert get blooms when the table
+    bears them, so probe pruning never decays to full scans between
+    compactions: a key living only in an appended file is still a
+    1-candidate probe, and a later upsert's probe prunes."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, append_logged, upsert_dv,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    table = LoggedTable(str(tmp_path / "bloom_chain"))
+    table.commit(
+        lambda d: df.repartition(4, "k").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    batch = spark.createDataFrame([(9001, 1.0)], "k long, v double")
+    m = append_logged(spark, table, batch)
+    appended = [f for f in m["files"] if f["path"] not in {
+        x["path"] for x in table.manifest(1)["files"]
+    }]
+    assert appended and all(
+        f.get("bloom", {}).get("k") for f in appended
+    ), "appended files lost bloom coverage"
+    # a probe for the appended-only key prunes to (at most) the files
+    # whose bloom passes — not the unconditional keep-all fallback
+    m2 = upsert_dv(
+        spark, table,
+        spark.createDataFrame([(9001, 2.0)], "k long, v double"),
+        key="k",
+    )
+    assert m2["rows_matched"] == 1
+    assert m2["probe_files_scanned"] < m2["probe_files_total"], m2
+    assert [
+        r["v"] for r in table.read(spark).filter("k = 9001").collect()
+    ] == [2.0]
