@@ -115,6 +115,10 @@ _WINDOW_FRONT = [
     # purge -> upsert and diffs v1 -> v3 through the round-12 LINK fast
     # path (deletes from the DV delta, inserts from appended files).
     "q_version_diff",
+    # q_commitlog_roundtrip's engine text changed: the chain now lands
+    # half the table as a round-12 append_logged commit before the
+    # compaction (same oracle — the append must lose/duplicate nothing).
+    "q_commitlog_roundtrip",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from

@@ -956,22 +956,34 @@ def q_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
     doc="Commit-log lake table end-to-end (operators/commitlog.py): commit "
-    "documents as snapshot v1 of a LoggedTable, compact it into snapshot "
-    "v2 (manifest append, no directory swap), then aggregate from the "
-    "READ-BACK of the latest manifest.  Parity vs the oracle over the "
-    "original parquet proves the two commits and the manifest-resolved "
-    "read lost/duplicated nothing; the atomicity/race/orphan guarantees "
-    "are pinned by tests/test_commitlog.py.  At 100 TB this is the "
-    "Delta-style mechanism that lets compaction run behind live readers.",
+    "the even-doc_id half of documents as snapshot v1 of a LoggedTable, "
+    "land the odd half as a PURE APPEND (round-12 append_logged: every "
+    "v1 file hardlinks into v2, only the batch is written — bytes AND "
+    "compute ∝ the batch, no probe, no DV), compact into v3 (manifest "
+    "append, no directory swap), then aggregate from the READ-BACK of "
+    "the latest manifest.  Parity vs the oracle over the original "
+    "parquet proves the three commits and the manifest-resolved read "
+    "lost/duplicated nothing; the atomicity/race/orphan guarantees are "
+    "pinned by tests/test_commitlog.py.  At 100 TB this is the "
+    "Delta-style mechanism that lets ingestion append at batch cost and "
+    "compaction run behind live readers.",
 )
 def q_commitlog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.commitlog import LoggedTable, compact_logged
+    from ..operators.commitlog import (
+        LoggedTable,
+        append_logged,
+        compact_logged,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     table = LoggedTable(scratch_dir("commitlog_docs", sf_dir))
     table.commit(
-        lambda d: docs.repartition(8).write.parquet(d), op="create"
+        lambda d: docs.filter(F.col("doc_id") % 2 == 0)
+        .repartition(8)
+        .write.parquet(d),
+        op="create",
     )
+    append_logged(spark, table, docs.filter(F.col("doc_id") % 2 == 1))
     compact_logged(spark, table, target_bytes=1 << 30)
     back = table.read(spark)
     return (
