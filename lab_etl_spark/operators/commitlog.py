@@ -401,11 +401,15 @@ class LoggedTable:
             ):
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(name)
-            elif name.startswith((".dv.", ".upsert.", ".compact.")):
-                # crashed-operation staging: never referenced by any
-                # manifest, but a CONCURRENT writer's in-flight staging
-                # looks identical — reclaim only past a 2h horizon (no
-                # single DML operation legitimately stages that long)
+            elif name.startswith("stage_") or name.startswith(
+                (".dv.", ".upsert.", ".compact.")
+            ):
+                # crashed-operation staging (visible "stage_*" since
+                # round 12; the dot-prefixed spellings are legacy): never
+                # referenced by any manifest, but a CONCURRENT writer's
+                # in-flight staging looks identical — reclaim only past
+                # a 2h horizon (no single DML operation legitimately
+                # stages that long)
                 try:
                     if os.path.isdir(path) and (
                         now - os.path.getmtime(path) > 7200.0
@@ -525,7 +529,11 @@ def _write_dv(
     outgrows the broadcast bound — whose read side falls back to the
     shuffled anti-join anyway, and which is exactly the compact_dv
     trigger.  Re-shard bytes are ∝ DV size, never ∝ table size."""
-    tmp = os.path.join(table_dir, f".dv.{uuid.uuid4().hex[:8]}")
+    # staging name is VISIBLE (no leading dot): Spark's file index
+    # ignores hidden roots, which silently empties reads of a dot-named
+    # staging dir when the batch wrote zero visible part files; vacuum
+    # reclaims crashed "stage_" dirs past its 2h horizon
+    tmp = os.path.join(table_dir, f"stage_dv_{uuid.uuid4().hex[:8]}")
     matches.write.parquet(tmp)
     staged = spark.read.parquet(tmp)
     dv_rows = staged.count()  # parquet footer count: no recompute
@@ -711,7 +719,9 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
         ]
         if part_cols:
             kept = kept.drop(*part_cols)
-        tmp = os.path.join(table.table_dir, f".compact.{uuid.uuid4().hex[:8]}")
+        tmp = os.path.join(
+            table.table_dir, f"stage_compact_{uuid.uuid4().hex[:8]}"
+        )
         kept.write.parquet(tmp)
         dest = os.path.join(new_abs, d) if d else new_abs
         os.makedirs(dest, exist_ok=True)
@@ -838,7 +848,9 @@ def _assemble_linked_snapshot(
         dst = os.path.join(new_abs, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.link(os.path.join(base, rel), dst)
-    tmp = os.path.join(table.table_dir, f".{staging}.{uuid.uuid4().hex[:8]}")
+    tmp = os.path.join(
+        table.table_dir, f"stage_{staging}_{uuid.uuid4().hex[:8]}"
+    )
     if part_cols:
         batch.write.partitionBy(*part_cols).parquet(tmp)
     else:

@@ -1597,14 +1597,18 @@ def test_vacuum_reclaims_crashed_staging_dirs(spark, tmp_path):
     import time as _time
 
     t = _mk(spark, tmp_path)
-    old = os.path.join(t.table_dir, ".upsert.deadbeef")
-    young = os.path.join(t.table_dir, ".dv.cafebabe")
+    old = os.path.join(t.table_dir, "stage_upsert_deadbeef")
+    legacy = os.path.join(t.table_dir, ".dv.cafebabe")
+    young = os.path.join(t.table_dir, "stage_dv_cafebabe")
     os.makedirs(old)
+    os.makedirs(legacy)
     os.makedirs(young)
     past = _time.time() - 7300
     os.utime(old, (past, past))
+    os.utime(legacy, (past, past))
     removed = t.vacuum(keep=2)
-    assert ".upsert.deadbeef" in removed and not os.path.exists(old)
+    assert "stage_upsert_deadbeef" in removed and not os.path.exists(old)
+    assert not os.path.exists(legacy), "legacy dot-staging leaked"
     assert os.path.exists(young), "in-flight staging swept"
     os.rmdir(young)
 
