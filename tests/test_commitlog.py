@@ -1940,3 +1940,42 @@ def test_bloom_coverage_survives_append_chain(spark, tmp_path):
     assert [
         r["v"] for r in table.read(spark).filter("k = 9001").collect()
     ] == [2.0]
+
+
+def test_upsert_probe_candidates_bounded_by_keys_not_files(
+    spark, tmp_path
+):
+    """Scale shape of the bloom-pruned DV probe: for a fixed batch, the
+    candidate-file count is bounded by keys x (1 + fp), NOT by the
+    table's file count — the property that keeps CDC merges batch-priced
+    as the table grows 100x."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    scanned = {}
+    for n_files in (8, 32):
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        t = LoggedTable(str(tmp_path / f"scale_{n_files}"))
+        t.commit(
+            lambda d, n=n_files: df.repartition(n, "k").write.parquet(d),
+            op="ingest",
+            spark=spark,
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+        m = upsert_dv(
+            spark,
+            t,
+            spark.createDataFrame(
+                [(17, -1.0), (900, -2.0), (1500, -3.0)],
+                "k long, v double",
+            ),
+            key="k",
+        )
+        assert m["rows_matched"] == 3
+        assert m["probe_files_total"] == n_files
+        scanned[n_files] = m["probe_files_scanned"]
+    # 3 keys hash to <= 3 files (+ ~0.8% fp per file); the 4x file
+    # growth must NOT drag the candidate set with it
+    assert scanned[8] <= 4 and scanned[32] <= 5, scanned
