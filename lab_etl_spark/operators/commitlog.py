@@ -1791,13 +1791,18 @@ def export_delta_log(
             return [json.loads(line) for line in f if line.strip()]
 
     def prev_snapshot_rels(v: int) -> list[str]:
-        """Relative paths of snapshot v-1's files — from its manifest when
-        the log still has it, else reconstructed from its already-exported
-        delta file's add actions (full-rewrite snapshots: adds = files).
-        DV no-op versions carry no adds but reference their predecessor's
-        files unchanged, so reconstruction walks past them."""
-        if v - 1 in versions:
-            return [rel for rel, _ap in snapshot_files(table.manifest(v - 1))]
+        """Relative paths the EXPORTED log holds live before version v —
+        reconstructed from the already-exported delta files' add actions
+        (full-rewrite snapshots: adds = files), walking past DV no-op
+        versions (no adds).  Always the exported log, never the native
+        manifest: a merge-on-read upsert/append commit CHANGES data_dir
+        while exporting as a no-op, so the native predecessor manifest's
+        (new-prefix) paths diverge from what the exported log actually
+        has live — removes keyed on the manifest would strand the older
+        adds forever and external readers would fold duplicate rows
+        (caught by test_delta_export_of_partitioned_dml_chain).
+        Contiguity (checked above, and ascending emission within this
+        run) guarantees delta v-1 is on disk by the time v is emitted."""
         w = v - 1
         while w >= 1:
             prior = os.path.join(delta_dir, delta_name(w))

@@ -1979,3 +1979,62 @@ def test_upsert_probe_candidates_bounded_by_keys_not_files(
     # 3 keys hash to <= 3 files (+ ~0.8% fp per file); the 4x file
     # growth must NOT drag the candidate set with it
     assert scanned[8] <= 4 and scanned[32] <= 5, scanned
+
+
+def test_delta_export_of_partitioned_dml_chain(spark, tmp_path):
+    """Compose the round-12 paths with the interop surface: partitioned
+    ingest -> append -> upsert -> purge -> compact_dv -> export; the
+    folded _delta_log's live files must BE the final snapshot's files,
+    the metaData must carry the partition column, and reading exactly
+    the folded adds reproduces table.read."""
+    from lab_etl_spark.operators.commitlog import (
+        DELTA_LOG_DIR,
+        LoggedTable,
+        append_logged,
+        compact_dv,
+        export_delta_log,
+        purge_dv,
+        upsert_dv,
+    )
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = LoggedTable(str(tmp_path / "ixp"))
+    t.commit(
+        lambda d: df.repartition(2).write.partitionBy("p").parquet(d),
+        op="ingest",
+    )
+    append_logged(
+        spark, t,
+        spark.createDataFrame([(900, 1, 9.0)], "k long, p long, v double"),
+    )
+    upsert_dv(
+        spark, t,
+        spark.createDataFrame([(7, 0, -7.0)], "k long, p long, v double"),
+        key="k",
+    )
+    purge_dv(spark, t, F.col("k") == 11)
+    compact_dv(spark, t)
+    export_delta_log(t, spark, table_id="ixp-id")
+    delta_dir = os.path.join(t.table_dir, DELTA_LOG_DIR)
+    live, protocols, metas = _fold_delta(delta_dir)
+    assert len(protocols) == 1 and len(metas) == 1
+    assert metas[0][1]["partitionColumns"] == ["p"]
+    snap_rel = t.latest()["data_dir"]
+    assert all(path.startswith(snap_rel + os.sep) for path in live)
+    folded = spark.read.option("basePath", os.path.join(
+        t.table_dir, snap_rel
+    )).parquet(*[os.path.join(t.table_dir, p) for p in live])
+    got = sorted(map(tuple, folded.select("k", "p", "v").collect()))
+    want = sorted(
+        map(tuple, t.read(spark).select("k", "p", "v").collect())
+    )
+    assert got == want
+    # and the value-level truth: append landed, upsert superseded,
+    # purge gone
+    model = {r[0]: (r[1], r[2]) for r in got}
+    assert model[900] == (1, 9.0) and model[7] == (0, -7.0)
+    assert 11 not in model and len(model) == 200
