@@ -1776,8 +1776,20 @@ def export_delta_log(
 
     def snapshot_files(m: dict) -> list[tuple[str, str]]:
         """(relative path, absolute path) of every parquet file in the
-        manifest's snapshot directory, sorted for deterministic output."""
+        manifest's snapshot directory, sorted for deterministic output.
+        A manifest whose directory is GONE (a crash between vacuum's
+        dir-removal and manifest-unlink) must fail loudly — os.walk on a
+        missing dir yields nothing, which would silently export the
+        version as an empty snapshot (removes-only), corrupting the
+        external live set."""
         base = os.path.join(table.table_dir, m["data_dir"])
+        if not os.path.isdir(base):
+            raise FileNotFoundError(
+                f"manifest {m['version']} references snapshot "
+                f"{m['data_dir']} but the directory is missing "
+                f"(interrupted vacuum?) — cannot export its adds; "
+                f"vacuum the orphaned manifest or restore the snapshot"
+            )
         out = []
         for root, _dirs, names in os.walk(base):
             for n in sorted(names):

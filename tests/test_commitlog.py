@@ -2038,3 +2038,23 @@ def test_delta_export_of_partitioned_dml_chain(spark, tmp_path):
     model = {r[0]: (r[1], r[2]) for r in got}
     assert model[900] == (1, 9.0) and model[7] == (0, -7.0)
     assert 11 not in model and len(model) == 200
+
+
+def test_delta_export_refuses_manifest_without_directory(spark, tmp_path):
+    """A manifest whose snapshot dir vanished (interrupted vacuum) must
+    fail the export loudly instead of silently emitting the version as
+    an empty removes-only snapshot."""
+    import shutil as _shutil
+
+    import pytest
+
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, export_delta_log,
+    )
+
+    df = spark.range(10).select(F.col("id"))
+    t = LoggedTable(str(tmp_path / "gone"))
+    t.commit(lambda d: df.write.parquet(d), op="ingest")
+    _shutil.rmtree(os.path.join(t.table_dir, t.latest()["data_dir"]))
+    with pytest.raises(FileNotFoundError, match="directory is missing"):
+        export_delta_log(t, spark, table_id="gone-id")
