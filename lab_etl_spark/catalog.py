@@ -123,8 +123,10 @@ def scratch_dir(family: str, sf_dir: str) -> str:
                     # never swept regardless of age: a soak session can
                     # hold a lazy plan past any horizon.  Unparsable
                     # names keep the age-only 2h fallback.  Pid reuse
-                    # only delays cleanup to the 2h horizon, never
-                    # deletes early.
+                    # errs toward leaking, never deleting early: a dead
+                    # owner's reused pid keeps its dirs protected until
+                    # the squatting process exits (rare, bounded by that
+                    # process's lifetime, and the next sweep reclaims).
                     age = now - os.path.getmtime(path)
                     m = re.search(r"_p(\d+)_", entry)
                     alive = None

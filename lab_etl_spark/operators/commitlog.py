@@ -392,6 +392,12 @@ class LoggedTable:
                 live.add(m["dv_dir"])
         removed = []
         now = time.time()
+        referenced: set[str] = set()
+        for v in vs:
+            mm = self.manifest(v)
+            referenced.add(mm["data_dir"])
+            if mm.get("dv_dir"):
+                referenced.add(mm["dv_dir"])
         for name in os.listdir(self.table_dir):
             path = os.path.join(self.table_dir, name)
             if (
@@ -399,6 +405,17 @@ class LoggedTable:
                 and name not in live
                 and os.path.isdir(path)
             ):
+                # a dir referenced by NO manifest at all is either a
+                # crashed commit's orphan or — the hazard — a CONCURRENT
+                # writer's fully-assembled snapshot/sidecar in the gap
+                # between assembly and its commit() claim; only age can
+                # tell them apart, so un-manifested dirs get the same 2h
+                # grace as stage_* dirs.  Dirs referenced by a DROPPED
+                # manifest were committed history and reclaim instantly.
+                if name not in referenced and (
+                    now - os.path.getmtime(path) <= 7200.0
+                ):
+                    continue
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(name)
             elif name.startswith("stage_") or name.startswith(
@@ -470,6 +487,22 @@ def purge_logged(
 #: values, and (value x file) big-int AND operations (~1-2 s at the cap)
 _BLOOM_PROBE_VALUE_CAP = 10_000
 _BLOOM_PROBE_PAIR_CAP = 2_000_000
+
+
+def _bloom_probe_type_safe(df: DataFrame, col: str) -> bool:
+    """True when Python's str(value) is guaranteed to equal Spark's
+    CAST(col AS STRING) — the parity the bloom probe positions depend
+    on.  Only integral and string types qualify; timestamps (Python
+    microsecond suffix), floats (scientific-notation thresholds), and
+    decimals (scale rendering) all diverge, and a diverged probe does
+    not degrade gracefully — it reports the true file as a
+    NON-candidate, so a DV probe would silently strand the old row.
+    Unsafe types simply skip pruning (full scan = always correct)."""
+    try:
+        dt = df.schema[col].dataType
+    except KeyError:
+        return False
+    return dt.typeName() in {"byte", "short", "integer", "long", "string"}
 
 
 def _bloom_candidates(
@@ -601,7 +634,7 @@ def purge_dv(
             raise FileNotFoundError(f"no commits in {table.log_dir}")
         base = os.path.join(table.table_dir, m["data_dir"])
         scan, probe_files = spark.read.parquet(base), None
-        if point is not None:
+        if point is not None and _bloom_probe_type_safe(scan, point[0]):
             cand = _bloom_candidates(m, point[0], [point[1]])
             if cand is not None:
                 keep, total = cand
@@ -740,9 +773,15 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
         # same column sets the prior manifest carried — the linked
         # files' entries are recomputed too (their min/max are unchanged
         # but their snapshot-relative paths now live under new_rel).
-        prior = m["files"][0]
-        stats_cols = sorted(prior.get("min", {}))
-        bloom_cols = sorted(prior.get("bloom", {}))
+        # union over ALL files, not files[0]: a first-sorted file whose
+        # bloom dict is empty (e.g. all-NULL keys) would otherwise drop
+        # the whole table's bloom coverage at materialization
+        stats_cols = sorted(
+            {c for f in m["files"] for c in f.get("min", {})}
+        )
+        bloom_cols = sorted(
+            {c for f in m["files"] for c in f.get("bloom", {})}
+        )
         files, temporal = _file_stats(spark, new_abs, stats_cols)
         if bloom_cols:
             blooms = _file_blooms(spark, new_abs, bloom_cols)
@@ -959,8 +998,10 @@ def upsert_dv(
             # ~2M (key x file) big-int AND ops (~1-2 s); a batch past
             # the cap touches most files anyway, so it full-scans.
             probe, probe_files = snap, None
-            if m.get("files") and any(
-                f.get("bloom", {}).get(key) for f in m["files"]
+            if (
+                m.get("files")
+                and _bloom_probe_type_safe(snap, key)
+                and any(f.get("bloom", {}).get(key) for f in m["files"])
             ):
                 key_rows = (
                     updates.select(key)
@@ -1138,7 +1179,12 @@ def _linked_superset_changes(
         )
 
     new_dv = None
-    if m_to.get("dv_dir"):
+    if m_to.get("dv_dir") and m_to["dv_dir"] != m_from.get("dv_dir"):
+        # same dv_dir string = same immutable sidecar (append commits
+        # carry the reference verbatim): the window's DV delta is
+        # provably empty, so skip the whole deletes branch — without
+        # this, a pure-append window would semi-join the ENTIRE from-
+        # snapshot against an empty broadcast just to find nothing
         new_dv = spark.read.parquet(
             os.path.join(table.table_dir, m_to["dv_dir"])
         )
@@ -1541,6 +1587,10 @@ def _file_blooms(
                     F.array(*[F.expr(p) for p in pos_exprs])
                 ).alias("_pos"),
             )
+            # NULL keys probe to NULL positions (MD5(CONCAT(..., NULL))
+            # is NULL) and would crash the driver-side word indexing; a
+            # NULL key can never match an equi-probe, so it needs no bits
+            .filter(F.col("_pos").isNotNull())
             .groupBy(
                 "_fp", (F.col("_pos") / 64).cast("long").alias("_word")
             )
@@ -1575,41 +1625,11 @@ def read_point_pruned(
     intervals cannot prune a hash-distributed file set; membership blooms
     can).  False positives only cost an extra file scan; the caller's
     exact row predicate keeps the answer precise.  Falls back to the full
-    snapshot when blooms are absent."""
-    m = table.latest() if version is None else table.manifest(version)
-    if m is None:
-        raise FileNotFoundError(f"no commits in {table.log_dir}")
-    base = os.path.join(table.table_dir, m["data_dir"])
-    files = m.get("files")
-    if not files or not any(f.get("bloom", {}).get(col) for f in files):
-        return table._apply_dv(spark, spark.read.parquet(base), m)
-    pos = _fbloom_positions(value)
-    keep = []
-    for f in files:
-        hexmap = f.get("bloom", {}).get(col)
-        if hexmap is None:
-            keep.append(f["path"])  # no bloom for this file: cannot skip
-            continue
-        ok = True
-        for p in pos:
-            w = int(hexmap[(p // 64) * 16 : (p // 64) * 16 + 16], 16)
-            if not (w >> (p % 64)) & 1:
-                ok = False
-                break
-        if ok:
-            keep.append(f["path"])
-    if not keep:
-        return spark.read.parquet(base).filter("1 = 0")
-    # merge-on-read: subtract any deletion vector — a point lookup is
-    # exactly where a purged row resurfacing would be worst (the purged
-    # user IS the probe value in the compliance scenario)
-    return table._apply_dv(
-        spark,
-        spark.read.option("basePath", base).parquet(
-            *[os.path.join(base, p) for p in keep]
-        ),
-        m,
-    )
+    snapshot when blooms are absent or the column's type lacks the
+    str()/CAST-AS-STRING parity the probe depends on (a diverged probe
+    would silently MISS the true file).  Delegates to the shared
+    single-decoder :func:`read_points_pruned` with a one-value set."""
+    return read_points_pruned(spark, table, col, [value], version=version)
 
 
 def read_points_pruned(
@@ -1630,9 +1650,12 @@ def read_points_pruned(
     if m is None:
         raise FileNotFoundError(f"no commits in {table.log_dir}")
     base = os.path.join(table.table_dir, m["data_dir"])
+    full = spark.read.parquet(base)
+    if not _bloom_probe_type_safe(full, col):
+        return table._apply_dv(spark, full, m)
     cand = _bloom_candidates(m, col, values)
     if cand is None:
-        return table._apply_dv(spark, spark.read.parquet(base), m)
+        return table._apply_dv(spark, full, m)
     keep, total = cand
     if not keep:
         return spark.read.parquet(base).filter("1 = 0")
@@ -1866,21 +1889,8 @@ def export_delta_log(
     for v in missing:
         m = table.manifest(v)
         if m.get("dv_dir"):
-            if v == 1:
-                # A first commit can never carry a DV through the
-                # supported purge_dv/upsert_dv paths (both require an
-                # existing snapshot), but commit(data_dir=..., meta=...)
-                # is public: exporting such a manifest as the no-op
-                # branch would emit Delta version 0 as a
-                # commitInfo-only file with no protocol/metaData — an
-                # invalid Delta log off-the-shelf readers reject with
-                # an opaque error.  Refuse descriptively instead.
-                raise ValueError(
-                    "version 1 carries a deletion vector (dv_dir); a "
-                    "first commit cannot be merge-on-read state, and "
-                    "Delta version 0 must carry protocol/metaData — "
-                    "rebuild the table through purge_dv/upsert_dv"
-                )
+            # (a v==1 DV manifest cannot reach here: the up-front gate
+            # raised before any file was written — missing ⊆ versions)
             # A HISTORICAL DV manifest (the up-front gate guarantees a
             # later commit — compact_dv / purge_logged / compaction —
             # already materialized it) exports as a marked no-op

@@ -674,7 +674,16 @@ def upsert_latest_dv(
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
         spark = batch.sparkSession
-        out = latest_per_user(batch)
+        # persist: the per-user window result feeds the emptiness probe,
+        # the touched-keys collect, the broadcast build, and the eff
+        # union — without it the window shuffle re-runs for each
+        out = latest_per_user(batch).persist()
+        try:
+            _apply_inner(spark, out)
+        finally:
+            out.unpersist()
+
+    def _apply_inner(spark, out: DataFrame) -> None:
         if not out.take(1):
             return  # empty micro-batch: no commit, no empty-file litter
         if table.latest() is None:

@@ -50,11 +50,25 @@ def test_lazy_reader_survives_compaction_and_sees_old_snapshot(spark, tmp_path):
 
 
 def test_crash_orphan_snapshot_is_invisible_and_vacuumed(spark, tmp_path):
+    import time as _time
+
     t = _mk(spark, tmp_path)
     # simulate a crash between snapshot write and manifest append
     orphan = os.path.join(t.table_dir, "v_deadbeefcafe")
     spark.range(5).write.parquet(orphan)
     assert t.read(spark).count() == 100  # readers never see the orphan
+    # a YOUNG un-manifested dir is indistinguishable from a concurrent
+    # writer's assembled-but-not-yet-committed snapshot (round-12: the
+    # streaming sink vacuums after every micro-batch, so two writers hit
+    # this window constantly) — it must get the same 2h grace as stage_
+    # dirs, then reclaim
+    removed = t.vacuum(keep=1)
+    assert "v_deadbeefcafe" not in removed and os.path.isdir(orphan), (
+        "a fresh un-manifested dir was swept — a concurrent writer's "
+        "in-flight snapshot would be destroyed pre-commit"
+    )
+    past = _time.time() - 7300
+    os.utime(orphan, (past, past))
     removed = t.vacuum(keep=1)
     assert "v_deadbeefcafe" in removed
     assert not os.path.isdir(orphan)
@@ -2058,3 +2072,64 @@ def test_delta_export_refuses_manifest_without_directory(spark, tmp_path):
     _shutil.rmtree(os.path.join(t.table_dir, t.latest()["data_dir"]))
     with pytest.raises(FileNotFoundError, match="directory is missing"):
         export_delta_log(t, spark, table_id="gone-id")
+
+
+def test_bloom_tolerates_null_keys_and_gates_unsafe_types(
+    spark, tmp_path
+):
+    """Round-12 review findings: (a) NULL values in a bloom column must
+    not crash the bloom aggregate (a NULL key can never match an
+    equi-probe, so it needs no bits, and an all-NULL file is simply
+    unprunable); (b) a key type without str()/CAST-AS-STRING parity
+    (timestamp, double) must skip probe pruning entirely — a diverged
+    probe would report the TRUE file as a non-candidate and strand the
+    old row."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    # (a) NULLs in the bloom column
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id"))
+        .alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = LoggedTable(str(tmp_path / "nullbloom"))
+    t.commit(
+        lambda d: df.repartition(4).write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["v"],
+        bloom_cols=["k"],
+    )
+    m = upsert_dv(
+        spark, t,
+        spark.createDataFrame([(17, -1.0)], "k long, v double"),
+        key="k",
+    )
+    assert m["rows_matched"] == 1
+    # NULL-keyed rows survive untouched (they can never match)
+    assert t.read(spark).filter("k IS NULL").count() == 10
+
+    # (b) double-typed key: pruning must NOT engage (no probe_files in
+    # the manifest) and the merge must still be exact
+    df2 = spark.range(0, 100).select(
+        (F.col("id") * 0.5).alias("k"), F.col("id").alias("v")
+    )
+    t2 = LoggedTable(str(tmp_path / "dblkey"))
+    t2.commit(
+        lambda d: df2.repartition(4).write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["v"],
+        bloom_cols=["k"],
+    )
+    m2 = upsert_dv(
+        spark, t2,
+        spark.createDataFrame([(7.5, -1)], "k double, v long"),
+        key="k",
+    )
+    assert "probe_files_scanned" not in m2, (
+        "bloom pruning engaged on a type without str()/CAST parity"
+    )
+    assert m2["rows_matched"] == 1
+    assert t2.read(spark).filter("k = 7.5").collect()[0]["v"] == -1
