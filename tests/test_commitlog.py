@@ -1644,7 +1644,7 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
         upsert_dv,
     )
 
-    for seed in (7, 23):
+    for seed in (7, 23, 41):
         rng = random.Random(seed)
         model = {
             k: (k % 3, float(k)) for k in range(120)
@@ -1654,10 +1654,23 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
             "k long, p long, v double",
         )
         table = LoggedTable(str(tmp_path / f"chain_{seed}"))
-        table.commit(
-            lambda d: df.repartition(2).write.partitionBy("p").parquet(d),
-            op="ingest",
-        )
+        if seed == 41:
+            # bloom-bearing FLAT table: the chains compose with the
+            # bloom-pruned DV probe and landing-time bloom extension
+            table.commit(
+                lambda d: df.repartition(4, "k").write.parquet(d),
+                op="ingest",
+                spark=spark,
+                stats_cols=["v"],
+                bloom_cols=["k"],
+            )
+        else:
+            table.commit(
+                lambda d: df.repartition(2)
+                .write.partitionBy("p")
+                .parquet(d),
+                op="ingest",
+            )
         checkpoints = [dict(model)]  # model state as of version i+1
 
         def assert_matches(tag):
