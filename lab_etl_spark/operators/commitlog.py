@@ -394,7 +394,11 @@ class LoggedTable:
         now = time.time()
         referenced: set[str] = set()
         for v in vs:
-            mm = self.manifest(v)
+            try:
+                mm = self.manifest(v)
+            except FileNotFoundError:
+                continue  # concurrent vacuum unlinked it; its dirs just
+                # fall back to the 2h un-manifested grace below
             referenced.add(mm["data_dir"])
             if mm.get("dv_dir"):
                 referenced.add(mm["dv_dir"])
