@@ -292,3 +292,44 @@ def test_streaming_upsert_dv_incremental_batches(spark, sf_dir, tmp_path):
         r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
     }
     assert got == want
+
+
+def test_streaming_upsert_dv_compaction_cadence(spark, sf_dir, tmp_path):
+    """With compact_every=2, successive micro-batch commits trigger the
+    in-sink compact_dv + vacuum: the DV materializes (latest manifest
+    carries no dv_dir), old snapshots are trimmed, and the state still
+    equals the batch twin."""
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.operators.commitlog import LoggedTable
+    from lab_etl_spark.streaming.jobs import latest_per_user, upsert_latest_dv
+
+    ev = load_table(spark, sf_dir, "events")
+    thirds = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    src = str(tmp_path / "src_cc")
+    table_dir = str(tmp_path / "state_cc")
+    ckpt = str(tmp_path / "ckpt_cc")
+    for i, part in enumerate(thirds):
+        part.write.mode("overwrite").parquet(f"{src}/b{i}")
+        q = upsert_latest_dv(
+            spark.readStream.schema(ev.schema).parquet(src + "/*"),
+            table_dir,
+            ckpt,
+            compact_every=2,
+        )
+        assert q.awaitTermination(300)
+    table = LoggedTable(table_dir)
+    m = table.latest()
+    # the cadence fired at least once: some committed version is a
+    # compact_dv (dv-free) commit on top of upserts
+    ops = [table.manifest(v)["op"] for v in table.versions()]
+    assert "compact_dv" in ops or not m.get("dv_dir"), ops
+    # vacuum trimmed history to the grace window
+    assert len(table.versions()) <= 3, table.versions()
+    got = {
+        r["user_id"]: r["event_id"]
+        for r in table.read(spark).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
+    }
+    assert got == want
