@@ -62,6 +62,17 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Colu
     rank boundaries; the returned Column must be used against ``df`` or a
     distribution-compatible derivative.
     """
+    ndim = len(cols)
+    if bits * ndim > 63:
+        # Spark's shiftleft uses Java semantics (shift & 63): past 63 the
+        # shift silently WRAPS and distinct points collide on the curve;
+        # at exactly 64 the top bit would be the BIGINT sign bit and the
+        # upper half of the curve would range-partition BELOW the lower.
+        # Fail loudly instead of silently declustering.
+        raise ValueError(
+            f"z-order key needs bits*len(cols) <= 63 (got {bits}*{ndim}="
+            f"{bits * ndim}); lower bits= or drop columns"
+        )
     n_buckets = 1 << bits
     probs = [(i + 1) / n_buckets for i in range(n_buckets - 1)]
     # relativeError trades sketch size for boundary precision; 1/(4*buckets)
@@ -71,7 +82,6 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Colu
         _quantile_bucket(F.col(c), bounds)
         for c, bounds in zip(cols, all_bounds)
     ]
-    ndim = len(cols)
     parts = [
         F.shiftleft(
             F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * ndim + i
@@ -96,6 +106,11 @@ def write_zordered(
     within each file."""
     from ..sources.sink import ROW_GROUP_BYTES
 
+    if "_z" in df.columns:
+        # withColumn would silently REPLACE the user's column and drop it
+        raise ValueError(
+            "input column '_z' collides with the z-order scratch column"
+        )
     z = zorder_key(df, cols, bits)
     (
         df.withColumn("_z", z)

@@ -125,6 +125,7 @@ def footer_rowgroup_stats(
     spark: SparkSession,
     path: str,
     columns: list[str] | None = None,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Per-(file, row group, column) footer statistics as a DataFrame.
 
@@ -145,7 +146,8 @@ def footer_rowgroup_stats(
     footer driver-side); :func:`pruned_scan`, which runs an action
     anyway, raises ``KeyError`` on that case.
     """
-    files = list_part_files(path)
+    if files is None:
+        files = list_part_files(path)
     if not files:
         raise FileNotFoundError(f"no parquet part files under {path}")
     wanted = set(columns) if columns is not None else None
@@ -271,13 +273,23 @@ def prune_row_groups(
     scan.  The inputs are numeric-lane bounds (epoch micros for
     timestamps, epoch days for dates), matching ``min_num``/``max_num``.
     """
-    s = stats.filter(F.col("column") == column)
-    return s.select(
+    s = stats.filter(F.col("column") == column).select(
+        "file", "row_group", _keep_expr(lo, hi).alias("keep")
+    )
+    # never-false-negative over the full (file, row_group) universe: when
+    # stats were built with columns=None there are no placeholder rows,
+    # so a file that predates the prune column has NO row for it — its
+    # groups must surface as keep=true (no evidence == cannot skip), not
+    # silently vanish from the decision
+    universe = stats.select(
+        "file", "row_group", "rg_rows", "rg_bytes"
+    ).distinct()
+    return universe.join(s, ["file", "row_group"], "left").select(
         "file",
         "row_group",
         "rg_rows",
         "rg_bytes",
-        _keep_expr(lo, hi).alias("keep"),
+        F.coalesce("keep", F.lit(True)).alias("keep"),
     )
 
 
@@ -370,7 +382,9 @@ def pruned_scan(
     # (physical_type non-NULL on at least one row) distinguishes a
     # schema-evolved lake (some placeholder rows — keep those groups)
     # from a misspelled prune column (ALL placeholders — raise).
-    decision = footer_rowgroup_stats(spark, path, columns=[column]).select(
+    decision = footer_rowgroup_stats(
+        spark, path, columns=[column], files=files
+    ).select(
         "file",
         "row_group",
         _keep_expr(lo, hi).alias("keep"),
@@ -392,11 +406,17 @@ def pruned_scan(
         import pyarrow.parquet as pq  # executor-side import
 
         for pdf in batches:
-            for fp, g in zip(pdf["file"], pdf["row_group"]):
-                tbl = pq.ParquetFile(fp).read_row_group(int(g), cols)
-                yield tbl.to_pandas()[cols]
+            # one ParquetFile (one footer parse) per FILE, not per row
+            # group — a multi-group file would otherwise re-read its
+            # footer once per kept group
+            for fp, grp in pdf.groupby("file", sort=False):
+                pf = pq.ParquetFile(fp)
+                for g in grp["row_group"]:
+                    yield pf.read_row_group(int(g), cols).to_pandas()[cols]
 
     pairs = spark.createDataFrame(kept, "file STRING, row_group INT")
     if len(kept) > 1:
-        pairs = pairs.repartition(min(len(kept), 256))
+        # hash on file so one task holds all of a file's kept groups and
+        # the per-file footer reuse above actually engages
+        pairs = pairs.repartition(min(len(kept), 256), "file")
     return pairs.mapInPandas(kernel, out_schema)

@@ -103,9 +103,15 @@ def compact_table(
     The swap (step 3) is the local-filesystem stand-in for a metastore/
     transaction-log commit — on a real lake this final step is a Delta/
     Iceberg rewrite commit (atomic by log append); everything before it is
-    the scale-correct single-job plan either way.  Readers mid-swap see the
-    old or new listing, never a mix, only if the rename is atomic (true on
-    POSIX for same-filesystem renames).
+    the scale-correct single-job plan either way.  Each RENAME is atomic
+    (POSIX same-filesystem), but the two-rename swap is not: a reader
+    listing between them sees no table for an instant, and a crash there
+    strands the data in the ``._compact_old`` sidecar — both are why
+    ``operators/commitlog.py compact_logged`` (manifest commit, no
+    directory window) is the preferred path; this variant recovers a
+    stranded table at entry (restore ``._compact_old`` when ``path`` is
+    missing, clear stale staging/backup) so a crashed run never blocks
+    the next one.
 
     Returns ``{"files_before", "files_after", "bytes"}``.
     """
@@ -114,13 +120,22 @@ def compact_table(
 
     from pyspark.sql import functions as F
 
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # crash recovery BEFORE planning: a crash between the two commit
+    # renames leaves path missing with ._compact_old holding the sole
+    # copy — restore it first; stale staging/backup from any earlier
+    # crash is cleared so os.rename(path, old) can't fail ENOTEMPTY
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
     staged, files_before, total_bytes = compaction_plan(
         spark, path, target_bytes, partition_cols
     )
     partition_cols = partition_cols or []
 
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     writer = staged.write.mode("overwrite").option(
         "parquet.block.size", row_group_bytes
     )
@@ -180,31 +195,65 @@ def compaction_plan(
         # ceil(partition_bytes / target), computed in one metadata-weighted
         # aggregate and broadcast-joined back — a single uniform modulus
         # would spread small partitions over max-target files and re-create
-        # the fragmentation being fixed.
-        part_targets = (
+        # the fragmentation being fixed.  Per-partition bytes are the
+        # ROW-WEIGHTED share of each file (sz * rows_in_partition /
+        # rows_in_file): when partition_cols re-partition an existing
+        # layout, one file spans many partition values, and attributing
+        # its full size to every one would overshoot _n_target and
+        # fragment the rewrite — the opposite of compaction.  (For a
+        # layout already partitioned on these columns the share reduces
+        # to sz exactly.)
+        per_file = (
             df.select(
                 *partition_cols,
                 F.col("_metadata.file_path").alias("fp"),
                 F.col("_metadata.file_size").alias("sz"),
             )
             .groupBy(*partition_cols, "fp")
-            .agg(F.first("sz").alias("sz"))
+            .agg(F.first("sz").alias("sz"), F.count(F.lit(1)).alias("cnt"))
+        )
+        file_rows = per_file.groupBy("fp").agg(
+            F.sum("cnt").alias("tot")
+        )
+        part_targets = (
+            per_file.join(file_rows, "fp")
             .groupBy(*partition_cols)
             .agg(
                 F.greatest(
                     F.lit(1),
-                    F.ceil(F.sum("sz") / F.lit(float(target_bytes))),
+                    F.ceil(
+                        F.sum(F.col("sz") * F.col("cnt") / F.col("tot"))
+                        / F.lit(float(target_bytes))
+                    ),
                 ).alias("_n_target")
             )
         )
-        data_cols = df.columns
-        salt = F.abs(F.hash(*[F.col(c) for c in data_cols])) % F.col(
-            "_n_target"
+        # explicit shuffle width = total salt buckets: without it the
+        # buckets hash into spark.sql.shuffle.partitions tasks and
+        # same-partition buckets merge, overshooting the file target
+        n_total = int(
+            part_targets.agg(F.sum("_n_target")).collect()[0][0]
         )
+        data_cols = df.columns
+        # pmod, not abs(hash) % n: ANSI abs raises ARITHMETIC_OVERFLOW
+        # when the 32-bit hash lands on Int.MinValue (certain at the
+        # billions-of-rows regime this targets)
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in data_cols]), F.col("_n_target")
+        )
+        # NULL-SAFE join back: an inner equi-join on the partition
+        # columns would silently DROP every __HIVE_DEFAULT_PARTITION__
+        # (NULL-valued) row from the rewritten table
+        bp = F.broadcast(part_targets)
+        cond = None
+        for c in partition_cols:
+            term = df[c].eqNullSafe(bp[c])
+            cond = term if cond is None else (cond & term)
         staged = (
-            df.join(F.broadcast(part_targets), partition_cols)
+            df.join(bp, cond)
+            .drop(*[bp[c] for c in partition_cols])
             .withColumn("_salt", salt)
-            .repartition(*partition_cols, "_salt")
+            .repartition(max(1, n_total), *partition_cols, "_salt")
             .drop("_n_target", "_salt")
         )
     else:

@@ -109,3 +109,46 @@ def test_repo_written_lake_has_bounded_row_groups(spark, tmp_path):
     assert n_busy > 1, (
         "bounded-row-group file still scans as one non-empty split"
     )
+
+
+def test_compact_preserves_null_partition_rows(spark, tmp_path):
+    """Round-12 review: the per-partition target join must be NULL-SAFE —
+    an inner equi-join on the partition columns silently dropped every
+    __HIVE_DEFAULT_PARTITION__ row from the rewrite (data loss, flowing
+    into compact_logged too)."""
+    import os
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, None)
+        .otherwise(F.col("id") % 3)
+        .alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    path = str(tmp_path / "nullpart")
+    df.repartition(4).write.partitionBy("p").parquet(path)
+    before = _fingerprint(spark.read.parquet(path).select("k", "v"))
+    compact_table(spark, path, target_bytes=1 << 30, partition_cols=["p"])
+    after_df = spark.read.parquet(path)
+    after = _fingerprint(after_df.select("k", "v"))
+    assert after == before, "compaction changed the row multiset"
+    assert after_df.filter("p IS NULL").count() == 40, (
+        "NULL-partition rows were dropped by the target join"
+    )
+
+
+def test_compact_recovers_from_mid_swap_crash(spark, tmp_path):
+    """Round-12 review: a crash between the two swap renames leaves the
+    table stranded in ._compact_old; the next run must restore it (and a
+    stale backup must not fail the swap with ENOTEMPTY)."""
+    import os
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    path = str(tmp_path / "crash")
+    df.repartition(4).write.parquet(path)
+    # simulate the crash window: table moved aside, new dir never landed
+    os.rename(path, path + "._compact_old")
+    res = compact_table(spark, path, target_bytes=1 << 30)
+    assert res["files_before"] == 4 and res["files_after"] >= 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.isdir(path + "._compact_old")

@@ -330,3 +330,44 @@ def test_footer_stats_literal_ground_truth(spark, tmp_path):
     assert ts["max_num"] == 1609459200000001.0
     assert (got["s"]["min_str"], got["s"]["max_str"]) == ("a", "c")
     assert got["s"]["min_num"] is None
+
+
+def test_prune_row_groups_keeps_groups_of_column_less_files(
+    spark, tmp_path
+):
+    """Round-12 review: with stats built columns=None (no placeholder
+    rows), a file that predates the prune column must still surface its
+    row groups as keep=true — absence of evidence cannot skip, and
+    silently vanishing from the decision drops the file from any scan
+    driven by the keep set."""
+    from lab_etl_spark.sources.footer import (
+        footer_rowgroup_stats,
+        prune_row_groups,
+    )
+
+    old = spark.range(0, 50).select(F.col("id").alias("k"))
+    new = spark.range(50, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    )
+    path = str(tmp_path / "evolved")
+    old.coalesce(1).write.parquet(path)
+    new.coalesce(1).write.mode("append").parquet(path)
+    stats = footer_rowgroup_stats(spark, path)  # columns=None
+    dec = prune_row_groups(stats, "x", 0.0, 10.0).collect()
+    n_groups = (
+        stats.select("file", "row_group").distinct().count()
+    )
+    assert len(dec) == n_groups, (
+        "groups of the x-less file vanished from the decision"
+    )
+    kept_files = {r["file"] for r in dec if r["keep"]}
+    xless = {
+        r["file"]
+        for r in stats.groupby("file")
+        .agg(F.collect_set("column").alias("cols"))
+        .collect()
+        if "x" not in r["cols"]
+    }
+    assert xless and xless <= kept_files, (
+        "the column-less file's groups must be conservatively kept"
+    )

@@ -64,3 +64,21 @@ def test_zorder_key_is_deterministic_and_bounded(spark, sf_dir):
     # deterministic across evaluations
     h = lambda: z1.agg(F.sum(F.col("z").cast("decimal(38,0)"))).collect()[0][0]
     assert h() == h()
+
+
+def test_zorder_rejects_bit_overflow_and_column_collision(spark):
+    """Round-12 review: bits*len(cols) > 63 silently wraps Java shift
+    amounts (distinct points collide on the curve) — refuse loudly; and
+    a user column named _z must not be clobbered by the scratch key."""
+    import pytest
+
+    from lab_etl_spark.operators.zorder import write_zordered, zorder_key
+
+    df = spark.range(100).select(
+        *[(F.col("id") % (7 + i)).alias(f"c{i}") for i in range(9)]
+    )
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(df, [f"c{i}" for i in range(9)], bits=8)
+    clash = df.withColumn("_z", F.lit(1))
+    with pytest.raises(ValueError, match="_z"):
+        write_zordered(clash, "/tmp/never_written", ["c0", "c1"])
