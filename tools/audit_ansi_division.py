@@ -53,6 +53,10 @@ SQL_CALL_NAMES = {"selectExpr", "expr", "sql"}
 #: +SMOOTH (denominator is x + positive constant), FORMAT-CONST (a {x}
 #: placeholder always filled with a non-zero compile-time constant).
 ALLOWLIST: dict[tuple[str, str], str] = {
+    ("lab_etl_spark/sources/sink.py", 'F.col("tot")'):
+        "POSITIVE-SUM: tot = SUM(cnt) over the file's (partition, file) "
+        "groups, each cnt a COUNT(*) of >= 1 rows (a group exists only "
+        "because rows do), so tot >= 1 for every joined row",
     ("lab_etl_spark/multimodal/columns.py", "union"):
         "SET-SIZE: n_a/n_b are fingerprint-set sizes from grouped rows "
         "(a doc with no fingerprints has no row), so the union >= 1",
