@@ -386,7 +386,11 @@ class LoggedTable:
         keep = max(keep, 1)
         live: set[str] = set()
         for v in vs[-keep:]:
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # concurrent vacuum with a smaller keep
+                # unlinked it between versions() and here
             live.add(m["data_dir"])
             if m.get("dv_dir"):
                 live.add(m["dv_dir"])
@@ -469,12 +473,18 @@ def purge_logged(
     if m0 is None:
         raise FileNotFoundError(f"no commits in {table.log_dir}")
     df = table.read(spark, version=m0["version"])
+    # SQL DELETE semantics: drop only rows where the predicate is TRUE —
+    # a NULL evaluation (e.g. a NULL key under an equality predicate)
+    # must SURVIVE, matching purge_dv and every engine's DELETE; a bare
+    # where(~predicate) would silently drop NULL rows too (three-valued
+    # logic: NOT NULL is NULL, and where() keeps only TRUE)
+    keep = ~F.coalesce(predicate, F.lit(False))
     counts = df.groupBy().agg(
         F.count(F.lit(1)).alias("total"),
         F.count(F.when(predicate, 1)).alias("purged"),
     ).collect()[0]
     m = table.commit(
-        lambda d: df.where(~predicate).write.parquet(d),
+        lambda d: df.where(keep).write.parquet(d),
         op="purge",
         meta={
             "rows_before": counts["total"],
@@ -716,9 +726,17 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
         return m  # nothing to materialize
     base = os.path.join(table.table_dir, m["data_dir"])
     dv = spark.read.parquet(os.path.join(table.table_dir, dv_rel))
+    from urllib.parse import unquote
+
     affected = {
-        r["file"] for r in dv.select("file").distinct().collect()
-    }  # one snapshot-relative path per affected FILE — manifest-sized
+        unquote(r["file"])
+        for r in dv.select("file").distinct().collect()
+    }  # one snapshot-relative path per affected FILE — manifest-sized.
+    # unquote: DV keys come from the _metadata.file_path URI (a space in
+    # a partition value arrives as %20), while the walk below compares
+    # RAW filesystem paths — without decoding, the affected file would be
+    # hardlinked as "untouched" and the purged rows RESURRECTED (or the
+    # rewrite would crash PATH_NOT_FOUND joining the encoded rel)
     new_rel = f"v_{uuid.uuid4().hex[:12]}"
     new_abs = os.path.join(table.table_dir, new_rel)
     os.makedirs(new_abs)
@@ -1311,6 +1329,11 @@ def table_changes(
             # DVs accumulate (purge_dv unions), so to-minus-from is the
             # positions deleted in (v_from, v_to]
             dv_to = dv_to.join(dv_from, ["file", "pos"], "left_anti")
+        if int(m_to.get("dv_rows", 0)) <= _DV_BROADCAST_ROWS:
+            # same bound as _apply_dv: past it, forcing the hint would
+            # build a multi-GB hash relation on every executor — let
+            # size-based planning pick the join (compact_dv territory)
+            dv_to = F.broadcast(dv_to)
         scan = spark.read.parquet(base).withColumns(
             {
                 "_dv_file": _dv_file_expr(m_to["data_dir"]),
@@ -1318,7 +1341,7 @@ def table_changes(
             }
         )
         deleted = scan.join(
-            F.broadcast(dv_to),
+            dv_to,
             (scan["_dv_file"] == dv_to["file"])
             & (scan["_dv_pos"] == dv_to["pos"]),
             "left_semi",
@@ -1386,12 +1409,25 @@ def compact_logged(
             w = w.partitionBy(*partition_cols)
         w.parquet(d)
 
+    # inherit skipping metadata by default: a maintenance rewrite must
+    # not silently drop a stats/bloom-bearing table's read_pruned /
+    # point-probe coverage (the same invariant compact_dv enforces) —
+    # explicit stats_cols still override, and a table that never carried
+    # stats stays stats-free
+    if stats_cols is None and m0.get("files"):
+        stats_cols = sorted(
+            {c for f in m0["files"] for c in f.get("min", {})}
+        ) or None
+    bloom_cols = sorted(
+        {c for f in m0.get("files", []) for c in f.get("bloom", {})}
+    ) or None
     m = table.commit(
         _write,
         op="compact",
         meta={"files_before": files_before, "bytes": total_bytes},
-        spark=spark if stats_cols else None,
+        spark=spark if (stats_cols or bloom_cols) else None,
         stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
         # read-modify-write: the staged plan reads m0's snapshot dir
         expect_version=m0["version"] + 1,
     )
@@ -1421,13 +1457,24 @@ def zorder_logged(
     if m0 is None:
         raise FileNotFoundError(f"no commits in {table.log_dir}")
     df = table.read(spark, version=m0["version"])
+    # z-ordering refreshes stats on the clustering columns (that is its
+    # point) UNIONED with whatever the prior manifest carried, and
+    # carries bloom coverage forward — a layout rewrite must not
+    # silently drop the table's point-probe skipping
+    prior_stats = {
+        c for f in m0.get("files", []) for c in f.get("min", {})
+    }
+    bloom_cols = sorted(
+        {c for f in m0.get("files", []) for c in f.get("bloom", {})}
+    ) or None
     m = table.commit(
         lambda d: write_zordered(
             df, d, cols, n_files=n_files, bits=bits or DEFAULT_BITS
         ),
         op="zorder",
         spark=spark,
-        stats_cols=cols,
+        stats_cols=sorted(set(cols) | prior_stats),
+        bloom_cols=bloom_cols,
         # read-modify-write: the re-clustered layout is computed from m0
         expect_version=m0["version"] + 1,
     )
@@ -1437,16 +1484,29 @@ def zorder_logged(
 
 
 def _rel_path(fp: str, snapshot_dir: str) -> str:
-    """Snapshot-relative path of a ``_metadata.file_path`` URI.
+    """Snapshot-relative FILESYSTEM path of a ``_metadata.file_path`` URI.
 
     PRESERVES partition subdirectories (``p=0/part-....parquet``) — a bare
     basename would resolve to a nonexistent path under the snapshot root
-    for partitioned layouts, breaking pruned reads."""
+    for partitioned layouts, breaking pruned reads.
+
+    PERCENT-DECODES the URI form: ``_metadata.file_path`` is a Hadoop
+    Path URI, so a partition dir like ``region=North America`` arrives
+    as ``region=North%20America`` — joining THAT onto the snapshot root
+    raises PATH_NOT_FOUND on every pruned read (measured), and any
+    encoded-vs-raw set comparison silently misclassifies the file.
+    ``unquote`` touches only %XX escapes (never '+'), so raw names that
+    happen to contain '+' or literal '%XX' written by Spark's own
+    escapePathName round-trip correctly (Spark encodes '%' itself, so
+    its escapes arrive double-encoded and decode back to one level)."""
+    from urllib.parse import unquote
+
     p = fp
     if p.startswith("file:"):
         p = p[5:]
         while p.startswith("//"):
             p = p[1:]
+    p = unquote(p)
     try:
         return os.path.relpath(p, os.path.abspath(snapshot_dir))
     except ValueError:
@@ -1820,7 +1880,13 @@ def export_delta_log(
         out = []
         for root, _dirs, names in os.walk(base):
             for n in sorted(names):
-                if n.endswith(".parquet"):
+                if n.endswith(".parquet") and not n.startswith(
+                    ("_", ".")
+                ):
+                    # same hidden/metadata filter as every other walker
+                    # in this module and Spark's own reads — exporting a
+                    # dot-file would add rows external readers see but
+                    # table.read never does
                     ap = os.path.join(root, n)
                     out.append((os.path.relpath(ap, table.table_dir), ap))
         return sorted(out)

@@ -2146,3 +2146,98 @@ def test_bloom_tolerates_null_keys_and_gates_unsafe_types(
     )
     assert m2["rows_matched"] == 1
     assert t2.read(spark).filter("k = 7.5").collect()[0]["v"] == -1
+
+
+def test_dml_over_uri_encodable_partition_values(spark, tmp_path):
+    """Round-12 third review pass: _metadata.file_path is a URI, so a
+    partition value with a space arrives as %20 while filesystem walks
+    are raw.  Before the _rel_path/compact_dv decode fix, read_pruned
+    crashed PATH_NOT_FOUND and compact_dv either crashed or RESURRECTED
+    purged rows by hardlinking the affected file as 'untouched'."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, compact_dv, purge_dv, upsert_dv,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, "North America" if i % 2 else "EU#1", float(i))
+            for i in range(40)
+        ],
+        "k long, region string, v double",
+    )
+    t = LoggedTable(str(tmp_path / "uri"))
+    t.commit(
+        lambda p: df.repartition(2).write.partitionBy("region").parquet(p),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+    )
+    purge_dv(spark, t, F.col("k") == 7)
+    assert t.read(spark).filter("k = 7").count() == 0
+    assert t.read_pruned(spark, {"k": (0, 100)}).count() == 39
+    compact_dv(spark, t)
+    assert t.read(spark).filter("k = 7").count() == 0, "resurrected"
+    assert t.read(spark).count() == 39
+    upsert_dv(
+        spark, t,
+        spark.createDataFrame(
+            [(8, "North America", -8.0)], "k long, region string, v double"
+        ),
+        key="k",
+    )
+    out = t.read(spark)
+    assert out.count() == 39
+    assert out.filter("k = 8").collect()[0]["v"] == -8.0
+
+
+def test_purge_logged_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics on the REWRITE path too: rows where the
+    predicate evaluates NULL must survive purge_logged, matching
+    purge_dv (before the fix, where(~predicate) silently dropped them
+    and rows_purged did not count the loss)."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_logged
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, None), (3, 8), (4, None)], "k long, user_id long"
+    )
+    t = LoggedTable(str(tmp_path / "pl_null"))
+    t.commit(lambda d: df.write.parquet(d), op="ingest")
+    m = purge_logged(spark, t, F.col("user_id") == 7)
+    assert m["rows_purged"] == 1
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [2, 3, 4], "NULL-key rows were dropped by the rewrite"
+
+
+def test_layout_rewrites_inherit_stats_and_blooms(spark, tmp_path):
+    """compact_logged (no explicit cols) and zorder_logged must carry a
+    stats/bloom-bearing table's skipping metadata forward instead of
+    silently committing a stats-free manifest."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, compact_logged, zorder_logged,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 40).alias("user_id"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = LoggedTable(str(tmp_path / "inherit"))
+    t.commit(
+        lambda d: df.repartition(4, "user_id").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+        bloom_cols=["user_id"],
+    )
+    m = compact_logged(spark, t, target_bytes=1 << 30)
+    assert m.get("files"), "compact_logged dropped the stats"
+    assert all(f["min"].get("k") is not None or f["rows"] == 0
+               for f in m["files"])
+    assert any(f.get("bloom", {}).get("user_id") for f in m["files"]), (
+        "compact_logged dropped the blooms"
+    )
+    m2 = zorder_logged(spark, t, ["k"], n_files=4)
+    assert any(
+        f.get("bloom", {}).get("user_id") for f in m2["files"]
+    ), "zorder_logged dropped the blooms"
+    stats_cols = {c for f in m2["files"] for c in f.get("min", {})}
+    assert {"k"} <= stats_cols
