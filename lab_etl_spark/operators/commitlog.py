@@ -56,6 +56,13 @@ from pyspark.sql import functions as F
 #: subdirectory holding the manifest log
 LOG_DIR = "_log"
 
+#: delta-manifest consolidation cadence: a DML commit records a
+#: files_delta against the prior version (bytes ∝ changed files) until
+#: the replay chain would reach this depth, then writes the full list —
+#: bounding both resolve cost (≤ this many small JSON reads) and
+#: amortized manifest bytes (full list every Nth commit).
+_MANIFEST_CHECKPOINT_EVERY = 16
+
 #: commitInfo operation marker for exported deletion-vector no-op versions
 #: (merge-on-read state: files unchanged, delete materializes at the next
 #: compaction commit) — prev_snapshot_rels walks past these on reconstruction
@@ -84,6 +91,30 @@ _W = 20
 _DV_BROADCAST_ROWS = 5_000_000
 
 
+def _manifest_schema(m: dict):
+    """The widened StructType recorded by an additive schema-evolution
+    commit (``upsert_dv``/``append_logged`` with a superset batch), or
+    None when the snapshot's footers are uniform.  Readers apply it as
+    the EXPLICIT scan schema: files written before the evolution
+    NULL-backfill the new columns per file — no mergeSchema footer
+    sweep, which at 100 TB would read every footer just to plan."""
+    s = m.get("schema")
+    if s is None:
+        return None
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(json.loads(s))
+
+
+def _snapshot_read(spark: SparkSession, m: dict):
+    """DataFrameReader for one manifest's snapshot — explicit schema
+    when the manifest records an evolved one, footer-resolved
+    otherwise."""
+    reader = spark.read
+    sch = _manifest_schema(m)
+    return reader.schema(sch) if sch is not None else reader
+
+
 def _dv_file_expr(data_rel: str):
     """Deletion-vector file key: the path RELATIVE to the snapshot dir,
     not the basename — one partitioned write job reuses the SAME
@@ -91,12 +122,18 @@ def _dv_file_expr(data_rel: str):
     uuid> under p=0/ and p=1/), so basename keying would conflate rows
     across partitions and delete innocents.  ``data_rel`` is the
     manifest's ``v_<hex>`` name — regex-inert by construction for
-    internally-generated names, and ENFORCED regex-inert for
-    caller-supplied ones by ``commit()``'s ``[A-Za-z0-9_.-]+``
-    validation; the greedy ``.*`` anchors on the LAST occurrence, so a
-    same-named segment earlier in the absolute path cannot mis-key."""
+    internally-generated names, and near-inert for caller-supplied ones
+    by ``commit()``'s ``[A-Za-z0-9_.-]+`` validation; ``.`` is the one
+    allowed character that IS a live metachar in the interpolated Java
+    pattern (a dotted name like ``v.1`` would also match ``v=1``, letting
+    the greedy ``.*`` anchor past the snapshot root and mis-key DV rows),
+    so it is escaped here.  The greedy ``.*`` then anchors on the LAST
+    occurrence, so a same-named segment earlier in the absolute path
+    cannot mis-key."""
     return F.regexp_replace(
-        F.col("_metadata.file_path"), f".*/{data_rel}/", ""
+        F.col("_metadata.file_path"),
+        ".*/{}/".format(data_rel.replace(".", "[.]")),
+        "",
     )
 
 
@@ -106,6 +143,9 @@ class LoggedTable:
     def __init__(self, table_dir: str):
         self.table_dir = table_dir
         self.log_dir = os.path.join(table_dir, LOG_DIR)
+        # version -> (files, stats_temporal, depth) memo for resolved
+        # incremental manifests (see _resolve_manifest)
+        self._files_cache: dict[int, tuple[list, list, int]] = {}
 
     # -- log primitives ----------------------------------------------------
 
@@ -125,7 +165,46 @@ class LoggedTable:
         with open(
             os.path.join(self.log_dir, f"{version:0{_W}d}.json")
         ) as f:
-            return json.load(f)
+            return self._resolve_manifest(json.load(f))
+
+    def _resolve_manifest(self, m: dict) -> dict:
+        """Resolve an INCREMENTAL manifest into the full per-file view.
+
+        A DML commit on a stats-bearing table records ``files_delta:
+        {base, add, remove}`` against the prior version instead of
+        rewriting the whole ``files`` list — manifest bytes per commit
+        scale with the CHANGED files, not the table's file count (the
+        same add/remove vocabulary ``export_delta_log`` speaks).  Every
+        manifest dict this class hands out is resolved: ``m["files"]``
+        is reconstructed by replaying the delta chain back to the
+        nearest full manifest (chain length bounded by
+        ``_MANIFEST_CHECKPOINT_EVERY`` — writers consolidate past it),
+        memoized per instance, and ``m["_files_depth"]`` records the
+        chain position so writers know when to checkpoint.  Inherited
+        entries stay valid verbatim across linked snapshots because
+        file paths are snapshot-RELATIVE and assembly preserves them."""
+        d = m.get("files_delta")
+        if d is None:
+            m["_files_depth"] = 0
+            return m
+        v = m["version"]
+        cached = self._files_cache.get(v)
+        if cached is None:
+            base = self.manifest(d["base"])
+            removed = set(d.get("remove", []))
+            files = [
+                f
+                for f in base.get("files", [])
+                if f["path"] not in removed
+            ] + list(d.get("add", []))
+            temporal = sorted(
+                set(base.get("stats_temporal", []))
+                | set(m.get("stats_temporal", []))
+            )
+            cached = (files, temporal, base.get("_files_depth", 0) + 1)
+            self._files_cache[v] = cached
+        m["files"], m["stats_temporal"], m["_files_depth"] = cached
+        return m
 
     def latest(self) -> dict | None:
         vs = self.versions()
@@ -152,7 +231,7 @@ class LoggedTable:
                 raise FileNotFoundError(f"no commits in {self.log_dir}")
         else:
             m = self.manifest(version)
-        df = spark.read.parquet(
+        df = _snapshot_read(spark, m).parquet(
             os.path.join(self.table_dir, m["data_dir"])
         )
         return self._apply_dv(spark, df, m)
@@ -229,7 +308,9 @@ class LoggedTable:
         files = m.get("files")
         base = os.path.join(self.table_dir, m["data_dir"])
         if not files:
-            return self._apply_dv(spark, spark.read.parquet(base), m)
+            return self._apply_dv(
+                spark, _snapshot_read(spark, m).parquet(base), m
+            )
         # manifests written since stats were typed carry the list of
         # temporal stats columns; older manifests (None) fall back to
         # ISO-sniffing every string, the legacy behavior
@@ -254,11 +335,13 @@ class LoggedTable:
                 keep.append(os.path.join(base, f["path"]))
         if not keep:
             # schema-stable empty frame: footer-only scan of the snapshot
-            return spark.read.parquet(base).filter("1 = 0")
+            return _snapshot_read(spark, m).parquet(base).filter("1 = 0")
         # basePath keeps partition-directory columns (p=0/...) visible
         # when scanning an explicit file subset
         return self._apply_dv(
-            spark, spark.read.option("basePath", base).parquet(*keep), m
+            spark,
+            _snapshot_read(spark, m).option("basePath", base).parquet(*keep),
+            m,
         )
 
     def commit(
@@ -368,7 +451,9 @@ class LoggedTable:
             try:
                 os.link(tmp, final)  # atomic claim; EEXIST => lost the race
                 os.unlink(tmp)
-                return m
+                # hand back the RESOLVED view (files_delta replayed into
+                # files) so callers see the same shape manifest() returns
+                return self._resolve_manifest(m)
             except FileExistsError:
                 os.unlink(tmp)  # another committer won this version: retry
 
@@ -443,11 +528,44 @@ class LoggedTable:
                         removed.append(name)
                 except OSError:
                     pass
-        for v in vs[:-keep] if len(vs) > keep else []:
+        if len(vs) > keep:
+            # CONSOLIDATE before unlinking: the oldest KEPT manifest may
+            # be an incremental delta whose replay chain runs through
+            # the manifests about to be dropped.  Delta bases are always
+            # version-1 (expect_version pins DML commits contiguous), so
+            # rewriting just vs[-keep] with its resolved full files list
+            # makes every kept chain self-contained.  os.replace is
+            # atomic; a reader sees either the delta (chain still
+            # intact — this runs BEFORE the unlinks) or the identical
+            # resolved view.
+            v0 = vs[-keep]
+            p0 = os.path.join(self.log_dir, f"{v0:0{_W}d}.json")
             try:
-                os.unlink(os.path.join(self.log_dir, f"{v:0{_W}d}.json"))
-            except OSError:
-                pass
+                with open(p0) as f:
+                    raw = json.load(f)
+            except (OSError, ValueError):
+                raw = None
+            if raw is not None and "files_delta" in raw:
+                resolved = self._resolve_manifest(dict(raw))
+                raw["files"] = resolved["files"]
+                raw["stats_temporal"] = resolved.get("stats_temporal", [])
+                raw.pop("files_delta", None)
+                tmp = p0 + f".tmp{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(raw, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, p0)
+                # the consolidated version's depth changed: drop memos
+                # so later resolves re-anchor on the new checkpoint
+                self._files_cache.clear()
+            for v in vs[:-keep]:
+                try:
+                    os.unlink(
+                        os.path.join(self.log_dir, f"{v:0{_W}d}.json")
+                    )
+                except OSError:
+                    pass
         return removed
 
 
@@ -606,7 +724,7 @@ def _write_dv(
 def purge_dv(
     spark: SparkSession,
     table: LoggedTable,
-    predicate,
+    predicate=None,
     point: tuple | None = None,
 ) -> dict:
     """Row-level delete WITHOUT rewriting the table: a deletion-vector
@@ -641,13 +759,28 @@ def purge_dv(
     the probe scans only candidate files instead of the whole table
     (:func:`_bloom_candidates` — no false negatives; the predicate
     still applies exactly, so bloom false positives only cost an extra
-    file scan).  The manifest records probe_files_scanned/total."""
+    file scan).  The manifest records probe_files_scanned/total.
+
+    Because the bloom prune only covers files that may contain
+    ``col == value``, a caller ``predicate`` broader than the point
+    would silently strand rows outside the candidate set.  The
+    effective predicate is therefore CONFINED to the point by
+    construction: ``col == value`` when ``predicate`` is omitted, else
+    ``(col == value) AND predicate`` — a broader predicate narrows to
+    its point-scoped subset rather than silently missing rows."""
+    if predicate is None and point is None:
+        raise ValueError("purge_dv needs a predicate, a point, or both")
+    if point is not None:
+        point_pred = F.col(point[0]) == F.lit(point[1])
+        predicate = (
+            point_pred if predicate is None else point_pred & predicate
+        )
     for _attempt in range(5):
         m = table.latest()
         if m is None:
             raise FileNotFoundError(f"no commits in {table.log_dir}")
         base = os.path.join(table.table_dir, m["data_dir"])
-        scan, probe_files = spark.read.parquet(base), None
+        scan, probe_files = _snapshot_read(spark, m).parquet(base), None
         if point is not None and _bloom_probe_type_safe(scan, point[0]):
             cand = _bloom_candidates(m, point[0], [point[1]])
             if cand is not None:
@@ -656,9 +789,9 @@ def purge_dv(
                 if not keep:
                     scan = scan.filter("1 = 0")
                 elif len(keep) < total:
-                    scan = spark.read.option("basePath", base).parquet(
-                        *[os.path.join(base, p) for p in keep]
-                    )
+                    scan = _snapshot_read(spark, m).option(
+                        "basePath", base
+                    ).parquet(*[os.path.join(base, p) for p in keep])
         matches = scan.filter(predicate).select(
             _dv_file_expr(m["data_dir"]).alias("file"),
             F.col("_metadata.row_index").alias("pos"),
@@ -682,10 +815,20 @@ def purge_dv(
         # inherit the snapshot's per-file skipping stats/blooms: the data
         # files are unchanged, so their min/max remain (conservative)
         # bounds — read_pruned keeps skipping files under merge-on-read
-        # instead of degrading to a full scan after every purge
-        for k in ("files", "stats_temporal"):
-            if k in m:
-                meta[k] = m[k]
+        # instead of degrading to a full scan after every purge.  The
+        # inheritance is an EMPTY delta (same files, same snapshot dir)
+        # until the checkpoint cadence, so a purge's manifest bytes are
+        # O(1), not O(table file count)
+        if "files" in m:
+            if m.get("_files_depth", 0) + 1 < _MANIFEST_CHECKPOINT_EVERY:
+                meta["files_delta"] = {
+                    "base": m["version"], "add": [], "remove": [],
+                }
+            else:
+                meta["files"] = m["files"]
+            meta["stats_temporal"] = m.get("stats_temporal", [])
+        if m.get("schema"):
+            meta["schema"] = m["schema"]
         try:
             # read-modify-write: the DV was UNIONED with version
             # m.version's DV over m.version's files — landing on any
@@ -763,7 +906,7 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
     for rel in sorted(affected):
         by_dir.setdefault(os.path.dirname(rel), []).append(rel)
     for d, rels in sorted(by_dir.items()):
-        src = spark.read.option("basePath", base).parquet(
+        src = _snapshot_read(spark, m).option("basePath", base).parquet(
             *[os.path.join(base, r) for r in rels]
         )
         kept = table._apply_dv(spark, src, m)
@@ -787,6 +930,10 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
     rewrite = sorted(affected)
     meta: dict = {"files_rewritten": len(rewrite), "files_linked": linked}
+    if m.get("schema"):
+        # linked (un-rewritten) files may predate an additive evolution;
+        # the widened schema must keep resolving for them
+        meta["schema"] = m["schema"]
     if m.get("files"):
         # A stats-bearing table must not silently lose read_pruned /
         # read_point_pruned skipping across materialization (results
@@ -846,17 +993,28 @@ def _snapshot_layout(base: str) -> tuple[list[str], list[str]]:
 
 def _gate_batch_schema(
     snap: DataFrame, batch: DataFrame, part_cols: list[str], data_rel: str
-) -> None:
-    """Refuse a batch whose schema diverges from the snapshot BEFORE any
-    write: Spark's default parquet read resolves the table schema from
-    ONE footer, so a divergent batch would not error — it would silently
+) -> list:
+    """Gate a DML batch's schema against the snapshot BEFORE any write.
+
+    Spark's default parquet read resolves the table schema from ONE
+    footer, so a divergent batch would not error — it would silently
     drop its extra columns and read its missing ones as NULL for every
-    landed row (measured).  Exact name->type equality (order and
-    nullability aside), relaxed ONLY for integral-family pairs on
-    PARTITION columns: discovery re-infers "p=1" as int whatever
-    integral width wrote it, and every integral stringifies to the same
-    path segment, so the round-trip is lossless there and nowhere
-    else."""
+    landed row (measured).  Two outcomes:
+
+    * **divergent** (a snapshot column missing from the batch, or a
+      type mismatch): refuse with a descriptive ValueError.  Name->type
+      equality is nullability-erased recursively, relaxed ONLY for
+      integral-family pairs on PARTITION columns: discovery re-infers
+      "p=1" as int whatever integral width wrote it, and every integral
+      stringifies to the same path segment, so the round-trip is
+      lossless there and nowhere else.
+    * **additive** (batch = superset: every snapshot column present and
+      type-equal, plus NEW columns): ACCEPT and return the added
+      StructFields — the caller records the widened schema in the
+      manifest so readers resolve it explicitly (old files NULL-backfill
+      the new columns per file, no footer merge at scan time).
+
+    Returns ``[]`` for an exactly-matching batch."""
     want = {f.name: f.dataType for f in snap.schema.fields}
     got = {f.name: f.dataType for f in batch.schema.fields}
     integral = {"byte", "short", "integer", "long"}
@@ -864,7 +1022,10 @@ def _gate_batch_schema(
     def _ok(c: str) -> bool:
         if c not in want or c not in got:
             return False
-        if want[c] == got[c]:
+        # simpleString erases nullability RECURSIVELY — DataType equality
+        # would reject a batch differing only in a struct/array/map
+        # element's nullability, breaking the "nullability aside" promise
+        if want[c].simpleString() == got[c].simpleString():
             return True
         return (
             c in part_cols
@@ -872,16 +1033,38 @@ def _gate_batch_schema(
             and got[c].typeName() in integral
         )
 
-    if set(want) != set(got) or not all(_ok(c) for c in want):
+    if set(want) - set(got) or not all(_ok(c) for c in want):
         raise ValueError(
             f"batch schema diverges from snapshot {data_rel}: missing "
-            f"{sorted(set(want) - set(got))}, unexpected "
-            f"{sorted(set(got) - set(want))}, type-mismatched "
+            f"{sorted(set(want) - set(got))}, type-mismatched "
             f"{sorted(c for c in set(want) & set(got) if not _ok(c))}"
             f" — a divergent batch would silently read back as "
             f"NULLs/dropped columns; align the batch (or evolve the "
             f"schema through a rewrite commit) first"
         )
+    from pyspark.sql import types as T
+
+    return [
+        T.StructField(f.name, f.dataType, True)  # NULL-backfilled on read
+        for f in batch.schema.fields
+        if f.name not in want
+    ]
+
+
+def _record_schema(meta: dict, m: dict, snap: DataFrame, added) -> None:
+    """Carry the table's read schema through a DML commit: when the gate
+    reported ADDED columns, record the widened StructType (snapshot
+    schema + new nullable fields) so every reader resolves it
+    explicitly; otherwise inherit any previously recorded evolution
+    verbatim."""
+    if added:
+        from pyspark.sql import types as T
+
+        meta["schema"] = T.StructType(
+            list(snap.schema.fields) + list(added)
+        ).json()
+    elif m.get("schema"):
+        meta["schema"] = m["schema"]
 
 
 def _assemble_linked_snapshot(
@@ -933,7 +1116,18 @@ def _assemble_linked_snapshot(
             blooms = _file_blooms(spark, tmp, bloom_cols)
             for f in new_files:
                 f["bloom"] = blooms.get(f["path"], {})
-        patch["files"] = m["files"] + new_files
+        # incremental manifest: record only the batch's files as a delta
+        # against the prior version (manifest bytes ∝ batch, not table
+        # file count); consolidate to a full list at the checkpoint
+        # cadence so resolve chains stay bounded
+        if m.get("_files_depth", 0) + 1 < _MANIFEST_CHECKPOINT_EVERY:
+            patch["files_delta"] = {
+                "base": m["version"],
+                "add": new_files,
+                "remove": [],
+            }
+        else:
+            patch["files"] = m["files"] + new_files
         patch["stats_temporal"] = sorted(
             set(m.get("stats_temporal", [])) | temporal
         )
@@ -1005,9 +1199,11 @@ def upsert_dv(
             if m is None:
                 raise FileNotFoundError(f"no commits in {table.log_dir}")
             base = os.path.join(table.table_dir, m["data_dir"])
-            snap = spark.read.parquet(base)
+            snap = _snapshot_read(spark, m).parquet(base)
             snap_rels, part_cols = _snapshot_layout(base)
-            _gate_batch_schema(snap, updates, part_cols, m["data_dir"])
+            added_cols = _gate_batch_schema(
+                snap, updates, part_cols, m["data_dir"]
+            )
             # DV-probe source: when the manifest carries membership
             # blooms for the key column, skip files that cannot contain
             # ANY batch key (no false negatives: a key present in a file
@@ -1040,7 +1236,7 @@ def upsert_dv(
                     if not keep:
                         probe = snap.filter("1 = 0")
                     elif len(keep) < total:
-                        probe = spark.read.option(
+                        probe = _snapshot_read(spark, m).option(
                             "basePath", base
                         ).parquet(
                             *[os.path.join(base, p) for p in keep]
@@ -1074,6 +1270,7 @@ def upsert_dv(
                 "rows_matched": dv_rows - old_rows,
                 **patch,
             }
+            _record_schema(meta, m, snap, added_cols)
             if probe_files is not None:
                 # observability: how much of the table the bloom-pruned
                 # DV probe actually scanned (candidates, total)
@@ -1132,13 +1329,16 @@ def append_logged(
             if m is None:
                 raise FileNotFoundError(f"no commits in {table.log_dir}")
             base = os.path.join(table.table_dir, m["data_dir"])
-            snap = spark.read.parquet(base)
+            snap = _snapshot_read(spark, m).parquet(base)
             snap_rels, part_cols = _snapshot_layout(base)
-            _gate_batch_schema(snap, batch, part_cols, m["data_dir"])
+            added_cols = _gate_batch_schema(
+                snap, batch, part_cols, m["data_dir"]
+            )
             new_rel, new_abs, patch = _assemble_linked_snapshot(
                 spark, table, m, batch, snap_rels, part_cols, "append"
             )
             meta: dict = dict(patch)
+            _record_schema(meta, m, snap, added_cols)
             for k in ("dv_dir", "dv_rows"):
                 if k in m:
                     meta[k] = m[k]
@@ -1224,7 +1424,10 @@ def _linked_superset_changes(
         # deletes: new DV positions over the SHARED files — the from-
         # snapshot scan holds exactly those, and entries referencing
         # appended files simply never match it
-        scan = spark.read.parquet(base_from).withColumns(
+        # m_to's schema (the widened one, when evolution happened inside
+        # the window) reads BOTH sides: old files NULL-backfill, so the
+        # delete/insert unionByName below always aligns
+        scan = _snapshot_read(spark, m_to).parquet(base_from).withColumns(
             {
                 "_dv_file": _dv_file_expr(m_from["data_dir"]),
                 "_dv_pos": F.col("_metadata.row_index"),
@@ -1245,9 +1448,9 @@ def _linked_superset_changes(
         # inserts: the appended files' rows, minus any window-DV entry
         # already covering them (insert-then-delete nets out); basePath
         # keeps hive partition columns materialized
-        ins = spark.read.option("basePath", base_to).parquet(
-            *[os.path.join(base_to, r) for r in added]
-        )
+        ins = _snapshot_read(spark, m_to).option(
+            "basePath", base_to
+        ).parquet(*[os.path.join(base_to, r) for r in added])
         if new_dv is not None:
             ins = ins.withColumns(
                 {
@@ -1334,7 +1537,7 @@ def table_changes(
             # build a multi-GB hash relation on every executor — let
             # size-based planning pick the join (compact_dv territory)
             dv_to = F.broadcast(dv_to)
-        scan = spark.read.parquet(base).withColumns(
+        scan = _snapshot_read(spark, m_to).parquet(base).withColumns(
             {
                 "_dv_file": _dv_file_expr(m_to["data_dir"]),
                 "_dv_pos": F.col("_metadata.row_index"),
@@ -1393,8 +1596,14 @@ def compact_logged(
         m0 = table.latest()
     snap = os.path.join(table.table_dir, m0["data_dir"])
     staged, files_before, total_bytes = compaction_plan(
-        spark, snap, target_bytes, partition_cols
+        spark, snap, target_bytes, partition_cols,
+        schema=_manifest_schema(m0),
     )
+    if staged is None:
+        # row-empty snapshot: Spark writes no files for an empty frame,
+        # so a rewrite commit would publish an unreadable snapshot —
+        # keep the current (zero-row but schema-bearing) layout
+        return m0
 
     def _write(d: str) -> None:
         from ..sources.sink import ROW_GROUP_BYTES
@@ -1714,7 +1923,7 @@ def read_points_pruned(
     if m is None:
         raise FileNotFoundError(f"no commits in {table.log_dir}")
     base = os.path.join(table.table_dir, m["data_dir"])
-    full = spark.read.parquet(base)
+    full = _snapshot_read(spark, m).parquet(base)
     if not _bloom_probe_type_safe(full, col):
         return table._apply_dv(spark, full, m)
     cand = _bloom_candidates(m, col, values)
@@ -1722,12 +1931,12 @@ def read_points_pruned(
         return table._apply_dv(spark, full, m)
     keep, total = cand
     if not keep:
-        return spark.read.parquet(base).filter("1 = 0")
+        return full.filter("1 = 0")
     if len(keep) == total:
-        return table._apply_dv(spark, spark.read.parquet(base), m)
+        return table._apply_dv(spark, full, m)
     return table._apply_dv(
         spark,
-        spark.read.option("basePath", base).parquet(
+        _snapshot_read(spark, m).option("basePath", base).parquet(
             *[os.path.join(base, p) for p in keep]
         ),
         m,

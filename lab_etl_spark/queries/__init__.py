@@ -100,36 +100,29 @@ def register(
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # round 12: no r11 reds (seventh consecutive 50/50) and no
-    # changed-oracle promotions yet — the window is a pure staleness
-    # drain: the 19 r7 veterans (q_asof_join .. q_zscore_anomaly) enter
-    # via _LAST_GREEN order, then 31 of the r8 cohort (49) by staleness;
-    # the ~18 r8 spillovers wait for round 13.  Entries appended here
-    # during the round are queries whose ENGINE or ORACLE text changed
+    # round 13: no r12 reds (eighth consecutive 50/50) — the window is a
+    # pure staleness drain: the 21 r8 veterans (q_approx_distinct,
+    # q_bucketed_join, q_curation_pipeline, q_data_quality,
+    # q_delta_export, q_dynamic_partition_pruning, q_ewma_batch,
+    # q_histogram, q_incremental_agg, q_instrument_sta_mass_loss,
+    # q_interarrival, q_multimodal_decode, q_orc_roundtrip,
+    # q_partition_pruning, q_retention, q_rolling_1h, q_sessionize,
+    # q_sql_udf, q_stream_hourly_users, q_time_travel, q_user_purge)
+    # enter via _LAST_GREEN order, then the r9 cohort (49) by staleness;
+    # the r9 spillovers wait for round 14.  Entries appended here during
+    # the round are queries whose ENGINE or ORACLE text changed
     # (never-checked texts must see a driver row before the round ends).
-    # q_upsert_dv's engine text changed this round: the snapshot is now
-    # hive-partitioned by event_type and updated keys move partitions —
-    # the partitioned merge-on-read path must see a driver row.
-    "q_upsert_dv",
-    # q_version_diff's oracle AND engine changed: the CDF chain now runs
-    # purge -> upsert and diffs v1 -> v3 through the round-12 LINK fast
-    # path (deletes from the DV delta, inserts from appended files).
-    "q_version_diff",
-    # q_commitlog_roundtrip's engine text changed: the chain now lands
-    # half the table as a round-12 append_logged commit before the
-    # compaction (same oracle — the append must lose/duplicate nothing).
-    "q_commitlog_roundtrip",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
-# CORRECTNESS_r01..r11.json via tools/regen_last_green.py (hash_match
+# CORRECTNESS_r01..r12.json via tools/regen_last_green.py (hash_match
 # true, or rows-only with rows returned).  Orders the veteran fill of
 # the window: stalest first.  Queries absent from this map have never
 # been driver-checked and sort ahead of all veterans automatically.
 _LAST_GREEN = {
     "q_dedup_exact": 10, "q_dedup_ngram_jaccard": 10,
     "q_dedup_minhash_lsh": 10, "q_dedup_clusters": 10, "q_dedup_simhash": 10,
-    "q_dedup_embedding": 11, "q_instrument_peak_hrr": 8,
+    "q_dedup_embedding": 11, "q_instrument_peak_hrr": 12,
     "q_instrument_sta_mass_loss": 8, "q_filter_project": 10,
     "q_pricing_summary": 10, "q_agg_group": 10, "q_agg_distinct": 10,
     "q_approx_distinct": 8, "q_shipping_priority": 10,
@@ -144,73 +137,75 @@ _LAST_GREEN = {
     "q_similarity_topk": 10, "q_similarity_blocked": 11,
     "q_similarity_ivf": 11, "q_text_stats": 11, "q_text_quality": 11,
     "q_text_fingerprint": 11, "q_token_histogram": 11,
-    "q_text_tokens_bpe": 11, "q_text_rolling_hash": 11, "q_lang_id_ngram": 7,
+    "q_text_tokens_bpe": 11, "q_text_rolling_hash": 11, "q_lang_id_ngram": 12,
     "q_stream_tumbling": 11, "q_rollup_cube": 10, "q_stream_session": 11,
     "q_stream_sliding": 11, "q_asof_align": 11, "q_interp_linear": 11,
-    "q_interp_by_key": 11, "q_interval_join": 11, "q_zscore_anomaly": 7,
-    "q_stratified_sample": 7, "q_seq_packing": 7, "q_training_shuffle": 7,
-    "q_embedding_lsh": 7, "q_embedding_stats": 7, "q_text_repetition": 7,
-    "q_contamination": 7, "q_pii_redact": 7, "q_tfidf": 7,
-    "q_quality_filter": 7, "q_asof_join": 7, "q_funnel": 7, "q_sessionize": 8,
-    "q_retention": 8, "q_interarrival": 8, "q_stream_hourly_users": 8,
-    "q_stream_stateful_ewma": 11, "q_approx_percentile": 11,
-    "q_hierarchical_rollup": 11, "q_lake_roundtrip": 11,
-    "q_returned_items": 11, "q_promo_revenue": 11, "q_top_supplier": 11,
-    "q_large_volume_customer": 11, "q_region_market_share": 11,
-    "q_json_functions": 11, "q_doc_source_stats": 11, "q_sequence_budget": 11,
-    "q_dedup_cross_source": 7, "q_customer_order_counts": 11,
+    "q_interp_by_key": 11, "q_interval_join": 11, "q_zscore_anomaly": 12,
+    "q_stratified_sample": 12, "q_seq_packing": 12, "q_training_shuffle": 12,
+    "q_embedding_lsh": 12, "q_embedding_stats": 12, "q_text_repetition": 12,
+    "q_contamination": 12, "q_pii_redact": 12, "q_tfidf": 12,
+    "q_quality_filter": 12, "q_asof_join": 12, "q_funnel": 12,
+    "q_sessionize": 8, "q_retention": 8, "q_interarrival": 8,
+    "q_stream_hourly_users": 8, "q_stream_stateful_ewma": 11,
+    "q_approx_percentile": 11, "q_hierarchical_rollup": 11,
+    "q_lake_roundtrip": 11, "q_returned_items": 11, "q_promo_revenue": 11,
+    "q_top_supplier": 11, "q_large_volume_customer": 11,
+    "q_region_market_share": 11, "q_json_functions": 11,
+    "q_doc_source_stats": 11, "q_sequence_budget": 11,
+    "q_dedup_cross_source": 12, "q_customer_order_counts": 11,
     "q_small_qty_revenue": 11, "q_idle_customers": 11,
-    "q_nation_year_profit": 7, "q_disjunctive_join": 7,
-    "q_multimodal_decode": 8, "q_window_distribution": 7,
-    "q_zorder_skipping": 9, "q_frequent_ngrams": 7, "q_argmin_join": 8,
-    "q_exists_agg": 8, "q_sole_supplier_wait": 8, "q_global_share": 8,
-    "q_scd2_build": 8, "q_vocab_oov": 8, "q_source_mix_weights": 8,
-    "q_cdc_merge": 8, "q_pagerank": 8, "q_event_pattern": 8,
-    "q_schema_evolution": 8, "q_null_semantics": 8, "q_fuzzy_match": 8,
-    "q_doc_chunking": 8, "q_group_sample": 8, "q_robust_stats": 8,
-    "q_entity_resolution": 8, "q_hll_rollup": 10, "q_forecast_revenue": 9,
+    "q_nation_year_profit": 12, "q_disjunctive_join": 12,
+    "q_multimodal_decode": 8, "q_window_distribution": 12,
+    "q_zorder_skipping": 9, "q_frequent_ngrams": 12, "q_argmin_join": 12,
+    "q_exists_agg": 12, "q_sole_supplier_wait": 12, "q_global_share": 12,
+    "q_scd2_build": 12, "q_vocab_oov": 12, "q_source_mix_weights": 12,
+    "q_cdc_merge": 12, "q_pagerank": 12, "q_event_pattern": 12,
+    "q_schema_evolution": 12, "q_null_semantics": 12, "q_fuzzy_match": 12,
+    "q_doc_chunking": 12, "q_group_sample": 12, "q_robust_stats": 12,
+    "q_entity_resolution": 12, "q_hll_rollup": 10, "q_forecast_revenue": 9,
     "q_volume_shipping": 9, "q_shipmode_priority": 9,
     "q_parts_supplier_count": 9, "q_potential_promotion": 9,
-    "q_commitlog_roundtrip": 9, "q_heavy_hitters_cms": 8, "q_kmv_distinct": 8,
-    "q_bloom_join_prune": 8, "q_triangle_count": 8, "q_ewma_batch": 8,
-    "q_rolling_1h": 8, "q_bucketed_join": 8, "q_partition_pruning": 8,
-    "q_incremental_agg": 8, "q_linreg_trend": 10, "q_time_travel": 8,
-    "q_user_purge": 8, "q_histogram": 8, "q_data_quality": 8,
-    "q_curation_pipeline": 8, "q_stream_cms_merge": 8, "q_orc_roundtrip": 8,
-    "q_video_frames": 9, "q_sql_udf": 8, "q_scd2_lookup": 9,
-    "q_dynamic_partition_pruning": 8, "q_date_spine_fill": 8,
-    "q_rfm_segmentation": 8, "q_gini_concentration": 8,
-    "q_jsonl_roundtrip": 10, "q_corrupt_records": 10, "q_setsim_join": 9,
-    "q_dedup_passages": 9, "q_dedup_containment": 9, "q_bm25": 9,
-    "q_cooccurrence_pmi": 9, "q_bigram_novelty": 9, "q_udtf_token_offsets": 9,
-    "q_stats_pruning": 9, "q_point_lookup_bloom": 9, "q_xml_roundtrip": 9,
-    "q_kmv_intersect": 9, "q_shortest_path": 9, "q_weighted_sample": 9,
-    "q_negative_sampling": 9, "q_embedding_quantize": 9, "q_corr_matrix": 9,
-    "q_changepoint": 9, "q_attribution": 10, "q_seasonal_decompose": 10,
-    "q_anomaly_seasonal": 10, "q_stream_enrich": 10, "q_top_movers": 10,
-    "q_transition_matrix": 10, "q_market_basket": 9, "q_recursive_cte": 9,
-    "q_dtw_distance": 10, "q_phash_dedup": 9, "q_audio_fingerprint": 9,
-    "q_image_resize": 9, "q_unigram_logprob": 9, "q_feature_hashing": 9,
-    "q_kl_divergence": 9, "q_bpe_train": 9, "q_stream_dedup": 9, "q_kcore": 9,
-    "q_hll_portable": 9, "q_quantile_histogram": 9, "q_label_propagation": 9,
-    "q_lsh_recall": 9, "q_dp_counts": 9, "q_bootstrap_ci": 9,
-    "q_kanonymity": 9, "q_mutual_information": 9, "q_skyline_2d": 9,
-    "q_abtest_cuped": 9, "q_random_projection": 9, "q_kmeans_lloyd": 9,
-    "q_rrf_fusion": 11, "q_acf": 10, "q_arrow_roundtrip": 11,
-    "q_attribution_markov": 11, "q_funnel_windowed": 11,
-    "q_interval_merge": 11, "q_langid_confusion": 11, "q_ntile_binning": 11,
-    "q_webdataset_roundtrip": 11, "q_bottomk_quantile": 10, "q_semdedup": 8,
-    "q_pq_adc": 11, "q_importance_resampling": 11, "q_semdedup_kmeans": 11,
-    "q_graph_ann": 11, "q_dedup_incremental": 8, "q_delta_export": 8,
-    "q_embedding_quality": 10, "q_parquet_footer_stats": 11,
-    "q_footer_pruned_scan": 11, "q_stream_running_stats": 11,
-    "q_purge_dv": 11, "q_version_diff": 11, "q_upsert_dv": 11,
+    "q_commitlog_roundtrip": 12, "q_heavy_hitters_cms": 12,
+    "q_kmv_distinct": 12, "q_bloom_join_prune": 12, "q_triangle_count": 12,
+    "q_ewma_batch": 8, "q_rolling_1h": 8, "q_bucketed_join": 8,
+    "q_partition_pruning": 8, "q_incremental_agg": 8, "q_linreg_trend": 10,
+    "q_time_travel": 8, "q_user_purge": 8, "q_histogram": 8,
+    "q_data_quality": 8, "q_curation_pipeline": 8, "q_stream_cms_merge": 12,
+    "q_orc_roundtrip": 8, "q_video_frames": 9, "q_sql_udf": 8,
+    "q_scd2_lookup": 9, "q_dynamic_partition_pruning": 8,
+    "q_date_spine_fill": 12, "q_rfm_segmentation": 12,
+    "q_gini_concentration": 12, "q_jsonl_roundtrip": 10,
+    "q_corrupt_records": 10, "q_setsim_join": 9, "q_dedup_passages": 9,
+    "q_dedup_containment": 9, "q_bm25": 9, "q_cooccurrence_pmi": 9,
+    "q_bigram_novelty": 9, "q_udtf_token_offsets": 9, "q_stats_pruning": 9,
+    "q_point_lookup_bloom": 9, "q_xml_roundtrip": 9, "q_kmv_intersect": 9,
+    "q_shortest_path": 9, "q_weighted_sample": 9, "q_negative_sampling": 9,
+    "q_embedding_quantize": 9, "q_corr_matrix": 9, "q_changepoint": 9,
+    "q_attribution": 10, "q_seasonal_decompose": 10, "q_anomaly_seasonal": 10,
+    "q_stream_enrich": 10, "q_top_movers": 10, "q_transition_matrix": 10,
+    "q_market_basket": 9, "q_recursive_cte": 9, "q_dtw_distance": 10,
+    "q_phash_dedup": 9, "q_audio_fingerprint": 9, "q_image_resize": 9,
+    "q_unigram_logprob": 9, "q_feature_hashing": 9, "q_kl_divergence": 9,
+    "q_bpe_train": 9, "q_stream_dedup": 9, "q_kcore": 9, "q_hll_portable": 9,
+    "q_quantile_histogram": 9, "q_label_propagation": 9, "q_lsh_recall": 9,
+    "q_dp_counts": 9, "q_bootstrap_ci": 9, "q_kanonymity": 9,
+    "q_mutual_information": 9, "q_skyline_2d": 9, "q_abtest_cuped": 9,
+    "q_random_projection": 9, "q_kmeans_lloyd": 9, "q_rrf_fusion": 11,
+    "q_acf": 10, "q_arrow_roundtrip": 11, "q_attribution_markov": 11,
+    "q_funnel_windowed": 11, "q_interval_merge": 11, "q_langid_confusion": 11,
+    "q_ntile_binning": 11, "q_webdataset_roundtrip": 11,
+    "q_bottomk_quantile": 10, "q_semdedup": 12, "q_pq_adc": 11,
+    "q_importance_resampling": 11, "q_semdedup_kmeans": 11, "q_graph_ann": 11,
+    "q_dedup_incremental": 12, "q_delta_export": 8, "q_embedding_quality": 10,
+    "q_parquet_footer_stats": 11, "q_footer_pruned_scan": 11,
+    "q_stream_running_stats": 11, "q_purge_dv": 11, "q_version_diff": 12,
+    "q_upsert_dv": 12,
 }
 
-# ROUND-13 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r12
-# (tools/regen_last_green.py), front any round-12 red rows plus
+# ROUND-14 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r13
+# (tools/regen_last_green.py), front any round-13 red rows plus
 # promoted/changed oracles, then continue the staleness cycle: after
-# round 12 the oldest cohort is the ~18 r8 spillovers, then r9 (49) by
+# round 13 the oldest cohort is the r9 spillovers, then r10 by
 # staleness.  The invariant is SELF-ENFORCING:
 # tests/test_static_audits.py::test_window_staleness_invariant fails if
 # any registered query too stale to wait another round is left outside

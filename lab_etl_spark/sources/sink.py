@@ -134,6 +134,12 @@ def compact_table(
     staged, files_before, total_bytes = compaction_plan(
         spark, path, target_bytes, partition_cols
     )
+    if staged is None:  # row-empty table: rewriting would strand schema
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "bytes": total_bytes,
+        }
     partition_cols = partition_cols or []
 
     writer = staged.write.mode("overwrite").option(
@@ -165,6 +171,7 @@ def compaction_plan(
     path: str,
     target_bytes: int = 128 << 20,
     partition_cols: list[str] | None = None,
+    schema=None,
 ):
     """The compaction job MINUS the commit: returns the repartitioned
     frame (one shuffle when written), the current file count, and the
@@ -175,8 +182,9 @@ def compaction_plan(
 
     from pyspark.sql import functions as F
 
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     census = (
-        spark.read.parquet(path)
+        reader.parquet(path)
         .select(
             F.col("_metadata.file_path").alias("fp"),
             F.col("_metadata.file_size").alias("sz"),
@@ -188,7 +196,19 @@ def compaction_plan(
     files_before = len(census)
     total_bytes = sum(r["sz"] for r in census)
 
-    df = spark.read.parquet(path)
+    # `schema`: an evolved logged table's footers are MIXED — without the
+    # manifest's widened schema, one-footer resolution could silently
+    # drop post-evolution columns from the whole rewrite
+    df = reader.parquet(path)
+    # A row-EMPTY table (zero-row schema-bearing files — pyarrow/trino
+    # writers leave these; Spark's own empty writes leave nothing) must
+    # make compaction a NO-OP: Spark 4 writes no files for an empty
+    # frame, so a rewrite would swap the readable zero-row layout for an
+    # unreadable fileless directory.  isEmpty short-circuits after the
+    # first non-empty scan partition, so this probe is footer-cheap on
+    # real tables.  Callers treat staged=None as "keep current layout".
+    if df.isEmpty():
+        return None, files_before, total_bytes
     partition_cols = partition_cols or []
     if partition_cols:
         # Per-PARTITION salt modulus: each partition's target file count is
@@ -230,9 +250,18 @@ def compaction_plan(
         )
         # explicit shuffle width = total salt buckets: without it the
         # buckets hash into spark.sql.shuffle.partitions tasks and
-        # same-partition buckets merge, overshooting the file target
-        n_total = int(
-            part_targets.agg(F.sum("_n_target")).collect()[0][0]
+        # same-partition buckets merge, overshooting the file target.
+        # Collect the (tiny: one row per partition value) target table
+        # ONCE and rebuild it locally — the old agg().collect() added a
+        # second full pass over the scan chain before the join, and SUM
+        # over zero groups is NULL (an empty partitioned table must fall
+        # through, not TypeError).
+        target_rows = part_targets.collect()
+        n_total = sum(int(r["_n_target"]) for r in target_rows)
+        if n_total == 0:
+            return df.repartition(1), files_before, total_bytes
+        part_targets = df.sparkSession.createDataFrame(
+            target_rows, part_targets.schema
         )
         data_cols = df.columns
         # pmod, not abs(hash) % n: ANSI abs raises ARITHMETIC_OVERFLOW

@@ -699,15 +699,25 @@ def upsert_latest_dv(
                 bloom_cols=["user_id"],
             )
             return
-        # touched keys are batch-sized; when the table carries user_id
-        # blooms the current-row fetch reads candidate files only (the
-        # semi-join keeps it exact either way)
-        keys = [r["user_id"] for r in out.select("user_id").distinct().collect()]
-        cur = read_points_pruned(spark, table, "user_id", keys).join(
-            F.broadcast(out.select("user_id").distinct()),
-            "user_id",
-            "left_semi",
-        )
+        # touched keys are usually batch-sized; when the table carries
+        # user_id blooms the current-row fetch reads candidate files only
+        # (the semi-join keeps it exact either way).  The collect is
+        # CAPPED at the same bound as upsert_dv's own bloom probe: a
+        # batch touching more distinct keys than the cap touches most
+        # files anyway, so skip the driver-side key materialization and
+        # semi-join the full current snapshot instead — never an
+        # unbounded collect on a wide micro-batch.
+        from ..operators.commitlog import _BLOOM_PROBE_VALUE_CAP
+
+        keys_df = out.select("user_id").distinct()
+        keys_rows = keys_df.limit(_BLOOM_PROBE_VALUE_CAP + 1).collect()
+        if len(keys_rows) <= _BLOOM_PROBE_VALUE_CAP:
+            keys = [r["user_id"] for r in keys_rows]
+            cur = read_points_pruned(spark, table, "user_id", keys).join(
+                F.broadcast(keys_df), "user_id", "left_semi"
+            )
+        else:
+            cur = table.read(spark).join(keys_df, "user_id", "left_semi")
         eff = latest_per_user(cur.unionByName(out))
         upsert_dv(spark, table, eff, key="user_id")
         if compact_every and table.latest()["version"] % compact_every == 0:

@@ -333,3 +333,53 @@ def test_streaming_upsert_dv_compaction_cadence(spark, sf_dir, tmp_path):
         r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
     }
     assert got == want
+
+
+def test_streaming_upsert_dv_wide_batch_skips_keyed_fetch(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r12 #6: the touched-keys collect in upsert_latest_dv is
+    capped at _BLOOM_PROBE_VALUE_CAP.  A micro-batch touching more
+    distinct keys than the cap must SKIP the driver-side key
+    materialization (no unbounded collect) and semi-join the full
+    current snapshot instead — converging to the identical state."""
+    from lab_etl_spark import operators
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.operators.commitlog import LoggedTable
+    from lab_etl_spark.streaming.jobs import (
+        latest_per_user,
+        stream_events,
+        upsert_latest_dv,
+    )
+
+    # drop the cap far below this table's distinct-user count so the
+    # wide-batch fallback is the path under test
+    monkeypatch.setattr(
+        operators.commitlog, "_BLOOM_PROBE_VALUE_CAP", 5
+    )
+    ev = load_table(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src_wide")
+    table_dir = str(tmp_path / "state_wide")
+    ckpt = str(tmp_path / "ckpt_wide")
+    half1.write.parquet(src + "/b1")
+    q = upsert_latest_dv(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"),
+        table_dir, ckpt, compact_every=None,
+    )
+    assert q.awaitTermination(300)
+    half2.write.parquet(src + "/b2")
+    q = upsert_latest_dv(
+        spark.readStream.schema(ev.schema).parquet(src + "/*"),
+        table_dir, ckpt, compact_every=None,
+    )
+    assert q.awaitTermination(300)
+    table = LoggedTable(table_dir)
+    got = {
+        r["user_id"]: r["event_id"] for r in table.read(spark).collect()
+    }
+    want = {
+        r["user_id"]: r["event_id"] for r in latest_per_user(ev).collect()
+    }
+    assert len(want) > 5 and got == want

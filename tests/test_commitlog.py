@@ -83,7 +83,9 @@ def test_version_claim_race_retries_not_overwrites(spark, tmp_path):
     df = spark.range(10).select(F.col("id"), (F.col("id") % 7).alias("k"))
     m = t.commit(lambda d: df.write.parquet(d), op="overwrite")
     assert m["version"] == 3  # bumped past the rival, no overwrite
-    assert t.manifest(2) == rival
+    got2 = {k: v for k, v in t.manifest(2).items()
+            if not k.startswith("_")}  # _files_depth is resolve-ephemeral
+    assert got2 == rival
     assert t.latest()["version"] == 3
 
 
@@ -1240,15 +1242,6 @@ def test_upsert_dv_schema_gate(spark, tmp_path):
     with pytest.raises(ValueError, match="diverges"):
         upsert_dv(spark, table, spark.createDataFrame([(3,)], "k long"),
                   key="k")
-    # extra column
-    with pytest.raises(ValueError, match="unexpected"):
-        upsert_dv(
-            spark, table,
-            spark.createDataFrame(
-                [(3, 1, -3.0, "x")], "k long, p long, v double, extra string"
-            ),
-            key="k",
-        )
     # type mismatch
     with pytest.raises(ValueError, match="type-mismatched"):
         upsert_dv(
@@ -1256,12 +1249,23 @@ def test_upsert_dv_schema_gate(spark, tmp_path):
             spark.createDataFrame([(3, 1, -3)], "k long, p long, v long"),
             key="k",
         )
-    # no phantom commit or sidecar litter from the refused attempts
-    assert table.latest()["version"] == v1
-    assert not [
-        n for n in os.listdir(table.table_dir)
-        if n.startswith((".dv.", ".upsert.", "dv_"))
-    ]
+    # extra column is ADDITIVE EVOLUTION since r13, not divergence: the
+    # batch lands, the manifest records the widened schema, old rows
+    # NULL-backfill (full coverage in
+    # test_additive_schema_evolution_through_dml)
+    m = upsert_dv(
+        spark, table,
+        spark.createDataFrame(
+            [(3, 1, -3.0, "x")], "k long, p long, v double, extra string"
+        ),
+        key="k",
+    )
+    assert m.get("schema")
+    got = {r["k"]: r["extra"] for r in table.read(spark).collect()}
+    assert got[3] == "x" and got[4] is None
+    # exactly one commit landed (the evolution upsert) — the refused
+    # attempts left no phantom version
+    assert table.latest()["version"] == v1 + 1
 
 
 def test_upsert_dv_then_purge_then_compact_compose(spark, tmp_path):
@@ -1644,8 +1648,15 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
         upsert_dv,
     )
 
-    for seed in (7, 23, 41):
+    for seed in (7, 23, 41, 59):
         rng = random.Random(seed)
+        # seed 59: the chain crosses an ADDITIVE SCHEMA EVOLUTION at step
+        # 2 — later batches carry a new string column e, earlier rows
+        # NULL-backfill, and the CDF replay identity must hold across
+        # the widening boundary
+        evolve_at = 2 if seed == 59 else None
+        evolved = False
+        emodel: dict[int, str | None] = {}
         model = {
             k: (k % 3, float(k)) for k in range(120)
         }  # k -> (p, v)
@@ -1674,31 +1685,60 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
         checkpoints = [dict(model)]  # model state as of version i+1
 
         def assert_matches(tag):
-            got = sorted(
-                (r["k"], r["p"], r["v"])
-                for r in table.read(spark).collect()
-            )
-            want = sorted((k, p, v) for k, (p, v) in model.items())
+            cur = table.read(spark)
+            if "e" in cur.columns:
+                got = sorted(
+                    (r["k"], r["p"], r["v"], r["e"])
+                    for r in cur.collect()
+                )
+                want = sorted(
+                    (k, p, v, emodel.get(k))
+                    for k, (p, v) in model.items()
+                )
+            else:
+                got = sorted(
+                    (r["k"], r["p"], r["v"]) for r in cur.collect()
+                )
+                want = sorted((k, p, v) for k, (p, v) in model.items())
             assert got == want, f"seed {seed} {tag}: table != model"
 
         fresh_key = 10_000
         for step in range(6):
+            if evolve_at is not None and step >= evolve_at:
+                evolved = True
             op = rng.choice(
                 ["purge", "upsert", "upsert", "compact", "append"]
             )
+
+            def _mk_batch(rows):
+                if evolved:
+                    wide = [
+                        (k, p, v, rng.choice(["a", "b", None]))
+                        for (k, p, v) in rows
+                    ]
+                    return wide, spark.createDataFrame(
+                        wide, "k long, p long, v double, e string"
+                    )
+                return (
+                    [(k, p, v, None) for (k, p, v) in rows],
+                    spark.createDataFrame(
+                        rows, "k long, p long, v double"
+                    ),
+                )
+
             if op == "append":
-                batch = [
+                rows = [
                     (fresh_key + i, rng.randint(0, 4),
                      rng.uniform(-100, 100))
                     for i in range(rng.randint(1, 8))
                 ]
-                fresh_key += len(batch)
-                append_logged(
-                    spark, table,
-                    spark.createDataFrame(batch, "k long, p long, v double"),
-                )
-                for k, p, v in batch:
+                fresh_key += len(rows)
+                wide, bdf = _mk_batch(rows)
+                append_logged(spark, table, bdf)
+                for k, p, v, e in wide:
                     model[k] = (p, v)
+                    if evolved:
+                        emodel[k] = e
             elif op == "purge":
                 mod, rem = rng.choice([(7, 3), (5, 0), (11, 4)])
                 purge_dv(spark, table, F.col("k") % mod == rem)
@@ -1707,16 +1747,16 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
                 }
             elif op == "upsert":
                 keys = rng.sample(range(200), rng.randint(1, 12))
-                batch = [
+                rows = [
                     (k, rng.randint(0, 4), rng.uniform(-100, 100))
                     for k in keys
                 ]
-                upd = spark.createDataFrame(
-                    batch, "k long, p long, v double"
-                )
-                upsert_dv(spark, table, upd, key="k")
-                for k, p, v in batch:
+                wide, bdf = _mk_batch(rows)
+                upsert_dv(spark, table, bdf, key="k")
+                for k, p, v, e in wide:
                     model[k] = (p, v)
+                    if evolved:
+                        emodel[k] = e
             else:
                 compact_dv(spark, table)  # no semantic change
             checkpoints.append(dict(model))
@@ -1729,19 +1769,24 @@ def test_dml_chain_property_random_ops(spark, tmp_path):
             j = rng.randint(i + 1, n_vs)
             ch = table_changes(spark, table, i, j)
             vi = table.read(spark, version=i)
+            vj = table.read(spark, version=j)
+            # when the window crosses the evolution, the from-version
+            # lacks the widened column — NULL-backfill it, exactly what
+            # the on-disk old files do under the explicit read schema
+            for c in set(vj.columns) - set(vi.columns):
+                vi = vi.withColumn(c, F.lit(None).cast("string"))
+            cols = vj.columns
             dels = ch.filter("_change_type = 'delete'").drop(
                 "_change_type"
             )
             ins = ch.filter("_change_type = 'insert'").drop(
                 "_change_type"
             )
-            replayed = vi.exceptAll(
-                dels.select(*vi.columns)
-            ).unionByName(ins.select(*vi.columns))
+            replayed = vi.select(*cols).exceptAll(
+                dels.select(*cols)
+            ).unionByName(ins.select(*cols))
             got = sorted(map(tuple, replayed.collect()))
-            want = sorted(
-                map(tuple, table.read(spark, version=j).collect())
-            )
+            want = sorted(map(tuple, vj.select(*cols).collect()))
             assert got == want, f"seed {seed}: CDF replay {i}->{j}"
 
 
@@ -2241,3 +2286,398 @@ def test_layout_rewrites_inherit_stats_and_blooms(spark, tmp_path):
     ), "zorder_logged dropped the blooms"
     stats_cols = {c for f in m2["files"] for c in f.get("min", {})}
     assert {"k"} <= stats_cols
+
+
+def test_dotted_data_dir_cannot_mis_key_dv(spark, tmp_path):
+    """ADVICE r12 (medium): '.' is allowed in caller-supplied data_dir
+    names but is a live regex metachar in the interpolated DV file-key
+    pattern.  A snapshot named 'v.1' holding a hive partition dir 'v=1'
+    makes the unescaped pattern `.*/v.1/` anchor past the snapshot root
+    on the partition dir, keying DV rows by basename — and one write
+    task reuses the SAME part-file basename in every partition dir, so
+    purging a row in v=1 would also delete the same-position row in
+    v=0.  _dv_file_expr must escape the dot."""
+    import os as _os
+
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_dv
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("v")
+    )
+    table = LoggedTable(str(tmp_path / "dotted"))
+    # assemble the snapshot out-of-band, then publish it under the
+    # dotted name via the reuse-dir commit shape
+    snap = _os.path.join(table.table_dir, "v.1")
+    df.repartition(1).write.partitionBy("v").parquet(snap)
+    table.commit(None, op="ingest", data_dir="v.1")
+    m = purge_dv(spark, table, F.col("k") == 1)  # k=1 lives in v=1
+    assert m["rows_purged"] == 1
+    # the DV key must be snapshot-relative (contain the partition dir),
+    # not a bare basename anchored at /v=1/
+    dv = spark.read.parquet(
+        _os.path.join(table.table_dir, m["dv_dir"])
+    ).collect()
+    assert len(dv) == 1 and dv[0]["file"].startswith("v=1/"), dv
+    got = sorted(r["k"] for r in table.read(spark).collect())
+    assert got == sorted(set(range(100)) - {1}), (
+        "basename-keyed DV deleted an innocent same-position row"
+    )
+
+
+def test_purge_dv_point_confines_predicate(spark, tmp_path):
+    """ADVICE r12 (low): point=(col, value) prunes the scan to bloom
+    candidates for `value`, so a caller predicate broader than the point
+    would silently strand rows.  The effective predicate is confined to
+    the point by construction: predicate=None deletes exactly col==value;
+    a broader predicate narrows to its point-scoped subset."""
+    from lab_etl_spark.operators.commitlog import LoggedTable, purge_dv
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("user_id")
+    )
+    table = LoggedTable(str(tmp_path / "pt_confine"))
+    table.commit(
+        lambda d: df.repartition(8, "user_id").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+        bloom_cols=["user_id"],
+    )
+    # predicate omitted: the point IS the predicate
+    m = purge_dv(spark, table, point=("user_id", 7))
+    assert m["rows_purged"] == 8
+    # a broader predicate (user_id IN (7, 11)-shaped) confines to the
+    # point — user_id=11 rows survive instead of being half-deleted by
+    # the pruned scan
+    m2 = purge_dv(
+        spark,
+        table,
+        (F.col("user_id") == 7) | (F.col("user_id") == 11),
+        point=("user_id", 11),
+    )
+    assert m2["rows_purged"] == 8, m2
+    got = {r["user_id"] for r in table.read(spark).collect()}
+    assert 7 not in got and 11 not in got
+    assert got == set(range(50)) - {7, 11}
+    # neither a predicate nor a point is an error, not a full purge
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        purge_dv(spark, table)
+
+
+def test_gate_batch_schema_nested_nullability(spark, tmp_path):
+    """ADVICE r12 (low): the schema gate promises name->type equality
+    'nullability aside', but DataType equality includes NESTED-field
+    nullability — a batch differing only in a struct field's or array
+    element's nullability must pass, a genuinely divergent nested type
+    must still refuse."""
+    from pyspark.sql import types as T
+
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    nested_nonnull = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField(
+            "s",
+            T.StructType([T.StructField("a", T.LongType(), False)]),
+            False,
+        ),
+        T.StructField("arr", T.ArrayType(T.LongType(), False), False),
+    ])
+    nested_null = T.StructType([
+        T.StructField("k", T.LongType(), True),
+        T.StructField(
+            "s",
+            T.StructType([T.StructField("a", T.LongType(), True)]),
+            True,
+        ),
+        T.StructField("arr", T.ArrayType(T.LongType(), True), True),
+    ])
+    rows = [(i, (i,), [i]) for i in range(20)]
+    table = LoggedTable(str(tmp_path / "nested_gate"))
+    table.commit(
+        lambda d: spark.createDataFrame(rows, nested_nonnull)
+        .write.parquet(d),
+        op="ingest",
+    )
+    batch = spark.createDataFrame(
+        [(5, (50,), [50]), (99, (99,), [99])], nested_null
+    )
+    upsert_dv(spark, table, batch, key="k")  # must NOT refuse
+    got = {r["k"]: r["s"]["a"] for r in table.read(spark).collect()}
+    assert got[5] == 50 and got[99] == 99 and len(got) == 21
+    # divergent nested TYPE still refuses
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(1, ("x",), [1])],
+        T.StructType([
+            T.StructField("k", T.LongType(), True),
+            T.StructField(
+                "s",
+                T.StructType([T.StructField("a", T.StringType(), True)]),
+                True,
+            ),
+            T.StructField("arr", T.ArrayType(T.LongType(), True), True),
+        ]),
+    )
+    with _pytest.raises(ValueError, match="diverges"):
+        upsert_dv(spark, table, bad, key="k")
+
+
+def test_incremental_manifest_delta_and_checkpoint(spark, tmp_path):
+    """VERDICT r12 #2: DML commits record a files_delta against the
+    prior version instead of rewriting the full files list — the RAW
+    manifest JSON of an append/upsert/purge carries `files_delta` (add ∝
+    batch) and no `files` key, the RESOLVED view (manifest()/commit()
+    return) replays the chain, and the checkpoint cadence bounds chain
+    depth by writing a full list past _MANIFEST_CHECKPOINT_EVERY."""
+    import json as _json
+    import os as _os
+
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = cl.LoggedTable(str(tmp_path / "incr"))
+    t.commit(
+        lambda d: df.repartition(4, "k").write.parquet(d),
+        op="ingest",
+        spark=spark,
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+
+    def raw(v):
+        with open(_os.path.join(t.log_dir, f"{v:020d}.json")) as f:
+            return _json.load(f)
+
+    # append: delta manifest, add = batch files only
+    cl.append_logged(
+        spark, t, spark.createDataFrame([(1000, 1.0)], "k long, v double")
+    )
+    r2 = raw(2)
+    assert "files" not in r2 and r2["files_delta"]["base"] == 1
+    assert len(r2["files_delta"]["add"]) >= 1
+    # purge: EMPTY delta (files unchanged)
+    cl.purge_dv(spark, t, F.col("k") == 7)
+    r3 = raw(3)
+    assert r3["files_delta"] == {"base": 2, "add": [], "remove": []}
+    # upsert: delta again; resolved view still prunes + reads correctly
+    m = cl.upsert_dv(
+        spark, t,
+        spark.createDataFrame([(17, -1.0)], "k long, v double"),
+        key="k",
+    )
+    assert "files_delta" in raw(4) and m.get("files"), (
+        "commit() must hand back the RESOLVED view"
+    )
+    assert m["probe_files_total"] >= 4  # bloom probe still sees stats
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    want = sorted((set(range(400)) - {7}) | {1000})
+    assert got == want
+    vals = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert vals[17] == -1.0
+    # read_pruned works off the resolved stats
+    pruned = t.read_pruned(spark, {"k": (17, 17)}).filter(F.col("k") == 17)
+    assert [r["v"] for r in pruned.collect()] == [-1.0]
+    # drive past the checkpoint: chain depth caps, a full list appears
+    for i in range(cl._MANIFEST_CHECKPOINT_EVERY):
+        cl.append_logged(
+            spark, t,
+            spark.createDataFrame([(2000 + i, 0.0)], "k long, v double"),
+        )
+    vs = t.versions()
+    assert any("files" in raw(v) and "files_delta" not in raw(v)
+               for v in vs[2:]), "no checkpoint manifest in the chain"
+    # fresh instance (cold cache) resolves the same view
+    t2 = cl.LoggedTable(t.table_dir)
+    assert t2.latest()["files"] == t.latest()["files"]
+
+
+def test_manifest_bytes_scale_with_batch_not_file_count(spark, tmp_path):
+    """The 4x-growth harness extended to MANIFEST BYTES (VERDICT r12
+    #2's done-criterion): for a fixed batch, the bytes a delta commit
+    writes into the log must not grow with the table's file count."""
+    import json as _json
+    import os as _os
+
+    from lab_etl_spark.operators.commitlog import LoggedTable, upsert_dv
+
+    log_bytes = {}
+    for n_files in (8, 32):
+        df = spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        t = LoggedTable(str(tmp_path / f"mscale_{n_files}"))
+        t.commit(
+            lambda d, n=n_files: df.repartition(n, "k").write.parquet(d),
+            op="ingest",
+            spark=spark,
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+        upsert_dv(
+            spark, t,
+            spark.createDataFrame([(17, -1.0)], "k long, v double"),
+            key="k",
+        )
+        v = t.versions()[-1]
+        log_bytes[n_files] = _os.path.getsize(
+            _os.path.join(t.log_dir, f"{v:020d}.json")
+        )
+    # pre-r13 the manifest re-listed every file: 32-file manifests were
+    # ~4x the 8-file ones.  Delta commits are file-count-flat (small
+    # slack for uuid-length jitter in the single added file's path).
+    assert log_bytes[32] < log_bytes[8] * 1.5, log_bytes
+
+
+def test_vacuum_consolidates_delta_chain(spark, tmp_path):
+    """vacuum() unlinks old manifests — the oldest KEPT manifest must
+    first be consolidated (files_delta -> full files) so kept replay
+    chains never dangle.  A fresh instance after vacuum resolves stats,
+    blooms, and rows identically."""
+    import json as _json
+    import os as _os
+
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = cl.LoggedTable(str(tmp_path / "vac_cons"))
+    t.commit(
+        lambda d: df.repartition(4, "k").write.parquet(d),
+        op="ingest", spark=spark, stats_cols=["k"], bloom_cols=["k"],
+    )
+    for i in range(4):
+        cl.append_logged(
+            spark, t,
+            spark.createDataFrame([(500 + i, 0.0)], "k long, v double"),
+        )
+    want = sorted(r["k"] for r in t.read(spark).collect())
+    t.vacuum(keep=2)
+    vs = t.versions()
+    assert len(vs) == 2
+    with open(_os.path.join(t.log_dir, f"{vs[0]:020d}.json")) as f:
+        oldest = _json.load(f)
+    assert "files" in oldest and "files_delta" not in oldest, (
+        "oldest kept manifest not consolidated — its chain dangles"
+    )
+    t2 = cl.LoggedTable(t.table_dir)
+    assert sorted(r["k"] for r in t2.read(spark).collect()) == want
+    assert t2.latest()["files"], "resolution broke after vacuum"
+    pruned = t2.read_pruned(spark, {"k": (503, 503)}).filter(
+        F.col("k") == 503
+    )
+    assert [r["k"] for r in pruned.collect()] == [503]
+
+
+def test_additive_schema_evolution_through_dml(spark, tmp_path):
+    """VERDICT r12 #3: upsert_dv/append_logged accept a SUPERSET batch
+    (new nullable columns), record the widened schema in the manifest,
+    and every reader NULL-backfills old files via the explicit scan
+    schema — no mergeSchema footer sweep.  A later batch missing an
+    evolved column is refused (the gate stays strict)."""
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = cl.LoggedTable(str(tmp_path / "evolve"))
+    t.commit(
+        lambda d: df.repartition(4, "k").write.parquet(d),
+        op="ingest", spark=spark, stats_cols=["k"], bloom_cols=["k"],
+    )
+    # append a batch carrying a NEW column
+    cl.append_logged(
+        spark, t,
+        spark.createDataFrame(
+            [(200, 1.0, "web")], "k long, v double, src string"
+        ),
+    )
+    m = t.latest()
+    assert m.get("schema"), "evolution commit did not record the schema"
+    got = t.read(spark)
+    assert set(got.columns) == {"k", "v", "src"}
+    rows = {r["k"]: r["src"] for r in got.collect()}
+    assert rows[200] == "web" and rows[0] is None  # NULL-backfilled
+    assert len(rows) == 101
+    # upsert with a further-widened batch (second evolution)
+    cl.upsert_dv(
+        spark, t,
+        spark.createDataFrame(
+            [(5, -1.0, "api", 9)], "k long, v double, src string, w int"
+        ),
+        key="k",
+    )
+    got2 = {r["k"]: (r["v"], r["src"], r["w"]) for r in
+            t.read(spark).collect()}
+    assert got2[5] == (-1.0, "api", 9)
+    assert got2[0] == (0.0, None, None)
+    assert got2[200] == (1.0, "web", None)
+    # pruned + point reads resolve the widened schema too
+    pr = t.read_pruned(spark, {"k": (5, 5)}).filter(F.col("k") == 5)
+    assert [r["w"] for r in pr.collect()] == [9]
+    pp = cl.read_points_pruned(spark, t, "k", [200])
+    assert [r["src"] for r in pp.filter(F.col("k") == 200).collect()] == [
+        "web"
+    ]
+    # a batch MISSING an evolved column is divergent, not additive
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="diverges"):
+        cl.append_logged(
+            spark, t,
+            spark.createDataFrame([(300, 0.0)], "k long, v double"),
+        )
+    # purge + compact_dv inherit the schema; rows stay widened
+    cl.purge_dv(spark, t, F.col("k") == 7)
+    assert t.latest().get("schema")
+    cl.compact_dv(spark, t)
+    assert t.latest().get("schema")
+    got3 = {r["k"]: r["w"] for r in t.read(spark).collect()}
+    assert 7 not in got3 and got3[5] == 9 and got3[1] is None
+    # CDF across the evolution window aligns delete/insert columns
+    ch = cl.table_changes(spark, t, 1, 3).collect()
+    assert {r["_change_type"] for r in ch} <= {"insert", "delete"}
+    ins_k = {r["k"] for r in ch if r["_change_type"] == "insert"}
+    assert 200 in ins_k
+    # full-rewrite compaction reads the MIXED footers with the widened
+    # schema (one-footer resolution would drop columns)
+    m_c = cl.compact_logged(spark, t, target_bytes=1 << 30)
+    got4 = {r["k"]: (r["src"], r["w"]) for r in t.read(spark).collect()}
+    assert got4[200] == ("web", None) and got4[5] == ("api", 9)
+
+
+def test_partitioned_schema_evolution_upsert(spark, tmp_path):
+    """Evolution composes with hive-partitioned snapshots: the widened
+    batch lands partitionBy, partition-moving keys still supersede, and
+    the explicit schema keeps partition columns resolving."""
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("p"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = cl.LoggedTable(str(tmp_path / "evolve_part"))
+    t.commit(
+        lambda d: df.write.partitionBy("p").parquet(d),
+        op="ingest", spark=spark, stats_cols=["k"], bloom_cols=["k"],
+    )
+    # widened batch moves k=10 from p=1 to p=2
+    cl.upsert_dv(
+        spark, t,
+        spark.createDataFrame(
+            [(10, 2, -1.0, "moved")], "k long, p long, v double, s string"
+        ),
+        key="k",
+    )
+    got = {r["k"]: (r["p"], r["v"], r["s"]) for r in
+           t.read(spark).collect()}
+    assert len(got) == 60
+    assert got[10] == (2, -1.0, "moved")
+    assert got[11][2] is None

@@ -152,3 +152,30 @@ def test_compact_recovers_from_mid_swap_crash(spark, tmp_path):
     assert res["files_before"] == 4 and res["files_after"] >= 1
     assert spark.read.parquet(path).count() == 100
     assert not os.path.isdir(path + "._compact_old")
+
+
+def test_compact_empty_partitioned_table(spark, tmp_path):
+    """ADVICE r12 (low): SUM over zero groups is NULL — compacting an
+    empty (zero-row, schema-bearing) table with partition_cols must fall
+    through instead of raising TypeError on int(None)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = tmp_path / "empty_lake"
+    path.mkdir()
+    # Spark 4 writes no file at all for an empty frame; other lake
+    # writers (pyarrow, trino) DO leave zero-row schema-bearing files
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64()),
+                  "p": pa.array([], pa.int32())}),
+        str(path / "part-00000.parquet"),
+    )
+    path = str(path)
+    assert spark.read.parquet(path).count() == 0  # schema-readable
+    stats = compact_table(
+        spark, path, target_bytes=1 << 20, partition_cols=["p"]
+    )
+    got = spark.read.parquet(path)
+    assert got.count() == 0
+    assert set(got.columns) == {"k", "p"}
+    assert stats["files_after"] >= 0
