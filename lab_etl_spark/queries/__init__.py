@@ -112,6 +112,11 @@ _WINDOW_FRONT = [
     # the r9 spillovers wait for round 14.  Entries appended here during
     # the round are queries whose ENGINE or ORACLE text changed
     # (never-checked texts must see a driver row before the round ends).
+    # q_upsert_dv's engine AND oracle changed: the chain now ends with a
+    # round-13 additive-schema-evolution append (new `origin` column via
+    # append_logged; widened manifest schema; NULL-backfilled read) —
+    # the evolution path must see a driver row.
+    "q_upsert_dv",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from

@@ -531,17 +531,23 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
-           {dsum('value', 6)} AS sum_value
+           {dsum('value', 6)} AS sum_value,
+           COUNT(origin) AS n_origin
     FROM (
-        SELECT event_type, user_id, value
+        SELECT event_type, user_id, value, CAST(NULL AS VARCHAR) AS origin
         FROM events WHERE event_id % 101 != 0
         UNION ALL
-        SELECT 'updated' AS event_type, user_id, value + 1000.0 AS value
+        SELECT 'updated' AS event_type, user_id, value + 1000.0 AS value,
+               CAST(NULL AS VARCHAR) AS origin
         FROM events WHERE event_id % 101 = 0
         UNION ALL
         SELECT 'new' AS event_type, CAST(-1 AS BIGINT) AS user_id,
-               1.5 AS value
+               1.5 AS value, CAST(NULL AS VARCHAR) AS origin
         FROM range(5)
+        UNION ALL
+        SELECT 'backfill' AS event_type, CAST(-2 AS BIGINT) AS user_id,
+               2.5 AS value, 'crawl' AS origin
+        FROM range(7)
     )
     GROUP BY event_type
     ORDER BY event_type
@@ -556,6 +562,10 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "old versions of updated keys vanish.  Bytes written scale with the "
     "batch, never the table — at 100 TB this is the difference between a "
     "nightly CDC merge costing minutes and one costing a full rewrite.  "
+    "A follow-up append_logged batch carries a NEW column (origin) — "
+    "round-13 additive schema evolution: the widened schema is recorded "
+    "in the manifest and the final read NULL-backfills every "
+    "pre-evolution row through the explicit scan schema.  "
     "The snapshot is hive-partitioned by event_type and every updated "
     "key MOVES partition (its type becomes 'updated'), so the driver "
     "check also proves the round-12 partitioned merge-on-read path: "
@@ -569,7 +579,7 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,  # dominated by the eager snapshot write
 )
 def q_upsert_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.commitlog import LoggedTable, upsert_dv
+    from ..operators.commitlog import LoggedTable, append_logged, upsert_dv
 
     ev = load_table(spark, sf_dir, "events")
     table = LoggedTable(scratch_dir("upsert_events", sf_dir))
@@ -595,6 +605,23 @@ def q_upsert_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast(ev.schema["props"].dataType).alias("props"),
     )
     upsert_dv(spark, table, upd.unionByName(new), key="event_id")
+    # round-13 additive schema evolution: a second batch carries a NEW
+    # column (origin) — append_logged accepts the superset, records the
+    # widened schema in the manifest, and the read below NULL-backfills
+    # every pre-evolution row via the explicit scan schema (no
+    # mergeSchema footer sweep)
+    widened = spark.range(7).select(
+        (-F.col("id") - 100).alias("event_id"),
+        F.lit("2024-02-01 00:00:00").cast(ev.schema["ts"].dataType).alias(
+            "ts"
+        ),
+        F.lit(-2).cast("bigint").alias("user_id"),
+        F.lit("backfill").alias("event_type"),
+        F.lit(2.5).alias("value"),
+        F.lit(None).cast(ev.schema["props"].dataType).alias("props"),
+        F.lit("crawl").alias("origin"),
+    )
+    append_logged(spark, table, widened)
     return (
         table.read(spark)
         .groupBy("event_type")
@@ -602,6 +629,7 @@ def q_upsert_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
             F.expr(dsum("value", 6)).alias("sum_value"),
+            F.count("origin").alias("n_origin"),
         )
         .orderBy("event_type")
     )

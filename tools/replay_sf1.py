@@ -13,13 +13,16 @@ linearly; a ratio near 100x means something quadratic is hiding.
 
 Usage: python tools/replay_sf1.py [trials=2]   # prints a markdown table
 
-Round-12 skip check (third consecutive skip, justification re-verified):
-`git diff r11..r12 -- lab_etl_spark/queries/` touches only
-lakeops.py::q_upsert_dv (not in REPLAY below); the round's engine
-changes (commitlog DML, catalog sweep, streaming upsert_latest_dv) are
+Round-13 skip check (fourth consecutive skip, justification
+re-verified): `git diff r12..r13 -- lab_etl_spark/queries/` touches
+only lakeops.py::q_upsert_dv and queries/__init__.py (rotation) — not
+in REPLAY below; the round's engine changes (incremental manifests,
+schema evolution, compaction empty-guard) live in commitlog.py/sink.py,
 outside every REPLAY query's plan, so replay_sf1_result.json remains
-representative.  Regenerate when any REPLAY-listed query's module diff
-is non-empty.
+representative.  The DML layer now has its OWN sf1 scale point:
+tools/measure_sf1_dml.py -> replay_sf1_dml.json, ceiling-tested by
+tests/test_scale_growth_sf1.py::test_dml_artifact_ratios_batch_priced.
+Regenerate when any REPLAY-listed query's module diff is non-empty.
 """
 
 from __future__ import annotations
