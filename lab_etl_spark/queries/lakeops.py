@@ -1224,3 +1224,89 @@ def q_footer_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(dsum("l_extendedprice", 2)).alias("sum_price"),
         )
     )
+
+
+@register(
+    "q_cdf_consumer",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT 1 AS poll, 'insert' AS change_type, event_type,
+               COUNT(*) AS n_rows, {dsum('value', 6)} AS sum_value
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 2 AS poll, 'delete' AS change_type, event_type,
+               COUNT(*) AS n_rows, {dsum('value', 6)} AS sum_value
+        FROM events
+        WHERE user_id % 89 = 0
+           OR (event_id % 97 = 0 AND user_id % 89 != 0)
+        GROUP BY event_type
+        UNION ALL
+        SELECT 2 AS poll, 'insert' AS change_type,
+               'patched' AS event_type,
+               COUNT(*) AS n_rows, {dsum('value + 500.0', 6)} AS sum_value
+        FROM events
+        WHERE event_id % 97 = 0 AND user_id % 89 != 0
+    )
+    ORDER BY poll, change_type, event_type
+    """,
+    doc="CDF as an incremental CONSUMER surface (streaming/jobs.py "
+    "consume_changes): a cursor-backed poll drains table_changes from "
+    "the last consumed version to the current latest — the consumer "
+    "half of the streaming-CDC loop whose producer half is "
+    "upsert_latest_dv.  Poll 1 seeds from the full first snapshot as "
+    "inserts; a purge (user_id ≡ 0 mod 89) and an upsert (event_id ≡ 0 "
+    "mod 97 of the survivors, value+500, type 'patched') then land as "
+    "DV commits, and poll 2 drains BOTH in one multi-commit window "
+    "through the LINK fast path — deletes from the DV delta, inserts "
+    "from the appended files, zero table-sized shuffles, cost ∝ the "
+    "change set.  At 100 TB this is the nightly 'what changed' query "
+    "costing kilobytes of metadata instead of a two-sided diff.  The "
+    "oracle recomputes each poll's change set from the source in SQL, "
+    "so the driver check proves seed, delete, and insert frames all "
+    "match exactly; crash-replay and vacuum-guard semantics are pinned "
+    "in tests/test_cdc.py.",
+    bench=False,  # dominated by the eager snapshot writes
+)
+def q_cdf_consumer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.commitlog import LoggedTable, purge_dv, upsert_dv
+    from ..streaming.jobs import consume_changes
+
+    ev = load_table(spark, sf_dir, "events")
+    table_dir = scratch_dir("cdf_consumer_events", sf_dir)
+    cursor = os.path.join(table_dir, "_cdf_cursor.json")
+    table = LoggedTable(table_dir)
+    table.commit(
+        lambda d: ev.repartition(8).write.parquet(d), op="ingest"
+    )
+    polls: list[DataFrame] = []
+
+    def apply_fn(changes, v_from, v_to):
+        polls.append(
+            changes.withColumn("poll", F.lit(len(polls) + 1))
+        )
+
+    consume_changes(spark, table_dir, cursor, apply_fn)  # poll 1: seed
+    purge_dv(spark, table, F.col("user_id") % 89 == 0)
+    upsert_dv(
+        spark,
+        table,
+        ev.filter(
+            (F.col("event_id") % 97 == 0) & (F.col("user_id") % 89 != 0)
+        )
+        .withColumn("value", F.col("value") + F.lit(500.0))
+        .withColumn("event_type", F.lit("patched")),
+        key="event_id",
+    )
+    consume_changes(spark, table_dir, cursor, apply_fn)  # poll 2: 2 commits
+    allch = polls[0]
+    for p in polls[1:]:
+        allch = allch.unionByName(p)
+    return (
+        allch.withColumnRenamed("_change_type", "change_type")
+        .groupBy("poll", "change_type", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(dsum("value", 6)).alias("sum_value"),
+        )
+        .orderBy("poll", "change_type", "event_type")
+    )

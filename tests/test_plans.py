@@ -334,6 +334,7 @@ _SWEEP_SKIP = {
     "q_purge_dv",  # eager snapshot write + DV commit at build time
     "q_version_diff",  # eager snapshot write + DV commit at build time
     "q_upsert_dv",  # eager snapshot write + DV commit at build time
+    "q_cdf_consumer",  # eager snapshot write + 2 cursor polls at build time
     # eager localCheckpoint materialization (unpersist discipline)
     "q_pagerank",
     "q_shortest_path",
