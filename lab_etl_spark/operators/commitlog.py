@@ -883,7 +883,7 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
     new_rel = f"v_{uuid.uuid4().hex[:12]}"
     new_abs = os.path.join(table.table_dir, new_rel)
     os.makedirs(new_abs)
-    linked = 0
+    linked_rels: set[str] = set()
     for root, _dirs, names in os.walk(base):
         for n in sorted(names):
             if not n.endswith(".parquet") or n.startswith(("_", ".")):
@@ -896,7 +896,8 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
                 dst = os.path.join(new_abs, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 os.link(os.path.join(root, n), dst)
-                linked += 1
+                linked_rels.add(rel)
+    linked = len(linked_rels)
     # rewrite grouped by partition DIRECTORY: each affected dir's
     # survivors are written back INTO that dir (partition-dir columns
     # dropped from the data — they stay dir-encoded, so the compacted
@@ -938,25 +939,69 @@ def compact_dv(spark: SparkSession, table: LoggedTable) -> dict:
         # A stats-bearing table must not silently lose read_pruned /
         # read_point_pruned skipping across materialization (results
         # would stay correct but every scan would touch every file).
-        # Recompute per-file stats/blooms for the NEW snapshot with the
-        # same column sets the prior manifest carried — the linked
-        # files' entries are recomputed too (their min/max are unchanged
-        # but their snapshot-relative paths now live under new_rel).
-        # union over ALL files, not files[0]: a first-sorted file whose
-        # bloom dict is empty (e.g. all-NULL keys) would otherwise drop
-        # the whole table's bloom coverage at materialization
+        # Refresh stats/blooms for the REWRITTEN files only and inherit
+        # the linked files' entries verbatim — a linked file keeps its
+        # snapshot-relative path and its content (same inode), so its
+        # min/max/bloom are bit-identical; recomputing them would make
+        # the materialization's metadata cost ∝ table footers instead of
+        # ∝ affected files (round-13, the incremental-manifest
+        # economics).  union over ALL files, not files[0]: a
+        # first-sorted file whose bloom dict is empty (e.g. all-NULL
+        # keys) would otherwise drop the whole table's bloom coverage
         stats_cols = sorted(
             {c for f in m["files"] for c in f.get("min", {})}
         )
         bloom_cols = sorted(
             {c for f in m["files"] for c in f.get("bloom", {})}
         )
-        files, temporal = _file_stats(spark, new_abs, stats_cols)
-        if bloom_cols:
-            blooms = _file_blooms(spark, new_abs, bloom_cols)
-            for f in files:
-                f["bloom"] = blooms.get(f["path"], {})
-        meta.update(files=files, stats_temporal=sorted(temporal))
+        by_path = {f["path"]: f for f in m["files"]}
+        new_rels = []
+        for root, _dirs, names in os.walk(new_abs):
+            for n in sorted(names):
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    r = os.path.relpath(os.path.join(root, n), new_abs)
+                    if r not in linked_rels:
+                        new_rels.append(r)
+        if linked_rels <= set(by_path):
+            fresh: list[dict] = []
+            temporal: set[str] = set()
+            if new_rels:
+                fresh, temporal = _file_stats(
+                    spark, new_abs, stats_cols, paths=new_rels
+                )
+                if bloom_cols:
+                    blooms = _file_blooms(
+                        spark, new_abs, bloom_cols, paths=new_rels
+                    )
+                    for f in fresh:
+                        f["bloom"] = blooms.get(f["path"], {})
+            temporal = set(m.get("stats_temporal", [])) | temporal
+            # the manifest too is ∝ affected: a delta removes the
+            # rewritten files' old entries and adds the fresh ones —
+            # linked entries inherit through the base (valid verbatim:
+            # same relative path, same inode) — consolidating at the
+            # usual checkpoint cadence
+            if m.get("_files_depth", 0) + 1 < _MANIFEST_CHECKPOINT_EVERY:
+                meta["files_delta"] = {
+                    "base": m["version"],
+                    "add": fresh,
+                    "remove": sorted(r for r in by_path if r in affected),
+                }
+            else:
+                inherited = [by_path[r] for r in sorted(linked_rels)]
+                meta["files"] = sorted(
+                    inherited + fresh, key=lambda f: f["path"]
+                )
+            meta["stats_temporal"] = sorted(temporal)
+        else:
+            # a linked file the prior manifest never recorded (legacy
+            # partial-stats manifests): fall back to the full recompute
+            files, temporal = _file_stats(spark, new_abs, stats_cols)
+            if bloom_cols:
+                blooms = _file_blooms(spark, new_abs, bloom_cols)
+                for f in files:
+                    f["bloom"] = blooms.get(f["path"], {})
+            meta.update(files=files, stats_temporal=sorted(temporal))
     try:
         # read-modify-write: the new snapshot materializes version
         # m.version's DV over m.version's files
@@ -1761,7 +1806,10 @@ def _canon_stat(v, is_temporal: bool | None = None):
 
 
 def _file_stats(
-    spark: SparkSession, snapshot_dir: str, stats_cols: list[str]
+    spark: SparkSession,
+    snapshot_dir: str,
+    stats_cols: list[str],
+    paths: list[str] | None = None,
 ) -> tuple[list[dict], set[str]]:
     """Per-file MIN/MAX/row-count for ``stats_cols`` over a just-written
     snapshot, keyed by the hidden ``_metadata.file_path`` column — one
@@ -1778,7 +1826,15 @@ def _file_stats(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    snap = spark.read.parquet(snapshot_dir)
+    # `paths` (snapshot-relative) restricts the aggregate to a file
+    # SUBSET — compact_dv's affected-only stats refresh; basePath keeps
+    # _metadata.file_path resolving under the snapshot root either way
+    if paths is not None:
+        snap = spark.read.option("basePath", snapshot_dir).parquet(
+            *[os.path.join(snapshot_dir, p) for p in paths]
+        )
+    else:
+        snap = spark.read.parquet(snapshot_dir)
     temporal = {
         f.name
         for f in snap.schema.fields
@@ -1837,14 +1893,22 @@ def _fbloom_positions(value) -> list[int]:
 
 
 def _file_blooms(
-    spark: SparkSession, snapshot_dir: str, bloom_cols: list[str]
+    spark: SparkSession,
+    snapshot_dir: str,
+    bloom_cols: list[str],
+    paths: list[str] | None = None,
 ) -> dict[str, dict[str, str]]:
     """{file -> {col -> 2048-char hex bitset}}: one aggregate per column
     whose output cardinality is files × occupied words (≤ 128), built with
     the same explode + bit_or shape as the Bloom-join sketch."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(snapshot_dir)
+    if paths is not None:
+        df = spark.read.option("basePath", snapshot_dir).parquet(
+            *[os.path.join(snapshot_dir, p) for p in paths]
+        )
+    else:
+        df = spark.read.parquet(snapshot_dir)
     out: dict[str, dict[str, str]] = {}
     for col in bloom_cols:
         pos_exprs = [

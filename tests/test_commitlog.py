@@ -2681,3 +2681,59 @@ def test_partitioned_schema_evolution_upsert(spark, tmp_path):
     assert len(got) == 60
     assert got[10] == (2, -1.0, "moved")
     assert got[11][2] is None
+
+
+def test_compact_dv_stats_refresh_affected_only(spark, tmp_path):
+    """compact_dv's metadata cost is ∝ AFFECTED files (round-13): linked
+    files inherit their stats/bloom entries verbatim (same relative
+    path, same inode), only rewritten files get fresh aggregates, and
+    the manifest is a files_delta {remove: affected, add: fresh} — while
+    read_pruned / point probes keep full skipping coverage."""
+    import json as _json
+    import os as _os
+
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("user_id"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = cl.LoggedTable(str(tmp_path / "cdv_stats"))
+    t.commit(
+        lambda d: df.repartition(8, "k").write.parquet(d),
+        op="ingest", spark=spark, stats_cols=["k"], bloom_cols=["user_id"],
+    )
+    m1 = t.latest()
+    before = {f["path"]: f for f in m1["files"]}
+    # point-delete one user: the DV touches SOME files, not all
+    cl.purge_dv(spark, t, point=("user_id", 7))
+    m = cl.compact_dv(spark, t)
+    assert m["files_rewritten"] < 8 and m["files_linked"] >= 1
+    # raw manifest is a delta sized by the affected set
+    with open(
+        _os.path.join(t.log_dir, f"{m['version']:020d}.json")
+    ) as f:
+        raw = _json.load(f)
+    assert "files_delta" in raw and "files" not in raw
+    assert len(raw["files_delta"]["remove"]) == m["files_rewritten"]
+    assert len(raw["files_delta"]["add"]) <= m["files_rewritten"]
+    # linked entries inherited BIT-IDENTICAL (not recomputed)
+    resolved = {f["path"]: f for f in m["files"]}
+    n_inherited = 0
+    for path, entry in resolved.items():
+        if path in before and path not in raw["files_delta"]["remove"]:
+            assert entry == before[path]
+            n_inherited += 1
+    assert n_inherited == m["files_linked"]
+    # skipping still works on the materialized layout
+    got = cl.read_points_pruned(spark, t, "user_id", [8]).filter(
+        F.col("user_id") == 8
+    )
+    assert got.count() == 16
+    pr = t.read_pruned(spark, {"k": (100, 110)}).filter(
+        F.col("k").between(100, 110)
+    )
+    # k in [100,110] minus the purged user (k % 50 == 7 → k=107)
+    assert pr.count() == sum(
+        1 for k in range(100, 111) if k % 50 != 7
+    )
