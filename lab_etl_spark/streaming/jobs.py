@@ -829,8 +829,13 @@ def consume_changes(
       ``startingVersion`` contract.
 
     ``apply_fn(changes_df, v_from, v_to)`` receives the change frame
-    (data columns + ``_change_type`` in {'insert','delete'}).  Returns
-    ``{"from": v_from, "to": v_to, "advanced": bool}``."""
+    (data columns + ``_change_type`` in {'insert','delete'}).  An
+    updated row appears as delete+insert IN THE SAME FRAME with no
+    intra-frame ordering guarantee, so a keyed consumer must apply all
+    deletes before all inserts of a frame (filter twice) — iterating
+    collect() order and popping on delete would clobber a key whose
+    insert happened to sort first.  Returns ``{"from": v_from, "to":
+    v_to, "advanced": bool}``."""
     import json
     import os
     import uuid

@@ -418,10 +418,14 @@ def test_cdf_consumer_incremental_equals_batch(spark, tmp_path):
     view: dict = {}
 
     def apply_fn(changes, v_from, v_to):
-        for r in changes.collect():
+        # contract: deletes before inserts within a frame (an updated
+        # key is delete+insert with no intra-frame row ordering)
+        rows = changes.collect()
+        for r in rows:
             if r["_change_type"] == "delete":
                 view.pop(r["k"], None)
-            else:
+        for r in rows:
+            if r["_change_type"] == "insert":
                 view[r["k"]] = (r["p"], r["v"])
 
     # first poll seeds from the full snapshot
