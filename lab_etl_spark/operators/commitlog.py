@@ -63,6 +63,72 @@ LOG_DIR = "_log"
 #: amortized manifest bytes (full list every Nth commit).
 _MANIFEST_CHECKPOINT_EVERY = 16
 
+#: past this file count, a FULL files list spills to a parquet sidecar
+#: (`_log/files_<hex>.parquet`, pyarrow — no Spark needed at resolve
+#: time) and the manifest carries only a `files_ref` — so even
+#: checkpoint manifests stay KB-sized at millions of files, the
+#: Delta/Iceberg checkpoint-parquet shape.  Snappy-compressed columnar
+#: beats the inline JSON (2 KB bloom hex per file per column) by ~3-5x
+#: on top of keeping the hot JSON path tiny.
+_FILES_SIDECAR_THRESHOLD = 2048
+
+
+def _write_files_sidecar(log_dir: str, files: list[dict]) -> str:
+    """Spill a full per-file stats list to `files_<hex>.parquet` under
+    the log dir; returns the basename for the manifest's `files_ref`.
+    Named by uuid (not version) so a lost commit race cannot collide —
+    orphans are reclaimed by vacuum's referenced-set sweep."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = f"files_{uuid.uuid4().hex[:12]}.parquet"
+    tbl = pa.table(
+        {
+            "path": pa.array([f["path"] for f in files], pa.string()),
+            "rows": pa.array(
+                [f.get("rows") for f in files], pa.int64()
+            ),
+            "min_json": pa.array(
+                [json.dumps(f.get("min", {})) for f in files], pa.string()
+            ),
+            "max_json": pa.array(
+                [json.dumps(f.get("max", {})) for f in files], pa.string()
+            ),
+            "bloom_json": pa.array(
+                [
+                    json.dumps(f["bloom"]) if f.get("bloom") else None
+                    for f in files
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    tmp = os.path.join(log_dir, f".tmp.{name}")
+    pq.write_table(tbl, tmp, compression="snappy")
+    os.replace(tmp, os.path.join(log_dir, name))
+    return name
+
+
+def _read_files_sidecar(log_dir: str, name: str) -> list[dict]:
+    """Load a `files_ref` sidecar back into the in-memory entry list."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(log_dir, name))
+    out = []
+    for path, rows, mn, mx, bl in zip(
+        t["path"].to_pylist(),
+        t["rows"].to_pylist(),
+        t["min_json"].to_pylist(),
+        t["max_json"].to_pylist(),
+        t["bloom_json"].to_pylist(),
+    ):
+        e: dict = {"path": path, "rows": rows,
+                   "min": json.loads(mn), "max": json.loads(mx)}
+        if bl:
+            e["bloom"] = json.loads(bl)
+        out.append(e)
+    return out
+
 #: commitInfo operation marker for exported deletion-vector no-op versions
 #: (merge-on-read state: files unchanged, delete materializes at the next
 #: compaction commit) — prev_snapshot_rels walks past these on reconstruction
@@ -184,25 +250,45 @@ class LoggedTable:
         entries stay valid verbatim across linked snapshots because
         file paths are snapshot-RELATIVE and assembly preserves them."""
         d = m.get("files_delta")
-        if d is None:
+        ref = m.get("files_ref")
+        if d is None and ref is None:
             m["_files_depth"] = 0
             return m
         v = m["version"]
         cached = self._files_cache.get(v)
         if cached is None:
-            base = self.manifest(d["base"])
-            removed = set(d.get("remove", []))
-            files = [
-                f
-                for f in base.get("files", [])
-                if f["path"] not in removed
-            ] + list(d.get("add", []))
-            temporal = sorted(
-                set(base.get("stats_temporal", []))
-                | set(m.get("stats_temporal", []))
-            )
-            cached = (files, temporal, base.get("_files_depth", 0) + 1)
+            if ref is not None:
+                # sidecar-backed full list: a checkpoint, depth 0
+                cached = (
+                    _read_files_sidecar(self.log_dir, ref),
+                    m.get("stats_temporal", []),
+                    0,
+                )
+            else:
+                base = self.manifest(d["base"])
+                removed = set(d.get("remove", []))
+                files = [
+                    f
+                    for f in base.get("files", [])
+                    if f["path"] not in removed
+                ] + list(d.get("add", []))
+                temporal = sorted(
+                    set(base.get("stats_temporal", []))
+                    | set(m.get("stats_temporal", []))
+                )
+                cached = (
+                    files, temporal, base.get("_files_depth", 0) + 1
+                )
             self._files_cache[v] = cached
+            # bound the memo for LONG-LIVED instances (the streaming CDC
+            # sink holds one table across every micro-batch): old
+            # versions' resolved lists are dead weight once vacuum drops
+            # them — keep the newest few chains' worth
+            if len(self._files_cache) > 4 * _MANIFEST_CHECKPOINT_EVERY:
+                for old_v in sorted(self._files_cache)[
+                    : -2 * _MANIFEST_CHECKPOINT_EVERY
+                ]:
+                    del self._files_cache[old_v]
         m["files"], m["stats_temporal"], m["_files_depth"] = cached
         return m
 
@@ -440,6 +526,12 @@ class LoggedTable:
                 "ts_ms": int(time.time() * 1000),
                 **(meta or {}),
             }
+            if (
+                len(m.get("files") or ()) > _FILES_SIDECAR_THRESHOLD
+            ):
+                m["files_ref"] = _write_files_sidecar(
+                    self.log_dir, m.pop("files")
+                )
             tmp = os.path.join(
                 self.log_dir, f".tmp.{uuid.uuid4().hex[:8]}.json"
             )
@@ -547,7 +639,13 @@ class LoggedTable:
                 raw = None
             if raw is not None and "files_delta" in raw:
                 resolved = self._resolve_manifest(dict(raw))
-                raw["files"] = resolved["files"]
+                full = resolved["files"]
+                if len(full) > _FILES_SIDECAR_THRESHOLD:
+                    raw["files_ref"] = _write_files_sidecar(
+                        self.log_dir, full
+                    )
+                else:
+                    raw["files"] = full
                 raw["stats_temporal"] = resolved.get("stats_temporal", [])
                 raw.pop("files_delta", None)
                 tmp = p0 + f".tmp{uuid.uuid4().hex[:8]}"
@@ -564,6 +662,36 @@ class LoggedTable:
                     os.unlink(
                         os.path.join(self.log_dir, f"{v:0{_W}d}.json")
                     )
+                except OSError:
+                    pass
+            # sweep files_* sidecars no surviving manifest references —
+            # with the same 2h age grace as un-manifested snapshot dirs
+            # (a CONCURRENT commit writes its sidecar BEFORE claiming
+            # the manifest link, and must not lose it mid-gap)
+            live_refs = set()
+            for v in self.versions():
+                try:
+                    with open(
+                        os.path.join(self.log_dir, f"{v:0{_W}d}.json")
+                    ) as f:
+                        r = json.load(f).get("files_ref")
+                    if r:
+                        live_refs.add(r)
+                except (OSError, ValueError):
+                    pass
+            for name in os.listdir(self.log_dir):
+                if not (
+                    name.startswith(("files_", ".tmp.files_"))
+                    and name.endswith(".parquet")
+                ):
+                    continue
+                if name in live_refs:
+                    continue
+                sp = os.path.join(self.log_dir, name)
+                try:
+                    if now - os.path.getmtime(sp) > 7200.0:
+                        os.unlink(sp)
+                        removed.append(name)
                 except OSError:
                     pass
         return removed

@@ -2737,3 +2737,107 @@ def test_compact_dv_stats_refresh_affected_only(spark, tmp_path):
     assert pr.count() == sum(
         1 for k in range(100, 111) if k % 50 != 7
     )
+
+
+def test_manifest_resolve_cache_bounded(spark, tmp_path):
+    """The per-instance resolve memo must not grow without bound on a
+    long-lived table handle (the streaming sink holds one across every
+    micro-batch): past 4x the checkpoint cadence, oldest versions'
+    cached lists are evicted — and eviction never changes resolution
+    (re-resolve hits disk and returns the identical view)."""
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = cl.LoggedTable(str(tmp_path / "cache_bound"))
+    t.commit(
+        lambda d: df.repartition(2, "k").write.parquet(d),
+        op="ingest", spark=spark, stats_cols=["k"],
+    )
+    n = 4 * cl._MANIFEST_CHECKPOINT_EVERY + 8
+    for i in range(n):
+        cl.append_logged(
+            spark, t,
+            spark.createDataFrame([(1000 + i, 0.0)], "k long, v double"),
+        )
+    assert len(t._files_cache) <= 4 * cl._MANIFEST_CHECKPOINT_EVERY
+    # an evicted version still resolves identically from disk
+    evicted = min(set(t.versions()) - set(t._files_cache)) if (
+        set(t.versions()) - set(t._files_cache)
+    ) else t.versions()[0]
+    m = t.manifest(evicted)
+    assert m["version"] == evicted
+    assert len(t.latest()["files"]) == 2 + n  # 2 ingest files + n appends
+
+
+def test_files_sidecar_spill_and_resolve(spark, tmp_path, monkeypatch):
+    """Past _FILES_SIDECAR_THRESHOLD, a FULL files list spills to a
+    parquet sidecar (pyarrow, no Spark at resolve time) and the manifest
+    carries only files_ref — checkpoint manifests stay KB-sized at any
+    file count.  Resolution, delta chaining off the checkpoint, pruned
+    reads, vacuum consolidation-to-sidecar, and the orphan sweep all
+    keep working."""
+    import json as _json
+    import os as _os
+
+    from lab_etl_spark.operators import commitlog as cl
+
+    monkeypatch.setattr(cl, "_FILES_SIDECAR_THRESHOLD", 4)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 50).alias("user_id"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = cl.LoggedTable(str(tmp_path / "sidecar"))
+    t.commit(
+        lambda d: df.repartition(8, "k").write.parquet(d),
+        op="ingest", spark=spark, stats_cols=["k"], bloom_cols=["user_id"],
+    )
+
+    def raw(v):
+        with open(_os.path.join(t.log_dir, f"{v:020d}.json")) as f:
+            return _json.load(f)
+
+    r1 = raw(1)
+    assert "files" not in r1 and r1["files_ref"].startswith("files_")
+    assert _os.path.exists(_os.path.join(t.log_dir, r1["files_ref"]))
+    m1 = t.manifest(1)
+    assert len(m1["files"]) == 8 and m1["_files_depth"] == 0
+    assert any(f.get("bloom", {}).get("user_id") for f in m1["files"])
+    # delta commits chain off the sidecar checkpoint; probes still prune
+    cl.purge_dv(spark, t, point=("user_id", 7))
+    m2 = t.latest()
+    assert "files_delta" in raw(2) and len(m2["files"]) == 8
+    got = cl.read_points_pruned(spark, t, "user_id", [8]).filter(
+        F.col("user_id") == 8
+    )
+    assert got.count() == 8
+    pr = t.read_pruned(spark, {"k": (10, 20)}).filter(
+        F.col("k").between(10, 20)
+    )
+    assert pr.count() == 11
+    # fresh instance (cold cache) resolves via the sidecar identically
+    t2 = cl.LoggedTable(t.table_dir)
+    assert t2.latest()["files"] == m2["files"]
+    # vacuum consolidation writes a SIDECAR for the big list, and the
+    # now-unreferenced v1 sidecar sweeps once past the age grace
+    cl.append_logged(
+        spark, t,
+        spark.createDataFrame([(9000, 0, 0.0)],
+                              "k long, user_id long, v double"),
+    )
+    old_ref = r1["files_ref"]
+    _os.utime(_os.path.join(t.log_dir, old_ref), (1, 1))  # age it out
+    t.vacuum(keep=2)
+    r_oldest = raw(t.versions()[0])
+    assert "files_delta" not in r_oldest
+    assert r_oldest.get("files_ref", "").startswith("files_")
+    assert not _os.path.exists(_os.path.join(t.log_dir, old_ref)), (
+        "unreferenced aged sidecar not swept"
+    )
+    got2 = sorted(r["k"] for r in t.read(spark).collect())
+    want = sorted(
+        (set(range(400)) - {k for k in range(400) if k % 50 == 7})
+        | {9000}
+    )
+    assert got2 == want
