@@ -1725,6 +1725,15 @@ def table_changes(
         return deleted.withColumn("_change_type", F.lit("delete"))
     a = table.read(spark, version=v_from)
     b = table.read(spark, version=v_to)
+    # an additive schema evolution inside a REWRITE window (the link
+    # fast path bails on rewrites) leaves v_from without the widened
+    # columns — NULL-backfill them with v_to's types, exactly what the
+    # explicit read schema does for pre-evolution files, so the diff
+    # compares like with like instead of failing on arity
+    for f in b.schema.fields:
+        if f.name not in a.columns:
+            a = a.withColumn(f.name, F.lit(None).cast(f.dataType))
+    a = a.select(*b.columns)
     return (
         a.exceptAll(b)
         .withColumn("_change_type", F.lit("delete"))

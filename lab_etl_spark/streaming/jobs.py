@@ -534,16 +534,26 @@ def instrument_ingest(
 
 def latest_per_user(events: DataFrame) -> DataFrame:
     """Last event per user (ts desc, event_id desc tie-break) — the shared
-    kernel for the streaming upsert sink and its batch twin."""
+    kernel for the streaming upsert sink and its batch twin.
+
+    The state-table shape is the canonical five columns (``props`` is
+    deliberately dropped — payload blobs don't belong in a latest-value
+    state table), but columns BEYOND the events schema pass through: an
+    additively-evolved producer batch keeps its new columns on the way
+    into ``upsert_dv``, which records the widened schema."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
+    keep = ["user_id", "event_id", "ts", "event_type", "value"]
+    extras = [
+        c for c in events.columns if c not in (*keep, "props", "_rn")
+    ]
     return (
         events.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("user_id", "event_id", "ts", "event_type", "value")
+        .select(*keep, *extras)
     )
 
 
@@ -718,7 +728,17 @@ def upsert_latest_dv(
             )
         else:
             cur = table.read(spark).join(keys_df, "user_id", "left_semi")
-        eff = latest_per_user(cur.unionByName(out))
+        if set(cur.columns) <= set(out.columns):
+            # additive producer evolution mid-stream: the widened batch
+            # NULL-backfills the current rows' missing columns and
+            # upsert_dv records the widened schema.  The REVERSE
+            # direction stays a loud unionByName error — backfilling a
+            # column the batch dropped would overwrite stored values
+            # with NULL on every touched key (silent data loss).
+            merged = cur.unionByName(out, allowMissingColumns=True)
+        else:
+            merged = cur.unionByName(out)
+        eff = latest_per_user(merged)
         upsert_dv(spark, table, eff, key="user_id")
         if compact_every and table.latest()["version"] % compact_every == 0:
             compact_dv(spark, table)
@@ -866,8 +886,13 @@ def consume_changes(
             .withColumn("_change_type", F.lit("insert"))
         )
         if v_to > vs[0]:
+            # allowMissingColumns: an additive schema evolution after
+            # the seed version leaves the seed narrower than the change
+            # frame — its missing columns NULL-backfill, matching the
+            # explicit read schema's treatment of pre-evolution files
             changes = seed.unionByName(
-                table_changes(spark, table, vs[0], v_to)
+                table_changes(spark, table, vs[0], v_to),
+                allowMissingColumns=True,
             )
         else:
             changes = seed

@@ -514,3 +514,86 @@ def test_cdf_consumer_crash_replay_and_vacuum_guard(spark, tmp_path):
     table.vacuum(keep=2)
     with pytest.raises(ValueError, match="predates the oldest"):
         consume_changes(spark, table_dir, cursor, lambda *_: None)
+
+
+def test_cdf_consumer_first_poll_across_evolution(spark, tmp_path):
+    """A consumer whose FIRST poll lands after an additive schema
+    evolution must not crash the seed union — the pre-evolution seed
+    NULL-backfills the widened columns and the materialized view equals
+    the current table."""
+    from lab_etl_spark.operators.commitlog import (
+        LoggedTable, append_logged, upsert_dv,
+    )
+    from lab_etl_spark.streaming.jobs import consume_changes
+
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    table_dir = str(tmp_path / "cdf_evo_seed")
+    table = LoggedTable(table_dir)
+    table.commit(lambda d: df.repartition(2).write.parquet(d), op="ingest")
+    append_logged(
+        spark, table,
+        spark.createDataFrame([(100, 1.0, "x")],
+                              "k long, v double, e string"),
+    )
+    upsert_dv(
+        spark, table,
+        spark.createDataFrame([(5, -5.0, "y")],
+                              "k long, v double, e string"),
+        key="k",
+    )
+    view: dict = {}
+
+    def apply_fn(changes, a, b):
+        rows = changes.collect()
+        for r in rows:
+            if r["_change_type"] == "delete":
+                view.pop(r["k"], None)
+        for r in rows:
+            if r["_change_type"] == "insert":
+                view[r["k"]] = (r["v"], r["e"])
+
+    st = consume_changes(spark, table_dir, str(tmp_path / "c.json"),
+                         apply_fn)
+    assert st["advanced"]
+    want = {r["k"]: (r["v"], r["e"]) for r in table.read(spark).collect()}
+    assert view == want and view[5] == (-5.0, "y") and view[0][1] is None
+
+
+def test_streaming_upsert_dv_producer_evolution(spark, sf_dir, tmp_path):
+    """A WIDENED micro-batch mid-stream (additive producer evolution)
+    lands through upsert_latest_dv: current rows NULL-backfill the new
+    column, the manifest records the widened schema, and later reads
+    resolve it — while a batch that DROPS a column still fails loudly."""
+    from lab_etl_spark.catalog import load_table
+    from lab_etl_spark.operators.commitlog import LoggedTable
+    from lab_etl_spark.streaming.jobs import upsert_latest_dv
+
+    ev = load_table(spark, sf_dir, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "origin", F.lit("late")
+    )
+    src = str(tmp_path / "src_evo")
+    table_dir = str(tmp_path / "state_evo")
+    ckpt = str(tmp_path / "ckpt_evo")
+    half1.write.parquet(src + "/b1")
+    q = upsert_latest_dv(
+        spark.readStream.schema(ev.schema).parquet(src + "/b1"),
+        table_dir, ckpt, compact_every=None,
+    )
+    assert q.awaitTermination(300)
+    half2.write.parquet(src + "/b2")
+    q = upsert_latest_dv(
+        spark.readStream.schema(half2.schema).parquet(src + "/b2"),
+        table_dir, str(tmp_path / "ckpt_evo2"), compact_every=None,
+    )
+    assert q.awaitTermination(300)
+    table = LoggedTable(table_dir)
+    assert table.latest().get("schema"), "widened schema not recorded"
+    got = {r["user_id"]: (r["event_id"], r["origin"])
+           for r in table.read(spark).collect()}
+    # winners from the widened batch carry the marker, others NULL
+    assert any(v[1] == "late" for v in got.values())
+    assert any(v[1] is None for v in got.values())

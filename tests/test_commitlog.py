@@ -2841,3 +2841,42 @@ def test_files_sidecar_spill_and_resolve(spark, tmp_path, monkeypatch):
         | {9000}
     )
     assert got2 == want
+
+
+def test_table_changes_general_path_across_evolution(spark, tmp_path):
+    """A rewrite (compact_logged) inside the diff window forces the CDF
+    GENERAL path; with an additive evolution also inside the window the
+    two versions have different arity — v_from must NULL-backfill the
+    widened columns (matching the explicit read schema's treatment of
+    pre-evolution files) instead of crashing exceptAll, and the replay
+    identity must hold."""
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 80).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = cl.LoggedTable(str(tmp_path / "cdf_evo"))
+    t.commit(lambda d: df.repartition(3).write.parquet(d), op="ingest")
+    cl.append_logged(
+        spark, t,
+        spark.createDataFrame([(500, 1.0, "x")],
+                              "k long, v double, e string"),
+    )  # v2: evolution
+    cl.purge_dv(spark, t, F.col("k") == 3)  # v3
+    cl.compact_logged(spark, t, target_bytes=1 << 30)  # v4: REWRITE
+    ch = cl.table_changes(spark, t, 1, t.latest()["version"])
+    vi = t.read(spark, version=1)
+    for f in t.read(spark).schema.fields:
+        if f.name not in vi.columns:
+            vi = vi.withColumn(f.name, F.lit(None).cast(f.dataType))
+    cols = t.read(spark).columns
+    dels = ch.filter("_change_type = 'delete'").drop("_change_type")
+    ins = ch.filter("_change_type = 'insert'").drop("_change_type")
+    replayed = vi.select(*cols).exceptAll(dels.select(*cols)).unionByName(
+        ins.select(*cols)
+    )
+    got = sorted(map(tuple, replayed.collect()))
+    want = sorted(map(tuple, t.read(spark).select(*cols).collect()))
+    assert got == want
+    ins_k = {r["k"] for r in ins.collect()}
+    assert 500 in ins_k and 3 not in {r["k"] for r in replayed.collect()}
