@@ -2365,6 +2365,24 @@ def export_delta_log(
                 part_cols = list(a["metaData"]["partitionColumns"])
                 break
 
+    # schema currency: an additive evolution records a widened schema in
+    # the native manifest; external Delta readers plan from the LATEST
+    # exported metaData, so the evolving version must re-emit one or
+    # every reader silently drops the new columns.  Seed from the newest
+    # already-exported metaData (id must stay stable across re-emits —
+    # Delta treats a changed id as a different table).
+    meta_id: str | None = None
+    cur_schema: dict | None = None
+    for prior_v in range(missing[0] - 1, 0, -1):
+        found = False
+        for a in exported_actions(prior_v):
+            if "metaData" in a:
+                meta_id = a["metaData"]["id"]
+                cur_schema = json.loads(a["metaData"]["schemaString"])
+                found = True
+        if found:
+            break
+
     written = []
     for v in missing:
         m = table.manifest(v)
@@ -2422,10 +2440,12 @@ def export_delta_log(
             actions.append(
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
             )
+            meta_id = table_id or uuid.uuid4().hex
+            cur_schema = json.loads(schema_json)
             actions.append(
                 {
                     "metaData": {
-                        "id": table_id or uuid.uuid4().hex,
+                        "id": meta_id,
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_json,
                         "partitionColumns": part_cols or [],
@@ -2435,6 +2455,29 @@ def export_delta_log(
                 }
             )
         else:
+            if m.get("schema") and (
+                cur_schema is None
+                or json.loads(m["schema"]) != cur_schema
+            ):
+                # additive evolution reached this exported version (for
+                # merge-on-read evolutions the inherited schema surfaces
+                # here, at the same commit whose files do) — re-emit
+                # metaData with the SAME id and the widened schemaString
+                cur_schema = json.loads(m["schema"])
+                actions.append(
+                    {
+                        "metaData": {
+                            "id": meta_id or table_id or uuid.uuid4().hex,
+                            "format": {
+                                "provider": "parquet", "options": {}
+                            },
+                            "schemaString": m["schema"],
+                            "partitionColumns": part_cols or [],
+                            "configuration": {},
+                            "createdTime": m["ts_ms"],
+                        }
+                    }
+                )
             for rel in prev_snapshot_rels(v):
                 actions.append(
                     {

@@ -2880,3 +2880,67 @@ def test_table_changes_general_path_across_evolution(spark, tmp_path):
     assert got == want
     ins_k = {r["k"] for r in ins.collect()}
     assert 500 in ins_k and 3 not in {r["k"] for r in replayed.collect()}
+
+
+def test_delta_export_reemits_metadata_on_evolution(spark, tmp_path):
+    """External Delta readers plan from the LATEST metaData action — an
+    additive evolution must re-emit one (same table id, widened
+    schemaString) in the version whose files carry the new column, or
+    every external reader silently drops it.  Covers both the direct
+    append evolution and the merge-on-read case where the inherited
+    schema surfaces at the materializing commit."""
+    import json as _json
+    import os as _os
+
+    from lab_etl_spark.operators import commitlog as cl
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+    )
+    t = cl.LoggedTable(str(tmp_path / "dx_evo"))
+    t.commit(lambda d: df.repartition(2).write.parquet(d), op="ingest")
+    cl.export_delta_log(t, spark)  # v0 exported pre-evolution
+    cl.append_logged(
+        spark, t,
+        spark.createDataFrame([(500, 1.0, "x")],
+                              "k long, v double, e string"),
+    )
+    cl.export_delta_log(t, spark)
+    dd = _os.path.join(t.table_dir, cl.DELTA_LOG_DIR)
+
+    def actions(v):
+        with open(_os.path.join(dd, f"{v:020d}.json")) as f:
+            return [_json.loads(x) for x in f if x.strip()]
+
+    md0 = [a["metaData"] for a in actions(0) if "metaData" in a]
+    md1 = [a["metaData"] for a in actions(1) if "metaData" in a]
+    assert md0 and md1, "evolution version did not re-emit metaData"
+    assert md1[0]["id"] == md0[0]["id"], "table id must stay stable"
+    f0 = {f["name"] for f in _json.loads(md0[0]["schemaString"])["fields"]}
+    f1 = {f["name"] for f in _json.loads(md1[0]["schemaString"])["fields"]}
+    assert f0 == {"k", "v"} and f1 == {"k", "v", "e"}
+    # an exported version WITHOUT evolution does not re-emit
+    cl.append_logged(
+        spark, t,
+        spark.createDataFrame([(501, 2.0, "y")],
+                              "k long, v double, e string"),
+    )
+    cl.export_delta_log(t, spark)
+    assert not [a for a in actions(2) if "metaData" in a]
+    # folding the exported log yields the widened table: live adds
+    # reproduce table.read including the evolved column
+    live: dict[str, dict] = {}
+    for v in (0, 1, 2):
+        for a in actions(v):
+            if "remove" in a:
+                live.pop(a["remove"]["path"], None)
+            elif "add" in a:
+                live[a["add"]["path"]] = a["add"]
+    got = (
+        spark.read.schema(
+            t.read(spark).schema
+        ).parquet(*[_os.path.join(t.table_dir, p) for p in live])
+    )
+    assert sorted(
+        map(tuple, got.select("k", "v", "e").collect())
+    ) == sorted(map(tuple, t.read(spark).select("k", "v", "e").collect()))
