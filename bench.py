@@ -136,6 +136,18 @@ def main() -> None:
     # (observed: 0.5 s q_map_fns recorded at 6.5 s min-of-3).  With
     # round-robin passes a storm inflates one pass of MANY queries, and the
     # min over passes discards it for all of them.
+    # Each pass is additionally ROTATED by len/trials (round 13): when the
+    # interference is PERIODIC with a period near the pass duration (this
+    # sandbox's supervisor polls on a fixed cadence), a storm lands at the
+    # same PHASE of every same-ordered pass and therefore on the SAME
+    # ALPHABETICAL BAND of queries, which min-of-N cannot discard — the
+    # round-13 pre-opt recording shows exactly that signature (the q_r*
+    # band 2.9-3.2x with q_range_join at 1.15x when re-timed in
+    # isolation, the mid-alphabet band at 1.0x).  Rotation keeps the
+    # methodology (min-of-N interleaved, honest-cold per pass) while
+    # decorrelating phase-locked interference from query identity: each
+    # pass visits a different third of the list first, so a phase-locked
+    # storm hits DIFFERENT queries each pass and the min discards it.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {name: float("inf") for name in bench_set}
     # Host-variance floor: a fixed map-only plan (scan + project + noop)
@@ -148,8 +160,10 @@ def main() -> None:
     # every normalized ratio vacuous — see VERDICT round 6, "What's
     # wrong" #1.)
     floor = float("inf")
+    bench_order = sorted(bench_set.items())
     for t in range(trials):
-        for name, q in sorted(bench_set.items()):
+        off = (t * len(bench_order)) // max(trials, 1)
+        for name, q in bench_order[off:] + bench_order[:off]:
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -186,41 +200,56 @@ def main() -> None:
     # plan timing doesn't fit).  Not gated and not part of the 2x check;
     # recorded in the artifact so a regression in the roundtrip /
     # streaming / lake-layout family is at least visible round-over-round
-    # instead of invisible (round-9 verdict, "What's missing" #1).  A
-    # single trial means host steal can inflate any one number — compare
-    # trends across rounds, not single entries.  SPARK_GRAFT_BENCH_IO=0
-    # skips the pass (iteration-speed escape hatch).
+    # instead of invisible (round-9 verdict, "What's missing" #1).
+    # Min-of-2 ROTATED passes since round 13 (was 1): the single-trial
+    # recording produced two >2x false alarms this round
+    # (q_parquet_footer_stats recorded 3.66s / isolated 0.87s,
+    # q_arrow_roundtrip 6.78s / isolated 1.82s) from the same
+    # phase-locked periodic interference the gated loop's rotation
+    # addresses; every query still runs COLD each pass (fresh
+    # per-invocation scratch dirs, SQL cache cleared).  Two trials, not
+    # three: the family is trend-only and ungated, so one decorrelated
+    # retry buys most of the robustness at half the added wall.
+    # SPARK_GRAFT_BENCH_IO=0 skips the pass (iteration-speed escape
+    # hatch).
     io_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_IO", "1") != "0":
-        for name, q in sorted(registry.items()):
-            if q.bench:
-                continue
-            t0 = time.perf_counter()
-            try:
-                df = q.fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                io_timings[name] = round(time.perf_counter() - t0, 4)
-                del df
-            except Exception as e:  # noqa: BLE001 — the ungated io pass
-                # must never kill the gated run's report
-                print(f"# io-family {name} failed: {e}", file=sys.stderr)
-                io_timings[name] = -1.0
-            gc.collect()
-            spark.catalog.clearCache()
-        print(
-            f"# io-family pass done ({len(io_timings)} queries, "
-            f"{sum(v for v in io_timings.values() if v > 0):.1f}s)",
-            file=sys.stderr,
+        io_order = sorted(
+            (name, q) for name, q in registry.items() if not q.bench
         )
+        io_trials = int(os.environ.get("SPARK_GRAFT_BENCH_IO_TRIALS", "2"))
+        for t in range(io_trials):
+            off = (t * len(io_order)) // max(io_trials, 1)
+            for name, q in io_order[off:] + io_order[:off]:
+                t0 = time.perf_counter()
+                try:
+                    df = q.fn(spark, sf_dir)
+                    df.write.format("noop").mode("overwrite").save()
+                    got = round(time.perf_counter() - t0, 4)
+                    prev_t = io_timings.get(name, -1.0)
+                    io_timings[name] = min(got, prev_t) if prev_t > 0 else got
+                    del df
+                except Exception as e:  # noqa: BLE001 — the ungated io pass
+                    # must never kill the gated run's report
+                    print(f"# io-family {name} failed: {e}", file=sys.stderr)
+                    io_timings.setdefault(name, -1.0)
+                gc.collect()
+                spark.catalog.clearCache()
+            print(
+                f"# io-family pass {t + 1}/{io_trials} done "
+                f"({len(io_timings)} queries, "
+                f"{sum(v for v in io_timings.values() if v > 0):.1f}s)",
+                file=sys.stderr,
+            )
 
     # io-family TREND flag (round-10 verdict item 4): the excluded
-    # queries are single-trial and ungated, but with a committed
+    # queries are min-of-2 and ungated, but with a committed
     # previous-round recording (bench_io_baseline.json — refresh it each
     # round like the cold gate baseline) a >2x host-floor-normalized
     # jump becomes an ALARM in the artifact instead of a diff the judge
-    # has to compute.  Soft: flags are reported, never fatal (one trial
-    # means host steal can inflate any single entry — re-run a flagged
-    # query in isolation before believing it).
+    # has to compute.  Soft: flags are reported, never fatal (two trials
+    # still admit correlated inflation — re-run a flagged query in
+    # isolation before believing it).
     io_over: list[str] = []
     io_prev_src = None
     if io_timings:
