@@ -1379,8 +1379,11 @@ sym0 AS (
     "once into the (word, count) vocabulary (the only data-sized pass, "
     "the classic map-side-combined wordcount — all later state is "
     "VOCAB-sized, the property that makes 100 TB BPE training feasible); "
-    "each round is (1) a weighted adjacent-pair count via a (word, "
-    "pos+1) self-join, (2) the argmax pair by ORDER BY cnt DESC LIMIT 1 "
+    "each round is (1) a weighted adjacent-pair count via lead() on the "
+    "word window (positions are consecutive by construction, so "
+    "adjacency is a window function, not a self-join — the oracle keeps "
+    "the equivalent (word, pos+1) self-join form), (2) the argmax pair "
+    "by ORDER BY cnt DESC LIMIT 1 "
     "(TakeOrderedAndProject — per-partition heaps, no global sort, then "
     "a 1-row broadcast), (3) greedy LEFTMOST non-overlapping merge: "
     "match positions form gaps-and-islands runs and only even offsets "
@@ -1403,13 +1406,23 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    # per-round state is persisted: sym feeds three consumers per round
-    # (both sides of the adjacency self-join and the merge rewrite) and
+    # per-round state is persisted: the lead-extended frame feeds two
+    # consumers per round (the pair count and the merge rewrite) and
     # round i+1's whole lineage hangs off round i — without persists the
-    # static plan replays the corpus scan 48 times for 2 rounds (3^rounds
-    # growth).  All persisted frames are VOCAB-sized; lazy, so the plan
-    # sweep still sees a pure declarative plan, and the blocks die with
-    # the query's references.
+    # static plan replays the corpus scan exponentially across rounds.
+    # All persisted frames are VOCAB-sized; lazy, so the plan sweep
+    # still sees a pure declarative plan, and the blocks die with the
+    # query's references.
+    #
+    # Adjacency and the greedy-merge bookkeeping are WINDOW functions
+    # over (word, pos), not self-joins (round 13, guide §2.4): positions
+    # are consecutive 1..len by construction, so the (word, pos+1)
+    # self-join is exactly lead(sym), the keep/absorb decisions are
+    # lag/last chains, and every window shares the ONE word-keyed
+    # exchange the persisted frame already has — the previous
+    # formulation paid the adjacency join (two exchanges), a (word,
+    # grp)-keyed window, and two (word, pos)-keyed left joins per round
+    # for the same rows.
     sym = wc.select(
         "word",
         "c",
@@ -1417,29 +1430,26 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("sym", F.expr("substr(word, pos, 1)")).persist()
 
     learned = []
+    wg = W.partitionBy("word").orderBy("pos")
+    wcum = wg.rowsBetween(W.unboundedPreceding, 0)
     for i in range(1, BPE_TRAIN_ROUNDS + 1):
-        a = sym.select(
-            "word", "c", F.col("pos").alias("apos"), F.col("sym").alias("s1")
-        )
-        b = sym.select(
-            F.col("word").alias("bword"),
-            F.col("pos").alias("bpos"),
-            F.col("sym").alias("s2"),
-        )
-        adj = a.join(
-            b,
-            (F.col("word") == F.col("bword"))
-            & (F.col("bpos") == F.col("apos") + 1),
-        ).persist()
-        pairs = adj.groupBy("s1", "s2").agg(
-            F.sum("c").cast("bigint").alias("cnt")
+        adj = sym.withColumn("s2", F.lead("sym").over(wg)).persist()
+        pairs = (
+            adj.filter(F.col("s2").isNotNull())
+            .groupBy(F.col("sym").alias("s1"), "s2")
+            .agg(F.sum("c").cast("bigint").alias("cnt"))
         )
         top = pairs.orderBy(
             F.desc("cnt"), F.asc("s1"), F.asc("s2")
         ).limit(1)
         learned.append(top.select(F.lit(i).alias("rank"), "s1", "s2", "cnt"))
 
-        m = (
+        # greedy leftmost non-overlapping merge, all on the word window:
+        # a match run is a maximal consecutive stretch of is_m (positions
+        # are consecutive, so lag(is_m) detects run starts); within a run
+        # only even offsets from the run start merge ('aaaa' -> [aa][aa]);
+        # a row whose PREDECESSOR merged is absorbed and dropped.
+        flagged = (
             adj.crossJoin(
                 F.broadcast(
                     top.select(
@@ -1447,53 +1457,34 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 )
             )
-            .filter((F.col("s1") == F.col("t1")) & (F.col("s2") == F.col("t2")))
-            .select("word", F.col("apos").alias("pos"))
-        )
-        wg = W.partitionBy("word").orderBy("pos")
-        runs = m.withColumn(
-            "grp", F.col("pos") - F.row_number().over(wg)
-        )
-        keep = (
-            runs.withColumn(
-                "off",
-                F.col("pos")
-                - F.min("pos").over(W.partitionBy("word", "grp")),
+            .withColumn(
+                "is_m",
+                F.col("s2").isNotNull()
+                & (F.col("sym") == F.col("t1"))
+                & (F.col("s2") == F.col("t2")),
             )
-            .filter(F.col("off") % 2 == 0)
-            .select(F.col("word").alias("kword"), F.col("pos").alias("kpos"))
-        )
-        merged = (
-            sym.crossJoin(
-                F.broadcast(top.select(F.col("s2").alias("sym2")))
-            )
-            .join(
-                keep,
-                (F.col("word") == F.col("kword"))
-                & (F.col("pos") == F.col("kpos")),
-                "left",
-            )
-            .join(
-                keep.select(
-                    F.col("kword").alias("k2word"),
-                    F.col("kpos").alias("k2pos"),
-                ),
-                (F.col("word") == F.col("k2word"))
-                & (F.col("pos") - 1 == F.col("k2pos")),
-                "left",
-            )
-            .filter(F.col("k2pos").isNull())
-            .select(
-                "word",
-                "c",
-                "pos",
+            .withColumn(
+                "rstart",
                 F.when(
-                    F.col("kpos").isNotNull(),
-                    F.concat("sym", "sym2"),
-                )
-                .otherwise(F.col("sym"))
-                .alias("sym"),
+                    F.col("is_m") & ~F.lag("is_m", 1, False).over(wg),
+                    F.col("pos"),
+                ),
             )
+            .withColumn("rs", F.last("rstart", ignorenulls=True).over(wcum))
+            .withColumn(
+                "keep",
+                F.col("is_m") & ((F.col("pos") - F.col("rs")) % 2 == 0),
+            )
+        )
+        merged = flagged.filter(
+            ~F.lag("keep", 1, False).over(wg)
+        ).select(
+            "word",
+            "c",
+            "pos",
+            F.when(F.col("keep"), F.concat("sym", "t2"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
         )
         sym = merged.select(
             "word",
