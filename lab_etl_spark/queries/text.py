@@ -1476,9 +1476,9 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("is_m") & ((F.col("pos") - F.col("rs")) % 2 == 0),
             )
         )
-        merged = flagged.filter(
-            ~F.lag("keep", 1, False).over(wg)
-        ).select(
+        merged = flagged.withColumn(
+            "absorbed", F.lag("keep", 1, False).over(wg)
+        ).filter(~F.col("absorbed")).select(
             "word",
             "c",
             "pos",
