@@ -830,8 +830,17 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(_finite_norm(F.col("_nrm")))
         .drop("_nrm")
     )
-    ms = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
-    sub = pts.crossJoin(F.broadcast(ms)).select(
+    # subvector fan-out as explode(sequence) rather than a crossJoin with
+    # a broadcast M-row range (round 13): identical (vec_id, m, sv) rows,
+    # but the x M expansion runs inside whole-stage codegen instead of a
+    # non-codegen BroadcastNestedLoopJoin (guide §4.1 — builtin
+    # expressions over join machinery when no join is semantically
+    # present).
+    sub = pts.select(
+        "vec_id",
+        F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        "v",
+    ).select(
         "vec_id",
         "m",
         F.expr(f"slice(v, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
