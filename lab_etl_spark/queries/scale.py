@@ -1210,24 +1210,20 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").selectExpr(
         "event_type", "value", f"{_BOOT_H_SPARK} AS h"
     )
-    # membership expansion as explode(filter(sequence)) rather than a
+    # membership expansion as explode(sequence) + WHERE rather than a
     # theta join against a broadcast replicate-id range (round 13): the
-    # emitted (event_type, b, value) rows are IDENTICAL — the lambda body
-    # is the same membership text the oracle uses — but the hex-digit
-    # coin now runs inside whole-stage codegen instead of a non-codegen
-    # BroadcastNestedLoopJoin that re-materializes the 32-row build side
-    # per task (guide §3/§4: prefer builtin expressions over join
-    # machinery when no join is semantically present).
+    # emitted (event_type, b, value) rows are IDENTICAL — the membership
+    # predicate is the same text the oracle uses — with both the x B
+    # fan-out (Generate) and the hex-digit coin running in whole-stage
+    # codegen.  NOT filter(sequence, b -> coin): higher-order functions
+    # are CodegenFallback, and the interpreted per-row lambda measured
+    # SLOWER than the BroadcastNestedLoopJoin it replaced.
     reps = ev.select(
         "event_type",
         "value",
-        F.explode(
-            F.expr(
-                f"filter(sequence(0, {BOOT_B - 1}),"
-                f" b -> {_BOOT_IN_SPARK})"
-            )
-        ).alias("b"),
-    )
+        "h",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    ).where(F.expr(_BOOT_IN_SPARK)).drop("h")
     rep_means = reps.groupBy("event_type", "b").agg(
         F.expr(davg("value", 6)).alias("m")
     )
