@@ -16,8 +16,8 @@ skewed (the sf0.1 ``events.value`` packs 27% of rows into the lowest 5%
 of its range), and linear buckets collapse most of a skewed column into a
 handful of codes, destroying curve resolution exactly where the data is.
 One ``approxQuantile`` pass per z-ordered column (driver gets 2^bits - 1
-doubles — bounded, scale-safe) yields boundaries; the per-row bucket is a
-codegen ``aggregate`` over the broadcast literal boundary array.  This is
+doubles — bounded, scale-safe) yields boundaries; the per-row bucket is an
+unrolled binary-search CASE tree over the literal boundaries.  This is
 the same rank-based design as Delta's OPTIMIZE ZORDER
 (range_partition_id), expressed with open Spark APIs.
 
@@ -41,16 +41,31 @@ DEFAULT_BITS = 8
 
 
 def _quantile_bucket(col: Column, boundaries: list[float]) -> Column:
-    """Rank bucket = number of quantile boundaries <= value, computed by a
-    codegen ``aggregate`` over a literal boundary array (O(2^bits) compares
-    per row, all JVM-side).  NULLs sort to bucket 0."""
-    arr = F.lit(boundaries)  # broadcast literal, one copy per plan
-    cnt = F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, b: acc + F.when(col.cast("double") >= b, 1).otherwise(0),
-    )
-    return F.coalesce(cnt, F.lit(0)).cast("bigint")
+    """Rank bucket = number of quantile boundaries <= value, as an unrolled
+    BINARY-SEARCH ``CASE`` tree over the sorted literal boundaries:
+    log2(2^bits) comparisons per row, entirely inside whole-stage codegen.
+
+    The previous form — ``F.aggregate`` over a literal boundary array —
+    computed the same count, but higher-order functions are
+    CodegenFallback: the 2^bits-element lambda ran INTERPRETED for every
+    row, twice per z-ordered column (the range-partitioner samples the key
+    expression before the real pass).  The tree is the standard upper-bound
+    search, so the count is identical for every input: duplicates compare
+    by value, a NULL comparison takes the low branch at every level and
+    lands on bucket 0 (the fold's NULL -> 0), and NaN compares above every
+    boundary (bucket 2^bits) exactly as each ``>=`` term did."""
+    v = col.cast("double")
+
+    def search(lo: int, hi: int) -> Column:
+        # invariant: answer (the upper-bound index) lies in [lo, hi]
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(v >= boundaries[mid], search(mid + 1, hi)).otherwise(
+            search(lo, mid)
+        )
+
+    return search(0, len(boundaries)).cast("bigint")
 
 
 def zorder_key(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS) -> Column:

@@ -496,9 +496,15 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sketches import _HLL_EST, _HLL_H52_SPARK, _HLL_RHO_SPARK
 
     ev = load_table(spark, sf_dir, "events")
-    dv = ev.select(
-        "event_type", F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
+    # NO .distinct() before the register reduction (round 13): duplicates
+    # of (event_type, day, user_id) hash to the same (reg, rho) cell and
+    # MAX absorbs them, so the distinct shuffle was a full data-sized
+    # exchange computing nothing the register MAX doesn't — dropping it
+    # turns phase 1 into a single map-side-combined aggregate whose
+    # shuffle is bounded by |types × days × 256| cells per task (guide
+    # §2.2: shuffle fewer bytes via partial aggregation).  The oracle
+    # keeps its dv CTE: identical cells either way, hash-verified.
+    dv = ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
     hashed = dv.selectExpr(
         "event_type", "day", f"{_HLL_H52_SPARK} AS h52"
     )
