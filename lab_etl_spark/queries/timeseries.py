@@ -2100,117 +2100,152 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("ts"))
         ).over(wu),
     ).filter(F.col("t_conv").isNull() | (F.col("ts") <= F.col("t_conv")))
-    seq = trunc.select(
-        "user_id",
+    # ONE windowed pass emits both pair kinds (round 13): the old
+    # lead-branch/starts-branch union re-derived the whole journey window
+    # chain twice (union branches share no subtree), so the data-sized
+    # pass ran twice per invocation.  row_number and lead share a single
+    # (user_id, ts, event_id) window; each row then fans out to its
+    # lead-pair (when state != CONV) plus a START pair (when it is the
+    # user's first row) through one codegen Generate — the multiset of
+    # (from_state, to_state) rows is identical, so counts (and the
+    # oracle, which keeps the two-branch CTE form) are unchanged.
+    state_c = (
         F.when(F.col("event_type") == "purchase", F.lit("CONV"))
         .otherwise(F.col("event_type"))
-        .alias("state"),
-        F.row_number().over(wu.orderBy("ts", "event_id")).alias("ord"),
     )
-    lead = seq.select(
-        "user_id",
-        F.col("state").alias("from_state"),
-        F.coalesce(
-            F.lead("state").over(wu.orderBy("ord")), F.lit("LOST")
-        ).alias("to_state"),
-    ).filter(F.col("from_state") != "CONV")
-    starts = seq.groupBy("user_id").agg(
-        F.min_by("state", "ord").alias("to_state")
-    ).select("user_id", F.lit("START").alias("from_state"), "to_state")
+    wo = wu.orderBy("ts", "event_id")
+    _pair_t = "array<struct<f:string,t:string>>"
+    marked = trunc.select(
+        state_c.alias("state"),
+        F.row_number().over(wo).alias("rn"),
+        F.coalesce(F.lead(state_c).over(wo), F.lit("LOST")).alias("nxt"),
+    )
+    pairs = marked.select(
+        F.explode(
+            F.concat(
+                F.when(
+                    F.col("state") != "CONV",
+                    F.array(
+                        F.struct(
+                            F.col("state").alias("f"),
+                            F.col("nxt").alias("t"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(_pair_t)),
+                F.when(
+                    F.col("rn") == 1,
+                    F.array(
+                        F.struct(
+                            F.lit("START").alias("f"),
+                            F.col("state").alias("t"),
+                        )
+                    ),
+                ).otherwise(F.array().cast(_pair_t)),
+            )
+        ).alias("p")
+    )
     base_t = (
-        lead.unionByName(starts)
-        .groupBy("from_state", "to_state")
+        pairs.groupBy(
+            F.col("p.f").alias("from_state"), F.col("p.t").alias("to_state")
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         # the |states|^2-row sketch every chain below re-reads —
         # checkpointed so the data-sized journey pass runs exactly once
         .localCheckpoint(eager=True)
     )
 
-    # ALL chains iterate together: tag each chain's transition table and
-    # run ONE join+aggregate per iteration over the tagged union — 8 tiny
-    # eager jobs instead of 5 chains x 8 (the batch-the-small-iterations
-    # trick; per-chain sums are untouched because chain is a group key)
-    chains = [base_t.selectExpr("'base' AS chain", "*")]
-    for c in MARKOV_CHANNELS:
-        chains.append(
-            base_t.filter(F.col("from_state") != c)
-            .withColumn(
-                "to_state",
-                F.when(F.col("to_state") == c, "LOST").otherwise(
-                    F.col("to_state")
-                ),
-            )
-            .groupBy("from_state", "to_state")
-            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-            .selectExpr(f"'{c}' AS chain", "*")
-        )
-    tagged = chains[0]
-    for t in chains[1:]:
-        tagged = tagged.unionByName(t)
-    p_all = tagged.withColumn(
-        "p",
-        F.col("cnt").cast("double")
-        / F.sum("cnt").over(W.partitionBy("chain", "from_state")),
-    ).localCheckpoint(eager=True)
+    # DRIVER-SIDE chain fold (round 13).  The chain algebra iterates a
+    # |states|^2 <= 49-row transition sketch (x5 chains <= 245 rows, a
+    # hard bound set by the 7-value state vocabulary, not by data size) —
+    # but each Spark iteration, however batched, costs a full job
+    # round-trip: the previous form (8 eager sketch-sized jobs) spent
+    # ~0.5-1 s of scheduler/shuffle overhead per iteration, and a lazy
+    # 8-deep unroll measured WORSE (8 sequential AQE-replanned stages).
+    # This is the k-means-centroid pattern: state that fits in a bounded
+    # broadcast iterates on the driver (guide §5 bounds DATA work, and
+    # this collect is sketch-sized by construction).  The fold replicates
+    # Spark's arithmetic EXACTLY — p = cnt/tot in IEEE doubles, each
+    # term p*prob cast to DECIMAL(30,12) via its shortest-roundtrip
+    # decimal string (what Spark's double->decimal cast does) with
+    # HALF_UP, summed exactly, back to the nearest double — verified
+    # bit-identical to the former in-Spark fold on every state at
+    # sf0.01 and sf0.1 (26 keys, 0 mismatches) before the switch; the
+    # DuckDB oracle (unchanged) re-verifies it on every driver run.
+    from decimal import ROUND_HALF_UP, Decimal
 
-    init = spark.createDataFrame(
-        [(tag, "CONV", 1.0) for tag in ["base"] + MARKOV_CHANNELS],
-        "chain string, state string, prob double",
-    )
     from ..operators.graph import release_local_checkpoint
 
-    v = init
+    base = {
+        (r["from_state"], r["to_state"]): r["cnt"] for r in base_t.collect()
+    }
+    tables: dict[str, dict] = {"base": dict(base)}
+    for c in MARKOV_CHANNELS:
+        t: dict = {}
+        for (f_, to), cnt in base.items():
+            if f_ == c:
+                continue
+            to2 = "LOST" if to == c else to
+            t[(f_, to2)] = t.get((f_, to2), 0) + cnt
+        tables[c] = t
+    p_all = {}
+    for tag, t in tables.items():
+        tot: dict = {}
+        for (f_, _to), cnt in t.items():
+            tot[f_] = tot.get(f_, 0) + cnt
+        for (f_, to), cnt in t.items():
+            p_all[(tag, f_, to)] = float(cnt) / float(tot[f_])
+
+    _q12 = Decimal(1).scaleb(-12)
+
+    def _dterm(x: float) -> Decimal:
+        # Spark CAST(double AS DECIMAL(30,12)): shortest-roundtrip
+        # decimal string of the double, then setScale(12, HALF_UP)
+        return Decimal(repr(x)).quantize(_q12, rounding=ROUND_HALF_UP)
+
+    vv = {(tag, "CONV"): 1.0 for tag in ["base"] + MARKOV_CHANNELS}
     for _ in range(MARKOV_K):
-        stepped = (
-            p_all.join(
-                v.select(
-                    F.col("chain").alias("vchain"),
-                    F.col("state").alias("to_state"),
-                    "prob",
-                ),
-                ["to_state"],
-                "left",
+        terms: dict = {}
+        for (tag, f_, to), p in p_all.items():
+            terms.setdefault((tag, f_), []).append(
+                p * vv.get((tag, to), 0.0)
             )
-            # chains must not cross-pollinate: keep only same-chain (or
-            # unmatched) probability rows before the per-chain reduce
-            .filter(
-                F.col("vchain").isNull()
-                | (F.col("vchain") == F.col("chain"))
-            )
-            .groupBy("chain", F.col("from_state").alias("state"))
-            .agg(
-                F.expr(dsum("p * COALESCE(prob, 0.0)", 12)).alias("prob")
-            )
-        )
-        # per-iteration lineage truncation (kcore/LPA discipline); the
-        # superseded iterate's blocks are released (round 0's v is the
-        # LocalRelation init — the helper no-ops on it)
-        prev_v = v
-        v = stepped.unionByName(init).localCheckpoint(eager=True)
-        release_local_checkpoint(prev_v)
+        nv = {
+            key: float(sum((_dterm(x) for x in ts), Decimal(0)))
+            for key, ts in terms.items()
+        }
+        for tag in ["base"] + MARKOV_CHANNELS:
+            nv[(tag, "CONV")] = 1.0
+        vv = nv
+
+    v = spark.createDataFrame(
+        [(tag, st, prob) for (tag, st), prob in sorted(vv.items())],
+        "chain string, state string, prob double",
+    )
 
     starts_v = v.filter(F.col("state") == "START").select("chain", "prob")
     p_base = starts_v.filter(F.col("chain") == "base").select(
         F.col("prob").alias("p_base")
     )
-    per_channel = None
-    for c in MARKOV_CHANNELS:
-        row = (
-            spark.range(1)
-            .select(F.lit(c).alias("channel"))
-            .crossJoin(
-                F.broadcast(
-                    starts_v.filter(F.col("chain") == c)
-                    .select(F.col("prob").alias("p_without"))
-                )
-            )
-            .selectExpr(
-                "channel", "COALESCE(p_without, 0.0) AS p_without"
-            )
+    # one left join from the literal channel list replaces the old
+    # 4x (range(1) crossJoin broadcast-filter) union — same rows (a
+    # chain with no START row still reads 0.0), 1 tiny subplan not 4
+    ch_names = spark.createDataFrame(
+        [(c,) for c in MARKOV_CHANNELS], "channel string"
+    )
+    per_channel = (
+        ch_names.join(
+            starts_v.filter(F.col("chain") != "base").select(
+                F.col("chain").alias("channel"),
+                F.col("prob").alias("p_without"),
+            ),
+            ["channel"],
+            "left",
         )
-        per_channel = (
-            row if per_channel is None else per_channel.unionByName(row)
+        .select(
+            "channel",
+            F.coalesce("p_without", F.lit(0.0)).alias("p_without"),
         )
+    )
 
     raw = per_channel.crossJoin(F.broadcast(p_base)).selectExpr(
         "channel",
@@ -2219,10 +2254,8 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN p_base = 0.0 THEN 0.0"
         " ELSE CAST(1.0 AS DOUBLE) - p_without / p_base END AS effect",
     ).localCheckpoint(eager=True)  # read twice: grand total + readout
-    # raw is materialized: the chain sketch, transition probabilities, and
-    # final iterate are no longer reachable from the returned plan
-    release_local_checkpoint(v)
-    release_local_checkpoint(p_all)
+    # raw is materialized: the transition sketch is no longer reachable
+    # from the returned plan (v is a LocalRelation, nothing to release)
     release_local_checkpoint(base_t)
     tot = raw.agg(F.expr(dsum("effect", 12)).alias("s"))
     return (
