@@ -1071,9 +1071,18 @@ ORDER BY s.event_type
 )
 def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # persisted: the sketch branch and the exact-count reference branch
-    # both reduce this distinct set — one data-sized pass, not two
-    dv = ev.select("event_type", "user_id").distinct().persist()
+    # No shared .distinct().persist() (round 13): duplicates of
+    # (event_type, user_id) hash to the same (reg, rho) cell and the
+    # register MAX absorbs them, so the sketch branch needs no distinct
+    # at all — it partial-aggregates map-side down to |types x 256|
+    # cells before the shuffle.  The exact-count branch is
+    # count_distinct, whose two-phase plan dedups (type, user) pairs
+    # map-side too.  Both branches now shuffle bounded partial states
+    # instead of materializing a distinct set whose persist footprint is
+    # ∝ data — the very thing sketch algebra exists to avoid at 100 TB
+    # (guide §2.3: aggregate before you shuffle).  Cells, counts, and
+    # the oracle (which keeps its dv CTE) are identical.
+    dv = ev.select("event_type", "user_id")
     hashed = dv.selectExpr("event_type", f"{_HLL_H52_SPARK} AS h52")
     regs = hashed.selectExpr(
         "event_type", "h52 % 256 AS reg", f"{_HLL_RHO_SPARK} AS rho"
@@ -1088,7 +1097,9 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         (F.lit(256) - F.count(F.lit(1))).alias("zeros"),
     )
-    ex = dv.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    ex = dv.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
     return (
         sk.join(ex, "event_type")
         .selectExpr(
