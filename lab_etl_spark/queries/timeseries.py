@@ -2144,15 +2144,11 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     )
-    base_t = (
-        pairs.groupBy(
-            F.col("p.f").alias("from_state"), F.col("p.t").alias("to_state")
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        # the |states|^2-row sketch every chain below re-reads —
-        # checkpointed so the data-sized journey pass runs exactly once
-        .localCheckpoint(eager=True)
-    )
+    # one consumer (the driver-fold collect below), so no checkpoint:
+    # the data-sized journey pass runs exactly once into the collect
+    base_t = pairs.groupBy(
+        F.col("p.f").alias("from_state"), F.col("p.t").alias("to_state")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
 
     # DRIVER-SIDE chain fold (round 13).  The chain algebra iterates a
     # |states|^2 <= 49-row transition sketch (x5 chains <= 245 rows, a
@@ -2172,8 +2168,6 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.01 and sf0.1 (26 keys, 0 mismatches) before the switch; the
     # DuckDB oracle (unchanged) re-verifies it on every driver run.
     from decimal import ROUND_HALF_UP, Decimal
-
-    from ..operators.graph import release_local_checkpoint
 
     base = {
         (r["from_state"], r["to_state"]): r["cnt"] for r in base_t.collect()
@@ -2254,9 +2248,6 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CASE WHEN p_base = 0.0 THEN 0.0"
         " ELSE CAST(1.0 AS DOUBLE) - p_without / p_base END AS effect",
     ).localCheckpoint(eager=True)  # read twice: grand total + readout
-    # raw is materialized: the transition sketch is no longer reachable
-    # from the returned plan (v is a LocalRelation, nothing to release)
-    release_local_checkpoint(base_t)
     tot = raw.agg(F.expr(dsum("effect", 12)).alias("s"))
     return (
         raw.crossJoin(F.broadcast(tot))
