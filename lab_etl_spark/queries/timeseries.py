@@ -2067,6 +2067,69 @@ ORDER BY channel"""
     )
 
 
+def _markov_dterm(x: float):
+    """Spark's ``CAST(double AS DECIMAL(30,12))``: the double's
+    shortest-roundtrip decimal string (Java ``Double.toString`` ==
+    Python ``repr`` for every finite double), then setScale(12,
+    HALF_UP) — the per-term half of the exact.dsum(…, 12) idiom."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-12), rounding=ROUND_HALF_UP
+    )
+
+
+def _markov_driver_fold(
+    base: dict, channels: list[str], k: int
+) -> dict:
+    """The q_attribution_markov chain algebra on the driver: from the
+    collected base (from, to) -> cnt sketch, derive each removal chain's
+    transition table, its row-normalized probabilities (IEEE-double
+    cnt/tot, exactly Spark's ``cnt.cast(double)/sum(cnt)``), and run
+    ``k`` absorption iterations where every per-state reduction is the
+    dsum(…, 12) fold: each double term quantized to DECIMAL(30,12) via
+    its shortest-roundtrip string (``_markov_dterm``), summed exactly,
+    cast back to the nearest double.  Returns {(chain, state): prob}.
+
+    Bit-equality with the in-Spark formulation is pinned by
+    tests/test_advanced.py::test_markov_driver_fold_matches_spark_dsum.
+    """
+    from decimal import Decimal
+
+    tables: dict[str, dict] = {"base": dict(base)}
+    for c in channels:
+        t: dict = {}
+        for (f_, to), cnt in base.items():
+            if f_ == c:
+                continue
+            to2 = "LOST" if to == c else to
+            t[(f_, to2)] = t.get((f_, to2), 0) + cnt
+        tables[c] = t
+    p_all = {}
+    for tag, t in tables.items():
+        tot: dict = {}
+        for (f_, _to), cnt in t.items():
+            tot[f_] = tot.get(f_, 0) + cnt
+        for (f_, to), cnt in t.items():
+            p_all[(tag, f_, to)] = float(cnt) / float(tot[f_])
+
+    vv = {(tag, "CONV"): 1.0 for tag in ["base"] + list(channels)}
+    for _ in range(k):
+        terms: dict = {}
+        for (tag, f_, to), p in p_all.items():
+            terms.setdefault((tag, f_), []).append(
+                p * vv.get((tag, to), 0.0)
+            )
+        nv = {
+            key: float(sum((_markov_dterm(x) for x in ts), Decimal(0)))
+            for key, ts in terms.items()
+        }
+        for tag in ["base"] + list(channels):
+            nv[(tag, "CONV")] = 1.0
+        vv = nv
+    return vv
+
+
 @register(
     "q_attribution_markov",
     priority=1,  # self-queued for round 6 like q_funnel_windowed
@@ -2159,57 +2222,17 @@ def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8-deep unroll measured WORSE (8 sequential AQE-replanned stages).
     # This is the k-means-centroid pattern: state that fits in a bounded
     # broadcast iterates on the driver (guide §5 bounds DATA work, and
-    # this collect is sketch-sized by construction).  The fold replicates
-    # Spark's arithmetic EXACTLY — p = cnt/tot in IEEE doubles, each
-    # term p*prob cast to DECIMAL(30,12) via its shortest-roundtrip
-    # decimal string (what Spark's double->decimal cast does) with
-    # HALF_UP, summed exactly, back to the nearest double — verified
-    # bit-identical to the former in-Spark fold on every state at
-    # sf0.01 and sf0.1 (26 keys, 0 mismatches) before the switch; the
-    # DuckDB oracle (unchanged) re-verifies it on every driver run.
-    from decimal import ROUND_HALF_UP, Decimal
-
+    # this collect is sketch-sized by construction).  The fold
+    # (_markov_driver_fold below) replicates Spark's arithmetic EXACTLY
+    # — verified bit-identical to the former in-Spark fold on every
+    # state at sf0.01 and sf0.1 (26 keys, 0 mismatches) before the
+    # switch, pinned forever after by tests/test_advanced.py::
+    # test_markov_driver_fold_matches_spark_dsum on adversarial counts;
+    # the DuckDB oracle (unchanged) re-verifies it on every driver run.
     base = {
         (r["from_state"], r["to_state"]): r["cnt"] for r in base_t.collect()
     }
-    tables: dict[str, dict] = {"base": dict(base)}
-    for c in MARKOV_CHANNELS:
-        t: dict = {}
-        for (f_, to), cnt in base.items():
-            if f_ == c:
-                continue
-            to2 = "LOST" if to == c else to
-            t[(f_, to2)] = t.get((f_, to2), 0) + cnt
-        tables[c] = t
-    p_all = {}
-    for tag, t in tables.items():
-        tot: dict = {}
-        for (f_, _to), cnt in t.items():
-            tot[f_] = tot.get(f_, 0) + cnt
-        for (f_, to), cnt in t.items():
-            p_all[(tag, f_, to)] = float(cnt) / float(tot[f_])
-
-    _q12 = Decimal(1).scaleb(-12)
-
-    def _dterm(x: float) -> Decimal:
-        # Spark CAST(double AS DECIMAL(30,12)): shortest-roundtrip
-        # decimal string of the double, then setScale(12, HALF_UP)
-        return Decimal(repr(x)).quantize(_q12, rounding=ROUND_HALF_UP)
-
-    vv = {(tag, "CONV"): 1.0 for tag in ["base"] + MARKOV_CHANNELS}
-    for _ in range(MARKOV_K):
-        terms: dict = {}
-        for (tag, f_, to), p in p_all.items():
-            terms.setdefault((tag, f_), []).append(
-                p * vv.get((tag, to), 0.0)
-            )
-        nv = {
-            key: float(sum((_dterm(x) for x in ts), Decimal(0)))
-            for key, ts in terms.items()
-        }
-        for tag in ["base"] + MARKOV_CHANNELS:
-            nv[(tag, "CONV")] = 1.0
-        vv = nv
+    vv = _markov_driver_fold(base, MARKOV_CHANNELS, MARKOV_K)
 
     v = spark.createDataFrame(
         [(tag, st, prob) for (tag, st), prob in sorted(vv.items())],

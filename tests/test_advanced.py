@@ -197,3 +197,97 @@ def test_dtw_matches_bruteforce(spark, sf_dir):
             )
 
         assert out[etype].dtw == round(d(len(xs), len(ref)), 6), etype
+
+
+def test_markov_driver_fold_matches_spark_dsum(spark):
+    """Round-13 pin: q_attribution_markov's driver-side chain fold must be
+    bit-identical to the in-Spark dsum(..., 12) formulation it replaced
+    (join + filter + groupBy per iteration over the tagged chain union).
+
+    Adversarial counts on purpose: large coprime values make cnt/tot
+    probabilities with full 52-bit mantissas, so the per-term
+    double->DECIMAL(30,12) quantization (shortest-roundtrip string +
+    HALF_UP) is exercised far from round decimals; a fold that used the
+    exact binary expansion, a different rounding mode, or float
+    accumulation diverges on these within an iteration or two."""
+    from lab_etl_spark.queries.exact import dsum
+    from lab_etl_spark.queries.timeseries import _markov_driver_fold
+
+    channels = ["ch_a", "ch_b"]
+    k = 8
+    base = {
+        ("START", "ch_a"): 982451653,
+        ("START", "ch_b"): 57885161,
+        ("START", "CONV"): 3,
+        ("ch_a", "ch_b"): 179424673,
+        ("ch_a", "CONV"): 15485863,
+        ("ch_a", "LOST"): 32452843,
+        ("ch_b", "ch_a"): 49979687,
+        ("ch_b", "CONV"): 67867967,
+        ("ch_b", "LOST"): 86028121,
+    }
+
+    got = _markov_driver_fold(base, channels, k)
+
+    # the replaced in-Spark formulation, verbatim
+    base_t = spark.createDataFrame(
+        [(f, t, c) for (f, t), c in base.items()],
+        "from_state string, to_state string, cnt bigint",
+    )
+    chains = [base_t.selectExpr("'base' AS chain", "*")]
+    for c in channels:
+        chains.append(
+            base_t.filter(F.col("from_state") != c)
+            .withColumn(
+                "to_state",
+                F.when(F.col("to_state") == c, "LOST").otherwise(
+                    F.col("to_state")
+                ),
+            )
+            .groupBy("from_state", "to_state")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .selectExpr(f"'{c}' AS chain", "*")
+        )
+    tagged = chains[0]
+    for t in chains[1:]:
+        tagged = tagged.unionByName(t)
+    from pyspark.sql import Window as W
+
+    p_all = tagged.withColumn(
+        "p",
+        F.col("cnt").cast("double")
+        / F.sum("cnt").over(W.partitionBy("chain", "from_state")),
+    ).localCheckpoint(eager=True)
+    init = spark.createDataFrame(
+        [(tag, "CONV", 1.0) for tag in ["base"] + channels],
+        "chain string, state string, prob double",
+    )
+    v = init
+    for _ in range(k):
+        stepped = (
+            p_all.join(
+                v.select(
+                    F.col("chain").alias("vchain"),
+                    F.col("state").alias("to_state"),
+                    "prob",
+                ),
+                ["to_state"],
+                "left",
+            )
+            .filter(
+                F.col("vchain").isNull()
+                | (F.col("vchain") == F.col("chain"))
+            )
+            .groupBy("chain", F.col("from_state").alias("state"))
+            .agg(F.expr(dsum("p * COALESCE(prob, 0.0)", 12)).alias("prob"))
+        )
+        v = stepped.unionByName(init).localCheckpoint(eager=True)
+    want = {(r["chain"], r["state"]): r["prob"] for r in v.collect()}
+
+    assert set(got) == set(want)
+    diverged = {
+        key: (got[key], want[key])
+        for key in want
+        if got[key] != want[key]  # BIT equality, not approx
+    }
+    assert not diverged, f"driver fold diverged from Spark dsum: {diverged}"
