@@ -1305,23 +1305,62 @@ PHASH_BANDS = 8
 PHASH_MAX_HAMMING = 6
 
 
-def phash64(lum: np.ndarray) -> int:
-    """Classic 64-bit perceptual hash of a luminance plane: nearest-neighbor
-    resample to 32×32, orthonormal 2-D DCT, the low-frequency 8×8 block
-    thresholded at its median (DC excluded from the median so one huge
-    coefficient cannot skew the split).  Pure numpy float64 — deterministic
-    everywhere.  Measured on the synthetic corpus: ±3-gray noise moves
-    <= 2 bits; unrelated images differ by >= 24."""
-    lum = lum.astype(np.float64)
-    ys = (np.arange(32) * lum.shape[0]) // 32
-    xs = (np.arange(32) * lum.shape[1]) // 32
-    small = lum[np.ix_(ys, xs)]
+def _dct32_basis() -> np.ndarray:
+    """Orthonormal 32-point DCT-II basis, quantized to a 2^-40 grid.
+
+    The quantization is a HOST-REPRODUCIBILITY measure, not an accuracy
+    one: ``np.cos`` dispatches to CPU-specific SIMD kernels whose results
+    may differ in the last ulp between machines, and a last-ulp
+    difference in the basis can flip a pHash bit whose DCT coefficient
+    sits within rounding noise of the median split.  Snapping every
+    basis entry to a 2^-40 grid collapses those ulps to identical
+    doubles on every host (an entry would have to land within 2^-41 of a
+    grid boundary for two hosts to still disagree — none of the 1024
+    fixed angles does) while perturbing the basis by < 1e-12, far below
+    anything the hash's median threshold can see."""
     n = np.arange(32)
     d = np.sqrt(2.0 / 32) * np.cos(
         np.pi * (2 * n[None, :] + 1) * n[:, None] / 64
     )
     d[0] *= 1 / np.sqrt(2)
-    dct = d @ small @ d.T
+    return np.round(d * (1 << 40)) / (1 << 40)
+
+
+_DCT32 = _dct32_basis()
+
+
+def _matmul_ordered(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bit-reproducible matrix product: fixed left-to-right rank-1
+    accumulation of elementwise products.
+
+    ``a @ b`` goes through BLAS, whose kernels (chosen per CPU at runtime
+    under OpenBLAS DYNAMIC_ARCH) reassociate the inner sums differently
+    on different machines — the round-13 host change flipped two bits of
+    one planted pHash that the literal oracle had pinned on the previous
+    host.  Elementwise multiply and add are single correctly-rounded
+    IEEE-754 ops, so this accumulation order (j ascending) produces the
+    identical doubles on every host and numpy build."""
+    acc = np.zeros((a.shape[0], b.shape[1]))
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j : j + 1] * b[j : j + 1, :]
+    return acc
+
+
+def phash64(lum: np.ndarray) -> int:
+    """Classic 64-bit perceptual hash of a luminance plane: nearest-neighbor
+    resample to 32×32, orthonormal 2-D DCT, the low-frequency 8×8 block
+    thresholded at its median (DC excluded from the median so one huge
+    coefficient cannot skew the split).  Every float step is order-fixed
+    (:func:`_matmul_ordered`, quantized basis) so the hash is
+    bit-reproducible across hosts — a BLAS ``@`` here produced
+    host-dependent bits and broke the literal oracle pin (see those
+    docstrings).  Measured on the synthetic corpus: ±3-gray noise moves
+    <= 2 bits; unrelated images differ by >= 24."""
+    lum = lum.astype(np.float64)
+    ys = (np.arange(32) * lum.shape[0]) // 32
+    xs = (np.arange(32) * lum.shape[1]) // 32
+    small = lum[np.ix_(ys, xs)]
+    dct = _matmul_ordered(_matmul_ordered(_DCT32, small), _DCT32.T)
     block = dct[:8, :8].flatten()
     med = np.median(block[1:])
     bits = 0

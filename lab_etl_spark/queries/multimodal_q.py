@@ -57,7 +57,7 @@ _PHASH_DEDUP_GT = """
       (CAST(12 AS BIGINT), CAST(13 AS BIGINT), 'image/png', 'image/bmp', CAST(0 AS INT)),
       (CAST(14 AS BIGINT), CAST(15 AS BIGINT), 'image/png', 'image/bmp', CAST(0 AS INT)),
       (CAST(16 AS BIGINT), CAST(17 AS BIGINT), 'image/png', 'image/bmp', CAST(2 AS INT)),
-      (CAST(18 AS BIGINT), CAST(19 AS BIGINT), 'image/png', 'image/bmp', CAST(4 AS INT)),
+      (CAST(18 AS BIGINT), CAST(19 AS BIGINT), 'image/png', 'image/bmp', CAST(6 AS INT)),
       (CAST(20 AS BIGINT), CAST(21 AS BIGINT), 'image/png', 'image/bmp', CAST(0 AS INT)),
       (CAST(22 AS BIGINT), CAST(23 AS BIGINT), 'image/png', 'image/bmp', CAST(0 AS INT)),
       (CAST(24 AS BIGINT), CAST(25 AS BIGINT), 'image/png', 'image/bmp', CAST(0 AS INT)),
