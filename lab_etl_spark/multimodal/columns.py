@@ -1330,20 +1330,14 @@ _DCT32 = _dct32_basis()
 
 
 def _matmul_ordered(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Bit-reproducible matrix product: fixed left-to-right rank-1
-    accumulation of elementwise products.
+    """Bit-reproducible matrix product — see
+    :func:`lab_etl_spark.multimodal.jpeg.matmul_ordered` (one shared
+    implementation: the round-13 host change flipped two bits of one
+    planted pHash through a BLAS ``@`` here, and the JPEG DCTs carry the
+    same knife-edge-rounding hazard)."""
+    from .jpeg import matmul_ordered
 
-    ``a @ b`` goes through BLAS, whose kernels (chosen per CPU at runtime
-    under OpenBLAS DYNAMIC_ARCH) reassociate the inner sums differently
-    on different machines — the round-13 host change flipped two bits of
-    one planted pHash that the literal oracle had pinned on the previous
-    host.  Elementwise multiply and add are single correctly-rounded
-    IEEE-754 ops, so this accumulation order (j ascending) produces the
-    identical doubles on every host and numpy build."""
-    acc = np.zeros((a.shape[0], b.shape[1]))
-    for j in range(a.shape[1]):
-        acc = acc + a[:, j : j + 1] * b[j : j + 1, :]
-    return acc
+    return matmul_ordered(a, b)
 
 
 def phash64(lum: np.ndarray) -> int:

@@ -40,25 +40,51 @@ def _zigzag_order() -> list[tuple[int, int]]:
 #: JPEG zigzag scan: position k -> (row, col)
 ZIGZAG = _zigzag_order()
 
-#: orthonormal 8x8 DCT-II basis
-_C = np.array(
-    [
+#: orthonormal 8x8 DCT-II basis, quantized to a 2^-40 grid so a last-ulp
+#: np.cos difference between hosts/builds collapses to identical doubles
+#: (the pHash lesson, multimodal/columns.py _dct32_basis)
+_C = np.round(
+    np.array(
         [
-            np.cos((2 * x + 1) * u * np.pi / 16)
-            * (np.sqrt(0.125) if u == 0 else 0.5)
-            for x in range(8)
+            [
+                np.cos((2 * x + 1) * u * np.pi / 16)
+                * (np.sqrt(0.125) if u == 0 else 0.5)
+                for x in range(8)
+            ]
+            for u in range(8)
         ]
-        for u in range(8)
-    ]
-)
+    )
+    * (1 << 40)
+) / (1 << 40)
+
+
+def matmul_ordered(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bit-reproducible matrix product: fixed left-to-right rank-1
+    accumulation of elementwise products.
+
+    ``a @ b`` goes through BLAS, whose kernels (chosen per CPU at runtime
+    under OpenBLAS DYNAMIC_ARCH) reassociate the inner sums differently
+    on different machines.  Here the DCT outputs feed knife-edge
+    ``np.round`` calls — quantized coefficients on the encode side,
+    integer pixels on the decode side — so a host change can flip a
+    coefficient/pixel whose value sits within an ulp of a .5 boundary,
+    silently changing every pinned artifact derived from decoded pixels
+    (the exact failure the round-13 host change caused in phash64).
+    Elementwise multiply and add are single correctly-rounded IEEE-754
+    ops, so this accumulation order (j ascending) produces identical
+    doubles on every host and numpy build."""
+    acc = np.zeros((a.shape[0], b.shape[1]))
+    for j in range(a.shape[1]):
+        acc = acc + a[:, j : j + 1] * b[j : j + 1, :]
+    return acc
 
 
 def _fdct(block: np.ndarray) -> np.ndarray:
-    return _C @ block @ _C.T
+    return matmul_ordered(matmul_ordered(_C, block), _C.T)
 
 
 def _idct(coef: np.ndarray) -> np.ndarray:
-    return _C.T @ coef @ _C
+    return matmul_ordered(matmul_ordered(_C.T, coef), _C)
 
 
 class _BitReader:

@@ -99,7 +99,7 @@ _AUDIO_FINGERPRINT_GT = """
 _IMAGE_RESIZE_GT = """
     SELECT * FROM (VALUES
       ('audio', CAST(16 AS BIGINT), CAST(0 AS BIGINT), CAST('0.064584' AS DOUBLE)),
-      ('image', CAST(64 AS BIGINT), CAST(64 AS BIGINT), CAST('0.500828' AS DOUBLE)),
+      ('image', CAST(64 AS BIGINT), CAST(64 AS BIGINT), CAST('0.500835' AS DOUBLE)),
       ('video', CAST(16 AS BIGINT), CAST(0 AS BIGINT), CAST('0.508225' AS DOUBLE))
     ) AS t(modality, n_assets, n_at_target, avg_feature0)
     ORDER BY modality
@@ -124,7 +124,7 @@ _IMAGE_RESIZE_GT = """
        CAST(0.064584 AS DOUBLE)),
       ('image', CAST(64 AS BIGINT), CAST(11.859375 AS DOUBLE),
        CAST(8.890625 AS DOUBLE), CAST(NULL AS DOUBLE),
-       CAST(0.500336 AS DOUBLE)),
+       CAST(0.500342 AS DOUBLE)),
       ('video', CAST(16 AS BIGINT), CAST(208.0 AS DOUBLE),
        CAST(147.0 AS DOUBLE), CAST(0.4875 AS DOUBLE),
        CAST(0.508225 AS DOUBLE))
