@@ -873,26 +873,43 @@ def graph_ann_topk(
         F.expr(DOT.format(a="qv", b="v")), F.col("qnrm") * F.col("nrm")
     )
     w_beam = W.partitionBy("query_id").orderBy(F.desc("_cc"), F.asc("vec_id"))
+    beam_scored = None
     for _ in range(hops):
-        expanded = beam_df.unionByName(
-            beam_df.join(
-                edges, beam_df["vec_id"] == edges["src"], "inner"
-            ).select("query_id", F.col("dst").alias("vec_id"))
-        ).distinct()
-        beam_df = (
+        # One exchange per hop instead of two: the candidate dedup used
+        # to be a ``.distinct()`` — an exchange hashed on BOTH columns,
+        # which cannot serve the query_id-keyed beam window, so every
+        # hop paid a second exchange.  Repartitioning on query_id first
+        # lets the dedup aggregate (ClusteredDistribution on a SUPERSET
+        # of the partitioning key) AND the window reuse the same
+        # exchange; the dedup itself is unchanged (exact duplicates of a
+        # 2-column frame either way).
+        expanded = (
+            beam_df.unionByName(
+                beam_df.join(
+                    edges, beam_df["vec_id"] == edges["src"], "inner"
+                ).select("query_id", F.col("dst").alias("vec_id"))
+            )
+            .repartition("query_id")
+            .dropDuplicates(["query_id", "vec_id"])
+        )
+        beam_scored = (
             expanded.join(corpus, "vec_id")
             .join(qb, "query_id")
             .withColumn("_cc", c_cos)
             .withColumn("rn", F.row_number().over(w_beam))
             .filter(F.col("rn") <= beam)
-            .select("query_id", "vec_id")
         )
+        beam_df = beam_scored.select("query_id", "vec_id")
 
+    # Readout reuses the FINAL hop's scored beam instead of re-joining
+    # corpus and queries to recompute the identical cosine (c_cos is a
+    # pure function of (qv, v) — recomputing it on the same rows is
+    # bit-for-bit the kept _cc, and at real scale the dropped corpus
+    # join is a data-sized join, not just plan noise).  Self-filter
+    # before re-ranking matches the oracle readout's WHERE-then-
+    # ROW_NUMBER order exactly.
     return (
-        beam_df.join(corpus, "vec_id")
-        .join(qb, "query_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("_cc", c_cos)
+        beam_scored.filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("rk", F.row_number().over(w_beam))
         .filter(F.col("rk") <= k)
         .select(
