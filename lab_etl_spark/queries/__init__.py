@@ -100,23 +100,19 @@ def register(
 # Every name listed here is green in the local twin at sf0.01, so promoting
 # it into the checked prefix is low-risk.
 _WINDOW_FRONT = [
-    # round 13: no r12 reds (eighth consecutive 50/50) — the window is a
-    # pure staleness drain: the 21 r8 veterans (q_approx_distinct,
-    # q_bucketed_join, q_curation_pipeline, q_data_quality,
-    # q_delta_export, q_dynamic_partition_pruning, q_ewma_batch,
-    # q_histogram, q_incremental_agg, q_instrument_sta_mass_loss,
-    # q_interarrival, q_multimodal_decode, q_orc_roundtrip,
-    # q_partition_pruning, q_retention, q_rolling_1h, q_sessionize,
-    # q_sql_udf, q_stream_hourly_users, q_time_travel, q_user_purge)
-    # enter via _LAST_GREEN order, then the r9 cohort (49) by staleness;
-    # the r9 spillovers wait for round 14.  Entries appended here during
-    # the round are queries whose ENGINE or ORACLE text changed
-    # (never-checked texts must see a driver row before the round ends).
-    # q_upsert_dv's engine AND oracle changed: the chain now ends with a
-    # round-13 additive-schema-evolution append (new `origin` column via
-    # append_logged; widened manifest schema; NULL-backfilled read) —
-    # the evolution path must see a driver row.
-    "q_upsert_dv",
+    # round 14: no r13 reds (ninth consecutive 50/50) — the window is a
+    # pure staleness drain: the 21 r9 spillovers (q_abtest_cuped,
+    # q_audio_fingerprint, q_bigram_novelty, q_bm25, q_changepoint,
+    # q_cooccurrence_pmi, q_embedding_quantize, q_forecast_revenue,
+    # q_image_resize, q_kmeans_lloyd, q_mutual_information,
+    # q_parts_supplier_count, q_phash_dedup, q_potential_promotion,
+    # q_random_projection, q_scd2_lookup, q_shipmode_priority,
+    # q_skyline_2d, q_video_frames, q_volume_shipping,
+    # q_zorder_skipping) enter via _LAST_GREEN order, then the r10
+    # cohort by staleness.  Entries appended here during the round are
+    # queries whose ENGINE text changed in this optimization round (the
+    # oracle strings are frozen; a rewritten engine must see a driver
+    # row against its unchanged oracle before the round ends).
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
@@ -128,9 +124,9 @@ _LAST_GREEN = {
     "q_dedup_exact": 10, "q_dedup_ngram_jaccard": 10,
     "q_dedup_minhash_lsh": 10, "q_dedup_clusters": 10, "q_dedup_simhash": 10,
     "q_dedup_embedding": 11, "q_instrument_peak_hrr": 12,
-    "q_instrument_sta_mass_loss": 8, "q_filter_project": 10,
+    "q_instrument_sta_mass_loss": 13, "q_filter_project": 10,
     "q_pricing_summary": 10, "q_agg_group": 10, "q_agg_distinct": 10,
-    "q_approx_distinct": 8, "q_shipping_priority": 10,
+    "q_approx_distinct": 13, "q_shipping_priority": 10,
     "q_local_supplier_volume": 10, "q_hash_join_inner": 10,
     "q_broadcast_join": 10, "q_semi_join": 10, "q_anti_join": 11,
     "q_range_join": 10, "q_window_rank": 10, "q_window_frame": 10,
@@ -150,8 +146,8 @@ _LAST_GREEN = {
     "q_embedding_lsh": 12, "q_embedding_stats": 12, "q_text_repetition": 12,
     "q_contamination": 12, "q_pii_redact": 12, "q_tfidf": 12,
     "q_quality_filter": 12, "q_asof_join": 12, "q_funnel": 12,
-    "q_sessionize": 8, "q_retention": 8, "q_interarrival": 8,
-    "q_stream_hourly_users": 8, "q_stream_stateful_ewma": 11,
+    "q_sessionize": 13, "q_retention": 13, "q_interarrival": 13,
+    "q_stream_hourly_users": 13, "q_stream_stateful_ewma": 11,
     "q_approx_percentile": 11, "q_hierarchical_rollup": 11,
     "q_lake_roundtrip": 11, "q_returned_items": 11, "q_promo_revenue": 11,
     "q_top_supplier": 11, "q_large_volume_customer": 11,
@@ -160,7 +156,7 @@ _LAST_GREEN = {
     "q_dedup_cross_source": 12, "q_customer_order_counts": 11,
     "q_small_qty_revenue": 11, "q_idle_customers": 11,
     "q_nation_year_profit": 12, "q_disjunctive_join": 12,
-    "q_multimodal_decode": 8, "q_window_distribution": 12,
+    "q_multimodal_decode": 13, "q_window_distribution": 12,
     "q_zorder_skipping": 9, "q_frequent_ngrams": 12, "q_argmin_join": 12,
     "q_exists_agg": 12, "q_sole_supplier_wait": 12, "q_global_share": 12,
     "q_scd2_build": 12, "q_vocab_oov": 12, "q_source_mix_weights": 12,
@@ -172,45 +168,47 @@ _LAST_GREEN = {
     "q_parts_supplier_count": 9, "q_potential_promotion": 9,
     "q_commitlog_roundtrip": 12, "q_heavy_hitters_cms": 12,
     "q_kmv_distinct": 12, "q_bloom_join_prune": 12, "q_triangle_count": 12,
-    "q_ewma_batch": 8, "q_rolling_1h": 8, "q_bucketed_join": 8,
-    "q_partition_pruning": 8, "q_incremental_agg": 8, "q_linreg_trend": 10,
-    "q_time_travel": 8, "q_user_purge": 8, "q_histogram": 8,
-    "q_data_quality": 8, "q_curation_pipeline": 8, "q_stream_cms_merge": 12,
-    "q_orc_roundtrip": 8, "q_video_frames": 9, "q_sql_udf": 8,
-    "q_scd2_lookup": 9, "q_dynamic_partition_pruning": 8,
+    "q_ewma_batch": 13, "q_rolling_1h": 13, "q_bucketed_join": 13,
+    "q_partition_pruning": 13, "q_incremental_agg": 13, "q_linreg_trend": 10,
+    "q_time_travel": 13, "q_user_purge": 13, "q_histogram": 13,
+    "q_data_quality": 13, "q_curation_pipeline": 13, "q_stream_cms_merge": 12,
+    "q_orc_roundtrip": 13, "q_video_frames": 9, "q_sql_udf": 13,
+    "q_scd2_lookup": 9, "q_dynamic_partition_pruning": 13,
     "q_date_spine_fill": 12, "q_rfm_segmentation": 12,
     "q_gini_concentration": 12, "q_jsonl_roundtrip": 10,
-    "q_corrupt_records": 10, "q_setsim_join": 9, "q_dedup_passages": 9,
-    "q_dedup_containment": 9, "q_bm25": 9, "q_cooccurrence_pmi": 9,
-    "q_bigram_novelty": 9, "q_udtf_token_offsets": 9, "q_stats_pruning": 9,
-    "q_point_lookup_bloom": 9, "q_xml_roundtrip": 9, "q_kmv_intersect": 9,
-    "q_shortest_path": 9, "q_weighted_sample": 9, "q_negative_sampling": 9,
-    "q_embedding_quantize": 9, "q_corr_matrix": 9, "q_changepoint": 9,
+    "q_corrupt_records": 10, "q_setsim_join": 13, "q_dedup_passages": 13,
+    "q_dedup_containment": 13, "q_bm25": 9, "q_cooccurrence_pmi": 9,
+    "q_bigram_novelty": 9, "q_udtf_token_offsets": 13, "q_stats_pruning": 13,
+    "q_point_lookup_bloom": 13, "q_xml_roundtrip": 13, "q_kmv_intersect": 13,
+    "q_shortest_path": 13, "q_weighted_sample": 13, "q_negative_sampling": 13,
+    "q_embedding_quantize": 9, "q_corr_matrix": 13, "q_changepoint": 9,
     "q_attribution": 10, "q_seasonal_decompose": 10, "q_anomaly_seasonal": 10,
     "q_stream_enrich": 10, "q_top_movers": 10, "q_transition_matrix": 10,
-    "q_market_basket": 9, "q_recursive_cte": 9, "q_dtw_distance": 10,
+    "q_market_basket": 13, "q_recursive_cte": 13, "q_dtw_distance": 10,
     "q_phash_dedup": 9, "q_audio_fingerprint": 9, "q_image_resize": 9,
-    "q_unigram_logprob": 9, "q_feature_hashing": 9, "q_kl_divergence": 9,
-    "q_bpe_train": 9, "q_stream_dedup": 9, "q_kcore": 9, "q_hll_portable": 9,
-    "q_quantile_histogram": 9, "q_label_propagation": 9, "q_lsh_recall": 9,
-    "q_dp_counts": 9, "q_bootstrap_ci": 9, "q_kanonymity": 9,
-    "q_mutual_information": 9, "q_skyline_2d": 9, "q_abtest_cuped": 9,
-    "q_random_projection": 9, "q_kmeans_lloyd": 9, "q_rrf_fusion": 11,
-    "q_acf": 10, "q_arrow_roundtrip": 11, "q_attribution_markov": 11,
+    "q_unigram_logprob": 13, "q_feature_hashing": 13, "q_kl_divergence": 13,
+    "q_bpe_train": 13, "q_stream_dedup": 13, "q_kcore": 13,
+    "q_hll_portable": 13, "q_quantile_histogram": 13,
+    "q_label_propagation": 13, "q_lsh_recall": 13, "q_dp_counts": 13,
+    "q_bootstrap_ci": 13, "q_kanonymity": 13, "q_mutual_information": 9,
+    "q_skyline_2d": 9, "q_abtest_cuped": 9, "q_random_projection": 9,
+    "q_kmeans_lloyd": 9, "q_rrf_fusion": 11, "q_acf": 10,
+    "q_arrow_roundtrip": 11, "q_attribution_markov": 11,
     "q_funnel_windowed": 11, "q_interval_merge": 11, "q_langid_confusion": 11,
     "q_ntile_binning": 11, "q_webdataset_roundtrip": 11,
     "q_bottomk_quantile": 10, "q_semdedup": 12, "q_pq_adc": 11,
     "q_importance_resampling": 11, "q_semdedup_kmeans": 11, "q_graph_ann": 11,
-    "q_dedup_incremental": 12, "q_delta_export": 8, "q_embedding_quality": 10,
-    "q_parquet_footer_stats": 11, "q_footer_pruned_scan": 11,
-    "q_stream_running_stats": 11, "q_purge_dv": 11, "q_version_diff": 12,
-    "q_upsert_dv": 12,
+    "q_dedup_incremental": 12, "q_delta_export": 13,
+    "q_embedding_quality": 10, "q_parquet_footer_stats": 11,
+    "q_footer_pruned_scan": 11, "q_stream_running_stats": 11,
+    "q_purge_dv": 11, "q_version_diff": 12, "q_upsert_dv": 13,
+    "q_cdf_consumer": 13,
 }
 
-# ROUND-14 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r13
-# (tools/regen_last_green.py), front any round-13 red rows plus
+# ROUND-15 ROTATION DUTY: regenerate _LAST_GREEN from CORRECTNESS_r01..r14
+# (tools/regen_last_green.py), front any round-14 red rows plus
 # promoted/changed oracles, then continue the staleness cycle: after
-# round 13 the oldest cohort is the r9 spillovers, then r10 by
+# round 14 the oldest cohort is the r10 veterans, then r11 by
 # staleness.  The invariant is SELF-ENFORCING:
 # tests/test_static_audits.py::test_window_staleness_invariant fails if
 # any registered query too stale to wait another round is left outside
