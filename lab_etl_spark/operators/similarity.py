@@ -901,6 +901,19 @@ def graph_ann_topk(
         )
         beam_df = beam_scored.select("query_id", "vec_id")
 
+    if beam_scored is None:
+        # hops=0: no beam step ran, so score the entry-hub beam directly
+        # (the pre-hop-fusion behavior — the readout below otherwise
+        # dereferences None; ADVICE round 13).  Same scoring expression
+        # and window as a hop, minus the edge expansion.
+        beam_scored = (
+            beam_df.join(corpus, "vec_id")
+            .join(qb, "query_id")
+            .withColumn("_cc", c_cos)
+            .withColumn("rn", F.row_number().over(w_beam))
+            .filter(F.col("rn") <= beam)
+        )
+
     # Readout reuses the FINAL hop's scored beam instead of re-joining
     # corpus and queries to recompute the identical cosine (c_cos is a
     # pure function of (qv, v) — recomputing it on the same rows is

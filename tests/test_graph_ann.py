@@ -91,6 +91,38 @@ def test_graph_ann_beam_reaches_outside_the_entry_cells(spark):
         )
 
 
+def test_graph_ann_hops_zero_scores_the_entry_beam(spark):
+    # hops=0 must rank the two entry hubs per query (the pre-hop-fusion
+    # API behavior), not raise — the round-13 loop rewrite left the
+    # readout dereferencing the final hop's beam, which doesn't exist
+    # with zero hops (ADVICE round 13).
+    import math
+
+    from lab_etl_spark.operators.similarity import graph_ann_topk
+
+    rows = _planted()
+    emb = _emb(spark, rows)
+    queries = emb.filter(F.col("vec_id") == 9)
+    got = graph_ann_topk(
+        emb, queries, n_hubs=8, m=4, beam=8, hops=0, k=3
+    ).collect()
+    assert got, "hops=0 returned nothing"
+    # Results must be drawn from the entry beam: the query's top-2 hubs
+    # by cosine (minus the query itself), ranked by (cosine desc, id).
+    vecs = dict(rows)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        assert abs(cos(vecs[9], vecs[r.neighbor_id]) - r.cosine) < 1e-5
+
+
 def test_kmeans_cells_invariants(spark):
     # The operator's CONTRACT (not cluster recovery — one Lloyd pass from
     # hash seeds cannot guarantee that; 3 of 4 seeds once landed in one
