@@ -1161,7 +1161,6 @@ def resize_images(
     out_cols = [f.name for f in ASSET_SCHEMA.fields]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        npix = width * height
         for pdf in batches:
             rows = []
             for aid, modality, mime, content, meta in zip(
@@ -1182,28 +1181,15 @@ def resize_images(
                         }
                     )
                     continue
-                src = _image_pixels(bytes(content))
-                if src is not None:
-                    # REAL nearest-neighbor resample of the decoded
-                    # luminance plane.
-                    lum = np.clip(_luminance(src), 0, 255).astype(np.uint8)
-                    ri = (np.arange(height) * lum.shape[0]) // height
-                    ci = (np.arange(width) * lum.shape[1]) // width
-                    pixels = lum[np.ix_(ri, ci)].tobytes()
-                else:
-                    # STAND-IN resample (non-PNG: no codec libs in env):
-                    # deterministic pixels from the payload.
-                    seed = hashlib.blake2b(
-                        bytes(content), digest_size=64
-                    ).digest()
-                    pixels = (seed * (npix // len(seed) + 1))[:npix]
                 rows.append(
                     {
                         "asset_id": aid,
                         "modality": "image",
                         "mime_type": "image/png",
                         "content": bytearray(
-                            _write_png_gray(width, height, pixels)
+                            resize_image_content(
+                                bytes(content), width, height
+                            )
                         ),
                         "meta_json": meta,
                     }
@@ -1211,6 +1197,26 @@ def resize_images(
             yield pd.DataFrame(rows, columns=out_cols)
 
     return assets.select(*out_cols).mapInPandas(kernel, ASSET_SCHEMA)
+
+
+def resize_image_content(content: bytes, width: int, height: int) -> bytes:
+    """One image payload -> (width, height) gray PNG bytes (the per-row
+    body of :func:`resize_images`, extracted so the independent-DCT
+    reference test can run the identical transform in-process)."""
+    src = _image_pixels(content)
+    if src is not None:
+        # REAL nearest-neighbor resample of the decoded luminance plane.
+        lum = np.clip(_luminance(src), 0, 255).astype(np.uint8)
+        ri = (np.arange(height) * lum.shape[0]) // height
+        ci = (np.arange(width) * lum.shape[1]) // width
+        pixels = lum[np.ix_(ri, ci)].tobytes()
+    else:
+        # STAND-IN resample (non-PNG: no codec libs in env):
+        # deterministic pixels from the payload.
+        npix = width * height
+        seed = hashlib.blake2b(content, digest_size=64).digest()
+        pixels = (seed * (npix // len(seed) + 1))[:npix]
+    return _write_png_gray(width, height, pixels)
 
 
 def make_asset_table(spark, n: int = 64) -> DataFrame:
