@@ -195,9 +195,20 @@ def _symmetrize(
     input partitioning.  A plain ``coalesce`` would be wrong here — it
     folds the upstream pair-generation work into the reduced tasks.
     """
-    sym = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).unionAll(
-        edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
-    )
+    # explode(array(fwd, rev)) instead of unionAll(edges, edges-reversed):
+    # the union form runs the EDGE PRODUCER twice — exchange reuse covers
+    # the subtree below the producer's last shuffle, but the per-pair
+    # compute above it (the entity-resolution Levenshtein DP, the minhash
+    # array_intersect verify) is re-executed per branch.  One pass, same
+    # row multiset (round-14 A/B: 1.40s -> 0.78s for the ER edge set).
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("_s"), F.col(dst).alias("_d")),
+                F.struct(F.col(dst).alias("_s"), F.col(src).alias("_d")),
+            )
+        ).alias("_e")
+    ).select("_e._s", "_e._d")
     if not edges_distinct:
         sym = sym.distinct()
     if working_partitions:

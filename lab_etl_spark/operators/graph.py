@@ -158,6 +158,24 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _undirect(edges: DataFrame) -> DataFrame:
+    """(p1, p2) id-ordered edge list → both-direction (a, b) rows in ONE
+    pass: ``explode(array(fwd, rev))`` instead of
+    ``unionAll(edges, edges-reversed)``, whose two branches re-run the
+    edge producer's post-shuffle compute (the co-purchase support count
+    reduce, or anything a caller derives above its last exchange).  Same
+    row multiset (operators/dedup.py ``_symmetrize`` carries the same
+    rewrite with the round-14 A/B numbers)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("a"), F.col("p2").alias("b")),
+                F.struct(F.col("p2").alias("a"), F.col("p1").alias("b")),
+            )
+        ).alias("_e")
+    ).select("_e.a", "_e.b")
+
+
 def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     """Synchronous k-core peeling over an undirected id-ordered edge list
     ``(p1, p2)``: repeatedly drop vertices whose degree within the
@@ -181,11 +199,7 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             "kcore requires rounds >= 1 (a 0-round peel would be the "
             "plain degree table — compute that directly)"
         )
-    und = (
-        edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-        .unionAll(edges.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
-        .localCheckpoint(eager=True)
-    )
+    und = _undirect(edges).localCheckpoint(eager=True)
 
     def _deg(frontier: DataFrame) -> DataFrame:
         return (
@@ -251,11 +265,7 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
             "the undirected edge frame, whose checkpoint blocks are "
             "released below — collecting it would then fail)"
         )
-    und = (
-        edges.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-        .unionAll(edges.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
-        .localCheckpoint(eager=True)
-    )
+    und = _undirect(edges).localCheckpoint(eager=True)
     labels = und.select(F.col("a").alias("v")).distinct().select(
         "v", F.col("v").alias("label")
     )
