@@ -113,6 +113,17 @@ _WINDOW_FRONT = [
     # queries whose ENGINE text changed in this optimization round (the
     # oracle strings are frozen; a rewritten engine must see a driver
     # row against its unchanged oracle before the round ends).
+    # Round-14 engine changes: one-pass explode symmetrize
+    # (operators/dedup.py `_symmetrize`, operators/graph.py `_undirect`)
+    # + banded threshold Levenshtein (queries/advanced.py) + graph_ann
+    # hops=0 guard (operators/similarity.py; default path plan-identical
+    # but the operator file changed).
+    "q_entity_resolution",
+    "q_fuzzy_match",
+    "q_dedup_clusters",
+    "q_kcore",
+    "q_label_propagation",
+    "q_graph_ann",
 ]
 
 # Last driver-GREEN round per query, mechanically derived from
