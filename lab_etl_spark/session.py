@@ -74,6 +74,13 @@ def get_spark(app_name: str = "lab_etl_spark") -> SparkSession:
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # Conf overrides without code edits (A/B experiments, cluster
+    # deployments): semicolon-separated k=v pairs, applied LAST so they
+    # win over the defaults above.  Empty/unset is the shipped default.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in extra.split(";"))):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune(spark)
